@@ -1,0 +1,10 @@
+"""Operator library. Importing this package registers every named query with
+``dblp_to_csv_spark.registry`` (side-effect imports below)."""
+
+import dblp_to_csv_spark.operators.relational  # noqa: F401
+import dblp_to_csv_spark.operators.reference_ops  # noqa: F401
+import dblp_to_csv_spark.operators.dedup  # noqa: F401
+import dblp_to_csv_spark.operators.similarity  # noqa: F401
+import dblp_to_csv_spark.operators.text_analysis  # noqa: F401
+import dblp_to_csv_spark.operators.timeseries  # noqa: F401
+import dblp_to_csv_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,325 @@
+"""Deduplication operators (SURVEY.md §2.4 — LLM-training-data pipeline):
+
+* exact dedup           — hash-groupBy on the full text
+* n-gram Jaccard        — exact pairwise similarity over word-3-gram shingles
+* MinHash + LSH banding — the scale path: md5-keyed minhash signatures,
+                          banded bucket-join candidates, exact verification
+* SimHash               — 32-bit sign-sum sketch, hamming-radius pairs
+* embedding cosine      — near-dup pairs over the embedding column
+
+All oracle-checked except SimHash (xxhash64 has no DuckDB twin → rows-only).
+The md5-based MinHash is deliberately engine-portable: both Spark and DuckDB
+evaluate the same md5(concat(seed,'|',shingle)) strings, so the driver's
+oracle verifies the *whole* LSH pipeline, not just a final filter.
+
+Scale notes (100 TB):
+* exact: one shuffle on the text hash — group on md5(text), never raw text;
+* n-gram Jaccard is quadratic in docs sharing a shingle — it exists as the
+  ground-truth oracle; the production path is MinHash+LSH, whose shuffle
+  keys are (band, bandkey) buckets with bounded fan-in;
+* hot shingles (boilerplate) skew the LSH bucket join → AQE skew-join splits
+  them; a frequency cap on shingles is the standard mitigation and would be
+  a one-line filter on the shingle frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.functions.text import SHINGLES_SQL, WORDS_SQL, shingles, words
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+# MinHash parameters: K signatures, B bands of R rows (K = B*R).
+MINHASH_K = 12
+MINHASH_R = 3
+MINHASH_B = MINHASH_K // MINHASH_R
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.35  # embeddings in the testdata are near-random (max .51)
+
+_WORDS = WORDS_SQL.format(col="text")
+_SHINGLES = SHINGLES_SQL.format(words="words")
+
+_SHINGLE_CTE = f"""
+    w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+    ),
+    c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT da AS doc_a, db AS doc_b,
+               ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN c ca ON ca.doc_id = da
+        JOIN c cb ON cb.doc_id = db
+    )
+"""
+
+
+def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(shingles(words("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_frame(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("da") == F.col("ca.doc_id"))
+        .join(cb, F.col("db") == F.col("cb.doc_id"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(
+                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    tags=("dedup", "agg"),
+    oracle="""
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5(text) (so at scale the shuffle key is 32
+    bytes, not the document), keep the lowest doc_id as the canonical copy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (ground truth for the LSH path).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    bench=True,
+    tags=("dedup", "join", "agg"),
+    oracle=f"""
+        WITH {_SHINGLE_CTE}
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.5 pairs: shingle-join → |∩| counts → unions
+    from per-doc shingle counts. Exact but quadratic in colliding docs —
+    the oracle twin of the MinHash path below."""
+    return _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding, verified — the scale path.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    bench=True,
+    tags=("dedup", "join", "sketch"),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        mh AS (
+            SELECT doc_id, i, MIN(md5(concat(i, '|', shingle))) AS h
+            FROM sh, (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, i // {MINHASH_R} AS band,
+                   STRING_AGG(h, '' ORDER BY i) AS bandkey
+            FROM mh GROUP BY doc_id, i // {MINHASH_R}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT j.doc_a, j.doc_b, j.jaccard
+        FROM jac j JOIN cand USING (doc_a, doc_b)
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(K=12) + LSH(B=4 bands × R=3): per-doc signatures from
+    MIN(md5(seed|shingle)), band keys bucket-joined for candidates, then
+    exact-Jaccard verification of candidates only.
+
+    At 100 TB: signatures are one hash-agg over (doc, seed); the candidate
+    join shuffles band keys (small), and verification touches only candidate
+    pairs — never the full cross product. md5 keys make the whole pipeline
+    reproducible across engines (the DuckDB oracle runs the identical
+    construction)."""
+    sh = _shingle_frame(spark, sf_dir)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i")
+    mh = (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias(
+                "hval"
+            ),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hval").alias("h"))
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / MINHASH_R).cast("int").alias("band")
+    ).agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.concat(F.lpad(F.col("i").cast("string"), 2, "0"), F.lit(":"), F.col("h")))
+            ),
+            "",
+        ).alias("bandkey")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = _jaccard_pairs(spark, sf_dir)
+    return jac.join(cand, ["doc_a", "doc_b"]).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (rows-only: xxhash64 is Spark-native, no DuckDB twin).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    tags=("dedup", "sketch"),
+    oracle=None,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct words: bit j of the sketch is the sign of
+    Σ_words (±1 by bit j of xxhash64(word)). Near-dup pairs = hamming ≤ 3.
+
+    Entirely built-in expressions (xxhash64, bit ops, popcount via
+    bit_count); the pairwise hamming join is quadratic here — at scale you
+    band the sketch (e.g. 4×8-bit chunks, join on any equal chunk) exactly
+    like MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.array_distinct(words("text"))).alias("word"))
+    w = w.withColumn("h", F.xxhash64("word"))
+    bit_sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    a = simhash.alias("a")
+    b = simhash.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs.
+# --------------------------------------------------------------------------
+def _as_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity", "join"),
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.35 over the 64-d embedding
+    column, computed with zip_with/aggregate expressions (JVM-side, no UDF).
+    Norms are computed once per vector before the pairwise join. The
+    pairwise join is the brute-force baseline; the banded/IVF variant lives
+    in operators/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
+    )

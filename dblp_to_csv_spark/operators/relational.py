@@ -1,0 +1,605 @@
+"""Relational operator surface (SURVEY.md §2.3): scans, filters, projections,
+joins (broadcast/shuffle/semi/anti/theta), hash aggregation, grouping sets
+(rollup/cube), window functions, sorts/limits/top-k, set operations, exact
+percentiles, JSON scalar functions.
+
+The reference (XMLToCSV.py) has none of these — §2.3 documents the absence —
+but the engine must provide them to serve the driver's query surface. All of
+it is stock DataFrame API so Catalyst handles pushdown, column pruning, join
+selection (broadcast vs SMJ), partial aggregation and AQE skew handling.
+
+Scale notes (100 TB):
+* dimension joins (nation, region, part at small SF) use explicit
+  ``F.broadcast`` hints — no shuffle of the fact table for those joins;
+* fact-fact joins (lineitem ⋈ orders) shuffle on the join key — co-partitioned
+  bucketing would remove that at deployment time, the plan is unchanged;
+* aggregates rely on Catalyst's partial/final (map-side combine) split;
+* top-k uses window + filter which Spark executes as a partial top-k per
+  partition before the final sort at small k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation: TPC-H Q1-style pricing summary (hash agg, partial/final).
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    bench=True,
+    tags=("agg", "filter", "sort"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                               AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                          AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6)                               AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6)                          AS avg_price,
+               ROUND(AVG(l_discount), 6)                               AS avg_disc,
+               COUNT(*)                                                AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan filter + hash aggregate with 8 aggregates over 2 group keys.
+
+    Catalyst plans this as parquet scan (shipdate filter pushed down) →
+    partial HashAggregate → shuffle on (returnflag, linestatus) → final
+    HashAggregate: the canonical map-side-combine shape that scales linearly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join star query: the flagship (entry() runs this).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    bench=True,
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 4-way star join + aggregate (scan/filter/join/agg in one).
+
+    lineitem⋈orders is the only fact-fact shuffle; customer is small relative
+    to the facts (hash join, broadcast at low SF via AQE), nation/region are
+    explicit broadcasts. At 100 TB, bucketing lineitem+orders on orderkey
+    turns the fact join into a co-partitioned join with zero shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k with deterministic tie-break (sort + limit pushed as partial top-k).
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_by_revenue",
+    bench=True,
+    tags=("join", "topk", "window"),
+    oracle="""
+        WITH rev AS (
+            SELECT o.o_orderkey, o.o_orderdate,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderdate
+        )
+        SELECT o_orderkey, o_orderdate, revenue
+        FROM rev
+        QUALIFY ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) <= 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join + agg + global top-10 (tie-break on orderkey).
+
+    The rounded revenue is the sort key so the result set is stable across
+    engines; row_number over an un-partitioned window is fine because the
+    input to the sort is already one aggregated row per order and Spark
+    executes limit-like top-k with partial sorts per partition.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins.
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_discounted_orders",
+    tags=("join", "semi"),
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderpriority
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+        )
+    """,
+)
+def semi_join_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one deep-discount lineitem.
+
+    Semi join never duplicates the left side and lets Spark stop probing per
+    key — cheaper than join+distinct at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    tags=("join", "anti"),
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never placed an order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast join (explicit hint).
+# --------------------------------------------------------------------------
+@register(
+    "broadcast_join_part_agg",
+    bench=True,
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+        SELECT p.p_brand,
+               ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 25
+        GROUP BY p.p_brand
+    """,
+)
+def broadcast_join_part_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) + aggregate: zero shuffle on the fact side for
+    the join; only the final small agg shuffles. The p_size filter is applied
+    before the broadcast so the broadcast relation is minimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta (non-equi) join.
+# --------------------------------------------------------------------------
+@register(
+    "theta_join_nation_pairs",
+    tags=("join", "theta"),
+    oracle="""
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+        FROM nation a
+        JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def theta_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join: unordered nation pairs within a region. The equi part
+    (regionkey) hashes; the `<` residual filters inside the join — Spark does
+    NOT fall back to a nested-loop join because one key is an equi key."""
+    a = load_table(spark, sf_dir, "nation").alias("a")
+    b = load_table(spark, sf_dir, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: partitioned top-k, running totals, lag deltas.
+# --------------------------------------------------------------------------
+@register(
+    "window_top_orders_per_customer",
+    bench=True,
+    tags=("window", "topk"),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window; one shuffle on the partition
+    key, then a per-partition sort — the scalable idiom for 'top N per key'."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_revenue",
+    tags=("window",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total
+        FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer total with an explicit ROWS frame (identical
+    semantics in both engines; the orderkey tie-break makes it deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_event_delta",
+    tags=("window", "lag"),
+    oracle="""
+        SELECT user_id, event_id,
+               ROUND(value - LAG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), 6) AS delta
+        FROM events
+    """,
+)
+def window_lag_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per user ordered by time — the building block for
+    sessionization and as-of logic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: rollup / cube.
+# --------------------------------------------------------------------------
+@register(
+    "rollup_lineitem_status",
+    tags=("agg", "rollup"),
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (per-flag, per-flag+status, grand total).
+    Spark expands grouping sets inside a single aggregate — one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    tags=("agg", "cube"),
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+@register(
+    "setop_union_nations",
+    tags=("setop",),
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of nation keys present in customers or suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect_nations",
+    tags=("setop",),
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of nation keys with both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nations",
+    tags=("setop",),
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): nation keys with customers but no suppliers.
+    DataFrame.subtract is EXCEPT DISTINCT; exceptAll would be multiset
+    EXCEPT ALL (removes one occurrence per match), a different operator."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates and exact percentiles.
+# --------------------------------------------------------------------------
+@register(
+    "distinct_customers_per_status",
+    tags=("agg", "distinct"),
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate alongside a plain count (Catalyst plans the expand +
+    two-phase distinct aggregation automatically)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "median_price_by_status",
+    tags=("agg", "percentile"),
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
+               ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). The approx variant (`approx_percentile`) is registered
+    separately without an oracle because sketch outputs are engine-specific."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    tags=("agg", "approx"),
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the sketch path
+    used at 100 TB where exact distinct would shuffle every key."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function gallery (string / date / math) and JSON extraction.
+# --------------------------------------------------------------------------
+@register(
+    "scalar_functions_gallery",
+    tags=("scalar",),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT)  AS order_year,
+               CAST(MONTH(o_orderdate) AS INT) AS order_month,
+               UPPER(SUBSTR(o_orderpriority, 3)) AS priority_name,
+               LENGTH(o_orderpriority) AS priority_len,
+               CONCAT(o_orderstatus, '-', CAST(o_orderkey % 10 AS VARCHAR)) AS status_tag,
+               ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders
+    """,
+)
+def scalar_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions in one projection — all JVM-side
+    built-ins inside whole-stage codegen, no Python in the loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper(F.substring("o_orderpriority", 3, 1000)).alias("priority_name"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"), (F.col("o_orderkey") % 10).cast("string")
+        ).alias("status_tag"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+@register(
+    "json_extract_events",
+    tags=("scalar", "json"),
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT)
+                   AS sum_k,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column, then
+    aggregate. Uses get_json_object (JVM-side JSON path) on the Spark side;
+    the oracle extracts the same field with a regex so it has no dependency
+    on DuckDB's JSON extension."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )

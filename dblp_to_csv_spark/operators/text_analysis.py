@@ -1,0 +1,149 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.4):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+All pure Column expressions with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.functions.text import (
+    FINGERPRINT_SQL,
+    STOPWORDS,
+    WORDS_SQL,
+    fingerprint,
+    words,
+)
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+_WORDS = WORDS_SQL.format(col="text")
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    tags=("text", "scalar"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, n_chars, {_WORDS} AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               n_chars,
+               ROUND(len(list_filter(w, x -> len(x) >= 5)) * 1.0
+                     / GREATEST(len(w), 1), 6) AS long_token_ratio,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens
+        FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace/punct-split token count, distinct count,
+    share of long tokens — the per-document statistics a data-quality filter
+    keys on. Single narrow projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        "n_chars",
+        F.round(
+            F.size(F.filter(w, lambda x: F.length(x) >= 5))
+            * 1.0
+            / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("long_token_ratio"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("text", "scalar"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   len(list_filter(w, x -> list_contains([{_STOP_LIST}], x))) AS n_stop,
+                   length(text) AS n_chars_raw,
+                   length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+               ROUND(n_punct * 1.0 / GREATEST(n_chars_raw, 1), 6) AS punct_ratio,
+               CASE WHEN n_tokens >= 20
+                     AND n_punct * 1.0 / GREATEST(n_chars_raw, 1) < 0.1
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation density, length gate →
+    keep/drop verdict (the C4/Gopher-style rule shape). Pure projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_chars_raw = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    punct_ratio = n_punct * 1.0 / F.greatest(n_chars_raw, F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.round(n_stop * 1.0 / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when((n_tokens >= 20) & (punct_ratio < 0.1), "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "text_language_id",
+    tags=("text", "scalar"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN len(list_filter(w, x -> list_contains([{_STOP_LIST}], x)))
+                         * 1.0 / GREATEST(len(w), 1) >= 0.05
+                    THEN 'en' ELSE 'unknown' END AS lang_pred
+        FROM t
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit-ratio thresholding (the n-gram/
+    stopword family of heuristics; a real system would score several
+    languages' stopword lists and argmax — same plan shape, one projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+        * 1.0
+        / F.greatest(F.size(w), F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "scalar"),
+    oracle=f"""
+        SELECT doc_id,
+               {FINGERPRINT_SQL.format(col="text")} AS fp,
+               substr({FINGERPRINT_SQL.format(col="text")}, 1, 4) AS shard
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized text plus a
+    16-bit shard prefix — the canonical dedup/shard key, identical across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    return docs.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("shard")
+    )

@@ -1,0 +1,150 @@
+"""Time-series operators over the events table: tumbling-window aggregation
+(the batch twin of the Structured Streaming job in streaming/), gap-based
+sessionization, and an as-of join — operators the reference lacks entirely
+(SURVEY.md §2.3) expressed with windows/aggregates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "tumbling_window_events",
+    bench=True,
+    tags=("window", "time"),
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (F.window ≡ date_trunc for
+    epoch-aligned hourly windows). Identical code runs under Structured
+    Streaming with a watermark — see streaming/events_stream.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    tags=("window", "time", "session"),
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL {SESSION_GAP_MIN} MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    running sum = session number → per-session aggregate. One shuffle on
+    user_id serves both windows and the final aggregate (same key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.select(
+        "user_id", "event_id", "ts", F.sum("new_session").over(run).alias("session_seq")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "asof_join_purchase_last_view",
+    tags=("join", "asof", "window"),
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_view_ts
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+        )
+        SELECT event_id, user_id, ts, last_view_ts
+        FROM tagged
+        WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for every purchase, the same user's most recent
+    strictly-earlier view.
+
+    Implemented as union-then-window — the scalable as-of plan: one shuffle
+    on user_id, a running MAX over the view timestamps, no range join and no
+    per-key blowup (a naive t1⋈t2 ON ts<=ts range join is quadratic in hot
+    keys). This is the standard distributed as-of idiom."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "last_view_ts"
+        ),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_view_ts"
+    )

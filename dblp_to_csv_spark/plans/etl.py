@@ -1,0 +1,434 @@
+"""The end-to-end XML→CSV conversion plan — the reference's whole program
+(XMLToCSV.py:365-411) as a Spark job graph.
+
+Stage map (reference cite → here):
+
+1. DTD catalog scan S1 (:79-86)        → sources/dtd.get_elements (driver-side)
+2. schema-inference pass S2 (:108-146) → spark.read.format('xml') schema
+                                          inference per rowTag
+3. record extraction S3 (:149-203)     → one XML scan per record type
+                                          (executor-parallel by input split)
+4. flatten P1 + arrays A1 (:224-233)   → plans/flatten.flatten_record_frame
+5. empty-record filter F1 (:176)       → drop all-null rows
+6. empty-column pruning P2 (:94,142)   → one agg per table, drop never-seen
+                                          columns; drop empty tables
+7. global dense IDs (:161,180,188)     → functions/ids.with_dense_ids with
+                                          cross-table offsets
+8. type observation+unify A3/A4        → one agg per table over the detect
+   (:236-243, 314-331)                    ladder, lattice fold on driver
+9. array serialization A2 (:178-179)   → array_join(array_sort(col), '|')
+10. CSV sink K1 (:89-105)              → per-table csv write, ';'-separated
+11. annotated headers K2 (:284-305)    → driver-side sidecar (id:integer —
+                                          fixes the reference's id:<class
+                                          'int'> bug, SURVEY.md §1.7)
+12. relations R1/R2/R3 (:347-362)      → explode → distinct → dense-id →
+                                          broadcast join → edge CSVs
+13. neo4j command K3 (:334-344)        → driver-side script template
+
+Scale: each record type's scan/flatten/write is an independent embarrassingly
+parallel job; the only shuffles are the per-table pruning/typing aggregates
+(tiny results) and the relation distinct. Nothing is ever collected to the
+driver except per-partition histograms and per-column type sets.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.functions.ids import with_dense_ids
+from dblp_to_csv_spark.functions.type_inference import (
+    TYPE_INTEGER,
+    detect_type_column,
+    unify_types,
+)
+from dblp_to_csv_spark.plans.flatten import flatten_record_frame
+from dblp_to_csv_spark.sources.dtd import InvalidElementName, get_record_types
+
+
+def translate_type(type_name: str, neo4j_style: bool = False) -> str:
+    """T2 (XMLToCSV.py:308-311): Neo4j header dialect renames integer→int."""
+    if neo4j_style and type_name == TYPE_INTEGER:
+        return "int"
+    return type_name
+
+
+@dataclass
+class TableResult:
+    element: str
+    df: DataFrame  # serialized (strings only), with id column
+    columns: list[str]  # data columns, sorted (id excluded)
+    array_columns: set[str]
+    column_types: dict[str, str]  # unified type per column (annotate mode)
+    n_rows: int
+    csv_path: str | None = None
+
+
+@dataclass
+class ConvertResult:
+    tables: dict[str, TableResult] = field(default_factory=dict)
+    relation_nodes: dict[str, DataFrame] = field(default_factory=dict)
+    relation_edges: dict[str, DataFrame] = field(default_factory=dict)
+    total_records: int = 0
+    neo4j_script: str | None = None
+
+
+class XmlToCsvPlan:
+    """Composable plan: parse args once, run stages lazily per table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        xml_path: str,
+        dtd_path: str,
+        output_path: str,
+        annotate: bool = False,
+        neo4j: bool = False,
+        relations: dict[str, str] | None = None,
+        root: str = "dblp",
+        single_file: bool = True,
+    ):
+        if neo4j:
+            annotate = True  # reference: --neo4j implies --annotate (:61-64)
+        if relations:
+            # uniqueness of both attribute and relation names (:66-73)
+            if len(set(relations.values())) != len(relations):
+                raise ValueError("relation names must be unique")
+        self.spark = spark
+        self.xml_path = xml_path
+        self.dtd_path = dtd_path
+        self.output_path = output_path
+        self.annotate = annotate
+        self.neo4j = neo4j
+        self.relations = dict(relations or {})
+        self.root = root
+        self.single_file = single_file
+        self.path, self.ext = os.path.splitext(output_path)
+
+    # ------------------------------------------------------------------
+    # Stage 2+3: scan one record type (schema inference + extraction).
+    # ------------------------------------------------------------------
+    def read_record_type(self, element: str) -> DataFrame:
+        return (
+            self.spark.read.format("xml")
+            .option("rowTag", element)
+            .option("inferSchema", "false")  # strings only; OUR lattice types
+            .load(self.xml_path)
+        )
+
+    # ------------------------------------------------------------------
+    # Stages 4-8 for one table (everything before serialization).
+    # ------------------------------------------------------------------
+    def prepare_table(self, element: str, id_start: int) -> TableResult | None:
+        try:
+            raw = self.read_record_type(element)
+        except Exception as e:  # rowTag absent from the document entirely
+            if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
+                return None
+            raise
+        if not raw.schema.fields:
+            return None  # record type never occurs with content (P2 drop)
+
+        flat, array_cols = flatten_record_frame(raw, element)
+        if not flat.columns:
+            return None
+
+        # F1: records with no extracted data emit no row (XMLToCSV.py:176)
+        non_null = [
+            (F.size(c) > 0) if name in array_cols else F.col(name).isNotNull()
+            for name, c in ((n, F.col(n)) for n in flat.columns)
+        ]
+        cond = non_null[0]
+        for c in non_null[1:]:
+            cond = cond | c
+        flat = flat.filter(cond)
+        flat.cache()  # reused by: prune agg, type agg, id histogram, write
+
+        # P2: prune columns never observed non-empty; one agg computes every
+        # column's count simultaneously.
+        counts_row = flat.agg(
+            *[
+                (
+                    F.count(F.when(F.size(F.col(c)) > 0, 1))
+                    if c in array_cols
+                    else F.count(F.col(c))
+                ).alias(c)
+                for c in flat.columns
+            ]
+        ).collect()[0]
+        keep = [c for c in flat.columns if counts_row[c] > 0]
+        if not keep:
+            flat.unpersist()
+            return None
+        flat = flat.select(*keep)
+        array_cols &= set(keep)
+
+        # A3+A4: per-column observed-type sets in ONE aggregate, lattice fold
+        # on the tiny driver-side result.
+        column_types: dict[str, str] = {}
+        if self.annotate:
+            type_aggs = []
+            for c in keep:
+                if c in array_cols:
+                    per_row = F.array_distinct(
+                        F.transform(F.col(c), lambda v: detect_type_column(v))
+                    )
+                    type_aggs.append(
+                        F.array_distinct(F.flatten(F.collect_set(per_row))).alias(c)
+                    )
+                else:
+                    type_aggs.append(F.collect_set(detect_type_column(F.col(c))).alias(c))
+            trow = flat.agg(*type_aggs).collect()[0]
+            for c in keep:
+                observed = set(trow[c] or [])
+                column_types[c] = unify_types(observed or {"any"})
+
+        # Stage 7: dense IDs continuing the global counter.
+        with_ids = with_dense_ids(flat, "id", start=id_start)
+        n_rows = with_ids.count()
+        return TableResult(
+            element=element,
+            df=with_ids,
+            columns=sorted(keep),
+            array_columns=array_cols,
+            column_types=column_types,
+            n_rows=n_rows,
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 9+10: serialize arrays, write the per-table CSV (K1).
+    # ------------------------------------------------------------------
+    def serialize(self, t: TableResult) -> DataFrame:
+        cols = [F.col("id").cast("string").alias("id")]
+        for c in t.columns:
+            if c in t.array_columns:
+                cols.append(F.array_join(F.array_sort(F.col(c)), "|").alias(c))
+            else:
+                cols.append(F.col(c).alias(c))
+        return t.df.select(*cols)
+
+    def write_table_csv(self, t: TableResult) -> str:
+        out = f"{self.path}_{t.element}{self.ext}"
+        _write_csv(
+            self.serialize(t),
+            out,
+            header=not self.annotate,  # inline header iff not annotated (:102-103)
+            single_file=self.single_file,
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # Stage 11: annotated sidecar headers (K2).
+    # ------------------------------------------------------------------
+    def write_annotated_header(self, t: TableResult) -> str:
+        out = f"{self.path}_{t.element}_header{self.ext}"
+        parts = []
+        if self.neo4j:
+            parts.append(f"{t.element}:ID")
+        else:
+            # deviation: the reference renders id:<class 'int'> here (bug,
+            # XMLToCSV.py:294-295); we emit id:integer (SURVEY.md §1.7)
+            parts.append("id:integer")
+        for c in t.columns:
+            tname = translate_type(t.column_types[c], self.neo4j)
+            suffix = "[]" if c in t.array_columns else ""
+            parts.append(f"{c}:{tname}{suffix}")
+        with open(out, "w", encoding="utf-8") as f:
+            f.write(";".join(parts))
+        return out
+
+    # ------------------------------------------------------------------
+    # Stage 12: relations — nodes (R1), edges (R2), sinks (R3).
+    # ------------------------------------------------------------------
+    def build_relation_pairs(self, tables: dict[str, TableResult], column: str) -> DataFrame:
+        """(record id, value) pairs for one relation column across ALL record
+        types (the reference's relations map is keyed by column name only,
+        XMLToCSV.py:206-221)."""
+        pairs = None
+        for t in tables.values():
+            if column not in t.columns:
+                continue
+            if column in t.array_columns:
+                p = t.df.select("id", F.explode(column).alias("value"))
+            else:
+                p = t.df.select("id", F.col(column).alias("value"))
+            p = p.filter(F.col("value").isNotNull())
+            pairs = p if pairs is None else pairs.unionByName(p)
+        if pairs is None:
+            return self.spark.createDataFrame([], "id long, value string")
+        # reference semantics: value→set(ids), i.e. one edge per distinct pair
+        return pairs.distinct()
+
+    def build_relations(
+        self, tables: dict[str, TableResult], next_id: int
+    ) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+        nodes_by_col: dict[str, DataFrame] = {}
+        edges_by_col: dict[str, DataFrame] = {}
+        for column in sorted(self.relations):
+            pairs = self.build_relation_pairs(tables, column)
+            pairs.cache()
+            values = pairs.select("value").distinct()
+            nodes = with_dense_ids(values, "node_id", start=next_id).select(
+                "node_id", "value"
+            )
+            nodes.cache()
+            n_nodes = nodes.count()
+            next_id += n_nodes
+            edges = pairs.join(F.broadcast(nodes), "value").select(
+                F.col("id").alias("start_id"), F.col("node_id").alias("end_id")
+            )
+            nodes_by_col[column] = nodes
+            edges_by_col[column] = edges
+        return nodes_by_col, edges_by_col
+
+    def write_relation_files(
+        self, nodes_by_col: dict[str, DataFrame], edges_by_col: dict[str, DataFrame]
+    ) -> None:
+        for column, nodes in nodes_by_col.items():
+            node_path = f"{self.path}_{column}{self.ext}"
+            edge_path = f"{self.path}_{column}_{self.relations[column]}{self.ext}"
+            _write_csv(
+                nodes.select(F.col("node_id").cast("string"), "value"),
+                node_path,
+                header=False,
+                single_file=self.single_file,
+                literal_header=f":ID;{column}:string",
+            )
+            _write_csv(
+                edges_by_col[column].select(
+                    F.col("start_id").cast("string"), F.col("end_id").cast("string")
+                ),
+                edge_path,
+                header=False,
+                single_file=self.single_file,
+                literal_header=":START_ID;:END_ID",
+            )
+
+    # ------------------------------------------------------------------
+    # Stage 13: neo4j-admin import command (K3, XMLToCSV.py:334-344).
+    # ------------------------------------------------------------------
+    def neo4j_import_command(self, elements: list[str]) -> str:
+        path, ext = self.path, self.ext
+        cmd = (
+            'neo4j-admin import --mode=csv --database=dblp.db --delimiter ";" '
+            '--array-delimiter "|" --id-type INTEGER'
+        )
+        for element in elements:
+            cmd += f' --nodes:{element} "{path}_{element}_header{ext},{path}_{element}{ext}"'
+        for relation in sorted(self.relations):
+            cmd += f' --nodes:{relation} "{path}_{relation}{ext}"'
+            predicate = self.relations[relation]
+            cmd += f' --relationships:{predicate} "{path}_{relation}_{predicate}{ext}"'
+        return cmd
+
+    # ------------------------------------------------------------------
+    # The whole program.
+    # ------------------------------------------------------------------
+    def run(self) -> ConvertResult:
+        elements = get_record_types(self.dtd_path, self.root)
+        result = ConvertResult()
+        next_id = 0
+        # deterministic table order replaces the reference's document-order
+        # interleaving for ID assignment (SURVEY.md §7.4 — out of contract)
+        for element in sorted(elements):
+            t = self.prepare_table(element, id_start=next_id)
+            if t is None:
+                continue
+            next_id += t.n_rows
+            result.tables[element] = t
+        result.total_records = next_id
+
+        for t in result.tables.values():
+            t.csv_path = self.write_table_csv(t)
+            if self.annotate:
+                self.write_annotated_header(t)
+
+        if self.relations:
+            nodes, edges = self.build_relations(result.tables, next_id)
+            result.relation_nodes = nodes
+            result.relation_edges = edges
+            self.write_relation_files(nodes, edges)
+
+        if self.neo4j:
+            cmd = self.neo4j_import_command(sorted(result.tables))
+            script = os.path.join(os.path.dirname(self.path) or ".", "neo4j_import.sh")
+            with open(script, "w", encoding="utf-8") as f:
+                f.write("#!/bin/bash\n")
+                f.write(cmd)
+            result.neo4j_script = script
+
+        for t in result.tables.values():
+            t.df.unpersist()
+        return result
+
+
+def convert(
+    spark: SparkSession,
+    xml_path: str,
+    dtd_path: str,
+    output_path: str,
+    annotate: bool = False,
+    neo4j: bool = False,
+    relations: dict[str, str] | None = None,
+    root: str = "dblp",
+    single_file: bool = True,
+) -> ConvertResult:
+    """One-call equivalent of the reference CLI (XMLToCSV.py:365-411)."""
+    return XmlToCsvPlan(
+        spark, xml_path, dtd_path, output_path, annotate, neo4j, relations, root, single_file
+    ).run()
+
+
+# --------------------------------------------------------------------------
+# CSV sink helper (K1/R3): Spark writes a directory; single_file mode moves
+# the lone part file to the exact reference filename (viable for dim-sized
+# outputs; at 100 TB you keep directory mode and a manifest).
+# --------------------------------------------------------------------------
+def _write_csv(
+    df: DataFrame,
+    out_path: str,
+    header: bool,
+    single_file: bool,
+    literal_header: str | None = None,
+) -> None:
+    tmp_dir = out_path + ".spark-tmp"
+    writer = (
+        (df.coalesce(1) if single_file else df)
+        .write.mode("overwrite")
+        .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')  # doubled quotes, python csv doublequote=True
+        .option("nullValue", "")
+        .option("emptyValue", "")
+        .option("header", str(header).lower())
+    )
+    if single_file:
+        writer.csv(tmp_dir)
+        parts = sorted(glob.glob(os.path.join(tmp_dir, "part-*")))
+        with open(out_path, "wb") as out:
+            if literal_header is not None:
+                out.write((literal_header + "\n").encode("utf-8"))
+            for p in parts:
+                with open(p, "rb") as f:
+                    shutil.copyfileobj(f, out)
+        shutil.rmtree(tmp_dir)
+    else:
+        writer.csv(out_path)
+        if literal_header is not None:
+            with open(os.path.join(out_path, "_header.csv"), "w", encoding="utf-8") as f:
+                f.write(literal_header)
+
+
+__all__ = [
+    "XmlToCsvPlan",
+    "ConvertResult",
+    "TableResult",
+    "convert",
+    "translate_type",
+    "InvalidElementName",
+]

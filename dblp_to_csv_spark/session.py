@@ -1,0 +1,36 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on local[N]; the conf below is chosen so the *same* plans run
+well on a 1000-executor cluster: AQE for runtime re-planning (skew joins,
+partition coalescing), Arrow for the few Pandas-UDF paths, and parquet
+pushdown/pruning left at their (enabled) defaults so Catalyst can do its job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dblp-to-csv-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for local runs; on a real cluster this would scale with cores.
+        .config("spark.sql.shuffle.partitions", cpus)
+        # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark
+        # rejects by default; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow batches for the Pandas-UDF paths (similarity, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,82 @@
+"""DTD catalog scan (S1, XMLToCSV.py:79-86): parse the DTD's <!ELEMENT>
+declarations into the table catalog, dropping the root element.
+
+The reference uses lxml's DTD object; this environment has no lxml, and the
+catalog needs only the element *names*, so a small stdlib parser handles the
+DTD declaration syntax (comments, parameter entities ignored). When lxml IS
+available we optionally use it for full DTD validation (S4) — see
+``validate_xml_against_dtd``.
+"""
+
+from __future__ import annotations
+
+import re
+
+_ELEMENT_DECL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)", re.MULTILINE)
+_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
+class InvalidElementName(Exception):
+    """Reserved column name collision (reference XMLToCSV.py:16-25): the
+    engine injects its own ``id`` column, so data-supplied ``id`` is an
+    error."""
+
+    def __init__(self, invalid_element_name: str, tag_name: str, parent_name: str):
+        self.invalid_element_name = invalid_element_name
+        self.tag_name = tag_name
+        self.parent_name = parent_name
+        super().__init__(
+            f"Invalid name {invalid_element_name!r} found in tag {tag_name!r} "
+            f"within element {parent_name!r}"
+        )
+
+
+def get_elements(dtd_path: str, root: str = "dblp") -> set[str]:
+    """All <!ELEMENT> names minus the root — each becomes a record type /
+    table (XMLToCSV.py:79-86; the reference hard-codes the 'dblp' root)."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    elements = set(_ELEMENT_DECL.findall(text))
+    if root not in elements:
+        raise ValueError(f"root element {root!r} not declared in DTD {dtd_path}")
+    elements.remove(root)
+    return elements
+
+
+def get_record_types(dtd_path: str, root: str = "dblp") -> set[str]:
+    """Record types = elements allowed as direct children of the root, per
+    the root's content model (e.g. ``<!ELEMENT dblp (article|book|…)*>``).
+
+    The reference treats EVERY declared element as a candidate record type
+    and relies on its depth-1 state machine to only ever match direct
+    children of the root (XMLToCSV.py:120-121); nested candidates end with
+    zero observed columns and are dropped (:142-143). Spark's rowTag scan
+    matches at any depth, so the engine restricts the catalog up front to the
+    root's declared children — same net catalog for any DTD (like DBLP's)
+    where record types don't nest inside other record types. Falls back to
+    all declared elements when the root's content model is opaque (ANY/EMPTY
+    or parameter entities)."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    all_elements = get_elements(dtd_path, root)
+    m = re.search(rf"<!ELEMENT\s+{re.escape(root)}\s+\(([^>]*)\)", text)
+    if not m:
+        return all_elements
+    names = set(re.findall(r"[A-Za-z_:][\w.:-]*", m.group(1))) - {"#PCDATA"}
+    children = names & all_elements
+    return children or all_elements
+
+
+def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
+    """S4 (XMLToCSV.py:109-110, 152): DTD validation. Spark's XML source has
+    no DTD support; when lxml is importable we run a driver-side streaming
+    validation pass, otherwise return None (validation unavailable —
+    documented deviation, SURVEY.md §4.3.3)."""
+    try:
+        from lxml import etree
+    except ImportError:
+        return None
+    with open(dtd_path, "rb") as f:
+        dtd = etree.DTD(f)
+    tree = etree.parse(xml_path)
+    return bool(dtd.validate(tree))

@@ -1,0 +1,46 @@
+"""Parquet source for the driver's synthetic tables (TESTDATA.md).
+
+Columnar parquet scans give Catalyst predicate pushdown + column pruning for
+free; every query in the engine goes through these loaders so the scan side is
+uniform. At 100 TB these would be partitioned tables — the loaders accept any
+directory layout spark.read.parquet understands.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as
+    # epoch-nanos LongType. Convert with INTEGER division (epoch nanos exceed
+    # 2^53, double math would corrupt the low digits), truncating to micros —
+    # the same truncation DuckDB applies when it reads the column.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
