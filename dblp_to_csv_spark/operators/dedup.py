@@ -66,8 +66,14 @@ _SHINGLE_CTE = f"""
 
 def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize the words array in its own projection BEFORE shingling:
+    # shingles() calls element_at three times per index, and codegen does no
+    # common-subexpression elimination across them — inlining words(text)
+    # there re-runs split+filter per element_at, turning tokenization
+    # O(n_words²) per document (measured 14.5s → 0.5s at sf0.01).
     return (
-        docs.select("doc_id", F.explode(shingles(words("text"))).alias("shingle"))
+        docs.select("doc_id", words("text").alias("w"))
+        .select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
         .distinct()
     )
 
@@ -143,6 +149,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH banding, verified — the scale path.
 # --------------------------------------------------------------------------
+_MH_COLS = ", ".join(
+    f"MIN(md5(concat({i}, '|', shingle))) AS h{i}" for i in range(MINHASH_K)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS bandkey FROM mh".format(
+        b=b,
+        key=" || ".join(f"h{b * MINHASH_R + r}" for r in range(MINHASH_R)),
+    )
+    for b in range(MINHASH_B)
+)
+
+
 @register(
     "dedup_minhash_lsh",
     bench=True,
@@ -150,15 +168,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_SHINGLE_CTE},
         mh AS (
-            SELECT doc_id, i, MIN(md5(concat(i, '|', shingle))) AS h
-            FROM sh, (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS i)
-            GROUP BY doc_id, i
+            SELECT doc_id, {_MH_COLS}
+            FROM sh GROUP BY doc_id
         ),
-        bands AS (
-            SELECT doc_id, i // {MINHASH_R} AS band,
-                   STRING_AGG(h, '' ORDER BY i) AS bandkey
-            FROM mh GROUP BY doc_id, i // {MINHASH_R}
-        ),
+        bands AS ({_BAND_SELECTS}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a
@@ -179,31 +192,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles band keys (small), and verification touches only candidate
     pairs — never the full cross product. md5 keys make the whole pipeline
     reproducible across engines (the DuckDB oracle runs the identical
-    construction)."""
-    sh = _shingle_frame(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i")
-    mh = (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias(
-                "hval"
-            ),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hval").alias("h"))
+    construction).
+
+    Plan shape (the expensive parts are deliberately minimized):
+    * signatures come from ONE wide aggregate — 12 MIN columns over the raw
+      (non-distinct) shingle stream. MIN is insensitive to duplicates, so
+      the 'distinct' shuffle is skipped entirely on this path, and partial
+      aggregation reduces each map task to ≤1 row per doc before the
+      shuffle (vs. exploding ×K rows through it);
+    * band keys are plain column concats of the signature — no second
+      aggregate, no collect_list;
+    * exact-Jaccard verification is restricted to candidate documents: the
+      shingle stream is semi-joined down to candidates BEFORE the distinct
+      and intersection joins, so verification cost scales with |candidates|,
+      not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    # raw shingles: narrow (tokenize+explode), duplicates kept
+    sh_raw = docs.select("doc_id", words("text").alias("w")).select(
+        "doc_id", F.explode(shingles(F.col("w"))).alias("shingle")
     )
-    bands = mh.groupBy(
-        "doc_id", (F.col("i") / MINHASH_R).cast("int").alias("band")
-    ).agg(
-        F.array_join(
-            F.array_sort(
-                F.collect_list(F.concat(F.lpad(F.col("i").cast("string"), 2, "0"), F.lit(":"), F.col("h")))
-            ),
-            "",
-        ).alias("bandkey")
+    mh = sh_raw.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
     )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{b * MINHASH_R + r}") for r in range(MINHASH_R)]
+                        ).alias("bandkey"),
+                    )
+                    for b in range(MINHASH_B)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bandkey")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -216,9 +247,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = _jaccard_pairs(spark, sf_dir)
-    return jac.join(cand, ["doc_a", "doc_b"]).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    cand.cache()
+    # verification: shrink the shingle stream to candidate docs first
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    sh = (
+        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 

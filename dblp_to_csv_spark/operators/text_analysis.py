@@ -41,8 +41,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of long tokens — the per-document statistics a data-quality filter
     keys on. Single narrow projection, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    w = words("text")
-    return docs.select(
+    # tokenize once in its own projection (one split, many consumers)
+    t = docs.select("doc_id", "n_chars", words("text").alias("w"))
+    w = F.col("w")
+    return t.select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         "n_chars",
@@ -81,8 +83,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, punctuation density, length gate →
     keep/drop verdict (the C4/Gopher-style rule shape). Pure projection."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = words("text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", words("text").alias("w")
+    )
+    w = F.col("w")
     n_tokens = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
     n_chars_raw = F.length("text")
@@ -114,8 +118,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit-ratio thresholding (the n-gram/
     stopword family of heuristics; a real system would score several
     languages' stopword lists and argmax — same plan shape, one projection)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = words("text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words("text").alias("w")
+    )
+    w = F.col("w")
     ratio = (
         F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
         * 1.0

@@ -31,6 +31,7 @@ def get_spark(app_name: str = "dblp-to-csv-spark", master: str | None = None) ->
         # Arrow batches for the Pandas-UDF paths (similarity, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
