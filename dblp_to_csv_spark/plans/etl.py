@@ -48,7 +48,11 @@ from dblp_to_csv_spark.functions.type_inference import (
     unify_types,
 )
 from dblp_to_csv_spark.plans.flatten import flatten_record_frame
-from dblp_to_csv_spark.sources.dtd import InvalidElementName, get_record_types
+from dblp_to_csv_spark.sources.dtd import (
+    InvalidElementName,
+    get_attribute_defaults,
+    get_record_types,
+)
 
 
 def translate_type(type_name: str, neo4j_style: bool = False) -> str:
@@ -109,6 +113,7 @@ class XmlToCsvPlan:
         self.root = root
         self.single_file = single_file
         self.path, self.ext = os.path.splitext(output_path)
+        self.attribute_defaults = get_attribute_defaults(dtd_path)
 
     # ------------------------------------------------------------------
     # Stage 2+3: scan one record type (schema inference + extraction).
@@ -162,10 +167,22 @@ class XmlToCsvPlan:
             ]
         ).collect()[0]
         keep = [c for c in flat.columns if counts_row[c] > 0]
+        # DTD-defaulted attributes survive pruning even when never set in the
+        # data: the reference's pass 1 observes them via attribute_defaults
+        # while pass 2 leaves the cells empty (SURVEY.md §1.1; see
+        # get_attribute_defaults for the header-bug deviation).
+        defaulted = self.attribute_defaults.get(element, {})
+        for attr in sorted(defaulted):
+            if attr == "id":
+                raise InvalidElementName("id", attr, element)
+            if attr not in keep:
+                keep.append(attr)
+                if attr not in flat.columns:
+                    flat = flat.withColumn(attr, F.lit(None).cast("string"))
         if not keep:
             flat.unpersist()
             return None
-        flat = flat.select(*keep)
+        flat = flat.select(*sorted(keep))
         array_cols &= set(keep)
 
         # A3+A4: per-column observed-type sets in ONE aggregate, lattice fold

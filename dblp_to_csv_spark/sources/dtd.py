@@ -13,7 +13,18 @@ from __future__ import annotations
 import re
 
 _ELEMENT_DECL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)", re.MULTILINE)
+_ATTLIST_DECL = re.compile(r"<!ATTLIST\s+([A-Za-z_:][\w.:-]*)\s+([^>]*)>", re.DOTALL)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+# one attribute definition inside an ATTLIST body:
+#   name  type  (#REQUIRED | #IMPLIED | [#FIXED] "default")
+# where type is CDATA, a token type, or an enumeration "(a|b|c)"
+_ATTDEF = re.compile(
+    r"([A-Za-z_:][\w.:-]*)\s+"  # attribute name
+    r"(CDATA|ID|IDREF|IDREFS|ENTITY|ENTITIES|NMTOKEN|NMTOKENS|\([^)]*\))\s+"
+    r"(#REQUIRED|#IMPLIED|(?:#FIXED\s+)?(?:\"[^\"]*\"|'[^']*'))",
+    re.DOTALL,
+)
 
 
 class InvalidElementName(Exception):
@@ -41,6 +52,35 @@ def get_elements(dtd_path: str, root: str = "dblp") -> set[str]:
         raise ValueError(f"root element {root!r} not declared in DTD {dtd_path}")
     elements.remove(root)
     return elements
+
+
+def get_attribute_defaults(dtd_path: str) -> dict[str, dict[str, str]]:
+    """ATTLIST attributes with literal default values, per element.
+
+    Reference parity (SURVEY.md §1.1): pass 1 runs with
+    ``attribute_defaults=True`` (XMLToCSV.py:109) so DTD-defaulted attributes
+    are *observed* as columns, while pass 2 does not (:152) — the default
+    values never materialize in rows, surfacing as '' cells (:101). The
+    engine mirrors that: elements gain a column per defaulted attribute even
+    when the XML never sets it; cells stay empty. (#REQUIRED/#IMPLIED
+    declare no default, so they create no column unless present in data.)
+
+    Deviation (documented): the reference drops these never-set columns from
+    the *annotated* header because its header iterates pass-2 type
+    observations (XMLToCSV.py:290), leaving the header one column short of
+    the CSV — a bug we fix by including them, typed 'string'."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    defaults: dict[str, dict[str, str]] = {}
+    for m in _ATTLIST_DECL.finditer(text):
+        element, body = m.group(1), m.group(2)
+        for am in _ATTDEF.finditer(body):
+            attr, _type, default = am.group(1), am.group(2), am.group(3)
+            if default in ("#REQUIRED", "#IMPLIED"):
+                continue
+            value = default.removeprefix("#FIXED").strip().strip("\"'")
+            defaults.setdefault(element, {})[attr] = value
+    return defaults
 
 
 def get_record_types(dtd_path: str, root: str = "dblp") -> set[str]:

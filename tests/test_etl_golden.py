@@ -136,6 +136,14 @@ def test_annotated_headers(full_out):
     with open(f"{path}_article{ext}", encoding="utf-8") as f:
         first = f.readline()
     assert not first.startswith("id;")
+    # DTD-defaulted attribute (www status CDATA "active"): column exists
+    # with empty cells even though the XML never sets it (SURVEY.md §1.1);
+    # unlike the reference's header bug we do list it in the header
+    with open(f"{path}_www_header{ext}", encoding="utf-8") as f:
+        assert f.read() == "www:ID;key:string;status:string;url:string"
+    www_rows = read_csv(f"{path}_www{ext}", header=False,
+                        fieldnames=["id", "key", "status", "url"])
+    assert all(r["status"] == "" for r in www_rows)
 
 
 def test_relation_nodes_and_edges(full_out):
