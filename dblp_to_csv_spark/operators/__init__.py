@@ -11,3 +11,4 @@ import dblp_to_csv_spark.operators.multimodal  # noqa: F401
 import dblp_to_csv_spark.operators.sql_surface  # noqa: F401
 import dblp_to_csv_spark.operators.function_gallery  # noqa: F401
 import dblp_to_csv_spark.operators.udf_surface  # noqa: F401
+import dblp_to_csv_spark.operators.statistics  # noqa: F401

@@ -1,0 +1,114 @@
+"""Statistical aggregates and ranking distribution functions — rounding out
+the aggregate inventory (SURVEY.md §2.3): stddev/variance/correlation/
+covariance, ntile buckets, first/last values over ordered windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+
+@register(
+    "stats_agg_lineitem",
+    tags=("agg", "stats"),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
+               ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               ROUND(COVAR_SAMP(l_discount, l_tax), 6) AS disc_tax_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-based aggregates (stddev/variance/corr/covar): single-pass
+    partial+final aggregation of the co-moments — no second scan, no
+    collect. Rounded to absorb engine summation-order ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+    )
+
+
+@register(
+    "rank_functions_suppliers",
+    tags=("window", "rank"),
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               CAST(RANK() OVER w AS INT) AS bal_rank,
+               CAST(DENSE_RANK() OVER w AS INT) AS bal_dense_rank,
+               LEAD(s_suppkey) OVER w AS next_supp,
+               ROUND(LEAD(s_acctbal, 2, 0.0) OVER w, 2) AS bal_after_next
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def rank_functions_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lead (with offset+default) per nation over a
+    deterministic order."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.lead("s_suppkey").over(w).alias("next_supp"),
+        F.round(F.lead("s_acctbal", 2, 0.0).over(w), 2).alias("bal_after_next"),
+    )
+
+
+@register(
+    "sorted_page_orders",
+    tags=("sort", "limit", "offset"),
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
+)
+def sorted_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: total order (price DESC, key) + offset 40 +
+    limit 20 — Spark pushes the combined limit (60) into partial per-
+    partition top-k before the final sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "ntile_order_quartiles",
+    tags=("window", "ntile"),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/first_value/percent_rank) over a
+    deterministic total order (price with orderkey tie-break)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

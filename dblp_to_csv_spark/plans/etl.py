@@ -119,10 +119,15 @@ class XmlToCsvPlan:
     # Stage 2+3: scan one record type (schema inference + extraction).
     # ------------------------------------------------------------------
     def read_record_type(self, element: str) -> DataFrame:
+        # FAILFAST: the reference hard-fails on invalid XML (DTD validation
+        # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
+        # (see sources.dtd.validate_xml_against_dtd for the lxml-gated
+        # pre-flight), but malformed XML should abort, not silently null.
         return (
             self.spark.read.format("xml")
             .option("rowTag", element)
             .option("inferSchema", "false")  # strings only; OUR lattice types
+            .option("mode", "FAILFAST")
             .load(self.xml_path)
         )
 

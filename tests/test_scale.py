@@ -1,0 +1,96 @@
+"""Scale-behavior tests: the properties that must hold on a real cluster —
+dense IDs across many partitions, multi-split XML reads, ETL throughput on a
+generated corpus 4 orders of magnitude larger than the golden fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_dense_ids_many_partitions(spark):
+    """with_dense_ids must stay dense/unique over an arbitrarily partitioned
+    frame (the partition-offset construction, SURVEY.md §7.4)."""
+    from dblp_to_csv_spark.functions.ids import with_dense_ids
+
+    df = spark.range(100_000).repartition(13).select(F.col("id").alias("x"))
+    out = with_dense_ids(df, "rid", start=5)
+    ids = [r["rid"] for r in out.select("rid").collect()]
+    assert len(ids) == 100_000
+    assert sorted(ids) == list(range(5, 100_005))
+    out.unpersist()
+
+
+def test_dense_ids_empty_frame(spark):
+    from dblp_to_csv_spark.functions.ids import with_dense_ids
+
+    df = spark.range(10).filter(F.col("id") < 0)
+    assert with_dense_ids(df, "rid").count() == 0
+
+
+@pytest.fixture(scope="module")
+def big_xml(tmp_path_factory):
+    """~20k-record DBLP-ish corpus (deterministic), several MB."""
+    rng = random.Random(42)
+    d = tmp_path_factory.mktemp("bigxml")
+    xml = d / "big.xml"
+    dtd = d / "big.dtd"
+    dtd.write_text(
+        "<!ELEMENT dblp (article|book)*>\n"
+        "<!ELEMENT article (author|title|year)*>\n"
+        "<!ELEMENT book (author|title|year)*>\n"
+        "<!ELEMENT author (#PCDATA)>\n<!ELEMENT title (#PCDATA)>\n"
+        "<!ELEMENT year (#PCDATA)>\n"
+        '<!ATTLIST article key CDATA #REQUIRED>\n'
+        '<!ATTLIST book key CDATA #REQUIRED>\n'
+    )
+    n = 20_000
+    with open(xml, "w", encoding="utf-8") as f:
+        f.write("<?xml version=\"1.0\"?>\n<dblp>\n")
+        for i in range(n):
+            tag = "article" if i % 4 else "book"
+            authors = "".join(
+                f"<author>Author {rng.randrange(2000)}</author>"
+                for _ in range(rng.randrange(1, 4))
+            )
+            f.write(
+                f'<{tag} key="k{i}">{authors}'
+                f"<title>Title {i} on topic {rng.randrange(500)}</title>"
+                f"<year>{1950 + i % 70}</year></{tag}>\n"
+            )
+        f.write("</dblp>\n")
+    return str(xml), str(dtd), n
+
+
+def test_etl_large_corpus_multi_split(spark, big_xml, tmp_path):
+    """End-to-end conversion of a 20k-record corpus with the input forced
+    into many splits (small maxPartitionBytes): IDs stay globally dense,
+    counts add up, array columns serialize."""
+    from dblp_to_csv_spark.plans.etl import convert
+
+    xml, dtd, n = big_xml
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))  # 256 KB splits
+    try:
+        out = tmp_path / "big_out.csv"
+        result = convert(spark, xml, dtd, str(out), annotate=True, single_file=False)
+        assert result.total_records == n
+        assert set(result.tables) == {"article", "book"}
+        # ids globally dense across both tables
+        a = result.tables["article"]
+        b = result.tables["book"]
+        assert a.n_rows + b.n_rows == n
+        ids = (
+            a.df.select("id").union(b.df.select("id")).select("id").collect()
+        )
+        vals = sorted(r["id"] for r in ids)
+        assert vals == list(range(n))
+        assert a.column_types["year"] == "integer"
+        assert "author" in a.array_columns
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

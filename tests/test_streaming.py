@@ -53,6 +53,44 @@ def test_stream_session_windows_run(spark):
     q.stop()
 
 
+def test_stream_stateful_user_profiles(spark):
+    """applyInPandasWithState: final per-user state equals the batch
+    aggregate over the same data."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming import load_events_stream
+    from dblp_to_csv_spark.streaming.stateful import stream_user_profiles
+
+    stream = load_events_stream(spark, SF_SMOKE)
+    q = (
+        stream_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        # update mode appends one row per (batch, user): keep the max count
+        spark.sql("SELECT user_id, n_events FROM profiles_test")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")["n_events"]
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .set_index("user_id")["n"]
+    )
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+    q.stop()
+
+
 def test_multimodal_decode_plumbing(spark):
     from dblp_to_csv_spark.registry import all_queries
 
