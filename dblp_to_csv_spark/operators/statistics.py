@@ -39,6 +39,39 @@ def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_event_types",
+    tags=("agg", "skew"),
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: event_type has only 5 values
+    (every row hits one of 5 reduce keys — the textbook hot-key shape), so
+    phase 1 aggregates on (event_type, salt) spreading each hot key over 16
+    reducers, and phase 2 combines the 5×16 partials. Same result as a
+    direct groupBy (the oracle), different shuffle profile: no single
+    reducer ever sees a whole hot key's rows.
+
+    The salt is deterministic (event_id % 16) so the query remains
+    hash-verifiable; a production salt can be anything uniform."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = (F.col("event_id") % 16).alias("salt")
+    partial = ev.groupBy("event_type", salt).agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 4).alias("sum_value"),
+    )
+
+
+@register(
     "rank_functions_suppliers",
     tags=("window", "rank"),
     oracle="""

@@ -1,0 +1,91 @@
+"""Typed CSV source: read back the engine's own output (K1 CSV + K2 sidecar
+header) as a properly-typed DataFrame — completing the round trip so the CSV
+tables are first-class inputs, not just sink artifacts.
+
+The sidecar header (`name:type` / `name:type[]`, ';'-separated — reference
+format, XMLToCSV.py:284-305) drives the casts:
+
+* integer → LongType (DecimalType(38,0) fallback is unnecessary: values the
+  lattice labeled integer but exceeding int64 stay strings in the CELLS —
+  the reference never casts values either, SURVEY.md §7.4.2 — so we cast
+  with try_cast and keep nulls for overflow, documented),
+* float → double, date → date, datetime → timestamp, boolean → boolean,
+* `type[]` → split on '|' (the A2 delimiter) then element-wise cast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SPARK_TYPES = {
+    "integer": "long",
+    "int": "long",
+    "float": "double",
+    "date": "date",
+    "datetime": "timestamp",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def parse_annotated_header(header_path: str) -> list[tuple[str, str, bool]]:
+    """→ [(column, lattice_type, is_array)] from a sidecar header file."""
+    with open(header_path, encoding="utf-8") as f:
+        text = f.read().strip()
+    out = []
+    for part in text.split(";"):
+        name, _, typ = part.rpartition(":")
+        is_array = typ.endswith("[]")
+        if is_array:
+            typ = typ[:-2]
+        if typ == "ID":  # neo4j dialect: `<element>:ID` is the id column
+            name, typ = "id", "integer"
+        out.append((name, typ, is_array))
+    return out
+
+
+def _typed(col: Column, typ: str, is_array: bool) -> Column:
+    spark_type = _SPARK_TYPES.get(typ, "string")
+    if is_array:
+        arr = F.when(col == "", F.array().cast("array<string>")).otherwise(
+            F.split(col, r"\|")
+        )
+        if spark_type == "string":
+            return arr
+        return F.transform(arr, lambda x: x.try_cast(spark_type))
+    if spark_type == "string":
+        return col
+    return col.try_cast(spark_type)
+
+
+def read_annotated_csv(
+    spark: SparkSession, csv_path: str, header_path: str | None = None
+) -> DataFrame:
+    """Read an engine-written table with its sidecar header applied: columns
+    named and cast per the annotation. Works on single files and directory
+    outputs (the sink's two modes)."""
+    if header_path is None:
+        path, ext = os.path.splitext(csv_path)
+        header_path = f"{path}_header{ext}"
+    schema = parse_annotated_header(header_path)
+    raw = (
+        spark.read.option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("header", "false")
+        .csv(csv_path)
+    )
+    if len(raw.columns) != len(schema):
+        raise ValueError(
+            f"{csv_path}: {len(raw.columns)} columns vs {len(schema)} in header"
+        )
+    cols = []
+    for raw_name, (name, typ, is_array) in zip(raw.columns, schema):
+        # empty CSV cells arrive as null; '' and missing are the same thing
+        # in the reference's model (restval='', XMLToCSV.py:101)
+        c = F.coalesce(F.col(raw_name), F.lit(""))
+        cols.append(_typed(c, typ, is_array).alias(name))
+    return raw.select(*cols)
