@@ -581,6 +581,62 @@ def scalar_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "from_json_events",
+    tags=("scalar", "json"),
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_value,
+               CASE WHEN TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) >= 50
+                    THEN 'high' ELSE 'low' END AS k_band
+        FROM events
+    """,
+)
+def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → typed struct, vs the path-based
+    get_json_object in json_extract_events): the struct field is then a
+    normal typed column for downstream expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_value"),
+        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "map_functions_events",
+    tags=("scalar", "map", "agg"),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed intermediate: per-user map<event_type, count> built with
+    map_from_entries, then element_at lookups. The map is the engine-side
+    representation; the result projects scalar lookups so it stays
+    hash-comparable (map column order is engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("counts", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("counts", "purchase"), F.lit(0)).alias("purchases"),
+    )
+
+
+@register(
     "json_extract_events",
     tags=("scalar", "json"),
     oracle="""

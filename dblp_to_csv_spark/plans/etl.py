@@ -29,6 +29,16 @@ Scale: each record type's scan/flatten/write is an independent embarrassingly
 parallel job; the only shuffles are the per-table pruning/typing aggregates
 (tiny results) and the relation distinct. Nothing is ever collected to the
 driver except per-partition histograms and per-column type sets.
+
+Deliberate trade-off — one XML scan per record type: the native XML source
+extracts one rowTag per read, so a DTD with N record types costs N passes
+over the input. Each pass is an embarrassingly parallel splittable scan that
+discards non-matching regions during tokenization (no parse of other
+records), the passes are independent jobs (a scheduler can overlap them),
+and the alternative — a single hand-written SAX pass multiplexing all types
+via mapPartitions — would abandon the data source's split planning, schema
+handling and codegen for a Python row loop. N is small and fixed by the DTD
+(10 for DBLP); the scan is IO-bound and columnar outputs amortize it.
 """
 
 from __future__ import annotations
@@ -115,6 +125,27 @@ class XmlToCsvPlan:
         self.path, self.ext = os.path.splitext(output_path)
         self.attribute_defaults = get_attribute_defaults(dtd_path)
 
+    def _size_xml_splits(self) -> None:
+        """Size input splits so the XML scans use the whole cluster: XML
+        tokenization is CPU-heavy (~10 MB/s/core), and the 128 MB default
+        leaves a small corpus parsing on ONE core (measured: a 42 MB corpus
+        ran every scan single-threaded). Target ≥2 tasks per core, floor
+        4 MB so huge inputs keep the default-sized splits."""
+        import glob as _glob
+
+        paths = _glob.glob(self.xml_path) or [self.xml_path]
+        try:
+            total = sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
+        except OSError:
+            return
+        if not total:
+            return
+        cores = self.spark.sparkContext.defaultParallelism
+        target = max(4 * 1024 * 1024, total // max(cores * 2, 1))
+        current = int(self.spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
+        if target < current:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
     # ------------------------------------------------------------------
     # Stage 2+3: scan one record type (schema inference + extraction).
     # ------------------------------------------------------------------
@@ -159,19 +190,34 @@ class XmlToCsvPlan:
         flat = flat.filter(cond)
         flat.cache()  # reused by: prune agg, type agg, id histogram, write
 
-        # P2: prune columns never observed non-empty; one agg computes every
-        # column's count simultaneously.
-        counts_row = flat.agg(
-            *[
+        # P2 + A3 fused: ONE aggregate job computes, for every column, both
+        # the non-empty count (pruning) and — in annotate mode — the observed
+        # type set. One pass over the (cached) table instead of two.
+        aggs = []
+        for c in flat.columns:
+            aggs.append(
                 (
                     F.count(F.when(F.size(F.col(c)) > 0, 1))
                     if c in array_cols
                     else F.count(F.col(c))
-                ).alias(c)
-                for c in flat.columns
-            ]
-        ).collect()[0]
-        keep = [c for c in flat.columns if counts_row[c] > 0]
+                ).alias(f"cnt_{c}")
+            )
+            if self.annotate:
+                if c in array_cols:
+                    per_row = F.array_distinct(
+                        F.transform(F.col(c), lambda v: detect_type_column(v))
+                    )
+                    aggs.append(
+                        F.array_distinct(F.flatten(F.collect_set(per_row))).alias(
+                            f"typ_{c}"
+                        )
+                    )
+                else:
+                    aggs.append(
+                        F.collect_set(detect_type_column(F.col(c))).alias(f"typ_{c}")
+                    )
+        stats_row = flat.agg(*aggs).collect()[0]
+        keep = [c for c in flat.columns if stats_row[f"cnt_{c}"] > 0]
         # DTD-defaulted attributes survive pruning even when never set in the
         # data: the reference's pass 1 observes them via attribute_defaults
         # while pass 2 leaves the cells empty (SURVEY.md §1.1; see
@@ -190,24 +236,14 @@ class XmlToCsvPlan:
         flat = flat.select(*sorted(keep))
         array_cols &= set(keep)
 
-        # A3+A4: per-column observed-type sets in ONE aggregate, lattice fold
-        # on the tiny driver-side result.
+        # A4: lattice fold on the tiny driver-side result of the fused agg.
         column_types: dict[str, str] = {}
         if self.annotate:
-            type_aggs = []
+            stats = stats_row.asDict()
             for c in keep:
-                if c in array_cols:
-                    per_row = F.array_distinct(
-                        F.transform(F.col(c), lambda v: detect_type_column(v))
-                    )
-                    type_aggs.append(
-                        F.array_distinct(F.flatten(F.collect_set(per_row))).alias(c)
-                    )
-                else:
-                    type_aggs.append(F.collect_set(detect_type_column(F.col(c))).alias(c))
-            trow = flat.agg(*type_aggs).collect()[0]
-            for c in keep:
-                observed = set(trow[c] or [])
+                # DTD-defaulted columns appended after the agg have no
+                # observations → empty set → 'string' per the lattice
+                observed = set(stats.get(f"typ_{c}") or [])
                 column_types[c] = unify_types(observed or {"any"})
 
         # Stage 7: dense IDs continuing the global counter.
@@ -353,6 +389,7 @@ class XmlToCsvPlan:
     # ------------------------------------------------------------------
     def run(self) -> ConvertResult:
         elements = get_record_types(self.dtd_path, self.root)
+        self._size_xml_splits()
         result = ConvertResult()
         next_id = 0
         # deterministic table order replaces the reference's document-order

@@ -30,6 +30,12 @@ BROADCAST_TABLES = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
+        # nanos are surfaced as long. Set on the LIVE session (it is a
+        # runtime-settable SQL conf) so externally-created sessions — e.g.
+        # the driver harness's — work, not just our session factory's.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as
     # epoch-nanos LongType. Convert with INTEGER division (epoch nanos exceed

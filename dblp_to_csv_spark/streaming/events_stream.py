@@ -25,6 +25,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream twin of sources.tables.load_table(..., 'events'): explicit
     schema (streams cannot infer), nanos→timestamp conversion identical to
     the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # the file-stream source wants a directory; glob-filter to the one table
     stream = (

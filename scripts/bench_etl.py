@@ -1,0 +1,106 @@
+"""ETL throughput measurement: generate an N-record DBLP-like XML corpus,
+convert it end-to-end (annotate mode), report records/sec.
+
+Usage: python scripts/bench_etl.py [n_records] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+
+def generate(n: int, d: Path) -> tuple[str, str]:
+    rng = random.Random(42)
+    xml, dtd = d / "corpus.xml", d / "corpus.dtd"
+    dtd.write_text(
+        "<!ELEMENT dblp (article|inproceedings|book)*>\n"
+        "<!ELEMENT article (author|title|year|journal|pages)*>\n"
+        "<!ELEMENT inproceedings (author|title|year|booktitle)*>\n"
+        "<!ELEMENT book (author|title|year|publisher)*>\n"
+        "<!ELEMENT author (#PCDATA)>\n<!ELEMENT title (#PCDATA)>\n"
+        "<!ELEMENT year (#PCDATA)>\n<!ELEMENT journal (#PCDATA)>\n"
+        "<!ELEMENT pages (#PCDATA)>\n<!ELEMENT booktitle (#PCDATA)>\n"
+        "<!ELEMENT publisher (#PCDATA)>\n"
+        '<!ATTLIST article key CDATA #REQUIRED mdate CDATA #IMPLIED>\n'
+        '<!ATTLIST inproceedings key CDATA #REQUIRED>\n'
+        '<!ATTLIST book key CDATA #REQUIRED>\n'
+    )
+    kinds = ["article", "article", "inproceedings", "book"]
+    extra = {
+        "article": "<journal>Journal {j}</journal><pages>{a}-{b}</pages>",
+        "inproceedings": "<booktitle>Conf {j}</booktitle>",
+        "book": "<publisher>Pub {j}</publisher>",
+    }
+    with open(xml, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0"?>\n<dblp>\n')
+        for i in range(n):
+            k = kinds[i % 4]
+            authors = "".join(
+                f"<author>Author {rng.randrange(50000)}</author>"
+                for _ in range(rng.randrange(1, 5))
+            )
+            a = rng.randrange(1, 500)
+            f.write(
+                f'<{k} key="k{i}"'
+                + (' mdate="2020-01-01"' if k == "article" and i % 3 == 0 else "")
+                + f">{authors}<title>Title {i} about topic {rng.randrange(5000)}</title>"
+                + f"<year>{1950 + i % 74}</year>"
+                + extra[k].format(j=rng.randrange(300), a=a, b=a + rng.randrange(1, 30))
+                + f"</{k}>\n"
+            )
+        f.write("</dblp>\n")
+    return str(xml), str(dtd)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp())
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    t0 = time.perf_counter()
+    xml, dtd = generate(n, out_dir)
+    gen_s = time.perf_counter() - t0
+    size_mb = Path(xml).stat().st_size / 1e6
+
+    from dblp_to_csv_spark.plans.etl import convert
+    from dblp_to_csv_spark.session import get_spark
+
+    spark = get_spark("bench-etl")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    result = convert(
+        spark,
+        xml,
+        dtd,
+        str(out_dir / "out.csv"),
+        annotate=True,
+        relations={"author": "authored_by"},
+        single_file=False,
+    )
+    convert_s = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "etl_records_per_sec",
+                "value": round(n / convert_s, 1),
+                "unit": "records/sec",
+                "n_records": result.total_records,
+                "xml_mb": round(size_mb, 1),
+                "gen_sec": round(gen_s, 2),
+                "convert_sec": round(convert_s, 2),
+                "tables": {t.element: t.n_rows for t in result.tables.values()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
