@@ -50,6 +50,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="write CSV directories (scale mode) instead of single files",
     )
+    parser.add_argument(
+        "--output-format",
+        choices=["csv", "parquet"],
+        default="csv",
+        help="csv = reference parity; parquet = columnar scale sink (arrays kept native)",
+    )
     parser.add_argument("--master", default=None, help="Spark master (default: local[$CPUS])")
     args = parser.parse_args(argv)
     if args.neo4j and not args.annotate:
@@ -87,6 +93,7 @@ def main(argv: list[str] | None = None) -> None:
             relations=args.relations,
             root=args.root,
             single_file=not args.no_single_file,
+            output_format=args.output_format,
         )
     except InvalidElementName as e:
         # reference behavior: report and exit 1 (XMLToCSV.py:375-380)

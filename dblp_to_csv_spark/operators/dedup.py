@@ -286,6 +286,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_FREQ_CAP = 50
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    tags=("dedup", "join", "agg", "skew"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        freq AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_FREQ_CAP}
+        ),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+        c AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM shc a JOIN shc b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN c ca ON ca.doc_id = da
+            JOIN c cb ON cb.doc_id = db
+        )
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped Jaccard — the skew-safe variant of the exact pair
+    computation: shingles occurring in more than SHINGLE_FREQ_CAP documents
+    (boilerplate) are dropped BEFORE the pair join, bounding every shingle's
+    fan-out at cap² pairs. Jaccard is computed over the capped shingle sets
+    on both sides (the oracle applies the identical cap) so results stay
+    hash-verified; this trades recall on boilerplate-only overlap for a join
+    whose worst key is bounded — the standard production trade at corpus
+    scale."""
+    sh = _shingle_frame(spark, sf_dir)
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_FREQ_CAP)
+        .select("shingle")
+    )
+    shc = sh.join(freq_ok, "shingle", "left_semi")
+    counts = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash (rows-only: xxhash64 is Spark-native, no DuckDB twin).
 # --------------------------------------------------------------------------

@@ -176,6 +176,55 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Market share: agg over joins, then a window over the aggregate (Q8-style).
+# --------------------------------------------------------------------------
+@register(
+    "market_share_by_year",
+    bench=True,
+    tags=("join", "agg", "window"),
+    oracle="""
+        WITH rev AS (
+            SELECT YEAR(o.o_orderdate) AS order_year, n.n_name,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS nation_rev
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT CAST(order_year AS INT) AS order_year, n_name,
+               ROUND(nation_rev, 2) AS nation_rev,
+               ROUND(nation_rev / SUM(nation_rev) OVER (PARTITION BY order_year), 6)
+                   AS market_share
+        FROM rev
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: aggregate revenue per (year, nation), then a window
+    over the aggregate computes each nation's share of the year's total —
+    agg→window composition with the window running on the already-reduced
+    frame (25×7 rows), not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"), "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("nation_rev"))
+    )
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "order_year",
+        "n_name",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("market_share"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Semi / anti joins.
 # --------------------------------------------------------------------------
 @register(

@@ -148,3 +148,52 @@ def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH plan shape where the bucket key is the partition-pruning key at
     scale."""
     return _scored(spark, sf_dir, bucketed=True)
+
+
+@register(
+    "similarity_topk_ivf",
+    tags=("similarity", "topk", "ml"),
+    oracle=None,  # k-means centroids aren't reproducible in SQL; rows-only.
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: k-means (pyspark.ml, fixed seed) learns 8
+    centroids; every vector gets a centroid-id bucket; queries score only
+    their own cell. Same plan shape as the sign-LSH variant with a LEARNED
+    bucket key — at scale the centroid id is a partition/cluster column
+    computed at ingest, so the probe prunes to 1/k of the corpus (nprobe>1 =
+    also scan neighboring cells).
+
+    Correctness is covered by tests/test_similarity_recall.py (recall vs the
+    brute-force oracle-verified baseline), not a SQL oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    vecs = emb.select("vec_id", array_to_vector("emb").alias("features"))
+    model = KMeans(k=8, seed=42, maxIter=20).fit(vecs)
+    bucketed = model.transform(vecs).select(
+        "vec_id",
+        vector_to_array("features").alias("emb"),
+        F.col("prediction").alias("bucket"),
+    )
+    bucketed = bucketed.withColumn("nrm", _norm(F.col("emb")))
+    q = F.broadcast(bucketed.filter(F.col("vec_id") < N_QUERIES)).alias("q")
+    c = bucketed.alias("c")
+    cos = _dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = q.join(
+        c,
+        (F.col("q.vec_id") != F.col("c.vec_id"))
+        & (F.col("q.bucket") == F.col("c.bucket")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -106,7 +106,11 @@ class XmlToCsvPlan:
         relations: dict[str, str] | None = None,
         root: str = "dblp",
         single_file: bool = True,
+        output_format: str = "csv",
     ):
+        if output_format not in ("csv", "parquet"):
+            raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
+        self.output_format = output_format
         if neo4j:
             annotate = True  # reference: --neo4j implies --annotate (:61-64)
         if relations:
@@ -280,6 +284,16 @@ class XmlToCsvPlan:
         )
         return out
 
+    def write_table_parquet(self, t: TableResult) -> str:
+        """Scale sink: the PRE-serialized frame (arrays kept as
+        array<string>, no '|' flattening) written as parquet — the format a
+        100 TB deployment keeps; the CSV sink is reference parity. Columnar
+        + dictionary encoding happens in the writer; downstream queries get
+        pushdown/pruning against these files for free."""
+        out = f"{self.path}_{t.element}.parquet"
+        t.df.select("id", *t.columns).write.mode("overwrite").parquet(out)
+        return out
+
     # ------------------------------------------------------------------
     # Stage 11: annotated sidecar headers (K2).
     # ------------------------------------------------------------------
@@ -403,7 +417,10 @@ class XmlToCsvPlan:
         result.total_records = next_id
 
         for t in result.tables.values():
-            t.csv_path = self.write_table_csv(t)
+            if self.output_format == "parquet":
+                t.csv_path = self.write_table_parquet(t)
+            else:
+                t.csv_path = self.write_table_csv(t)
             if self.annotate:
                 self.write_annotated_header(t)
 
@@ -436,10 +453,20 @@ def convert(
     relations: dict[str, str] | None = None,
     root: str = "dblp",
     single_file: bool = True,
+    output_format: str = "csv",
 ) -> ConvertResult:
     """One-call equivalent of the reference CLI (XMLToCSV.py:365-411)."""
     return XmlToCsvPlan(
-        spark, xml_path, dtd_path, output_path, annotate, neo4j, relations, root, single_file
+        spark,
+        xml_path,
+        dtd_path,
+        output_path,
+        annotate,
+        neo4j,
+        relations,
+        root,
+        single_file,
+        output_format,
     ).run()
 
 

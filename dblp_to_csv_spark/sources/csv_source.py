@@ -61,6 +61,39 @@ def _typed(col: Column, typ: str, is_array: bool) -> Column:
     return col.try_cast(spark_type)
 
 
+def infer_csv_types(df: DataFrame, sample_rows: int | None = None) -> dict[str, str]:
+    """Run the engine's own ladder+lattice over a string-typed frame: one
+    aggregate collecting the observed-type set per column, folded through
+    unify_types — the reference's pass-1+annotate semantics applied to any
+    CSV (ROADMAP #5: typed reads of NON-annotated outputs)."""
+    from dblp_to_csv_spark.functions.type_inference import (
+        detect_type_column,
+        unify_types,
+    )
+
+    sample = df.limit(sample_rows) if sample_rows else df
+    row = sample.agg(
+        *[F.collect_set(detect_type_column(F.col(c))).alias(c) for c in df.columns]
+    ).collect()[0]
+    return {c: unify_types(set(row[c] or []) or {"any"}) for c in df.columns}
+
+
+def read_inferred_csv(spark: SparkSession, csv_path: str, header: bool = True) -> DataFrame:
+    """Read a ';'-separated CSV (e.g. the engine's non-annotated output) and
+    cast each column per the inferred lattice type."""
+    raw = (
+        spark.read.option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("header", str(header).lower())
+        .csv(csv_path)
+    )
+    types = infer_csv_types(raw)
+    return raw.select(
+        *[_typed(F.coalesce(F.col(c), F.lit("")), types[c], False).alias(c) for c in raw.columns]
+    )
+
+
 def read_annotated_csv(
     spark: SparkSession, csv_path: str, header_path: str | None = None
 ) -> DataFrame:

@@ -45,6 +45,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
+def test_csv_inferred_roundtrip(spark, tmp_path):
+    """Non-annotated output read back with lattice INFERENCE (no sidecar):
+    the engine's own type system applied to its own sink."""
+    from dblp_to_csv_spark.plans.etl import convert
+    from dblp_to_csv_spark.sources.csv_source import read_inferred_csv
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    out = tmp_path / "inf.csv"
+    convert(
+        spark,
+        os.path.join(fix, "mini_dblp.xml"),
+        os.path.join(fix, "mini_dblp.dtd"),
+        str(out),
+    )
+    df = read_inferred_csv(spark, str(tmp_path / "inf_book.csv"))
+    dtypes = dict(df.dtypes)
+    assert dtypes["id"] == "bigint"
+    # book.year mixes '2001-05-05 10:30' and '2001' → string via the lattice
+    assert dtypes["year"] == "string"
+    assert dtypes["key"] == "string"
+
+
 def test_csv_roundtrip_typed(spark, tmp_path):
     """Convert the fixture with --annotate, read the CSV back through the
     sidecar header: types restored per the lattice, arrays split."""

