@@ -107,10 +107,16 @@ class XmlToCsvPlan:
         root: str = "dblp",
         single_file: bool = True,
         output_format: str = "csv",
+        schema_sampling_ratio: float = 1.0,
     ):
         if output_format not in ("csv", "parquet"):
             raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
         self.output_format = output_format
+        # 1.0 = full pass-1 scan (reference semantics: a column exists iff
+        # observed ANYWHERE, XMLToCSV.py:108-146). <1.0 samples the schema
+        # discovery scan — faster, but a field appearing only in unsampled
+        # records would be dropped; only safe for dense schemas.
+        self.schema_sampling_ratio = schema_sampling_ratio
         if neo4j:
             annotate = True  # reference: --neo4j implies --annotate (:61-64)
         if relations:
@@ -158,13 +164,15 @@ class XmlToCsvPlan:
         # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
         # (see sources.dtd.validate_xml_against_dtd for the lxml-gated
         # pre-flight), but malformed XML should abort, not silently null.
-        return (
+        reader = (
             self.spark.read.format("xml")
             .option("rowTag", element)
             .option("inferSchema", "false")  # strings only; OUR lattice types
             .option("mode", "FAILFAST")
-            .load(self.xml_path)
         )
+        if self.schema_sampling_ratio < 1.0:
+            reader = reader.option("samplingRatio", str(self.schema_sampling_ratio))
+        return reader.load(self.xml_path)
 
     # ------------------------------------------------------------------
     # Stages 4-8 for one table (everything before serialization).
@@ -454,6 +462,7 @@ def convert(
     root: str = "dblp",
     single_file: bool = True,
     output_format: str = "csv",
+    schema_sampling_ratio: float = 1.0,
 ) -> ConvertResult:
     """One-call equivalent of the reference CLI (XMLToCSV.py:365-411)."""
     return XmlToCsvPlan(
@@ -467,6 +476,7 @@ def convert(
         root,
         single_file,
         output_format,
+        schema_sampling_ratio,
     ).run()
 
 
