@@ -55,6 +55,51 @@ def pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_tokenize_documents",
+    tags=("udf", "udtf", "text"),
+    oracle="""
+        SELECT d.doc_id, s.i AS pos, w.words[s.i] AS word
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS words
+              FROM documents WHERE doc_id < 20) w
+        JOIN documents d USING (doc_id),
+        UNNEST(generate_series(1, len(w.words))) AS s(i)
+    """,
+)
+def udtf_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (table function): one input row → many output
+    rows via a LATERAL join, the user-extension path for custom flattening
+    logic built-ins can't express. The tokenizer itself is trivial on
+    purpose — what's exercised is the UDTF protocol (class-based eval/yield,
+    SQL registration, lateral correlation). Restricted to 20 docs: UDTFs are
+    row-at-a-time Python, the documented slow path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class Tokenize:
+        def eval(self, text: str):
+            import re
+
+            pos = 0
+            for tok in re.split(r"[^a-z0-9]+", (text or "").lower()):
+                if tok:
+                    pos += 1
+                    yield pos, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
+@register(
     "apply_in_pandas_label_stats",
     tags=("udf", "agg"),
     oracle="""

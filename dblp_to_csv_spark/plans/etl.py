@@ -108,6 +108,7 @@ class XmlToCsvPlan:
         single_file: bool = True,
         output_format: str = "csv",
         schema_sampling_ratio: float = 1.0,
+        partition_by: list[str] | None = None,
     ):
         if output_format not in ("csv", "parquet"):
             raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
@@ -117,6 +118,7 @@ class XmlToCsvPlan:
         # discovery scan — faster, but a field appearing only in unsampled
         # records would be dropped; only safe for dense schemas.
         self.schema_sampling_ratio = schema_sampling_ratio
+        self.partition_by = list(partition_by or [])  # parquet sink only
         if neo4j:
             annotate = True  # reference: --neo4j implies --annotate (:61-64)
         if relations:
@@ -297,9 +299,16 @@ class XmlToCsvPlan:
         array<string>, no '|' flattening) written as parquet — the format a
         100 TB deployment keeps; the CSV sink is reference parity. Columnar
         + dictionary encoding happens in the writer; downstream queries get
-        pushdown/pruning against these files for free."""
+        pushdown/pruning against these files for free. Columns listed in
+        ``partition_by`` (when present in the table) become hive-style
+        partition directories, so readers filtering on them prune whole
+        partitions before any IO."""
         out = f"{self.path}_{t.element}.parquet"
-        t.df.select("id", *t.columns).write.mode("overwrite").parquet(out)
+        writer = t.df.select("id", *t.columns).write.mode("overwrite")
+        part_cols = [c for c in self.partition_by if c in t.columns]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(out)
         return out
 
     # ------------------------------------------------------------------

@@ -56,6 +56,35 @@ def test_parquet_sink(spark, tmp_path):
     assert rows["a1"]["id"] is not None
 
 
+def test_parquet_sink_partitioned_prunes(spark, tmp_path):
+    """partition_by produces hive partitions and a filtered read shows
+    partition pruning in the scan (PartitionFilters), i.e. whole directories
+    are skipped before IO."""
+    import contextlib
+    import io
+
+    from dblp_to_csv_spark.plans.etl import XmlToCsvPlan
+
+    out = tmp_path / "pp.csv"
+    XmlToCsvPlan(
+        spark,
+        os.path.join(FIX, "mini_dblp.xml"),
+        os.path.join(FIX, "mini_dblp.dtd"),
+        str(out),
+        output_format="parquet",
+        partition_by=["year"],
+    ).run()
+    base = str(tmp_path / "pp_article.parquet")
+    assert any(p.name.startswith("year=") for p in (tmp_path / "pp_article.parquet").iterdir())
+    df = spark.read.parquet(base).filter("year = '2020'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "year" in plan
+    assert df.count() == 1  # only a1 has year 2020
+
+
 def test_multi_file_input_glob(spark, tmp_path):
     """The engine accepts a directory/glob of XML files — the multi-file
     layout a 100 TB corpus actually has (the reference reads exactly one
