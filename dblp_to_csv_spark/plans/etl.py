@@ -420,7 +420,16 @@ class XmlToCsvPlan:
     # ------------------------------------------------------------------
     def run(self) -> ConvertResult:
         elements = get_record_types(self.dtd_path, self.root)
+        # split sizing is a session conf: restore it afterward so a shared
+        # session's later (e.g. parquet) reads keep their normal splits
+        old_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
         self._size_xml_splits()
+        try:
+            return self._run(elements)
+        finally:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+
+    def _run(self, elements: set[str]) -> ConvertResult:
         result = ConvertResult()
         next_id = 0
         # deterministic table order replaces the reference's document-order
