@@ -29,22 +29,36 @@ from pyspark.storagelevel import StorageLevel
 _PARTITION_SHIFT = 33  # monotonically_increasing_id puts partition id at bit 33
 
 
-def with_dense_ids(df: DataFrame, id_col: str = "id", start: int = 0) -> DataFrame:
-    """Add a dense unique ``id_col`` (start, start+1, …, start+n-1).
+def with_dense_ids_counted(
+    df: DataFrame,
+    id_col: str = "id",
+    start: int = 0,
+    cache_registry: list[DataFrame] | None = None,
+) -> tuple[DataFrame, int]:
+    """Add a dense unique ``id_col`` (start, start+1, …, start+n-1); also
+    return the row count n (known for free from the partition histogram —
+    callers must NOT pay another count job for it).
 
-    Triggers one extra count job over ``df`` (phase 1). The partitioned frame
-    is persisted (memory-and-disk) before phase 1: the histogram job and the
-    final job MUST observe the identical partitioning, and AQE may otherwise
-    re-plan upstream shuffles differently between the two jobs, silently
-    shifting monotonically_increasing_id's partition ids (observed: null IDs
-    after the offset-map lookup). Persisting pins the partitioning — the same
+    Phase-1 detail: the partitioned frame is persisted (memory-and-disk)
+    before the histogram job, because the histogram job and the final job
+    MUST observe the identical partitioning — AQE may otherwise re-plan
+    upstream shuffles differently between the two jobs, silently shifting
+    monotonically_increasing_id's partition ids (observed: null IDs after
+    the offset-map lookup). Persisting pins the partitioning — the same
     reason RDD.zipWithIndex materializes its input.
+
+    The persisted intermediate is appended to ``cache_registry`` when given;
+    the caller unpersists it once the returned frame has been fully consumed
+    (note: calling .unpersist() on the RETURNED frame would be a no-op —
+    it is a derived plan, not the cached one).
     """
     with_mono = df.withColumn("_mono", F.monotonically_increasing_id())
     with_pid = with_mono.withColumn(
         "_pid", F.shiftright(F.col("_mono"), _PARTITION_SHIFT).cast("long")
     )
     with_pid = with_pid.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
 
     hist = (
         with_pid.groupBy("_pid").count().orderBy("_pid").collect()
@@ -60,7 +74,18 @@ def with_dense_ids(df: DataFrame, id_col: str = "id", start: int = 0) -> DataFra
     ) if offsets else F.lit(start)
 
     row_in_partition = F.col("_mono") - F.shiftleft(F.col("_pid"), _PARTITION_SHIFT)
-    return (
-        with_pid.withColumn(id_col, (offset_expr + row_in_partition).cast("long"))
-        .drop("_mono", "_pid")
+    out = with_pid.withColumn(id_col, (offset_expr + row_in_partition).cast("long")).drop(
+        "_mono", "_pid"
     )
+    return out, acc - start
+
+
+def with_dense_ids(
+    df: DataFrame,
+    id_col: str = "id",
+    start: int = 0,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """``with_dense_ids_counted`` without the count (see that docstring)."""
+    out, _ = with_dense_ids_counted(df, id_col, start, cache_registry)
+    return out

@@ -247,7 +247,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cand.cache()
+    # (cand is consumed twice below; deliberately NOT cached — a registered
+    # query has no post-consumption hook to unpersist, and a leaked cache per
+    # invocation outweighs recomputing the cheap signature aggregate)
     # verification: shrink the shingle stream to candidate docs first
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))

@@ -62,10 +62,10 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numbered AS (
             SELECT user_id, event_id, ts,
-                   SUM(new_session) OVER (
+                   CAST(SUM(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_seq
+                   ) AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,

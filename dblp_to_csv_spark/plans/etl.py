@@ -51,7 +51,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.ids import with_dense_ids
+from dblp_to_csv_spark.functions.ids import with_dense_ids_counted
 from dblp_to_csv_spark.functions.type_inference import (
     TYPE_INTEGER,
     detect_type_column,
@@ -63,6 +63,27 @@ from dblp_to_csv_spark.sources.dtd import (
     get_attribute_defaults,
     get_record_types,
 )
+
+
+_BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(value: str) -> int | None:
+    """Parse Spark byte-size conf strings ('134217728b', '128m', '1g', plain
+    ints). None for unparseable values (caller then leaves the conf alone)."""
+    v = value.strip().lower()
+    for suffix in ("kb", "mb", "gb", "tb"):
+        if v.endswith(suffix):
+            v = v[: -len(suffix)] + suffix[0]
+            break
+    mult = 1
+    if v and v[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[v[-1]]
+        v = v[:-1]
+    try:
+        return int(v) * mult
+    except ValueError:
+        return None
 
 
 def translate_type(type_name: str, neo4j_style: bool = False) -> str:
@@ -80,6 +101,7 @@ class TableResult:
     array_columns: set[str]
     column_types: dict[str, str]  # unified type per column (annotate mode)
     n_rows: int
+    cached: list[DataFrame] = field(default_factory=list)
     csv_path: str | None = None
 
 
@@ -119,6 +141,7 @@ class XmlToCsvPlan:
         # records would be dropped; only safe for dense schemas.
         self.schema_sampling_ratio = schema_sampling_ratio
         self.partition_by = list(partition_by or [])  # parquet sink only
+        self._relation_caches: list[DataFrame] = []
         if neo4j:
             annotate = True  # reference: --neo4j implies --annotate (:61-64)
         if relations:
@@ -154,8 +177,8 @@ class XmlToCsvPlan:
             return
         cores = self.spark.sparkContext.defaultParallelism
         target = max(4 * 1024 * 1024, total // max(cores * 2, 1))
-        current = int(self.spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
-        if target < current:
+        current = _parse_bytes(self.spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        if current is not None and target < current:
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
     # ------------------------------------------------------------------
@@ -203,6 +226,7 @@ class XmlToCsvPlan:
             cond = cond | c
         flat = flat.filter(cond)
         flat.cache()  # reused by: prune agg, type agg, id histogram, write
+        cached: list[DataFrame] = [flat]
 
         # P2 + A3 fused: ONE aggregate job computes, for every column, both
         # the non-empty count (pruning) and — in annotate mode — the observed
@@ -260,9 +284,11 @@ class XmlToCsvPlan:
                 observed = set(stats.get(f"typ_{c}") or [])
                 column_types[c] = unify_types(observed or {"any"})
 
-        # Stage 7: dense IDs continuing the global counter.
-        with_ids = with_dense_ids(flat, "id", start=id_start)
-        n_rows = with_ids.count()
+        # Stage 7: dense IDs continuing the global counter; the row count
+        # falls out of the partition histogram — no extra count job.
+        with_ids, n_rows = with_dense_ids_counted(
+            flat, "id", start=id_start, cache_registry=cached
+        )
         return TableResult(
             element=element,
             df=with_ids,
@@ -270,6 +296,7 @@ class XmlToCsvPlan:
             array_columns=array_cols,
             column_types=column_types,
             n_rows=n_rows,
+            cached=cached,
         )
 
     # ------------------------------------------------------------------
@@ -361,12 +388,12 @@ class XmlToCsvPlan:
         for column in sorted(self.relations):
             pairs = self.build_relation_pairs(tables, column)
             pairs.cache()
+            self._relation_caches.append(pairs)
             values = pairs.select("value").distinct()
-            nodes = with_dense_ids(values, "node_id", start=next_id).select(
-                "node_id", "value"
+            nodes, n_nodes = with_dense_ids_counted(
+                values, "node_id", start=next_id, cache_registry=self._relation_caches
             )
-            nodes.cache()
-            n_nodes = nodes.count()
+            nodes = nodes.select("node_id", "value")
             next_id += n_nodes
             edges = pairs.join(F.broadcast(nodes), "value").select(
                 F.col("id").alias("start_id"), F.col("node_id").alias("end_id")
@@ -464,8 +491,13 @@ class XmlToCsvPlan:
                 f.write(cmd)
             result.neo4j_script = script
 
+        # release every frame we persisted (t.df/nodes are derived plans;
+        # unpersisting those would be a no-op — unpersist the real handles)
         for t in result.tables.values():
-            t.df.unpersist()
+            for c in t.cached:
+                c.unpersist()
+        for c in self._relation_caches:
+            c.unpersist()
         return result
 
 
