@@ -56,6 +56,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default="csv",
         help="csv = reference parity; parquet = columnar scale sink (arrays kept native)",
     )
+    parser.add_argument(
+        "--validate",
+        action="store_true",
+        help="pre-flight DTD validation (full via lxml when installed, else "
+        "the stdlib structural subset); abort on violations",
+    )
     parser.add_argument("--master", default=None, help="Spark master (default: local[$CPUS])")
     args = parser.parse_args(argv)
     if args.neo4j and not args.annotate:
@@ -78,7 +84,27 @@ def main(argv: list[str] | None = None) -> None:
     from dblp_to_csv_spark.plans.etl import convert
     from dblp_to_csv_spark.session import get_spark
 
-    from dblp_to_csv_spark.sources.dtd import InvalidElementName
+    from dblp_to_csv_spark.sources.dtd import (
+        InvalidElementName,
+        validate_xml_against_dtd,
+        validate_xml_structurally,
+    )
+
+    if args.validate:
+        full = validate_xml_against_dtd(args.xml_filename, args.dtd_filename)
+        if full is False:
+            print("error: XML does not validate against the DTD")
+            sys.exit(1)
+        if full is None:  # no lxml → structural subset
+            errors = validate_xml_structurally(args.xml_filename, args.dtd_filename)
+            if errors:
+                print("error: structural DTD violations:")
+                for e in errors:
+                    print(" -", e)
+                sys.exit(1)
+            print("Validated (structural subset: declared elements/attributes).")
+        else:
+            print("Validated against DTD.")
 
     start = time.time()
     spark = get_spark("xml-to-csv", master=args.master)

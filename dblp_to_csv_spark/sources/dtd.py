@@ -111,7 +111,8 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     """S4 (XMLToCSV.py:109-110, 152): DTD validation. Spark's XML source has
     no DTD support; when lxml is importable we run a driver-side streaming
     validation pass, otherwise return None (validation unavailable —
-    documented deviation, SURVEY.md §4.3.3)."""
+    documented deviation, SURVEY.md §4.3.3; see
+    ``validate_xml_structurally`` for the stdlib fallback subset)."""
     try:
         from lxml import etree
     except ImportError:
@@ -120,3 +121,58 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
         dtd = etree.DTD(f)
     tree = etree.parse(xml_path)
     return bool(dtd.validate(tree))
+
+
+def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
+    """Per element: {attr: required?} from ATTLIST declarations."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    out: dict[str, dict[str, bool]] = {}
+    for m in _ATTLIST_DECL.finditer(text):
+        element, body = m.group(1), m.group(2)
+        for am in _ATTDEF.finditer(body):
+            out.setdefault(element, {})[am.group(1)] = am.group(3) == "#REQUIRED"
+    return out
+
+
+def validate_xml_structurally(
+    xml_path: str, dtd_path: str, max_errors: int = 20
+) -> list[str]:
+    """Stdlib (expat) streaming structural validation — the subset of DTD
+    validation expressible without a content-model engine: every element
+    must be declared, every attribute must be declared for its element, and
+    #REQUIRED attributes must be present. Returns violations (empty = passes
+    the subset). Does NOT check child ordering/cardinality — that needs a
+    real DTD validator (lxml path above). Single-node streaming pass, O(1)
+    memory: a pre-flight for corpora small enough to read once on the
+    driver; at 100 TB validation belongs in the ingest pipeline instead."""
+    import xml.parsers.expat
+
+    # all declared element names, root included
+    with open(dtd_path, encoding="utf-8") as f:
+        declared = set(_ELEMENT_DECL.findall(_COMMENT.sub("", f.read())))
+    attrs = get_declared_attributes(dtd_path)
+    errors: list[str] = []
+
+    def start(name: str, attributes: dict[str, str]) -> None:
+        if len(errors) >= max_errors:
+            return
+        if name not in declared:
+            errors.append(f"undeclared element <{name}>")
+            return
+        declared_attrs = attrs.get(name, {})
+        for a in attributes:
+            if a not in declared_attrs:
+                errors.append(f"undeclared attribute {a!r} on <{name}>")
+        for a, required in declared_attrs.items():
+            if required and a not in attributes:
+                errors.append(f"missing #REQUIRED attribute {a!r} on <{name}>")
+
+    parser = xml.parsers.expat.ParserCreate()
+    parser.StartElementHandler = start
+    try:
+        with open(xml_path, "rb") as f:
+            parser.ParseFile(f)
+    except xml.parsers.expat.ExpatError as e:
+        errors.append(f"malformed XML: {e}")
+    return errors[:max_errors]
