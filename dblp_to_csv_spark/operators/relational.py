@@ -588,6 +588,24 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_percentile_prices",
+    tags=("agg", "approx"),
+    oracle=None,  # KLL/GK sketches are engine-specific; rows-only check.
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) p50/p95/p99 per order status — the
+    bounded-memory quantile path for 100 TB (exact percentiles need a full
+    sort per group; the sketch is one pass, mergeable, fixed size). The
+    exact twin (`median_price_by_status`) is the oracle-checked one."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+        ).alias("price_quantiles")
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function gallery (string / date / math) and JSON extraction.
 # --------------------------------------------------------------------------
