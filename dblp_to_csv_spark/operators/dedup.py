@@ -127,6 +127,39 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_latest_order_per_customer",
+    tags=("dedup", "window"),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup (the CDC/upsert compaction pattern): one row per
+    key, chosen by recency with a deterministic tie-break — row_number=1
+    over a per-key window, one shuffle on the key. The idiom every
+    training-data pipeline uses to collapse re-crawled/updated records."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (ground truth for the LSH path).
 # --------------------------------------------------------------------------

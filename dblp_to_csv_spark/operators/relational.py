@@ -479,6 +479,37 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations.
 # --------------------------------------------------------------------------
 @register(
+    "union_by_name_schema_evolution",
+    tags=("setop", "schema"),
+    oracle="""
+        SELECT o_orderkey AS record_key, o_totalprice AS amount,
+               o_orderstatus AS status, NULL AS segment
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT c_custkey AS record_key, c_acctbal AS amount,
+               NULL AS status, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with partially-overlapping
+    columns combined by NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)) — how a pipeline appends a new
+    batch whose schema gained/lost fields without positional breakage."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("record_key"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("record_key"),
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return o.unionByName(c, allowMissingColumns=True)
+
+
+@register(
     "setop_union_nations",
     tags=("setop",),
     oracle="""
