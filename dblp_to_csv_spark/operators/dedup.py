@@ -4,8 +4,10 @@
 * n-gram Jaccard        — exact pairwise similarity over word-3-gram shingles
 * MinHash + LSH banding — the scale path: md5-keyed minhash signatures,
                           banded bucket-join candidates, exact verification
-* SimHash               — 32-bit sign-sum sketch, hamming-radius pairs
-* embedding cosine      — near-dup pairs over the embedding column
+* SimHash               — 32-bit sign-sum sketch, chunk-banded hamming pairs
+                          (4×8-bit bands; lossless for radius ≤ 3 by pigeonhole)
+* embedding cosine      — near-dup pairs over the embedding column, plus a
+                          sign-LSH-bucketed scale twin
 
 All oracle-checked except SimHash (xxhash64 has no DuckDB twin → rows-only).
 The md5-based MinHash is deliberately engine-portable: both Spark and DuckDB
@@ -28,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.text import SHINGLES_SQL, WORDS_SQL, shingles, words
+from dblp_to_csv_spark.operators.similarity import _SIGN_BUCKET_SQL, _sign_bucket
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -405,19 +408,16 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash (rows-only: xxhash64 is Spark-native, no DuckDB twin).
 # --------------------------------------------------------------------------
-@register(
-    "dedup_simhash",
-    tags=("dedup", "sketch"),
-    oracle=None,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over distinct words: bit j of the sketch is the sign of
-    Σ_words (±1 by bit j of xxhash64(word)). Near-dup pairs = hamming ≤ 3.
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks
+SIMHASH_MAX_HAMMING = 3  # < SIMHASH_CHUNKS → banding is LOSSLESS (pigeonhole)
 
-    Entirely built-in expressions (xxhash64, bit ops, popcount via
-    bit_count); the pairwise hamming join is quadratic here — at scale you
-    band the sketch (e.g. 4×8-bit chunks, join on any equal chunk) exactly
-    like MinHash-LSH."""
+
+def _simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): bit j of the 32-bit sketch is the sign of
+    Σ_distinct-words (±1 by bit j of xxhash64(word)). One hash-agg with 32
+    SUM columns — partial aggregation collapses map-side, so the shuffle
+    carries ≤1 row per doc."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.explode(F.array_distinct(words("text"))).alias("word"))
     w = w.withColumn("h", F.xxhash64("word"))
@@ -426,28 +426,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(32)
+            for j in range(SIMHASH_BITS)
         ]
     )
-    simhash = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(SIMHASH_BITS)
+            ],
             F.lit(0),
         ).cast("long").alias("simhash"),
     )
-    a = simhash.alias("a")
-    b = simhash.alias("b")
+
+
+def _simhash_pairs_allpairs(sketch: DataFrame) -> DataFrame:
+    """Quadratic ground truth: every (a<b) pair, hamming-filtered. Exists
+    only as the parity oracle for the banded plan (tests/test_dedup_banding);
+    never registered."""
+    a = sketch.alias("a")
+    b = sketch.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "sketch"),
+    oracle=None,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via CHUNK BANDING — the
+    MinHash-LSH plan shape, not an all-pairs join: the 32-bit sketch splits
+    into 4 × 8-bit chunks; any pair within hamming ≤ 3 differs in at most 3
+    chunks, so by pigeonhole it agrees on ≥1 chunk — candidates come from an
+    equi-join on (chunk_idx, chunk_val) and banding loses NOTHING (exact
+    same result set as the quadratic plan, asserted by
+    tests/test_dedup_banding.py).
+
+    At 100 TB: the candidate join shuffles on a 2-tuple key with bounded
+    per-bucket fan-in (256 values × 4 chunks spread the corpus); hamming
+    verification is a bit_count on rows that already carry both sketches —
+    no second join back to the sketch table. Entirely built-in expressions
+    (xxhash64, shiftright, bit_count); no DuckDB twin for xxhash64 → rows-only
+    check, with the lossless-banding parity test as the correctness gate."""
+    sketch = _simhash_sketch(spark, sf_dir)
+    chunks = sketch.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()  # a pair can collide on >1 chunk
     )
 
 
@@ -495,6 +559,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine_bucketed",
+    tags=("dedup", "similarity", "sketch"),
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm,
+                   {_SIGN_BUCKET_SQL} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed embedding near-dup — the scale twin of
+    `dedup_embedding_cosine`, mirroring the jaccard→minhash split: candidate
+    pairs come from an EQUI-join on the sign bucket (signs of the first 3
+    coordinates — same `_sign_bucket` the ANN path uses, similarity.py:48),
+    then exact cosine verification on candidates only.
+
+    At 100 TB: no all-pairs nested loop — the join shuffles on the bucket
+    key; the bucket is computable at ingest, so buckets can be the layout's
+    partition column and the join becomes partition-local. Cosine-similar
+    pairs usually agree on leading-coordinate signs, so recall loss is the
+    standard LSH trade (more sign bits × multiple hyperplane tables tune
+    it). The DuckDB oracle replicates the identical bucket construction, so
+    the whole pipeline is hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

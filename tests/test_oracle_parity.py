@@ -75,6 +75,22 @@ def test_query_without_oracle_runs(spark, name, entry):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize(
+    "name,entry", sorted(all_queries().items()), ids=sorted(all_queries())
+)
+def test_query_schema_is_flat(spark, name, entry):
+    """The driver's pandas canonicalizer dies on array/map cells (unhashable
+    list) and can't hash binary payloads stably — every registered query must
+    emit a flat scalar schema (serialize arrays with array_join, '|')."""
+    df = entry.fn(spark, SF_CORRECTNESS)
+    hostile = [
+        (c, t)
+        for c, t in df.dtypes
+        if any(k in t for k in ("array", "map", "struct", "binary"))
+    ]
+    assert not hostile, f"{name}: non-scalar output columns {hostile}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as mod
 
