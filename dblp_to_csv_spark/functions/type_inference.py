@@ -12,10 +12,12 @@ Two implementations are provided:
   (including the unicode-digit and leading-zero quirks, SURVEY.md §1.3),
   used by unit tests and available for an exact Pandas-UDF path;
 * ``detect_type_column`` — a JVM-side Column expression ladder used in the
-  hot path (ETL annotation over billions of values). It matches the Python
-  version on all ASCII inputs; the documented deviation is non-ASCII digits
-  (reference: `int()` accepts them; the expression ladder classifies them as
-  string), which do not occur in DBLP numeric fields.
+  hot path (ETL annotation over billions of values). Matches the Python
+  version including unicode digits: integer/float use ``\\p{Nd}`` classes
+  (CPython: ``int()``/``float()`` accept exactly Nd digit runs, while
+  ``str.isdigit()``-but-not-Nd characters like ``²`` fail ``int()`` and fall
+  through to string); date/datetime stay ASCII ``[0-9]`` because BOTH
+  ``date.fromisoformat`` and ``strptime`` reject non-ASCII digits.
 
 The DuckDB-oracle twin of the expression ladder lives in
 ``operators/reference_ops.py`` so the driver verifies engine parity.
@@ -37,8 +39,8 @@ TYPE_DATETIME = "datetime"
 TYPE_BOOLEAN = "boolean"
 TYPE_STRING = "string"
 
-# Reference regexes (XMLToCSV.py:279-281): \d in Python matches unicode
-# digits; the Column ladder below uses ASCII [0-9] (documented deviation).
+# Reference regexes (XMLToCSV.py:279-281): \d in Python matches unicode Nd
+# digits; the Column ladder below mirrors that with \p{Nd} for integer/float.
 _FLOAT_RE = re.compile(r"^\d+\.\d+$")
 _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _DATETIME_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}(:\d{2})?$")
@@ -84,13 +86,14 @@ def detect_type_py(value: str | None) -> str:
 
 def detect_type_column(col: Column | str) -> Column:
     """The detection ladder as a single JVM-side CASE expression — runs inside
-    whole-stage codegen, no Python in the loop. ASCII-digit variant of
-    ``detect_type_py`` (see module docstring for the deviation)."""
+    whole-stage codegen, no Python in the loop. Exact twin of
+    ``detect_type_py`` including the unicode-digit quirks (module docstring);
+    Java regex \\p{Nd} is unicode-aware without any flag."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.when(c.isNull() | (c == ""), TYPE_ANY)
-        .when(c.rlike(r"^[0-9]+$"), TYPE_INTEGER)
-        .when(c.rlike(r"^[0-9]+\.[0-9]+$"), TYPE_FLOAT)
+        .when(c.rlike(r"^\p{Nd}+$"), TYPE_INTEGER)
+        .when(c.rlike(r"^\p{Nd}+\.\p{Nd}+$"), TYPE_FLOAT)
         # try_cast stays inside whole-stage codegen and does real calendar /
         # clock validation (2020-02-30, 25:30 → null), matching both the
         # reference's fromisoformat checks and DuckDB's TRY_CAST; the strict
@@ -116,8 +119,8 @@ def detect_type_column(col: Column | str) -> Column:
 DETECT_TYPE_SQL = """
     CASE
       WHEN {col} IS NULL OR {col} = '' THEN 'any'
-      WHEN regexp_matches({col}, '^[0-9]+$') THEN 'integer'
-      WHEN regexp_matches({col}, '^[0-9]+\\.[0-9]+$') THEN 'float'
+      WHEN regexp_matches({col}, '^\\p{{Nd}}+$') THEN 'integer'
+      WHEN regexp_matches({col}, '^\\p{{Nd}}+\\.\\p{{Nd}}+$') THEN 'float'
       WHEN regexp_matches({col}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
            AND TRY_CAST({col} AS DATE) IS NOT NULL THEN 'date'
       WHEN regexp_matches({col}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}} [0-9]{{2}}:[0-9]{{2}}(:[0-9]{{2}})?$')

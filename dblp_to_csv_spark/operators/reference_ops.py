@@ -160,6 +160,12 @@ _TYPE_SAMPLES = [
     "hello",
     "",
     "1-10",
+    # unicode-digit quirks (reference int()/float() accept Nd digits):
+    "١٢٣",  # Arabic-Indic run → integer
+    "12٣",  # mixed ASCII+Nd → integer
+    "٣٤.٥",  # Nd float → float
+    "²",  # isdigit-but-not-int superscript → string
+    "٢٠٢٠-٠١-٠١",  # fromisoformat is ASCII-only → string
 ]
 
 

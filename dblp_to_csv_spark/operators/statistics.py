@@ -136,7 +136,14 @@ def sorted_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile/first_value/percent_rank) over a
-    deterministic total order (price with orderkey tie-break)."""
+    deterministic total order (price with orderkey tie-break).
+
+    LIMITATION (inherent, same as every engine's OVER (ORDER BY …) with no
+    PARTITION BY): the global window funnels all rows through one reducer —
+    exact global ranks cannot be computed partition-locally. Fine for the
+    surface demo; at corpus scale use `quartile_labels_by_cutpoint`, which
+    computes the same quartile labels from percentile cutpoints with no
+    window at all."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(
@@ -144,4 +151,57 @@ def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("price_quartile"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "quartile_labels_by_cutpoint",
+    tags=("agg", "broadcast", "scale"),
+    oracle="""
+        WITH cut AS (
+            SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS q1,
+                   ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS q2,
+                   ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS q3
+            FROM orders
+        )
+        SELECT o_orderkey, o_totalprice,
+               CAST(CASE WHEN o_totalprice <= q1 THEN 1
+                         WHEN o_totalprice <= q2 THEN 2
+                         WHEN o_totalprice <= q3 THEN 3
+                         ELSE 4 END AS INT) AS price_quartile
+        FROM orders, cut
+    """,
+)
+def quartile_labels_by_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe quartile labeling — the 100 TB twin of
+    `ntile_order_quartiles`: ONE tiny aggregate computes the 25/50/75%
+    cutpoints (mergeable, no total sort), broadcast back over the table; each
+    row's label is a comparison, fully partition-parallel, no window in the
+    plan (asserted by tests/test_scale.py).
+
+    ntile differs at exact-tie boundaries (it splits counts, not values) —
+    cutpoint labeling is the semantics a data pipeline usually wants anyway
+    (percentile bands). Cutpoints are rounded to 4 dp on both engines so
+    boundary comparisons can't diverge by interpolation ulps."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = (
+        o.agg(
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("q")
+        )
+        .select(
+            F.round(F.col("q")[0], 4).alias("q1"),
+            F.round(F.col("q")[1], 4).alias("q2"),
+            F.round(F.col("q")[2], 4).alias("q3"),
+        )
+    )
+    return o.join(F.broadcast(cut)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("price_quartile"),
     )

@@ -73,41 +73,56 @@ def _struct_exprs(tag: str, col: Column, dtype: StructType, out: _Exprs, record:
             _collect(name, col[name], ftype, out, record)
 
 
-def _array_struct_exprs(
-    tag: str, col: Column, elem: StructType, out: _Exprs, record: str
-) -> None:
-    field_types = {f.name: f.dataType for f in elem.fields}
-    has_text = VALUE_TAG in field_types
+def _compact(arr: Column) -> Column:
+    return F.filter(arr, lambda v: v.isNotNull())
 
-    def text_of(x: Column) -> Column:
-        return _first_text(x[VALUE_TAG], field_types[VALUE_TAG])
 
-    if has_text:
-        texts = F.filter(F.transform(col, text_of), lambda v: v.isNotNull())
-        _add(out, tag, texts, True, record)
-    for name, ftype in field_types.items():
-        if name == VALUE_TAG:
-            continue
-        if name.startswith(ATTR_PREFIX):
-            if has_text:
-                attrs = F.filter(
-                    F.transform(col, lambda x: F.when(text_of(x).isNotNull(), x[name])),
-                    lambda v: v.isNotNull(),
+def _walk_array(tag: str, arr: Column, elem: DataType, out: _Exprs, record: str) -> None:
+    """``arr``: array<elem> — the stream of occurrences of element ``tag``
+    inside a repeated ancestor, in document order. Recurses to ANY depth,
+    promoting every descendant element into the single tag-name namespace —
+    the reference flattens arbitrarily deep trees the same way (its
+    ``end``-event loop visits every descendant, XMLToCSV.py:127-138; depth is
+    deliberately lost).
+
+    All expressions are transform/filter/flatten lambdas over the array —
+    still zero Python per row, still inside whole-stage codegen."""
+    if isinstance(elem, StringType):
+        _add(out, tag, _compact(arr), True, record)
+    elif isinstance(elem, ArrayType):
+        # per-ancestor repeats: splice the occurrence streams together
+        _walk_array(tag, F.flatten(_compact(arr)), elem.elementType, out, record)
+    elif isinstance(elem, StructType):
+        field_types = {f.name: f.dataType for f in elem.fields}
+        has_text = VALUE_TAG in field_types
+
+        def text_of(x: Column) -> Column:
+            return _first_text(x[VALUE_TAG], field_types[VALUE_TAG])
+
+        if has_text:
+            _add(out, tag, _compact(F.transform(arr, text_of)), True, record)
+        for name, ftype in field_types.items():
+            if name == VALUE_TAG:
+                continue
+            if name.startswith(ATTR_PREFIX):
+                # attribute recorded only when its element has text
+                # (reference gate, XMLToCSV.py:190-198)
+                if has_text:
+                    attrs = _compact(
+                        F.transform(
+                            arr, lambda x: F.when(text_of(x).isNotNull(), x[name])
+                        )
+                    )
+                    _add(out, f"{tag}-{name[len(ATTR_PREFIX):]}", attrs, True, record)
+            else:
+                _walk_array(
+                    name, _compact(F.transform(arr, lambda x: x[name])), ftype, out, record
                 )
-                _add(out, f"{tag}-{name[len(ATTR_PREFIX):]}", attrs, True, record)
-        elif isinstance(ftype, StringType):
-            vals = F.filter(F.transform(col, lambda x: x[name]), lambda v: v.isNotNull())
-            _add(out, name, vals, True, record)
-        elif isinstance(ftype, ArrayType) and isinstance(ftype.elementType, StringType):
-            vals = F.flatten(
-                F.filter(F.transform(col, lambda x: x[name]), lambda v: v.isNotNull())
-            )
-            _add(out, name, vals, True, record)
-        else:
-            raise NotImplementedError(
-                f"record {record!r}: nesting deeper than 2 levels inside repeated "
-                f"element {tag!r} (field {name!r}: {ftype.simpleString()}) is not supported"
-            )
+    else:
+        raise NotImplementedError(
+            f"record {record!r}: unsupported XML shape inside repeated "
+            f"element {tag!r}: {elem.simpleString()}"
+        )
 
 
 def _add(out: _Exprs, name: str, expr: Column, is_array: bool, record: str) -> None:
@@ -124,8 +139,8 @@ def _collect(tag: str, col: Column, dtype: DataType, out: _Exprs, record: str) -
         _add(out, tag, col, True, record)
     elif isinstance(dtype, StructType):
         _struct_exprs(tag, col, dtype, out, record)
-    elif isinstance(dtype, ArrayType) and isinstance(dtype.elementType, StructType):
-        _array_struct_exprs(tag, col, dtype.elementType, out, record)
+    elif isinstance(dtype, ArrayType):
+        _walk_array(tag, col, dtype.elementType, out, record)
     else:
         raise NotImplementedError(
             f"record {record!r}: unsupported XML shape for {tag!r}: {dtype.simpleString()}"

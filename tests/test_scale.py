@@ -67,6 +67,21 @@ def big_xml(tmp_path_factory):
     return str(xml), str(dtd), n
 
 
+def test_quartile_cutpoint_plan_has_no_window(spark):
+    """The scale-safe quartile labeler must contain no Window operator (the
+    global-window funnel was the round-1 scale-killer) and must broadcast
+    the cutpoints."""
+    from dblp_to_csv_spark.operators.statistics import quartile_labels_by_cutpoint
+
+    df = quartile_labels_by_cutpoint(spark, os.environ.get(
+        "SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001"
+    ))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutpoint frame, broadcast
+    assert df.count() > 0
+
+
 def test_etl_large_corpus_multi_split(spark, big_xml, tmp_path):
     """End-to-end conversion of a 20k-record corpus with the input forced
     into many splits (small maxPartitionBytes): IDs stay globally dense,
