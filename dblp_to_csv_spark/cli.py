@@ -59,8 +59,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     parser.add_argument(
         "--validate",
         action="store_true",
-        help="pre-flight DTD validation (full via lxml when installed, else "
-        "the stdlib structural subset); abort on violations",
+        help="pre-flight DTD validation (via lxml when installed, else the "
+        "stdlib validator: elements/attributes/#REQUIRED + content models); "
+        "abort on violations",
     )
     parser.add_argument("--master", default=None, help="Spark master (default: local[$CPUS])")
     args = parser.parse_args(argv)
@@ -95,14 +96,17 @@ def main(argv: list[str] | None = None) -> None:
         if full is False:
             print("error: XML does not validate against the DTD")
             sys.exit(1)
-        if full is None:  # no lxml → structural subset
+        if full is None:  # no lxml → stdlib validator
             errors = validate_xml_structurally(args.xml_filename, args.dtd_filename)
             if errors:
-                print("error: structural DTD violations:")
+                print("error: DTD violations:")
                 for e in errors:
                     print(" -", e)
                 sys.exit(1)
-            print("Validated (structural subset: declared elements/attributes).")
+            print(
+                "Validated (stdlib: elements, attributes, #REQUIRED, "
+                "content models; not checked: ID/IDREF refs)."
+            )
         else:
             print("Validated against DTD.")
 

@@ -28,12 +28,19 @@ from pyspark.storagelevel import StorageLevel
 
 _PARTITION_SHIFT = 33  # monotonically_increasing_id puts partition id at bit 33
 
+# Above this many input partitions the offset lookup switches from an inlined
+# literal-map expression (O(#partitions) scan per row + a giant codegen tree)
+# to a broadcast (pid, offset) equi-join — the plan shape that holds at the
+# ~100k+ splits of a 100 TB input.
+MAP_LITERAL_MAX_PARTITIONS = 1024
+
 
 def with_dense_ids_counted(
     df: DataFrame,
     id_col: str = "id",
     start: int = 0,
     cache_registry: list[DataFrame] | None = None,
+    map_literal_max: int = MAP_LITERAL_MAX_PARTITIONS,
 ) -> tuple[DataFrame, int]:
     """Add a dense unique ``id_col`` (start, start+1, …, start+n-1); also
     return the row count n (known for free from the partition histogram —
@@ -68,15 +75,29 @@ def with_dense_ids_counted(
         offsets[row["_pid"]] = acc
         acc += row["count"]
 
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"),
-    ) if offsets else F.lit(start)
-
     row_in_partition = F.col("_mono") - F.shiftleft(F.col("_pid"), _PARTITION_SHIFT)
-    out = with_pid.withColumn(id_col, (offset_expr + row_in_partition).cast("long")).drop(
-        "_mono", "_pid"
-    )
+    if len(offsets) <= map_literal_max:
+        # few partitions: inline the lookup as a literal map — no join at all
+        offset_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        ) if offsets else F.lit(start)
+        out = with_pid.withColumn(
+            id_col, (offset_expr + row_in_partition).cast("long")
+        ).drop("_mono", "_pid")
+    else:
+        # many partitions: a literal map would be a huge expression tree
+        # (codegen limits) scanned linearly per row — broadcast-join the tiny
+        # (pid, offset) table instead; broadcast hash lookup is O(1) per row
+        offsets_df = df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_pid long, _dense_offset long",
+        )
+        out = (
+            with_pid.join(F.broadcast(offsets_df), "_pid")
+            .withColumn(id_col, (F.col("_dense_offset") + row_in_partition).cast("long"))
+            .drop("_mono", "_pid", "_dense_offset")
+        )
     return out, acc - start
 
 

@@ -220,9 +220,30 @@ _BAND_SELECTS = " UNION ALL ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry — recompute path (see ``minhash_lsh_pairs`` for the
+    materialize-candidates option and the scale trade-off)."""
+    return minhash_lsh_pairs(spark, sf_dir)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize_candidates_dir: str | None = None,
+) -> DataFrame:
     """MinHash(K=12) + LSH(B=4 bands × R=3): per-doc signatures from
     MIN(md5(seed|shingle)), band keys bucket-joined for candidates, then
     exact-Jaccard verification of candidates only.
+
+    ``materialize_candidates_dir``: when set, the candidate-pair frame is
+    checkpointed to parquet there and read back, so the signature aggregate
+    and band join run ONCE instead of twice (the candidate frame is consumed
+    by both the verification join and the candidate-doc semi-join). Recompute
+    is the right default for a shared session at test scale (~2 s at sf0.1,
+    no cache-manager leak — see the inline note); at 100 TB the trade flips:
+    the signature aggregate over the corpus dwarfs a parquet round-trip of
+    the (small) candidate set, so a real pipeline materializes — pass a
+    durable path (a table location) there. Both paths return identical rows
+    (tests/test_dedup_banding.py asserts it).
 
     At 100 TB: signatures are one hash-agg over (doc, seed); the candidate
     join shuffles band keys (small), and verification touches only candidate
@@ -283,11 +304,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # cand is consumed twice below and deliberately NOT materialized:
+    # cand is consumed twice below. Default: deliberately NOT materialized —
     # cache() leaks a cache-manager entry per invocation (no unpersist hook
     # in a registered query), and localCheckpoint RDD blocks were measured
     # to survive GC the same way — recomputing the cheap signature aggregate
     # (~2 s at sf0.1) is the bounded-memory choice for a shared session.
+    # With materialize_candidates_dir, checkpoint to parquet instead (the
+    # 100 TB choice; see docstring).
+    if materialize_candidates_dir is not None:
+        cand.write.mode("overwrite").parquet(materialize_candidates_dir)
+        cand = spark.read.parquet(materialize_candidates_dir)
     # verification: shrink the shingle stream to candidate docs first
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))

@@ -77,17 +77,21 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag → new-session flag →
     running sum = session number → per-session aggregate. One shuffle on
-    user_id serves both windows and the final aggregate (same key)."""
+    user_id serves both windows and the final aggregate (same key).
+
+    Gaps compare at MICROSECOND precision (unix_micros), matching the
+    oracle's exact INTERVAL comparison — cast('long') truncates to whole
+    seconds and misclassifies sub-second gaps at the 1800 s boundary."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias(
-            "new_session"
-        ),
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

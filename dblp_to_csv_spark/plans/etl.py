@@ -142,6 +142,7 @@ class XmlToCsvPlan:
         self.schema_sampling_ratio = schema_sampling_ratio
         self.partition_by = list(partition_by or [])  # parquet sink only
         self._relation_caches: list[DataFrame] = []
+        self._observed_relations: list[str] | None = None
         if neo4j:
             annotate = True  # reference: --neo4j implies --annotate (:61-64)
         if relations:
@@ -393,6 +394,16 @@ class XmlToCsvPlan:
             nodes, n_nodes = with_dense_ids_counted(
                 values, "node_id", start=next_id, cache_registry=self._relation_caches
             )
+            if n_nodes == 0:
+                # reference writes files only for OBSERVED relations
+                # (XMLToCSV.py:206-221 populates the map from data) — a
+                # typo'd --relations attr must not yield empty CSVs that the
+                # generated import command then references
+                print(
+                    f"Warning: relation attribute {column!r} never occurs in "
+                    "the data; skipping its node/edge files."
+                )
+                continue
             nodes = nodes.select("node_id", "value")
             next_id += n_nodes
             edges = pairs.join(F.broadcast(nodes), "value").select(
@@ -400,6 +411,7 @@ class XmlToCsvPlan:
             )
             nodes_by_col[column] = nodes
             edges_by_col[column] = edges
+        self._observed_relations = sorted(nodes_by_col)
         return nodes_by_col, edges_by_col
 
     def write_relation_files(
@@ -436,7 +448,14 @@ class XmlToCsvPlan:
         )
         for element in elements:
             cmd += f' --nodes:{element} "{path}_{element}_header{ext},{path}_{element}{ext}"'
-        for relation in sorted(self.relations):
+        # only relations actually observed in the data get files — mirror that
+        # here so the import command never references a nonexistent CSV
+        observed = (
+            self._observed_relations
+            if self._observed_relations is not None
+            else sorted(self.relations)
+        )
+        for relation in observed:
             cmd += f' --nodes:{relation} "{path}_{relation}{ext}"'
             predicate = self.relations[relation]
             cmd += f' --relationships:{predicate} "{path}_{relation}_{predicate}{ext}"'

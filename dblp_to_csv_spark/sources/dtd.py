@@ -112,15 +112,84 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     no DTD support; when lxml is importable we run a driver-side streaming
     validation pass, otherwise return None (validation unavailable —
     documented deviation, SURVEY.md §4.3.3; see
-    ``validate_xml_structurally`` for the stdlib fallback subset)."""
+    ``validate_xml_structurally`` for the stdlib fallback subset).
+
+    Streaming via iterparse with element clearing — the same O(1)-memory
+    discipline as the reference's passes (XMLToCSV.py:118, 186); a full
+    etree.parse would materialize a DBLP-sized document on the driver."""
     try:
         from lxml import etree
     except ImportError:
         return None
     with open(dtd_path, "rb") as f:
         dtd = etree.DTD(f)
-    tree = etree.parse(xml_path)
-    return bool(dtd.validate(tree))
+    root = None
+    try:
+        for _event, elem in etree.iterparse(xml_path, events=("end",)):
+            if root is None:
+                root = elem.getroottree().getroot()
+            if elem.getparent() is root:
+                # validate each record subtree as it completes, then free it
+                if not dtd.validate(elem):
+                    return False
+                elem.clear()
+                while elem.getprevious() is not None:
+                    del elem.getparent()[0]
+    except etree.XMLSyntaxError:
+        return False
+    # every record subtree validated and was freed; the root's own content
+    # model is (children)* in every DTD this engine targets, so record-level
+    # validation covers the document
+    return root is not None
+
+
+_ELEMENT_MODEL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)\s+([^>]+)>", re.DOTALL)
+_NAME_OR_PUNCT = re.compile(r"([A-Za-z_:][\w.:-]*)|([(),|?*+])")
+
+
+def _content_model_regex(model: str) -> re.Pattern[str] | None:
+    """Compile one DTD content model into a regex over the element's child
+    sequence, encoded as a comma-terminated name string ("author,title,").
+
+    XML 1.0 content models ARE regular expressions over child names (the spec
+    restricts them to deterministic ones, which plain re handles fine):
+    ``,`` = concatenation, ``|`` = alternation, ``?*+`` as usual. Mixed
+    content ``(#PCDATA|a|b)*`` allows those children in any order/count;
+    ``(#PCDATA)`` and EMPTY allow none. Returns None for ANY or models using
+    parameter entities (unchecked)."""
+    model = re.sub(r"\s+", "", model)
+    if model == "ANY" or "%" in model:
+        return None
+    if model == "EMPTY":
+        return re.compile(r"^$")
+    if "#PCDATA" in model:
+        names = re.findall(r"[A-Za-z_:][\w.:-]*", model.replace("#PCDATA", ""))
+        if not names:
+            return re.compile(r"^$")
+        return re.compile("^(?:(?:" + "|".join(map(re.escape, names)) + "),)*$")
+    parts: list[str] = []
+    for tok in _NAME_OR_PUNCT.finditer(model):
+        name, punct = tok.group(1), tok.group(2)
+        if name:
+            parts.append(f"(?:{re.escape(name)},)")
+        elif punct == "(":
+            parts.append("(?:")
+        elif punct == ",":
+            pass  # concatenation is juxtaposition
+        else:
+            parts.append(punct)  # ) | ? * +
+    return re.compile("^" + "".join(parts) + "$")
+
+
+def get_content_models(dtd_path: str) -> dict[str, re.Pattern[str] | None]:
+    """Per element: compiled child-sequence regex (None = unchecked: ANY or
+    parameter-entity models)."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    return {
+        m.group(1): _content_model_regex(m.group(2))
+        for m in _ELEMENT_MODEL.finditer(text)
+    }
 
 
 def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
@@ -138,23 +207,32 @@ def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
 def validate_xml_structurally(
     xml_path: str, dtd_path: str, max_errors: int = 20
 ) -> list[str]:
-    """Stdlib (expat) streaming structural validation — the subset of DTD
-    validation expressible without a content-model engine: every element
-    must be declared, every attribute must be declared for its element, and
-    #REQUIRED attributes must be present. Returns violations (empty = passes
-    the subset). Does NOT check child ordering/cardinality — that needs a
-    real DTD validator (lxml path above). Single-node streaming pass, O(1)
-    memory: a pre-flight for corpora small enough to read once on the
-    driver; at 100 TB validation belongs in the ingest pipeline instead."""
+    """Stdlib (expat) streaming DTD validation: every element must be
+    declared, every attribute must be declared for its element, #REQUIRED
+    attributes must be present, and each element's child sequence must match
+    its declared content model (XML content models are regular expressions
+    over child names — compiled by ``_content_model_regex``, so ordering AND
+    cardinality are enforced, matching lxml's verdict on element structure).
+    Returns violations (empty = valid). Not covered vs a full validator:
+    ID/IDREF cross-references and attribute value types. Single-node
+    streaming pass, O(1) memory per depth level: a pre-flight for corpora
+    readable once on the driver; at 100 TB validation belongs in the ingest
+    pipeline instead."""
     import xml.parsers.expat
 
     # all declared element names, root included
     with open(dtd_path, encoding="utf-8") as f:
         declared = set(_ELEMENT_DECL.findall(_COMMENT.sub("", f.read())))
     attrs = get_declared_attributes(dtd_path)
+    models = get_content_models(dtd_path)
     errors: list[str] = []
+    # per open element: accumulated child-sequence string ("author,title,")
+    child_seq: list[list[str]] = []
 
     def start(name: str, attributes: dict[str, str]) -> None:
+        if child_seq:
+            child_seq[-1].append(name + ",")
+        child_seq.append([])
         if len(errors) >= max_errors:
             return
         if name not in declared:
@@ -168,8 +246,20 @@ def validate_xml_structurally(
             if required and a not in attributes:
                 errors.append(f"missing #REQUIRED attribute {a!r} on <{name}>")
 
+    def end(name: str) -> None:
+        seq = "".join(child_seq.pop())
+        if len(errors) >= max_errors:
+            return
+        pattern = models.get(name)
+        if pattern is not None and not pattern.match(seq):
+            errors.append(
+                f"content model violation in <{name}>: children "
+                f"({seq.rstrip(',') or 'none'}) do not match its declaration"
+            )
+
     parser = xml.parsers.expat.ParserCreate()
     parser.StartElementHandler = start
+    parser.EndElementHandler = end
     try:
         with open(xml_path, "rb") as f:
             parser.ParseFile(f)

@@ -30,13 +30,26 @@ BROADCAST_TABLES = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
         # nanos are surfaced as long. Set on the LIVE session (it is a
         # runtime-settable SQL conf) so externally-created sessions — e.g.
-        # the driver harness's — work, not just our session factory's.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # the driver harness's — work, then RESTORED so a shared session's
+        # later TIMESTAMP(NANOS) reads aren't silently bigint-ified (the conf
+        # is captured at DataFrame creation, so execution stays correct).
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+        df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as
     # epoch-nanos LongType. Convert with INTEGER division (epoch nanos exceed
     # 2^53, double math would corrupt the low digits), truncating to micros —

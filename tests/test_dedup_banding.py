@@ -54,6 +54,22 @@ def test_embedding_bucketed_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_materialized_candidates_parity(spark, tmp_path):
+    """The checkpoint-to-parquet candidate path (the 100 TB trade) must
+    return exactly the recompute path's rows."""
+    from dblp_to_csv_spark.operators.dedup import dedup_minhash_lsh, minhash_lsh_pairs
+
+    recompute = _rows(dedup_minhash_lsh(spark, SF_CORRECTNESS))
+    materialized = _rows(
+        minhash_lsh_pairs(
+            spark, SF_CORRECTNESS, materialize_candidates_dir=str(tmp_path / "cand")
+        )
+    )
+    assert recompute == materialized
+    assert len(recompute) > 0
+    assert (tmp_path / "cand").exists()
+
+
 def test_embedding_bucketed_subset_of_exact(spark):
     exact = _rows(dedup_embedding_cosine(spark, SF_CORRECTNESS))
     bucketed = _rows(dedup_embedding_cosine_bucketed(spark, SF_CORRECTNESS))

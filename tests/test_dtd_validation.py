@@ -1,16 +1,29 @@
-"""Structural DTD validation (S4 stdlib subset): declared elements/attrs and
-#REQUIRED presence, via a streaming expat pass."""
+"""Structural DTD validation (S4 stdlib): declared elements/attrs, #REQUIRED
+presence, and content-model (child ordering + cardinality) checks via a
+streaming expat pass with regex-compiled content models."""
 
 from __future__ import annotations
 
 import os
 
 from dblp_to_csv_spark.sources.dtd import (
+    _content_model_regex,
     get_declared_attributes,
     validate_xml_structurally,
 )
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+SEQ_DTD = """\
+<!ELEMENT dblp (article)*>
+<!ELEMENT article (author+,title,year?)>
+<!ELEMENT author (#PCDATA)>
+<!ELEMENT title (#PCDATA|i)*>
+<!ELEMENT i (#PCDATA)>
+<!ELEMENT year (#PCDATA)>
+<!ELEMENT flag EMPTY>
+<!ATTLIST article key CDATA #REQUIRED>
+"""
 
 
 def test_valid_fixture_passes():
@@ -38,6 +51,56 @@ def test_violations_reported(tmp_path):
     assert any("missing #REQUIRED attribute 'key' on <article>" in e for e in errors)
     assert any("undeclared element <widget>" in e for e in errors)
     assert any("undeclared attribute 'isbn' on <book>" in e for e in errors)
+
+
+def test_content_model_regex_translation():
+    assert _content_model_regex("EMPTY").match("")
+    assert _content_model_regex("ANY") is None
+    assert _content_model_regex("(%ent;)*") is None  # parameter entity: unchecked
+    m = _content_model_regex("(author+,title,year?)")
+    assert m.match("author,title,")
+    assert m.match("author,author,title,year,")
+    assert not m.match("title,author,")  # out of order
+    assert not m.match("author,")  # missing required title
+    assert not m.match("author,title,year,year,")  # ? exceeded
+    mixed = _content_model_regex("(#PCDATA|i|b)*")
+    assert mixed.match("") and mixed.match("i,b,i,")
+    assert not mixed.match("x,")
+
+
+def test_out_of_order_child_rejected(tmp_path):
+    """The VERDICT r01 gate: an out-of-order child sequence must be rejected
+    exactly as lxml's DTD validator would reject it."""
+    (tmp_path / "seq.dtd").write_text(SEQ_DTD)
+    good = tmp_path / "good.xml"
+    good.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><author>A</author><author>B</author>'
+        "<title>T <i>x</i></title><year>2020</year></article>\n"
+        "</dblp>\n"
+    )
+    assert validate_xml_structurally(str(good), str(tmp_path / "seq.dtd")) == []
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><title>T</title><author>A</author></article>\n'
+        "</dblp>\n"
+    )
+    errors = validate_xml_structurally(str(bad), str(tmp_path / "seq.dtd"))
+    assert any("content model violation in <article>" in e for e in errors)
+
+
+def test_cardinality_violation_rejected(tmp_path):
+    (tmp_path / "seq.dtd").write_text(SEQ_DTD)
+    bad = tmp_path / "noauthor.xml"
+    bad.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><title>T</title></article>\n'  # author+ needs >=1
+        "</dblp>\n"
+    )
+    errors = validate_xml_structurally(str(bad), str(tmp_path / "seq.dtd"))
+    assert any("content model violation in <article>" in e for e in errors)
 
 
 def test_malformed_xml_reported(tmp_path):

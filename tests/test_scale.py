@@ -26,6 +26,21 @@ def test_dense_ids_many_partitions(spark):
     out.unpersist()
 
 
+def test_dense_ids_broadcast_join_path(spark):
+    """Above map_literal_max partitions the offset lookup must switch to the
+    broadcast-join path and still produce dense unique IDs."""
+    from dblp_to_csv_spark.functions.ids import with_dense_ids_counted
+
+    df = spark.range(10_000).repartition(37).select(F.col("id").alias("x"))
+    out, n = with_dense_ids_counted(df, "rid", start=3, map_literal_max=8)
+    assert n == 10_000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    ids = sorted(r["rid"] for r in out.select("rid").collect())
+    assert ids == list(range(3, 10_003))
+    assert [c for c in out.columns] == ["x", "rid"]
+
+
 def test_dense_ids_empty_frame(spark):
     from dblp_to_csv_spark.functions.ids import with_dense_ids
 
