@@ -24,16 +24,25 @@ from pyspark.sql import functions as F
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream twin of sources.tables.load_table(..., 'events'): explicit
     schema (streams cannot infer), nanos→timestamp conversion identical to
-    the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # the file-stream source wants a directory; glob-filter to the one table
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    the batch loader. The nanosAsLong conf is restored after setup (same
+    hygiene as the batch loader; it is captured by the stream's schema)."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # the file-stream source wants a directory; glob-filter to the table
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     if dict(batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
@@ -58,6 +67,70 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> Data
             "sum_value",
         )
     )
+
+
+def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of dedup_exact_documents
+    (operators/dedup.py): key on an md5 content fingerprint (32-byte state
+    key, never the payload) and keep the first arrival.
+
+    dropDuplicatesWithinWatermark bounds state by the watermark horizon:
+    a fingerprint's state row is dropped once the watermark passes its event
+    time, so memory is O(events per watermark window), independent of stream
+    lifetime — the property that makes streaming dedup viable at all at
+    ingest scale (a plain dropDuplicates would grow state forever)."""
+    return (
+        events.withColumn(
+            "fingerprint",
+            F.md5(F.concat_ws("|", "event_id", "user_id", "event_type", "value")),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    snapshot (customer market segment). The static side is re-read per
+    micro-batch and broadcast — no streaming state at all; this is the
+    standard shape for slowly-changing dims at ingest (swap the snapshot
+    under the path to 'update' the dim)."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "user_id", "ts", "event_type", "value", "c_mktsegment"
+    )
+
+
+def stream_stream_purchase_attribution(
+    views: DataFrame, purchases: DataFrame, horizon: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same user's
+    view events within the preceding ``horizon`` — the streaming attribution
+    twin of the batch as-of join (operators/timeseries.py).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's buffered state is limited to the horizon +
+    watermark slack — the two conditions Spark REQUIRES before it will run a
+    stream-stream join with bounded state. Inner-join matches emit as soon
+    as both rows have arrived (the watermark only gates state eviction)."""
+    v = views.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 
 def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:

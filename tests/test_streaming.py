@@ -91,6 +91,112 @@ def test_stream_stateful_user_profiles(spark):
     q.stop()
 
 
+def test_stream_dedup_drops_duplicates(spark):
+    """Union the stream with itself (every event twice) — streaming dedup
+    must restore the exact batch-distinct cardinality."""
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming import load_events_stream, stream_dedup_events
+
+    doubled = load_events_stream(spark, SF_SMOKE).unionAll(
+        load_events_stream(spark, SF_SMOKE)
+    )
+    q = (
+        stream_dedup_events(doubled)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT fingerprint) AS d FROM dedup_test").first()
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert got["n"] == want  # doubled input, deduped back to once each
+    assert got["d"] == want
+    q.stop()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming import load_events_stream, stream_static_enrich
+
+    customers = load_table(spark, SF_SMOKE, "customer")
+    q = (
+        stream_static_enrich(load_events_stream(spark, SF_SMOKE), customers)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon(spark.sql("SELECT * FROM enrich_test").toPandas())
+    ev = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import functions as F
+
+    want = _canon(
+        ev.join(
+            customers.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+            "left",
+        )
+        .select("event_id", "user_id", "ts", "event_type", "value", "c_mktsegment")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["c_mktsegment"].notna().all()  # every user_id hit the dim
+    q.stop()
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming import (
+        load_events_stream,
+        stream_stream_purchase_attribution,
+    )
+
+    stream = load_events_stream(spark, SF_SMOKE)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_purchase_attribution(views, purchases)
+        .writeStream.format("memory")
+        .queryName("attribution_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon(spark.sql("SELECT * FROM attribution_test").toPandas())
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = _canon(
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 hours")),
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    q.stop()
+
+
 def test_multimodal_decode_plumbing(spark):
     from dblp_to_csv_spark.registry import all_queries
 
