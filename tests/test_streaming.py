@@ -206,3 +206,23 @@ def test_multimodal_decode_plumbing(spark):
     assert (out["ok"]).all()
     assert (out["width"].between(1, 64)).all()
     assert (out["n_bytes"] > 0).all()
+
+
+def test_multimodal_resize_plumbing(spark):
+    """binary→binary mapInPandas: every payload lands at exactly the target
+    size, type stays binary, content is a prefix of the original."""
+    from dblp_to_csv_spark.operators.multimodal import (
+        resize_payloads,
+        with_binary_payload,
+    )
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    resized = resize_payloads(
+        with_binary_payload(docs).select("doc_id", "payload"), target_bytes=64
+    )
+    assert dict(resized.dtypes)["payload"] == "binary"
+    out = resized.toPandas()
+    assert len(out) == 500
+    assert (out["n_bytes"] == 64).all()
+    assert out["payload"].map(len).eq(64).all()
