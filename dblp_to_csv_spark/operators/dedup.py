@@ -352,6 +352,97 @@ def minhash_lsh_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# Connected components over near-dup pairs: cluster → canonical doc.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_connected_components",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        mh AS (
+            SELECT doc_id, {_MH_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
+                        AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT j.doc_a, j.doc_b
+            FROM jac j JOIN cand USING (doc_a, doc_b)
+            WHERE j.jaccard >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step after pair-finding in every real dedup
+    pipeline: connected components over the MinHash-LSH pair graph, labeling
+    each document with the smallest doc_id reachable from it (= the cluster's
+    canonical representative; keep that one, drop the rest).
+
+    Distributed min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels — a join + groupBy-min per
+    round, converging in O(component diameter) rounds (near-dup clusters are
+    tiny and dense, so 2-3 rounds in practice). The driver loop checks
+    convergence via the label-sum (labels only decrease; the sum is a strict
+    monotone — one scalar action per round, no row-level comparison join).
+    Lineage is cut with localCheckpoint each round — an iterative plan would
+    otherwise grow exponentially. At 100 TB you would switch the round body
+    to the large-star/small-star contraction (same join shape, O(log n)
+    rounds on any diameter) and checkpoint to a table; the loop skeleton is
+    identical. Genuinely iterative — not expressible as one SQL query in
+    Spark — but DuckDB's WITH RECURSIVE reproduces the fixpoint, so even
+    this operator is oracle-verified."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # pair-finding runs ONCE
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+
+
 SHINGLE_FREQ_CAP = 50
 
 
