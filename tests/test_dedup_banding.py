@@ -54,6 +54,19 @@ def test_embedding_bucketed_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidate generation must recover every ground-truth pair at this
+    scale (jaccard >= 0.5, K=12, B=4×R=3 — near-dup pairs share most
+    shingles, so band collision probability is ~1). Guards the sliced-md5
+    signature construction against silent recall regressions."""
+    from dblp_to_csv_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    exact = _rows(dedup_ngram_jaccard(spark, SF_CORRECTNESS))
+    lsh = _rows(dedup_minhash_lsh(spark, SF_CORRECTNESS))
+    assert lsh == exact
+    assert len(exact) > 0
+
+
 def test_minhash_materialized_candidates_parity(spark, tmp_path):
     """The checkpoint-to-parquet candidate path (the 100 TB trade) must
     return exactly the recompute path's rows."""
