@@ -279,3 +279,62 @@ def range_join_events_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_binned,
         (F.col("user_id") == F.col("o_custkey")) & (ev_binned.bin == o_binned.bin),
     ).select("event_id", "user_id", "o_orderkey")
+
+
+@register(
+    "advanced_agg_gallery",
+    tags=("agg",),
+    oracle="""
+        SELECT l_returnflag,
+               mode(l_linestatus) AS status_mode,
+               CAST(bit_or(l_linenumber) AS BIGINT) AS line_bits_or,
+               CAST(bit_and(l_linenumber) AS BIGINT) AS line_bits_and,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_discount > 0.09) AS any_deep_discount
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def advanced_agg_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Less-common aggregate functions in one hash-agg: mode (most frequent
+    value — tie-free on this data, so it is engine-deterministic), bitwise
+    OR/AND folds, and boolean every/any folds. All are partial-aggregable
+    built-ins — one shuffle carrying a few bytes per group at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linestatus").alias("status_mode"),
+        F.bit_or("l_linenumber").cast("long").alias("line_bits_or"),
+        F.bit_and("l_linenumber").cast("long").alias("line_bits_and"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )
+
+
+@register(
+    "regexp_functions_gallery",
+    tags=("scalar", "regexp"),
+    oracle="""
+        SELECT o_orderkey,
+               regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS priority_num,
+               array_to_string(regexp_extract_all(o_orderpriority, '[AEIOU]'), '|')
+                   AS priority_vowels,
+               regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS priority_letters,
+               regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_expedited
+        FROM orders
+    """,
+)
+def regexp_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions (extract / extract_all / replace / match) —
+    JVM-side built-ins inside codegen; extract_all output is '|'-serialized
+    (flat-schema discipline). DuckDB twin uses the 'g' flag to mirror
+    Spark's replace-all semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).alias("priority_num"),
+        F.array_join(
+            F.regexp_extract_all("o_orderpriority", F.lit("[AEIOU]"), 0), "|"
+        ).alias("priority_vowels"),
+        F.regexp_replace("o_orderpriority", r"[^A-Z]", "").alias("priority_letters"),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_expedited"),
+    )

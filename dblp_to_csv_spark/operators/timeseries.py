@@ -152,3 +152,46 @@ def asof_join_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "last_view_ts"
     )
+
+
+@register(
+    "sliding_window_events",
+    tags=("window", "time"),
+    oracle="""
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                       - CAST(i AS INT) * INTERVAL 15 MINUTE AS window_start,
+                   event_type, value, ts
+            FROM events, unnest(range(0, 4)) AS t(i)
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM expanded
+        WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+        GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    overlapping windows) — F.window(slideDuration=...) expands rows to
+    their windows BEFORE the partial aggregate, so the shuffle carries
+    ≤ windows×groups rows, not ×4 events. The DuckDB twin reproduces the
+    epoch-aligned window assignment with time_bucket arithmetic. Identical
+    code runs under Structured Streaming with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
