@@ -1,0 +1,71 @@
+"""Physical-plan quality gates for the headline queries: the properties that
+make these plans scale (filter pushdown, column pruning, broadcast joins,
+partial top-k, no cartesian products) are asserted here so a future refactor
+that silently degrades a plan fails CI, not the bench.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dblp_to_csv_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read join-only columns like l_orderkey
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_orderkey" not in m.group(1)
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_window_topk_partial_limit(spark):
+    plan = _plan(spark, "window_top_orders_per_customer")
+    assert "WindowGroupLimit" in plan  # per-partition partial top-k
+
+
+def test_no_cartesian_or_nested_loop_in_scale_paths(spark):
+    """The designated scale paths must never degrade to all-pairs plans.
+    (quartile_labels_by_cutpoint's 1-row broadcast NLJ is intentional and
+    excluded.)"""
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine_bucketed",
+        "similarity_topk_lsh_bucketed",
+        "range_join_events_binned",
+        "asof_join_purchase_last_view",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_aggregates_are_partial_final(spark):
+    """Hash aggregates must show the partial/final split (map-side combine),
+    not a single-pass global aggregate."""
+    for name in ["pricing_summary", "advanced_agg_gallery", "tumbling_window_events"]:
+        plan = _plan(spark, name)
+        assert plan.count("HashAggregate") >= 2, name
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "text_token_stats"])
+def test_no_python_row_udfs_in_hot_paths(spark, name):
+    """The dedup/text hot paths are pure Column expressions — no
+    BatchEvalPython (row-at-a-time Python UDF) may appear."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
