@@ -12,3 +12,4 @@ import dblp_to_csv_spark.operators.sql_surface  # noqa: F401
 import dblp_to_csv_spark.operators.function_gallery  # noqa: F401
 import dblp_to_csv_spark.operators.udf_surface  # noqa: F401
 import dblp_to_csv_spark.operators.statistics  # noqa: F401
+import dblp_to_csv_spark.operators.pipeline  # noqa: F401

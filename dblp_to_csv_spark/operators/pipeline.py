@@ -1,0 +1,137 @@
+"""Training-data pipeline composition (SURVEY.md §2.4): the stages a corpus
+pipeline chains BETWEEN the individual operators — deterministic sampling,
+train/val/test splitting, and the composed keep/drop gate (quality × language
+× dedup) — each oracle-checked.
+
+Scale notes (100 TB):
+* Sampling and splitting are HASH-based, never rand(): deterministic across
+  runs/engines/retries (a re-run of a failed task must sample the same rows —
+  rand() breaks exactly-once semantics), cheap (one md5 per row, no shuffle),
+  and consistent (a doc keeps its split forever as the corpus grows — the
+  property that prevents train/test leakage across dataset versions).
+* The composed gate is one projection + one window — predicates fuse into a
+  single pass over the scan; the dedup-canonical check shuffles once on the
+  content fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.functions.text import STOPWORDS, WORDS_SQL, words
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+_WORDS = WORDS_SQL.format(col="text")
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# hex-prefix thresholds: md5 first char < '2' → 2/16 = 12.5% sample;
+# split by first char: 0-b train (75%), c-d val (12.5%), e-f test (12.5%)
+SAMPLE_HEX_LT = "2"
+
+
+@register(
+    "sample_documents_hash",
+    tags=("pipeline", "sampling"),
+    oracle=f"""
+        SELECT doc_id, length(text) AS n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{SAMPLE_HEX_LT}'
+    """,
+)
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample: keep rows whose md5(doc_id) hex prefix is
+    below a threshold — the consistent-sampling idiom (same rows selected on
+    every run, every engine, every retry; rate tunes by threshold). This is
+    what replaces `rand() < p` in a pipeline that must be reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < SAMPLE_HEX_LT
+    ).select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+@register(
+    "split_train_val_test",
+    tags=("pipeline", "sampling"),
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed train/val/test assignment (75/12.5/12.5 by md5 hex
+    prefix): a document's split is a pure function of its id, so it can
+    never migrate between splits as the corpus grows or the job re-runs —
+    the leakage-prevention property random splits lack."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "pipeline_c4_keep",
+    tags=("pipeline", "text", "dedup"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+        m AS (
+            SELECT doc_id, text,
+                   len(w) AS n_tokens,
+                   len(list_filter(w, x -> list_contains([{_STOP_LIST}], x)))
+                       * 1.0 / GREATEST(len(w), 1) AS stop_ratio,
+                   length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+        FROM m
+        WHERE n_tokens >= 20
+          AND punct_ratio < 0.1
+          AND stop_ratio >= 0.05
+          AND doc_id = canonical_id
+    """,
+)
+def pipeline_c4_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style keep gate — quality (length + punctuation) ×
+    language (stopword-ratio) × exact-dedup canonical — as ONE query: the
+    scalar predicates fuse into a single projection over the scan; the
+    dedup-canonical check is a min-over-fingerprint window (one shuffle on
+    md5(text), the same 32-byte key dedup_exact_documents groups on). This
+    is the end-to-end corpus filter, not a demo of one operator."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_tokens = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+        * 1.0
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    punct_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")
+    ) * 1.0 / F.greatest(F.length("text"), F.lit(1))
+    canonical = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            stop_ratio.alias("stop_ratio"),
+            punct_ratio.alias("punct_ratio"),
+            canonical.alias("canonical_id"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("punct_ratio") < 0.1)
+            & (F.col("stop_ratio") >= 0.05)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .select("doc_id", "n_tokens")
+    )
