@@ -765,3 +765,111 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join completeness: full outer, null-safe equality, positional lateral.
+# --------------------------------------------------------------------------
+@register(
+    "full_outer_join_customer_activity",
+    tags=("join", "outer"),
+    oracle="""
+        WITH left_side AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey < 50
+        ),
+        right_side AS (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_custkey BETWEEN 25 AND 75
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               c_name,
+               CAST(n_orders AS BIGINT) AS n_orders
+        FROM left_side FULL OUTER JOIN right_side ON c_custkey = o_custkey
+    """,
+)
+def full_outer_join_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over deliberately part-overlapping key ranges, so the
+    result exercises all three row classes: left-only (customer, no orders
+    in range), matched, right-only (orders whose customer is outside the
+    left range). COALESCE merges the key — the standard outer-join idiom."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50).select(
+        "c_custkey", "c_name"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").between(25, 75))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+@register(
+    "null_safe_join_suppliers",
+    tags=("join", "null-semantics"),
+    oracle="""
+        WITH s AS (
+            SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS nk
+            FROM supplier
+        )
+        SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b
+        FROM s a JOIN s b
+          ON a.nk IS NOT DISTINCT FROM b.nk AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def null_safe_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM):
+    nulls match each other instead of dropping out — the semantics needed
+    when the join key legitimately contains 'unknown' groups. Nulls are
+    synthesized deterministically (every 7th supplier) since the testdata
+    has none. Spark plans `<=>` as a hash join (null-safe keys are still
+    equi-keys), not a nested loop."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        F.col("a.nk").eqNullSafe(F.col("b.nk"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"), F.col("b.s_suppkey").alias("supp_b")
+    )
+
+
+@register(
+    "posexplode_order_lines",
+    tags=("lateral", "array"),
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(i AS INT) AS pos,
+               lines[CAST(i + 1 AS INT)] AS linenumber
+        FROM per_order, unnest(range(0, len(lines))) AS t(i)
+    """,
+)
+def posexplode_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional lateral explode (posexplode): each array element with its
+    0-based position — the ordinality-preserving unnest. Arrays are sorted
+    before exploding so positions are deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return per_order.select(
+        "l_orderkey", F.posexplode("lines").alias("pos", "linenumber")
+    )
