@@ -60,6 +60,7 @@ from dblp_to_csv_spark.functions.type_inference import (
 from dblp_to_csv_spark.plans.flatten import flatten_record_frame
 from dblp_to_csv_spark.sources.dtd import (
     InvalidElementName,
+    build_record_schema,
     get_attribute_defaults,
     get_record_types,
 )
@@ -183,7 +184,7 @@ class XmlToCsvPlan:
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
     # ------------------------------------------------------------------
-    # Stage 2+3: scan one record type (schema inference + extraction).
+    # Stage 2+3: scan one record type (DTD-derived schema + extraction).
     # ------------------------------------------------------------------
     def read_record_type(self, element: str) -> DataFrame:
         # FAILFAST: the reference hard-fails on invalid XML (DTD validation
@@ -193,9 +194,30 @@ class XmlToCsvPlan:
         reader = (
             self.spark.read.format("xml")
             .option("rowTag", element)
-            .option("inferSchema", "false")  # strings only; OUR lattice types
             .option("mode", "FAILFAST")
         )
+        # The schema comes from the DTD, not reader inference. Two reasons:
+        # (1) CORRECTNESS — inference unifies a tag that is text-only in one
+        #     record and structured in another to STRING with the raw inner
+        #     XML embedded, silently losing nested values (plain <title> vs
+        #     <title>Foo <i>x</i></title> — ubiquitous in DBLP); the DTD
+        #     states the true structure up front.
+        # (2) COST — inference is a full extra pass over the corpus per
+        #     record type (the ETL's largest fixed cost); a supplied schema
+        #     eliminates it entirely.
+        # Fallback: DTDs whose content models use parameter entities are
+        # opaque to the parser → reader inference (with its documented merge
+        # limitation).
+        schema, cut_paths = build_record_schema(self.dtd_path, element)
+        if schema is not None:
+            if cut_paths:
+                print(
+                    f"Warning: recursive content model(s) for {element!r} cut at "
+                    f"depth: {', '.join(sorted(set(cut_paths))[:5])} — deeper "
+                    "repeats degrade to text."
+                )
+            return reader.schema(schema).load(self.xml_path)
+        reader = reader.option("inferSchema", "false")  # strings only
         if self.schema_sampling_ratio < 1.0:
             reader = reader.option("samplingRatio", str(self.schema_sampling_ratio))
         return reader.load(self.xml_path)
@@ -241,6 +263,13 @@ class XmlToCsvPlan:
                     else F.count(F.col(c))
                 ).alias(f"cnt_{c}")
             )
+            if c in array_cols:
+                # observed max multiplicity: the reference promotes scalar →
+                # list only when a record actually repeats the tag
+                # (XMLToCSV.py:224-233); the DTD-derived schema reads every
+                # child as an array, so single-valued columns are demoted
+                # back to scalars after this aggregate
+                aggs.append(F.max(F.size(F.col(c))).alias(f"len_{c}"))
             if self.annotate:
                 if c in array_cols:
                     per_row = F.array_distinct(
@@ -275,6 +304,13 @@ class XmlToCsvPlan:
         flat = flat.select(*sorted(keep))
         array_cols &= set(keep)
 
+        # A1 faithfulness: demote never-repeated array columns to scalars
+        # (the reference's cells are scalar until a record repeats the tag)
+        demote = {c for c in array_cols if (stats_row[f"len_{c}"] or 0) <= 1}
+        for c in sorted(demote):
+            flat = flat.withColumn(c, F.element_at(F.col(c), 1))
+        array_cols -= demote
+
         # A4: lattice fold on the tiny driver-side result of the fused agg.
         column_types: dict[str, str] = {}
         if self.annotate:
@@ -290,6 +326,13 @@ class XmlToCsvPlan:
         with_ids, n_rows = with_dense_ids_counted(
             flat, "id", start=id_start, cache_registry=cached
         )
+        if n_rows == 0:
+            # record type never occurs in the data (with the DTD-supplied
+            # schema an absent rowTag reads as 0 rows, not a schema error) —
+            # the reference emits no table for it (P2)
+            for c in cached:
+                c.unpersist()
+            return None
         return TableResult(
             element=element,
             df=with_ids,

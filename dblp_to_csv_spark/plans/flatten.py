@@ -44,13 +44,21 @@ VALUE_TAG = "_VALUE"
 _Exprs = dict[str, list[tuple[Column, bool]]]
 
 
+def _nonempty(c: Column) -> Column:
+    """'' → null: an empty XML element has NO text (reference: elem.text is
+    None, and its truthiness gate also rejects ''). The DTD-schema read
+    surfaces empty elements as '' where inference surfaced null — normalize
+    so both paths share the reference's no-value semantics."""
+    return F.when(c != "", c)
+
+
 def _first_text(value_col: Column, dtype: DataType) -> Column:
     """The element's text value: mixed content yields an array of segments —
     keep the first (reference reads only .text, the part before the first
     child, XMLToCSV.py:190-191)."""
     if isinstance(dtype, ArrayType):
-        return F.element_at(value_col, 1)
-    return value_col
+        return _nonempty(F.element_at(value_col, 1))
+    return _nonempty(value_col)
 
 
 def _struct_exprs(tag: str, col: Column, dtype: StructType, out: _Exprs, record: str) -> None:
@@ -88,7 +96,8 @@ def _walk_array(tag: str, arr: Column, elem: DataType, out: _Exprs, record: str)
     All expressions are transform/filter/flatten lambdas over the array —
     still zero Python per row, still inside whole-stage codegen."""
     if isinstance(elem, StringType):
-        _add(out, tag, _compact(arr), True, record)
+        # leaf text stream: drop nulls AND ''s (empty element = no text)
+        _add(out, tag, F.filter(arr, lambda v: v.isNotNull() & (v != "")), True, record)
     elif isinstance(elem, ArrayType):
         # per-ancestor repeats: splice the occurrence streams together
         _walk_array(tag, F.flatten(_compact(arr)), elem.elementType, out, record)
@@ -134,9 +143,9 @@ def _add(out: _Exprs, name: str, expr: Column, is_array: bool, record: str) -> N
 
 def _collect(tag: str, col: Column, dtype: DataType, out: _Exprs, record: str) -> None:
     if isinstance(dtype, StringType):
-        _add(out, tag, col, False, record)
+        _add(out, tag, _nonempty(col), False, record)
     elif isinstance(dtype, ArrayType) and isinstance(dtype.elementType, StringType):
-        _add(out, tag, col, True, record)
+        _add(out, tag, F.filter(col, lambda v: v.isNotNull() & (v != "")), True, record)
     elif isinstance(dtype, StructType):
         _struct_exprs(tag, col, dtype, out, record)
     elif isinstance(dtype, ArrayType):

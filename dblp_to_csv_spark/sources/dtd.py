@@ -107,6 +107,90 @@ def get_record_types(dtd_path: str, root: str = "dblp") -> set[str]:
     return children or all_elements
 
 
+def get_element_children(dtd_path: str) -> dict[str, set[str] | None]:
+    """Per element: the set of child element names its content model allows.
+    ``None`` = undeterminable (parameter entities); ANY = all declared
+    elements; EMPTY / (#PCDATA) = empty set."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    all_elements = set(_ELEMENT_DECL.findall(text))
+    out: dict[str, set[str] | None] = {}
+    for m in _ELEMENT_MODEL.finditer(text):
+        name, model = m.group(1), re.sub(r"\s+", "", m.group(2))
+        if "%" in model:
+            out[name] = None
+        elif model == "ANY":
+            out[name] = set(all_elements)
+        elif model == "EMPTY":
+            out[name] = set()
+        else:
+            kids = set(re.findall(r"[A-Za-z_:][\w.:-]*", model)) - {"#PCDATA"}
+            out[name] = kids & all_elements
+    return out
+
+
+def build_record_schema(dtd_path: str, record: str):
+    """Spark schema for one record type, derived from the DTD — the fix for
+    the XML reader's structure-inference merge hazard: when the same tag is
+    text-only in one record and has children in another, inference unifies
+    to STRING and embeds the raw inner XML (losing the nested values).
+    DBLP data hits this constantly (plain <title> vs <title>Foo <i>x</i>
+    </title>), and the DTD already states the true structure, so the schema
+    comes from it: every element is array<struct<_VALUE: array<string>
+    (mixed-content text segments), _attr fields, child arrays>>, leaves with
+    no declared attrs/children are plain array<string>.
+
+    Recursive content models (a tag allowed inside itself, directly or via a
+    cycle) are CUT when a tag repeats on the path: the inner occurrence
+    degrades to array<string> (its own deeper children, if any, surface as
+    raw XML text — detectable and rare; DBLP's DTD has no recursion).
+
+    Returns (schema, cut_paths) — or (None, []) when the DTD cannot
+    determine the structure (parameter entities), in which case the caller
+    falls back to reader inference."""
+    from pyspark.sql import types as T
+
+    children_map = get_element_children(dtd_path)
+    attrs_map = get_declared_attributes(dtd_path)
+    cut_paths: list[str] = []
+    unknown = False
+
+    def elem_type(tag: str, path: tuple[str, ...]):
+        nonlocal unknown
+        kids = children_map.get(tag, set())
+        if kids is None:
+            unknown = True
+            kids = set()
+        attrs = attrs_map.get(tag, {})
+        if not kids and not attrs:
+            return T.StringType()
+        fields = [T.StructField("_VALUE", T.ArrayType(T.StringType()))]
+        for a in sorted(attrs):
+            fields.append(T.StructField(f"_{a}", T.StringType()))
+        for k in sorted(kids):
+            if k in path:
+                cut_paths.append(" > ".join(path + (k,)))
+                fields.append(T.StructField(k, T.ArrayType(T.StringType())))
+            else:
+                fields.append(
+                    T.StructField(k, T.ArrayType(elem_type(k, path + (k,))))
+                )
+        return T.StructType(fields)
+
+    rec_kids = children_map.get(record, set())
+    if rec_kids is None:
+        return None, []
+    fields = [
+        T.StructField(f"_{a}", T.StringType())
+        for a in sorted(attrs_map.get(record, {}))
+    ]
+    for k in sorted(rec_kids):
+        fields.append(T.StructField(k, T.ArrayType(elem_type(k, (record, k)))))
+    if unknown:
+        return None, []
+    return T.StructType(fields), cut_paths
+
+
 def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     """S4 (XMLToCSV.py:109-110, 152): DTD validation. Spark's XML source has
     no DTD support; when lxml is importable we run a driver-side streaming

@@ -31,9 +31,10 @@ def test_entities_cdata_empty(spark, tmp_path):
     assert rows["e1"]["author"] == "Müller, Jörg"
     # CDATA passes through unescaped
     assert rows["e2"]["title"] == "Raw <unescaped> & text"
-    # an empty element has no text → no value (reference: elem.text is None
-    # gate, XMLToCSV.py:190) → '' cell
-    assert rows["e3"]["note"] == ""
+    # an empty element has no text → never observed → no column at all
+    # (reference pass 1 gates observation on elem.text is not None,
+    # XMLToCSV.py:130; e3's <note></note> is the only note in the fixture)
+    assert "note" not in rows["e3"]
 
 
 def test_parquet_sink(spark, tmp_path):
