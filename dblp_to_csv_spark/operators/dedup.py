@@ -599,6 +599,7 @@ def _simhash_pairs_allpairs(sketch: DataFrame) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    bench=True,
     tags=("dedup", "sketch"),
     oracle=None,
 )

@@ -77,6 +77,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_c4_keep",
+    bench=True,
     tags=("pipeline", "text", "dedup"),
     oracle=f"""
         WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),

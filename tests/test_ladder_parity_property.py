@@ -4,7 +4,7 @@ twin (DETECT_TYPE_SQL) agree. The Spark Column ladder's parity with DuckDB is
 covered by the type_detect_ladder oracle query; this closes the remaining
 pair at property-test breadth (SURVEY.md §5.2.3).
 
-One documented deviation (COVERAGE.md #6): CPython's _strptime accepts
+One documented deviation (COVERAGE.md #7): CPython's _strptime accepts
 unicode digits in the YEAR field only (its month/day/hour sub-patterns
 compile to ASCII alternations), so a datetime-shaped string with non-ASCII
 digits can be 'datetime' to the reference but 'string' to the SQL ladders.
