@@ -338,3 +338,46 @@ def regexp_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("o_orderpriority", r"[^A-Z]", "").alias("priority_letters"),
         F.col("o_orderpriority").rlike("URGENT|HIGH").alias("is_expedited"),
     )
+
+
+@register(
+    "unpivot_order_status_counts",
+    tags=("agg", "unpivot"),
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+                   COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+                   COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, status, n FROM (
+            UNPIVOT wide ON status_f, status_o, status_p INTO NAME status VALUE n
+        )
+    """,
+)
+def unpivot_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of `pivot_status_by_priority`: wide
+    per-status count columns back to (key, status, n) long form via
+    DataFrame.unpivot (SQL stack()). Pivot+unpivot round-trips are how wide
+    feature tables move between storage layouts; both directions are now
+    oracle-checked. Note DuckDB's UNPIVOT drops NULL cells by default —
+    counts are never null here, so the pair is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["status_f", "status_o", "status_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
