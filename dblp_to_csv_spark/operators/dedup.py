@@ -26,6 +26,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -424,40 +426,58 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny and dense, so 2-3 rounds in practice). The driver loop checks
     convergence via the label-sum (labels only decrease; the sum is a strict
     monotone — one scalar action per round, no row-level comparison join).
-    Lineage is cut with localCheckpoint each round — an iterative plan would
-    otherwise grow exponentially. At 100 TB you would switch the round body
-    to the large-star/small-star contraction (same join shape, O(log n)
-    rounds on any diameter) and checkpoint to a table; the loop skeleton is
-    identical. Genuinely iterative — not expressible as one SQL query in
-    Spark — but DuckDB's WITH RECURSIVE reproduces the fixpoint, so even
-    this operator is oracle-verified."""
+
+    Lineage is cut by checkpointing each round to PARQUET in a temp dir, not
+    cache()/localCheckpoint(): those leave storage blocks that a registered
+    query cannot release in a shared session (cache-manager/RDD references
+    survive Python GC — measured; the minhash note above documents the same
+    policy). Parquet round-trips of the tiny label frame cost milliseconds,
+    leave zero executor-memory footprint, and are exactly the checkpoint-to-
+    table discipline an iterative job uses at 100 TB. At that scale you
+    would also swap the round body for large-star/small-star contraction
+    (same join shapes, O(log n) rounds on any diameter). Genuinely
+    iterative — not expressible as one SQL query in Spark — but DuckDB's
+    WITH RECURSIVE reproduces the fixpoint, so even this operator is
+    oracle-verified."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dblp_cc_")
+
+    def ckpt(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)  # pair-finding runs ONCE
-    labels = (
+    edges = ckpt(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+        "edges",
+    )  # pair-finding runs ONCE
+    labels = ckpt(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("doc_id")),
+        "labels_0",
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    rnd = 0
     while True:
+        rnd += 1
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
+        labels = ckpt(
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left").select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"labels_{rnd}",
         )
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:

@@ -145,9 +145,10 @@ def sample_frames(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 if not payload:
-                    raise NotImplementedError(
-                        "frame-sample of empty payload (no real decoder available)"
-                    )
+                    # zero frames for an empty payload — matches the oracle's
+                    # LEAST(n, length)=0 semantics; raising would fail the
+                    # whole job over one degenerate row
+                    continue
                 step = max(len(payload) // n_frames, 1)
                 for i in range(min(n_frames, len(payload))):
                     chunk = payload[i * step : i * step + step]

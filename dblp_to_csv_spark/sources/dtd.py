@@ -198,32 +198,37 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     documented deviation, SURVEY.md §4.3.3; see
     ``validate_xml_structurally`` for the stdlib fallback subset).
 
-    Streaming via iterparse with element clearing — the same O(1)-memory
-    discipline as the reference's passes (XMLToCSV.py:118, 186); a full
-    etree.parse would materialize a DBLP-sized document on the driver."""
+    Streaming via iterparse with ``dtd_validation=True`` — validation happens
+    INLINE during the parse against the document's DOCTYPE (exactly the
+    reference's construction, XMLToCSV.py:109-110: same flags, same
+    element-clearing discipline), so whole-document constraints (ID
+    uniqueness, IDREF resolution, root content model) are enforced and
+    DTD-declared entities resolve; a full etree.parse would materialize a
+    DBLP-sized document on the driver."""
     try:
         from lxml import etree
     except ImportError:
         return None
-    with open(dtd_path, "rb") as f:
-        dtd = etree.DTD(f)
     root = None
     try:
-        for _event, elem in etree.iterparse(xml_path, events=("end",)):
+        context = etree.iterparse(
+            xml_path,
+            events=("end",),
+            dtd_validation=True,
+            load_dtd=True,
+            attribute_defaults=True,
+        )
+        for _event, elem in context:
             if root is None:
                 root = elem.getroottree().getroot()
             if elem.getparent() is root:
-                # validate each record subtree as it completes, then free it
-                if not dtd.validate(elem):
-                    return False
                 elem.clear()
                 while elem.getprevious() is not None:
                     del elem.getparent()[0]
     except etree.XMLSyntaxError:
+        # libxml2 reports both malformed XML and validity violations here —
+        # either way the corpus does not validate
         return False
-    # every record subtree validated and was freed; the root's own content
-    # model is (children)* in every DTD this engine targets, so record-level
-    # validation covers the document
     return root is not None
 
 
@@ -306,17 +311,27 @@ def validate_xml_structurally(
 
     # all declared element names, root included
     with open(dtd_path, encoding="utf-8") as f:
-        declared = set(_ELEMENT_DECL.findall(_COMMENT.sub("", f.read())))
+        dtd_text = _COMMENT.sub("", f.read())
+    declared = set(_ELEMENT_DECL.findall(dtd_text))
     attrs = get_declared_attributes(dtd_path)
     models = get_content_models(dtd_path)
+    # elements whose content model forbids character data: element-only
+    # models and EMPTY (text allowed iff #PCDATA / ANY / parameter entity)
+    no_text = {
+        m.group(1)
+        for m in _ELEMENT_MODEL.finditer(dtd_text)
+        if not any(
+            k in re.sub(r"\s+", "", m.group(2)) for k in ("#PCDATA", "ANY", "%")
+        )
+    }
     errors: list[str] = []
-    # per open element: accumulated child-sequence string ("author,title,")
-    child_seq: list[list[str]] = []
+    # per open element: (name, accumulated child-sequence tokens)
+    stack: list[tuple[str, list[str]]] = []
 
     def start(name: str, attributes: dict[str, str]) -> None:
-        if child_seq:
-            child_seq[-1].append(name + ",")
-        child_seq.append([])
+        if stack:
+            stack[-1][1].append(name + ",")
+        stack.append((name, []))
         if len(errors) >= max_errors:
             return
         if name not in declared:
@@ -331,7 +346,8 @@ def validate_xml_structurally(
                 errors.append(f"missing #REQUIRED attribute {a!r} on <{name}>")
 
     def end(name: str) -> None:
-        seq = "".join(child_seq.pop())
+        _, tokens = stack.pop()
+        seq = "".join(tokens)
         if len(errors) >= max_errors:
             return
         pattern = models.get(name)
@@ -341,9 +357,21 @@ def validate_xml_structurally(
                 f"({seq.rstrip(',') or 'none'}) do not match its declaration"
             )
 
+    def chars(data: str) -> None:
+        # character data where the model forbids it (element-only / EMPTY):
+        # a real validator rejects this (whitespace is permitted — it is
+        # ignorable in element content)
+        if len(errors) >= max_errors or not data.strip():
+            return
+        if stack and stack[-1][0] in no_text:
+            errors.append(
+                f"character data not allowed in element-only <{stack[-1][0]}>"
+            )
+
     parser = xml.parsers.expat.ParserCreate()
     parser.StartElementHandler = start
     parser.EndElementHandler = end
+    parser.CharacterDataHandler = chars
     try:
         with open(xml_path, "rb") as f:
             parser.ParseFile(f)

@@ -9,6 +9,7 @@ directory layout spark.read.parquet understands.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +30,22 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
+@contextmanager
+def temp_conf(spark: SparkSession, key: str, value: str):
+    """Set a SQL conf for the duration of the block, then restore/unset it —
+    the conf-hygiene idiom for shared sessions (the conf is captured at
+    DataFrame creation, so restoring before execution stays correct)."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -36,18 +53,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos are surfaced as long. Set on the LIVE session (it is a
         # runtime-settable SQL conf) so externally-created sessions — e.g.
         # the driver harness's — work, then RESTORED so a shared session's
-        # later TIMESTAMP(NANOS) reads aren't silently bigint-ified (the conf
-        # is captured at DataFrame creation, so execution stays correct).
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "true")
-        try:
+        # later TIMESTAMP(NANOS) reads aren't silently bigint-ified.
+        with temp_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
             df = spark.read.parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
     else:
         df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as

@@ -26,10 +26,9 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (streams cannot infer), nanos→timestamp conversion identical to
     the batch loader. The nanosAsLong conf is restored after setup (same
     hygiene as the batch loader; it is captured by the stream's schema)."""
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
-    try:
+    from dblp_to_csv_spark.sources.tables import temp_conf
+
+    with temp_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
         batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         # the file-stream source wants a directory; glob-filter to the table
         stream = (
@@ -38,11 +37,6 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
     if dict(batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
@@ -82,7 +76,10 @@ def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFr
     return (
         events.withColumn(
             "fingerprint",
-            F.md5(F.concat_ws("|", "event_id", "user_id", "event_type", "value")),
+            # to_json(struct(...)) keeps field boundaries unambiguous under
+            # NULLs — concat_ws silently drops null fields, letting rows
+            # that differ only in WHICH field is null collide on one hash
+            F.md5(F.to_json(F.struct("event_id", "user_id", "event_type", "value"))),
         )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])

@@ -103,6 +103,29 @@ def test_cardinality_violation_rejected(tmp_path):
     assert any("content model violation in <article>" in e for e in errors)
 
 
+def test_character_data_in_element_content_rejected(tmp_path):
+    """Non-whitespace text inside an element-only content model is invalid
+    (the XML spec allows only ignorable whitespace there); whitespace between
+    children stays legal."""
+    (tmp_path / "seq.dtd").write_text(SEQ_DTD)
+    bad = tmp_path / "stray.xml"
+    bad.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><author>A</author>stray<title>T</title></article>\n'
+        "</dblp>\n"
+    )
+    errors = validate_xml_structurally(str(bad), str(tmp_path / "seq.dtd"))
+    assert any("character data not allowed in element-only <article>" in e for e in errors)
+
+    ok = tmp_path / "ws.xml"
+    ok.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a">\n  <author>A</author>\n  <title>T</title>\n</article>\n'
+        "</dblp>\n"
+    )
+    assert validate_xml_structurally(str(ok), str(tmp_path / "seq.dtd")) == []
+
+
 def test_malformed_xml_reported(tmp_path):
     bad = tmp_path / "trunc.xml"
     bad.write_text('<?xml version="1.0"?>\n<dblp>\n<article key="a">\n')
