@@ -14,10 +14,11 @@ matching the reference's namespace:
 
 * ``attr``        — record attribute (XMLToCSV.py:121-126, 170)
 * ``tag``         — text of a descendant element (:133-134, :190-191);
-                    mixed content keeps the FIRST text segment, replicating
-                    the reference's text-before-first-child truncation
-                    (SURVEY.md §1.2; whitespace trimming is a documented
-                    deviation)
+                    mixed content keeps the FIRST non-whitespace text
+                    segment — equal to the reference's
+                    text-before-first-child whenever leading text exists;
+                    the leading-markup case and whitespace trimming are
+                    documented deviations (COVERAGE.md deviation #1)
 * ``tag-attr``    — attribute of a text-bearing descendant (:136-138,
                     :194-196); gated per-row on the element having text,
                     exactly like the reference
