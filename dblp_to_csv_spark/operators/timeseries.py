@@ -195,3 +195,74 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "event_validity_intervals",
+    tags=("window", "time", "scd"),
+    oracle="""
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+    """,
+)
+def event_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval construction (the SCD2 / temporal-table shape):
+    each event's state holds from its timestamp until the user's next event
+    (open-ended for the latest) — one LEAD over the per-key window, one
+    shuffle on the key. This is the transform that turns an event log into
+    an as-of-joinable history table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "gapfill_hourly_events",
+    tags=("time", "gapfill"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT grid.hour, CAST(COALESCE(actual.n, 0) AS BIGINT) AS n_events
+        FROM grid LEFT JOIN actual USING (hour)
+    """,
+)
+def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling: a dense hour grid (sequence + explode
+    between the observed bounds) left-joined to the actual per-hour counts,
+    zero-filling silent hours — the transform every monitoring/feature
+    pipeline needs because absence of data IS data. The grid builds from a
+    1-row bounds aggregate (broadcast), so the only real shuffle is the
+    per-hour count."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    return grid.join(actual, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
