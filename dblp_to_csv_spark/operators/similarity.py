@@ -197,3 +197,64 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "similarity_topk_blas",
+    tags=("similarity", "topk", "pandas-udf"),
+    oracle=None,  # BLAS summation order ≠ SQL fold order at the last ulp;
+    # exactness vs the expression path is asserted (with fp tolerance) in
+    # tests/test_similarity_recall.py instead.
+)
+def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k with BLOCKED numpy matmul (mapInPandas): the query
+    matrix (k×d) is shipped to every task inside the closure, each Arrow
+    batch of corpus vectors becomes one (batch×d)·(d×k) BLAS call, and a
+    final per-query top-k window ranks the partial scores.
+
+    This is the 100 TB exact-scoring path: the expression-tree dot product
+    (`similarity_topk_bruteforce`) evaluates one pair at a time inside
+    codegen — fine for verification, but dense matmul belongs in vectorized
+    kernels (~64 muls/pair amortized into cache-friendly GEMM). Same plan
+    shape: narrow map over corpus splits, no shuffle until the tiny top-k.
+    No SQL oracle (BLAS reassociates float sums; last-ulp divergence breaks
+    6-dp hashes) — parity with the oracle-checked expression path is
+    asserted with tolerance in tests/test_similarity_recall.py."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny: k vectors
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["emb"] for r in q_rows])  # (k, d)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.array(pdf["emb"].tolist())  # (b, d)
+            c_ids = pdf["vec_id"].to_numpy()
+            sims = (c_mat @ q_mat.T) / np.outer(
+                np.linalg.norm(c_mat, axis=1), q_norm
+            )  # (b, k)
+            b, k = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, b),
+                    "neighbor_id": np.tile(c_ids, k),
+                    "cos_sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+
+    scored = (
+        emb.mapInPandas(score_batches, "query_id long, neighbor_id long, cos_sim double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -43,3 +43,28 @@ def test_ivf_prunes_candidates(spark):
     # queries must return between 1 and 5 rows
     per_q = df.groupBy("query_id").agg(F.count("*").alias("n")).collect()
     assert per_q and all(1 <= r["n"] <= 5 for r in per_q)
+
+
+def test_blas_path_matches_expression_path(spark):
+    """The numpy-blocked scorer must produce the same top-k as the
+    oracle-checked expression path — identical (query, neighbor, rank)
+    triples, cosine equal to 1e-5 (BLAS reassociation tolerance)."""
+    from dblp_to_csv_spark.operators.similarity import (
+        similarity_topk_blas,
+        similarity_topk_bruteforce,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    expr = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity_topk_bruteforce(spark, SF_CORRECTNESS).collect()
+    }
+    blas = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity_topk_blas(spark, SF_CORRECTNESS).collect()
+    }
+    assert set(expr) == set(blas)
+    for key, (nid, sim) in expr.items():
+        bnid, bsim = blas[key]
+        assert bnid == nid, f"{key}: neighbor {bnid} != {nid}"
+        assert abs(bsim - sim) < 1e-5, f"{key}: {bsim} vs {sim}"

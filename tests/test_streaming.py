@@ -197,6 +197,48 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     q.stop()
 
 
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: a checkpointed query that already
+    processed the input emits NOTHING new when restarted on the same
+    checkpoint — the file source's offsets live in the checkpoint, the
+    property that makes streaming jobs safely re-runnable."""
+    from dblp_to_csv_spark.streaming import load_events_stream, stream_tumbling_counts
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = (
+        stream_tumbling_counts(load_events_stream(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("restart_run1")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    out1.awaitTermination(120)
+    n1 = spark.sql("SELECT COUNT(*) n FROM restart_run1").first()["n"]
+    progress1 = out1.lastProgress["numInputRows"] if out1.lastProgress else None
+    out1.stop()
+    assert n1 > 0
+
+    out2 = (
+        stream_tumbling_counts(load_events_stream(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("restart_run2")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    out2.awaitTermination(120)
+    # restart consumed no new input (offsets recovered from the checkpoint)
+    total_in2 = sum(
+        p.get("numInputRows", 0) for p in [out2.lastProgress or {}]
+    )
+    out2.stop()
+    assert total_in2 == 0, f"restart reprocessed {total_in2} rows (expected 0)"
+    assert progress1 is None or progress1 > 0
+
+
 def test_multimodal_decode_plumbing(spark):
     from dblp_to_csv_spark.registry import all_queries
 
