@@ -86,6 +86,44 @@ def test_parquet_sink_partitioned_prunes(spark, tmp_path):
     assert df.count() == 1  # only a1 has year 2020
 
 
+def test_parquet_sink_schema_evolution_mergeschema(spark, tmp_path):
+    """Corpus-version evolution on the parquet sink: a later conversion adds
+    a column; reading both versions with mergeSchema unions the schemas and
+    nulls the missing cells — the table-format-free evolution path (the
+    reference would emit two incompatible CSV layouts)."""
+    from dblp_to_csv_spark.plans.etl import convert
+
+    v1 = tmp_path / "v1"
+    v2 = tmp_path / "v2"
+    for vdir, extra in ((v1, ""), (v2, "<note>late</note>")):
+        vdir.mkdir()
+        (vdir / "c.xml").write_text(
+            '<?xml version="1.0"?>\n<dblp>\n'
+            f'<article key="k-{vdir.name}"><title>T</title>{extra}</article>\n'
+            "</dblp>\n"
+        )
+        convert(
+            spark,
+            str(vdir / "c.xml"),
+            os.path.join(FIX, "edge_cases.dtd"),
+            str(vdir / "out.csv"),
+            output_format="parquet",
+        )
+        (tmp_path / "lake").mkdir(exist_ok=True)
+        import shutil
+
+        shutil.copytree(
+            vdir / "out_article.parquet", tmp_path / "lake" / vdir.name
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "lake" / "v1"), str(tmp_path / "lake" / "v2")
+    )
+    assert "note" in merged.columns
+    rows = {r["key"]: r for r in merged.collect()}
+    assert rows["k-v1"]["note"] is None  # old version: column nulled
+    assert rows["k-v2"]["note"] == "late"
+
+
 def test_multi_file_input_glob(spark, tmp_path):
     """The engine accepts a directory/glob of XML files — the multi-file
     layout a 100 TB corpus actually has (the reference reads exactly one
