@@ -5,7 +5,7 @@ All pure Column expressions with exact DuckDB twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.text import (
@@ -182,4 +182,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = fingerprint("text")
     return docs.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("shard")
+    )
+
+
+TFIDF_TOP_N = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    tags=("text", "agg", "window"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TFIDF_TOP_N}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_TOP_N} terms per document — the classic keyword /
+    relevance signal, entirely in aggregates: term frequency from one
+    tokenize+explode+count, document frequency from a per-term distinct
+    count, idf = ln(N/df) with N from a 1-row broadcast, per-doc top-k
+    window with a deterministic (score DESC, term) order.
+
+    At 100 TB: tf shuffles on (doc, term) — partial aggregation collapses
+    repeats map-side; df shuffles on term (skewed by stopwords — the
+    standard mitigations are a stopword filter or a df cap, both one
+    filter); the top-k window keys on doc_id, which WindowGroupLimit
+    partially evaluates before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny scalar; at scale: a cached 1-row agg
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
