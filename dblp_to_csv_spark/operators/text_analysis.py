@@ -246,3 +246,47 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    tags=("text", "agg", "quality"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+        ),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT tok.doc_id,
+               ROUND(AVG(-ln(freq.cnt * 1.0 / total.n)), 6) AS avg_neg_logprob,
+               COUNT(*) AS n_tokens
+        FROM tok JOIN freq USING (term), total
+        GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram flavor (the CCNet-style
+    perplexity-filter shape): each document's average negative log
+    probability under the corpus unigram distribution — high values mean
+    rare-token-heavy documents (gibberish, boilerplate codes), the standard
+    filter signal. A real pipeline swaps the unigram table for a KenLM
+    scorer behind the same join; the plan shape (token explode → broadcast
+    term-frequency join → per-doc aggregate) is identical.
+
+    At 100 TB the frequency table is the corpus vocabulary (millions of
+    rows, not billions) — broadcastable or bucket-joinable; the per-doc
+    aggregate shuffles on doc_id once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.count()  # scalar; at scale: a cached 1-row agg
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cnt") * 1.0 / F.lit(float(total)))), 6
+            ).alias("avg_neg_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
