@@ -481,6 +481,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
+            # the returned frame reads only the final round's files — drop
+            # the superseded rounds and the edge list so a shared session
+            # accumulates one tiny parquet dir per invocation, not O(rounds)
+            import shutil
+
+            for name in ["edges"] + [f"labels_{i}" for i in range(rnd)]:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
             return labels
         prev_sum = new_sum
 
