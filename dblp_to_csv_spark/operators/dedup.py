@@ -790,3 +790,52 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("raw_cos") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment_pairs",
+    tags=("dedup", "join", "agg"),
+    oracle=f"""
+        WITH {_SHINGLE_CTE}
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               ROUND(i.i * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+        FROM inter i
+        JOIN c ca ON ca.doc_id = i.da
+        JOIN c cb ON cb.doc_id = i.db
+        WHERE i.i * 1.0 / LEAST(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity (|A∩B| / min(|A|,|B|) ≥ 0.8): catches
+    SUBSET duplicates — a short document quoted inside a long one — which
+    Jaccard misses (the union denominator dilutes asymmetric overlap; a
+    100-shingle doc fully contained in a 1000-shingle doc has containment
+    1.0 but Jaccard 0.1). Same shingle-intersection machinery as the
+    Jaccard path, different denominator; at corpus scale the candidate set
+    still comes from MinHash bands (containment-biased variants use
+    bottom-k sketches — same plan shape)."""
+    sh = _shingle_frame(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    cont = F.col("i") * 1.0 / F.least(F.col("ca.n"), F.col("cb.n"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

@@ -205,3 +205,46 @@ def quartile_labels_by_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("price_quartile"),
     )
+
+
+@register(
+    "outliers_by_mad",
+    tags=("agg", "quality", "broadcast"),
+    oracle="""
+        WITH med AS (
+            SELECT QUANTILE_CONT(o_totalprice, 0.5) AS m FROM orders
+        ),
+        dev AS (
+            SELECT QUANTILE_CONT(ABS(o_totalprice - med.m), 0.5) AS mad, med.m
+            FROM orders, med GROUP BY med.m
+        )
+        SELECT o_orderkey, o_totalprice,
+               ROUND((o_totalprice - dev.m) / (1.4826 * dev.mad), 4) AS robust_z
+        FROM orders, dev
+        WHERE ABS((o_totalprice - dev.m) / (1.4826 * dev.mad)) > 3
+    """,
+)
+def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |robust z| > 3 where robust z uses the
+    median and the median absolute deviation (×1.4826 for normal
+    consistency) — immune to the outliers themselves, unlike mean/stddev
+    z-scores. Two tiny aggregates (median, then MAD around it) broadcast
+    over the table; each row's score is a comparison — the data-quality
+    gate a pipeline runs before trusting numeric columns."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
+    dev = (
+        o.join(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)).alias(
+                "mad"
+            ),
+            F.first("m").alias("m"),
+        )
+    )
+    z = (F.col("o_totalprice") - F.col("m")) / (1.4826 * F.col("mad"))
+    return (
+        o.join(F.broadcast(dev))
+        .filter(F.abs(z) > 3)
+        .select("o_orderkey", "o_totalprice", F.round(z, 4).alias("robust_z"))
+    )
