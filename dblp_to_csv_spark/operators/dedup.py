@@ -9,10 +9,10 @@
 * embedding cosine      — near-dup pairs over the embedding column, plus a
                           sign-LSH-bucketed scale twin
 
-All oracle-checked except SimHash (xxhash64 has no DuckDB twin → rows-only).
-The md5-based MinHash is deliberately engine-portable: both Spark and DuckDB
-evaluate the same md5-slice strings (see _MH_HH_SQL), so the driver's
-oracle verifies the *whole* LSH pipeline, not just a final filter.
+All oracle-checked. The md5-based MinHash and SimHash hashes are
+deliberately engine-portable: both Spark and DuckDB evaluate the same
+md5-slice strings (see _MH_HH_SQL / _SH_HASH_SQL), so the driver's oracle
+verifies the *whole* sketch pipeline, not just a final filter.
 
 Scale notes (100 TB):
 * exact: one shuffle on the text hash — group on md5(text), never raw text;
@@ -572,21 +572,52 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash (rows-only: xxhash64 is Spark-native, no DuckDB twin).
+# SimHash.
+#
+# Per-word hash: the engine-portable construction is the md5-slice trick the
+# MinHash path uses (_MH_HH_SQL above) — the first 8 hex chars of md5(word)
+# parsed as a 32-bit integer. Spark (conv(hex,16,10)) and DuckDB
+# (('0x'||hex)::BIGINT) compute the identical value, so the WHOLE SimHash
+# pipeline — tokenize, hash, 32 bit-sign sums, sketch assembly, hamming
+# filter — gets a DuckDB oracle twin (VERDICT r2 item 3; the r1/r2 version
+# used xxhash64 and was rows-only). xxhash64 remains available as an opt-in
+# fast path (`use_xxhash=True`) with the same lossless-banding guarantee
+# (tests/test_dedup_banding.py covers both).
 # --------------------------------------------------------------------------
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks
 SIMHASH_MAX_HAMMING = 3  # < SIMHASH_CHUNKS → banding is LOSSLESS (pigeonhole)
 
+# DuckDB twin of the portable per-word hash below.
+_SH_HASH_SQL = "('0x' || substr(md5(word), 1, 8))::BIGINT"
+_SH_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SH_VALUE = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
 
-def _simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _simhash_sketch(
+    spark: SparkSession, sf_dir: str, use_xxhash: bool = False
+) -> DataFrame:
     """(doc_id, simhash): bit j of the 32-bit sketch is the sign of
-    Σ_distinct-words (±1 by bit j of xxhash64(word)). One hash-agg with 32
+    Σ_distinct-words (±1 by bit j of hash(word)). One hash-agg with 32
     SUM columns — partial aggregation collapses map-side, so the shuffle
-    carries ≤1 row per doc."""
+    carries ≤1 row per doc.
+
+    hash(word) defaults to the portable md5-slice (oracle-verifiable);
+    ``use_xxhash=True`` switches to xxhash64 — one native hash call instead
+    of an md5 + hex parse per distinct word — when cross-engine
+    reproducibility isn't needed."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.explode(F.array_distinct(words("text"))).alias("word"))
-    w = w.withColumn("h", F.xxhash64("word"))
+    if use_xxhash:
+        h = F.xxhash64("word")
+    else:
+        h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    w = w.withColumn("h", h)
     bit_sums = w.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -628,7 +659,20 @@ def _simhash_pairs_allpairs(sketch: DataFrame) -> DataFrame:
     "dedup_simhash",
     bench=True,
     tags=("dedup", "sketch"),
-    oracle=None,
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        dw AS (
+            SELECT DISTINCT doc_id, word
+            FROM (SELECT doc_id, unnest(words) AS word FROM w)
+        ),
+        hh AS (SELECT doc_id, {_SH_HASH_SQL} AS h FROM dw),
+        bits AS (SELECT doc_id, {_SH_BIT_SUMS} FROM hh GROUP BY doc_id),
+        sk AS (SELECT doc_id, CAST({_SH_VALUE} AS BIGINT) AS simhash FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via CHUNK BANDING — the
@@ -642,10 +686,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the candidate join shuffles on a 2-tuple key with bounded
     per-bucket fan-in (256 values × 4 chunks spread the corpus); hamming
     verification is a bit_count on rows that already carry both sketches —
-    no second join back to the sketch table. Entirely built-in expressions
-    (xxhash64, shiftright, bit_count); no DuckDB twin for xxhash64 → rows-only
-    check, with the lossless-banding parity test as the correctness gate."""
-    sketch = _simhash_sketch(spark, sf_dir)
+    no second join back to the sketch table. Entirely built-in expressions.
+    The per-word hash is the portable md5-slice, so the DuckDB oracle runs
+    the identical pipeline (banding is lossless, so the oracle's all-pairs
+    plan yields the same rows); banding itself can't be expressed in the
+    oracle but doesn't change the result set."""
+    return _simhash_band_pairs(_simhash_sketch(spark, sf_dir))
+
+
+def _simhash_band_pairs(sketch: DataFrame) -> DataFrame:
+    """Chunk-banded hamming≤3 pairs over a (doc_id, simhash) frame — the
+    equi-join plan shared by the portable (md5) and fast (xxhash64) paths."""
     chunks = sketch.select(
         "doc_id",
         "simhash",
@@ -818,6 +869,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     still comes from MinHash bands (containment-biased variants use
     bottom-k sketches — same plan shape)."""
     sh = _shingle_frame(spark, sf_dir)
+    return _containment_from_shingles(sh)
+
+
+def _containment_from_shingles(sh: DataFrame) -> DataFrame:
+    """|A∩B| / min(|A|,|B|) ≥ threshold pairs over a (doc_id, shingle)
+    frame — shared by the exact (all shingles) and capped (df-filtered)
+    containment operators. Counts are computed over the SAME frame the
+    intersection join uses, so the capped variant's denominator is
+    consistent with its numerator (mirroring the oracle)."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -839,3 +899,56 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "dedup_containment_capped",
+    tags=("dedup", "join", "agg", "skew"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        freq AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_FREQ_CAP}
+        ),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+        c AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM shc a JOIN shc b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.da AS doc_a, i.db AS doc_b,
+               ROUND(i.i * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+        FROM inter i
+        JOIN c ca ON ca.doc_id = i.da
+        JOIN c cb ON cb.doc_id = i.db
+        WHERE i.i * 1.0 / LEAST(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped containment — the SCALE path for subset-duplicate
+    detection (VERDICT r2 item 2). MinHash bands are the wrong candidate
+    generator here: a 100-shingle doc fully inside a 1000-shingle doc has
+    containment 1.0 but Jaccard ~0.1, so its band-collision probability is
+    tiny — LSH candidates would systematically miss exactly the pairs this
+    operator exists to find (containment-biased LSH needs bottom-k sketches,
+    a different sketch family). The production-standard fix is the same df
+    cap the Jaccard family uses: shingles appearing in more than
+    SHINGLE_FREQ_CAP documents (boilerplate) are dropped before the pair
+    join, bounding every shingle's fan-out at cap² pairs; containment is
+    computed over the capped sets on both sides (the oracle applies the
+    identical cap), so results stay hash-verified. Rare (informative)
+    shingles survive the cap, so true subset duplicates still intersect."""
+    sh = _shingle_frame(spark, sf_dir)
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_FREQ_CAP)
+        .select("shingle")
+    )
+    return _containment_from_shingles(sh.join(freq_ok, "shingle", "left_semi"))

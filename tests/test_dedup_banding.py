@@ -41,6 +41,21 @@ def test_simhash_banding_is_lossless(simhash_results):
     assert len(banded) > 0, "fixture too weak: no hamming<=3 pairs at sf0.01"
 
 
+def test_simhash_xxhash_fast_path_banding_lossless(spark):
+    """The opt-in xxhash64 sketch (one native hash vs md5+hex parse per
+    word) must satisfy the same pigeonhole guarantee: banded == all-pairs."""
+    from dblp_to_csv_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _simhash_band_pairs,
+    )
+
+    sketch = _simhash_sketch(spark, SF_CORRECTNESS, use_xxhash=True)
+    banded = _rows(_simhash_band_pairs(sketch))
+    allpairs = _rows(_simhash_pairs_allpairs(sketch))
+    assert banded == allpairs
+    assert all(h <= SIMHASH_MAX_HAMMING for _, _, h in banded)
+
+
 def test_simhash_plan_has_no_nested_loop(spark):
     plan = dedup_simhash(spark, SF_CORRECTNESS)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan

@@ -46,6 +46,8 @@ def test_no_cartesian_or_nested_loop_in_scale_paths(spark):
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine_bucketed",
+        "dedup_ngram_jaccard_capped",
+        "dedup_containment_capped",
         "similarity_topk_lsh_bucketed",
         "range_join_events_binned",
         "asof_join_purchase_last_view",
