@@ -439,9 +439,37 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative — not expressible as one SQL query in Spark — but DuckDB's
     WITH RECURSIVE reproduces the fixpoint, so even this operator is
     oracle-verified."""
+    return connected_components_min_label(spark, sf_dir)
+
+
+def _cc_checkpoint_base(spark: SparkSession, checkpoint_dir: str | None) -> str:
+    """Resolve the per-round parquet checkpoint location for the iterative
+    CC operators. ``checkpoint_dir`` must be a SHARED/durable filesystem
+    path on a real cluster (executors and driver must see the same files —
+    like minhash_lsh_pairs' materialize_candidates_dir). The driver-local
+    tempdir fallback is only correct when all executors share the driver's
+    filesystem, so it is guarded by a local-master assertion (ADVICE r2)."""
+    if checkpoint_dir is not None:
+        return checkpoint_dir
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            "connected components on a non-local master requires "
+            "checkpoint_dir= to point at a shared filesystem path; a "
+            f"driver-local tempdir would silently drop rows (master={master})"
+        )
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="dblp_cc_")
+    return tempfile.mkdtemp(prefix="dblp_cc_")
+
+
+def connected_components_min_label(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Min-label propagation implementation backing
+    ``dedup_connected_components`` (see its docstring for semantics and the
+    checkpoint policy)."""
+    base = _cc_checkpoint_base(spark, checkpoint_dir)
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(base, name)
@@ -490,6 +518,125 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(os.path.join(base, name), ignore_errors=True)
             return labels
         prev_sum = new_sum
+
+
+def star_contraction_components(
+    spark: SparkSession, edges: DataFrame, checkpoint_base: str
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond') over an undirected edge frame with
+    columns (src, dst) — returns (labels, rounds) where labels maps every
+    edge endpoint to its component's minimum node id.
+
+    Why it exists next to min-label propagation: min-label moves labels ONE
+    hop per round — O(diameter) rounds, fine for dense near-dup cliques
+    (diameter ~2) but pathological on chain-shaped graphs. Star contraction
+    rewires the graph itself each round (every node links toward its
+    neighborhood minimum), collapsing any component into a star centered at
+    its minimum in O(log n) rounds regardless of diameter
+    (tests/test_connected_components.py proves it on a 64-node path: the
+    same join shapes, ~6 rounds instead of 63).
+
+    Round body = two (join + groupBy-min) passes — the identical shuffle
+    shape as one min-label round, just run twice, so the 100 TB cost model
+    is unchanged per round and strictly better in round count. Edges are
+    kept in canonical (src > dst) orientation between rounds; each round is
+    checkpointed to parquet under ``checkpoint_base`` (same durable-path
+    discipline as min-label; see _cc_checkpoint_base)."""
+
+    def ckpt(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(checkpoint_base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhood view; emit (v, min(N(u) ∪ {u})) for v > u
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("m")
+        )
+        return (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (src > dst): every neighbor considered is smaller,
+        # so m = min(dst); emit (u, m) and (v, m) for v ∈ N(u) \ {m}
+        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+        j = e.join(mins, "src")
+        return (
+            j.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(j.select("src", "m"))
+            .distinct()
+        )
+
+    nodes = ckpt(
+        edges.select("src")
+        .union(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("doc_id")),
+        "nodes",
+    )
+    e = ckpt(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct(),
+        "star_0",
+    )
+    prev_sig = None
+    rounds = 0
+    while True:
+        rounds += 1
+        e = ckpt(small_star(large_star(e)), f"star_{rounds}")
+        sig = tuple(
+            e.agg(
+                F.count("*"),
+                F.sum("src"),
+                F.sum("dst"),
+                F.sum(F.xxhash64("src", "dst")),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    parents = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("component"))
+    labels = nodes.join(parents, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    labels = ckpt(labels, "labels_final")
+    import shutil
+
+    for name in [f"star_{i}" for i in range(rounds + 1)]:
+        shutil.rmtree(os.path.join(checkpoint_base, name), ignore_errors=True)
+    return labels, rounds
+
+
+@register(
+    "dedup_connected_components_star",
+    tags=("dedup", "graph", "iterative"),
+    oracle=_CC_ORACLE,
+)
+def dedup_connected_components_star(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Near-dup clustering via large-star/small-star contraction — the
+    O(log n)-round scale twin of ``dedup_connected_components`` (same
+    MinHash-LSH pair graph, same min-of-component labels, same DuckDB
+    WITH RECURSIVE oracle; parity with min-label asserted in
+    tests/test_connected_components.py)."""
+    base = _cc_checkpoint_base(spark, checkpoint_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels, _ = star_contraction_components(spark, pairs, base)
+    return labels
 
 
 SHINGLE_FREQ_CAP = 50
