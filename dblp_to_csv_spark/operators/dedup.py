@@ -378,10 +378,11 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # Connected components over near-dup pairs: cluster → canonical doc.
 # --------------------------------------------------------------------------
-@register(
-    "dedup_connected_components",
-    tags=("dedup", "graph", "iterative"),
-    oracle=f"""
+# Shared DuckDB oracle for BOTH connected-components registrations (min-label
+# and star-contraction): the fixpoint semantics are identical — every node is
+# labeled with the minimum doc_id reachable from it over the MinHash-LSH pair
+# graph — so one WITH RECURSIVE reachability query verifies both.
+_CC_ORACLE = f"""
         WITH RECURSIVE {_SHINGLE_CTE},
         mh AS (
             SELECT doc_id, {_MH_COLS}
@@ -412,7 +413,13 @@ def minhash_lsh_pairs(
             SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
         )
         SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_connected_components",
+    tags=("dedup", "graph", "iterative"),
+    oracle=_CC_ORACLE,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the step after pair-finding in every real dedup
@@ -590,22 +597,21 @@ def star_contraction_components(
         .distinct(),
         "star_0",
     )
-    prev_sig = None
+    # Convergence = EXACT edge-set equality between consecutive rounds (both
+    # frames end in .distinct(), so equal counts + empty one-direction
+    # exceptAll ⟺ set equality). Exact, ANSI-safe, and collision-free —
+    # unlike a hash-sum signature, which overflows LongType under ANSI mode
+    # and could terminate early on a hash collision. Two scalar actions per
+    # round over tiny parquet-backed frames.
+    prev_e, prev_count = e, e.count()
     rounds = 0
     while True:
         rounds += 1
         e = ckpt(small_star(large_star(e)), f"star_{rounds}")
-        sig = tuple(
-            e.agg(
-                F.count("*"),
-                F.sum("src"),
-                F.sum("dst"),
-                F.sum(F.xxhash64("src", "dst")),
-            ).first()
-        )
-        if sig == prev_sig:
+        cnt = e.count()
+        if cnt == prev_count and e.exceptAll(prev_e).isEmpty():
             break
-        prev_sig = sig
+        prev_e, prev_count = e, cnt
     parents = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("component"))
     labels = nodes.join(parents, "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
@@ -613,7 +619,9 @@ def star_contraction_components(
     labels = ckpt(labels, "labels_final")
     import shutil
 
-    for name in [f"star_{i}" for i in range(rounds + 1)]:
+    # labels_final is the only dir the returned frame reads — drop every
+    # intermediate round AND the nodes checkpoint (previously leaked).
+    for name in ["nodes"] + [f"star_{i}" for i in range(rounds + 1)]:
         shutil.rmtree(os.path.join(checkpoint_base, name), ignore_errors=True)
     return labels, rounds
 

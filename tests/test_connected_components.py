@@ -1,0 +1,106 @@
+"""Connected-components parity + round-count tests, as promised by the
+docstrings of ``star_contraction_components`` and
+``dedup_connected_components_star`` (operators/dedup.py).
+
+Two claims under test:
+
+1. **Parity**: large-star/small-star contraction produces the SAME
+   (doc_id → min-reachable-label) mapping as min-label propagation, both on
+   a synthetic graph with known components and on the real MinHash-LSH pair
+   graph of the sf0.001 documents corpus.
+2. **Round count**: on a 64-node path graph (diameter 63 — min-label's
+   pathological case), star contraction converges in O(log n) ≈ 6-8 rounds,
+   not O(diameter).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.operators.dedup import (
+    connected_components_min_label,
+    dedup_connected_components_star,
+    star_contraction_components,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _star_labels(spark, edges):
+    with tempfile.TemporaryDirectory(prefix="cc_star_") as base:
+        labels, rounds = star_contraction_components(spark, edges, base)
+        rows = {r["doc_id"]: r["component"] for r in labels.collect()}
+    return rows, rounds
+
+
+def test_star_path_graph_log_rounds(spark):
+    """64-node path 0-1-2-...-63: one component, min label 0 everywhere.
+    Star contraction must converge in O(log n) rounds (docstring claims ~6;
+    allow <=8 slack), far below the 63 rounds min-label propagation needs."""
+    edges = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels, rounds = _star_labels(spark, edges)
+    assert labels == {i: 0 for i in range(64)}
+    assert rounds <= 8, f"expected O(log 64) rounds, got {rounds}"
+
+
+def test_star_multiple_components_and_self_loops(spark):
+    """Three components (a triangle, a 2-chain, an isolated self-loop) plus
+    a duplicate + reversed edge — labels must be each component's minimum."""
+    raw = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 20), (2, 1), (11, 10)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    labels, _ = _star_labels(spark, edges)
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_star_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    labels, _ = _star_labels(spark, edges)
+    assert labels == {}
+
+
+def test_star_minlabel_parity_on_corpus(spark):
+    """Both implementations, run on the real MinHash-LSH pair graph of the
+    sf0.001 documents corpus, must emit identical label mappings."""
+    star = {
+        (r["doc_id"], r["component"])
+        for r in dedup_connected_components_star(spark, SF_SMOKE).collect()
+    }
+    minlabel = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_min_label(spark, SF_SMOKE).collect()
+    }
+    assert star == minlabel
+    assert len(star) > 0, "fixture corpus should contain near-dup pairs"
+
+
+@pytest.mark.parametrize("n", [2, 5, 16])
+def test_star_parity_random_graphs(spark, n):
+    """Deterministic pseudo-random graphs of n*4 nodes: star labels must
+    equal a driver-side union-find ground truth."""
+    nodes = n * 4
+    raw = [((i * 7 + 3) % nodes, (i * 13 + 5) % nodes) for i in range(n * 3)]
+    raw = [(a, b) for a, b in raw if a != b]
+
+    parent = list(range(nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in raw for v in e}
+    truth = {v: find(v) for v in touched}
+
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    labels, _ = _star_labels(spark, edges)
+    assert labels == truth
