@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> None:
         full = validate_xml_against_dtd(args.xml_filename, args.dtd_filename)
         if full is False:
             print("error: XML does not validate against the DTD")
+            # structural violations against the supplied DTD, when any, give
+            # the actionable detail (a False with none means an lxml-level
+            # violation: ID/IDREF, entity, or well-formedness)
+            for e in validate_xml_structurally(args.xml_filename, args.dtd_filename):
+                print(" -", e)
             sys.exit(1)
         if full is None:  # no lxml → stdlib validator
             errors = validate_xml_structurally(args.xml_filename, args.dtd_filename)

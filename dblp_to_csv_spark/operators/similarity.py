@@ -224,16 +224,21 @@ def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny: k vectors
+    if not q_rows:  # no query vectors → empty result, correct schema
+        return spark.createDataFrame([], out_schema + ", rank int")
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["emb"] for r in q_rows])  # (k, d)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:  # Arrow can hand over zero-row batches
+                continue
             c_mat = np.array(pdf["emb"].tolist())  # (b, d)
             c_ids = pdf["vec_id"].to_numpy()
             sims = (c_mat @ q_mat.T) / np.outer(
@@ -248,9 +253,8 @@ def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = (
-        emb.mapInPandas(score_batches, "query_id long, neighbor_id long, cos_sim double")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = emb.mapInPandas(score_batches, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -219,9 +219,10 @@ def quartile_labels_by_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders, med GROUP BY med.m
         )
         SELECT o_orderkey, o_totalprice,
-               ROUND((o_totalprice - dev.m) / (1.4826 * dev.mad), 4) AS robust_z
+               ROUND((o_totalprice - dev.m) / (1.4826 * NULLIF(dev.mad, 0)), 4)
+                   AS robust_z
         FROM orders, dev
-        WHERE ABS((o_totalprice - dev.m) / (1.4826 * dev.mad)) > 3
+        WHERE ABS((o_totalprice - dev.m) / (1.4826 * NULLIF(dev.mad, 0))) > 3
     """,
 )
 def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +231,12 @@ def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistency) — immune to the outliers themselves, unlike mean/stddev
     z-scores. Two tiny aggregates (median, then MAD around it) broadcast
     over the table; each row's score is a comparison — the data-quality
-    gate a pipeline runs before trusting numeric columns."""
+    gate a pipeline runs before trusting numeric columns.
+
+    Degenerate guard: when MAD = 0 (>=half the values identical — e.g. a
+    constant column) no robust z exists; NULLIF on BOTH engines makes z NULL
+    so the |z|>3 filter returns zero outliers, instead of Spark's NULL
+    silently diverging from DuckDB's ±inf."""
     o = load_table(spark, sf_dir, "orders")
     med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
     dev = (
@@ -242,7 +248,9 @@ def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("m").alias("m"),
         )
     )
-    z = (F.col("o_totalprice") - F.col("m")) / (1.4826 * F.col("mad"))
+    z = (F.col("o_totalprice") - F.col("m")) / (
+        1.4826 * F.nullif(F.col("mad"), F.lit(0.0))
+    )
     return (
         o.join(F.broadcast(dev))
         .filter(F.abs(z) > 3)

@@ -198,13 +198,21 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     documented deviation, SURVEY.md §4.3.3; see
     ``validate_xml_structurally`` for the stdlib fallback subset).
 
-    Streaming via iterparse with ``dtd_validation=True`` — validation happens
-    INLINE during the parse against the document's DOCTYPE (exactly the
-    reference's construction, XMLToCSV.py:109-110: same flags, same
-    element-clearing discipline), so whole-document constraints (ID
-    uniqueness, IDREF resolution, root content model) are enforced and
-    DTD-declared entities resolve; a full etree.parse would materialize a
-    DBLP-sized document on the driver."""
+    ``dtd_path`` is HONORED: the document is always checked structurally
+    (declared elements/attributes, #REQUIRED presence, content-model
+    order/cardinality) against the *supplied* DTD — a failure there is a
+    False verdict even when lxml is absent. On top of that, when lxml is
+    importable, a second streaming pass validates INLINE against the
+    document's DOCTYPE via iterparse with ``dtd_validation=True`` (exactly
+    the reference's construction, XMLToCSV.py:109-110: same flags, same
+    element-clearing discipline), adding the whole-document constraints the
+    structural pass does not cover (ID uniqueness, IDREF resolution,
+    attribute value types) and resolving DTD-declared entities; a full
+    etree.parse would materialize a DBLP-sized document on the driver.
+    Return None only when lxml is missing AND the structural pass found
+    nothing — i.e. "full validation unavailable, subset passed"."""
+    if validate_xml_structurally(xml_path, dtd_path, max_errors=1):
+        return False  # violates the supplied DTD — no lxml needed to say so
     try:
         from lxml import etree
     except ImportError:
@@ -316,12 +324,18 @@ def validate_xml_structurally(
     attrs = get_declared_attributes(dtd_path)
     models = get_content_models(dtd_path)
     # elements whose content model forbids character data: element-only
-    # models and EMPTY (text allowed iff #PCDATA / ANY / parameter entity)
+    # models and EMPTY. Text is allowed iff the model is the literal token
+    # ANY (exact match — a child element NAMED e.g. "MANY" must not trigger
+    # it), contains the #PCDATA token, or uses a parameter entity
+    # (unchecked). '#' and '%' cannot appear in XML names, so substring
+    # tests are already token-exact for those two.
     no_text = {
         m.group(1)
         for m in _ELEMENT_MODEL.finditer(dtd_text)
-        if not any(
-            k in re.sub(r"\s+", "", m.group(2)) for k in ("#PCDATA", "ANY", "%")
+        if not (
+            (model := re.sub(r"\s+", "", m.group(2))) == "ANY"
+            or "#PCDATA" in model
+            or "%" in model
         )
     }
     errors: list[str] = []

@@ -131,3 +131,58 @@ def test_malformed_xml_reported(tmp_path):
     bad.write_text('<?xml version="1.0"?>\n<dblp>\n<article key="a">\n')
     errors = validate_xml_structurally(str(bad), os.path.join(FIX, "mini_dblp.dtd"))
     assert any("malformed XML" in e for e in errors)
+
+
+def test_any_token_exactness_in_no_text(tmp_path):
+    """Element-only models whose CHILD NAMES merely contain the substring
+    'ANY' (e.g. <company>, <MANY>) must still forbid character data — only
+    the literal model token ANY allows it (r2 ADVICE: token-exact check)."""
+    (tmp_path / "any.dtd").write_text(
+        "<!ELEMENT dblp (rec)*>\n"
+        "<!ELEMENT rec (MANY)>\n"
+        "<!ELEMENT MANY (#PCDATA)>\n"
+        "<!ELEMENT blob ANY>\n"
+        "<!ATTLIST rec key CDATA #REQUIRED>\n"
+    )
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<rec key="a">stray<MANY>x</MANY></rec>\n'
+        "</dblp>\n"
+    )
+    errors = validate_xml_structurally(str(bad), str(tmp_path / "any.dtd"))
+    assert any("character data not allowed in element-only <rec>" in e for e in errors)
+
+
+def test_validate_against_dtd_honors_supplied_dtd(tmp_path):
+    """validate_xml_against_dtd must return False for a document that
+    violates the SUPPLIED dtd_path even without lxml installed (r2 ADVICE:
+    honor the argument)."""
+    from dblp_to_csv_spark.sources.dtd import validate_xml_against_dtd
+
+    (tmp_path / "seq.dtd").write_text(SEQ_DTD)
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><title>T</title><author>A</author></article>\n'
+        "</dblp>\n"
+    )
+    assert validate_xml_against_dtd(str(bad), str(tmp_path / "seq.dtd")) is False
+
+    good = tmp_path / "good.xml"
+    good.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><author>A</author><title>T</title></article>\n'
+        "</dblp>\n"
+    )
+    # no lxml in this env: subset passed, full validation unavailable → None;
+    # with lxml present this would be a True/False full verdict
+    try:
+        import lxml  # noqa: F401
+
+        assert validate_xml_against_dtd(str(good), str(tmp_path / "seq.dtd")) in (
+            True,
+            False,
+        )
+    except ImportError:
+        assert validate_xml_against_dtd(str(good), str(tmp_path / "seq.dtd")) is None
