@@ -97,20 +97,14 @@ def main(argv: list[str] | None = None) -> None:
             print("error: XML does not validate against the DTD")
             # structural violations against the supplied DTD, when any, give
             # the actionable detail (a False with none means an lxml-level
-            # violation: ID/IDREF, entity, or well-formedness)
+            # violation: entity resolution or well-formedness)
             for e in validate_xml_structurally(args.xml_filename, args.dtd_filename):
                 print(" -", e)
             sys.exit(1)
-        if full is None:  # no lxml → stdlib validator
-            errors = validate_xml_structurally(args.xml_filename, args.dtd_filename)
-            if errors:
-                print("error: DTD violations:")
-                for e in errors:
-                    print(" -", e)
-                sys.exit(1)
+        if full is None:  # no lxml: the stdlib structural pass already ran
             print(
-                "Validated (stdlib: elements, attributes, #REQUIRED, "
-                "content models; not checked: ID/IDREF refs)."
+                "Validated (stdlib: elements, attributes, #REQUIRED, content "
+                "models, ID/IDREF, value types; not checked: ENTITY refs)."
             )
         else:
             print("Validated against DTD.")

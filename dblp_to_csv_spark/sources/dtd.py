@@ -3,8 +3,9 @@ declarations into the table catalog, dropping the root element.
 
 The reference uses lxml's DTD object; this environment has no lxml, and the
 catalog needs only the element *names*, so a small stdlib parser handles the
-DTD declaration syntax (comments, parameter entities ignored). When lxml IS
-available we optionally use it for full DTD validation (S4) — see
+DTD declaration syntax (comments stripped, internal parameter entities
+expanded by ``_read_dtd_text``; external PEs left unresolved). When lxml IS
+available we additionally use it for full DTD validation (S4) — see
 ``validate_xml_against_dtd``.
 """
 
@@ -15,6 +16,41 @@ import re
 _ELEMENT_DECL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)", re.MULTILINE)
 _ATTLIST_DECL = re.compile(r"<!ATTLIST\s+([A-Za-z_:][\w.:-]*)\s+([^>]*)>", re.DOTALL)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+# internal parameter-entity declaration: <!ENTITY % name "replacement">
+_PE_DECL = re.compile(
+    r"<!ENTITY\s+%\s+([A-Za-z_:][\w.:-]*)\s+(?:\"([^\"]*)\"|'([^']*)')\s*>"
+)
+_PE_REF = re.compile(r"%([A-Za-z_:][\w.:-]*);")
+
+
+def _read_dtd_text(dtd_path: str) -> str:
+    """DTD text with comments stripped and INTERNAL parameter entities
+    expanded (``<!ENTITY % field "author|editor|…">`` … ``(%field;)*``) —
+    the construction real DBLP-family DTDs use for shared content-model
+    fragments. libxml2 gives the reference this for free (XMLToCSV.py:79);
+    the stdlib path gets it here, so content models and schemas derived from
+    PE-based DTDs are concrete instead of falling back to reader inference.
+
+    Expansion is textual and iterative (nested PEs resolve in ≤10 passes;
+    the XML spec forbids recursive entities, so a fixed point exists).
+    EXTERNAL parameter entities (SYSTEM/PUBLIC) cannot be fetched — their
+    references survive as literal ``%name;``, which downstream parsers
+    already classify as "undeterminable" and handle conservatively."""
+    with open(dtd_path, encoding="utf-8") as f:
+        text = _COMMENT.sub("", f.read())
+    pes: dict[str, str] = {}
+    for m in _PE_DECL.finditer(text):
+        value = m.group(2) if m.group(2) is not None else m.group(3)
+        pes.setdefault(m.group(1), value)  # first binding wins (XML 1.0 §4.2)
+    if not pes:
+        return text
+    for _ in range(10):
+        expanded = _PE_REF.sub(lambda m: pes.get(m.group(1), m.group(0)), text)
+        if expanded == text:
+            break
+        text = expanded
+    return text
 
 # one attribute definition inside an ATTLIST body:
 #   name  type  (#REQUIRED | #IMPLIED | [#FIXED] "default")
@@ -45,8 +81,7 @@ class InvalidElementName(Exception):
 def get_elements(dtd_path: str, root: str = "dblp") -> set[str]:
     """All <!ELEMENT> names minus the root — each becomes a record type /
     table (XMLToCSV.py:79-86; the reference hard-codes the 'dblp' root)."""
-    with open(dtd_path, encoding="utf-8") as f:
-        text = _COMMENT.sub("", f.read())
+    text = _read_dtd_text(dtd_path)
     elements = set(_ELEMENT_DECL.findall(text))
     if root not in elements:
         raise ValueError(f"root element {root!r} not declared in DTD {dtd_path}")
@@ -69,8 +104,7 @@ def get_attribute_defaults(dtd_path: str) -> dict[str, dict[str, str]]:
     the *annotated* header because its header iterates pass-2 type
     observations (XMLToCSV.py:290), leaving the header one column short of
     the CSV — a bug we fix by including them, typed 'string'."""
-    with open(dtd_path, encoding="utf-8") as f:
-        text = _COMMENT.sub("", f.read())
+    text = _read_dtd_text(dtd_path)
     defaults: dict[str, dict[str, str]] = {}
     for m in _ATTLIST_DECL.finditer(text):
         element, body = m.group(1), m.group(2)
@@ -95,9 +129,8 @@ def get_record_types(dtd_path: str, root: str = "dblp") -> set[str]:
     root's declared children — same net catalog for any DTD (like DBLP's)
     where record types don't nest inside other record types. Falls back to
     all declared elements when the root's content model is opaque (ANY/EMPTY
-    or parameter entities)."""
-    with open(dtd_path, encoding="utf-8") as f:
-        text = _COMMENT.sub("", f.read())
+    or unresolvable external parameter entities)."""
+    text = _read_dtd_text(dtd_path)
     all_elements = get_elements(dtd_path, root)
     m = re.search(rf"<!ELEMENT\s+{re.escape(root)}\s+\(([^>]*)\)", text)
     if not m:
@@ -109,10 +142,10 @@ def get_record_types(dtd_path: str, root: str = "dblp") -> set[str]:
 
 def get_element_children(dtd_path: str) -> dict[str, set[str] | None]:
     """Per element: the set of child element names its content model allows.
-    ``None`` = undeterminable (parameter entities); ANY = all declared
-    elements; EMPTY / (#PCDATA) = empty set."""
-    with open(dtd_path, encoding="utf-8") as f:
-        text = _COMMENT.sub("", f.read())
+    ``None`` = undeterminable (external parameter entities — internal ones
+    are pre-expanded by ``_read_dtd_text``); ANY = all declared elements;
+    EMPTY / (#PCDATA) = empty set."""
+    text = _read_dtd_text(dtd_path)
     all_elements = set(_ELEMENT_DECL.findall(text))
     out: dict[str, set[str] | None] = {}
     for m in _ELEMENT_MODEL.finditer(text):
@@ -200,15 +233,16 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
 
     ``dtd_path`` is HONORED: the document is always checked structurally
     (declared elements/attributes, #REQUIRED presence, content-model
-    order/cardinality) against the *supplied* DTD — a failure there is a
-    False verdict even when lxml is absent. On top of that, when lxml is
-    importable, a second streaming pass validates INLINE against the
-    document's DOCTYPE via iterparse with ``dtd_validation=True`` (exactly
-    the reference's construction, XMLToCSV.py:109-110: same flags, same
-    element-clearing discipline), adding the whole-document constraints the
-    structural pass does not cover (ID uniqueness, IDREF resolution,
-    attribute value types) and resolving DTD-declared entities; a full
-    etree.parse would materialize a DBLP-sized document on the driver.
+    order/cardinality, ID uniqueness, IDREF/IDREFS resolution,
+    NMTOKEN/enumeration/#FIXED value types) against the *supplied* DTD — a
+    failure there is a False verdict even when lxml is absent. On top of
+    that, when lxml is importable, a second streaming pass validates INLINE
+    against the document's DOCTYPE via iterparse with
+    ``dtd_validation=True`` (exactly the reference's construction,
+    XMLToCSV.py:109-110: same flags, same element-clearing discipline),
+    adding what the structural pass does not cover (ENTITY attribute
+    resolution, DTD-declared general entities); a full etree.parse would
+    materialize a DBLP-sized document on the driver.
     Return None only when lxml is missing AND the structural pass found
     nothing — i.e. "full validation unavailable, subset passed"."""
     if validate_xml_structurally(xml_path, dtd_path, max_errors=1):
@@ -280,9 +314,8 @@ def _content_model_regex(model: str) -> re.Pattern[str] | None:
 
 def get_content_models(dtd_path: str) -> dict[str, re.Pattern[str] | None]:
     """Per element: compiled child-sequence regex (None = unchecked: ANY or
-    parameter-entity models)."""
-    with open(dtd_path, encoding="utf-8") as f:
-        text = _COMMENT.sub("", f.read())
+    unresolvable external parameter entities)."""
+    text = _read_dtd_text(dtd_path)
     return {
         m.group(1): _content_model_regex(m.group(2))
         for m in _ELEMENT_MODEL.finditer(text)
@@ -291,8 +324,7 @@ def get_content_models(dtd_path: str) -> dict[str, re.Pattern[str] | None]:
 
 def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
     """Per element: {attr: required?} from ATTLIST declarations."""
-    with open(dtd_path, encoding="utf-8") as f:
-        text = _COMMENT.sub("", f.read())
+    text = _read_dtd_text(dtd_path)
     out: dict[str, dict[str, bool]] = {}
     for m in _ATTLIST_DECL.finditer(text):
         element, body = m.group(1), m.group(2)
@@ -301,27 +333,56 @@ def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
     return out
 
 
+def get_attribute_types(
+    dtd_path: str,
+) -> dict[str, dict[str, tuple[str, str | None]]]:
+    """Per element: {attr: (declared type, #FIXED value or None)}.
+
+    Type is one of the DTD tokenized types (``ID``, ``IDREF``, ``IDREFS``,
+    ``NMTOKEN``, ``NMTOKENS``, ``ENTITY``, ``ENTITIES``), ``CDATA``, or an
+    enumeration literal like ``(informal|survey)``. Feeds the value-type
+    checks in ``validate_xml_structurally`` — the subset libxml2 enforces
+    for the reference via ``dtd_validation=True`` (XMLToCSV.py:109-110)."""
+    text = _read_dtd_text(dtd_path)
+    out: dict[str, dict[str, tuple[str, str | None]]] = {}
+    for m in _ATTLIST_DECL.finditer(text):
+        element, body = m.group(1), m.group(2)
+        for am in _ATTDEF.finditer(body):
+            attr, typ, default = am.group(1), am.group(2), am.group(3)
+            fixed = None
+            if default.startswith("#FIXED"):
+                fixed = default.removeprefix("#FIXED").strip().strip("\"'")
+            out.setdefault(element, {})[attr] = (re.sub(r"\s+", "", typ), fixed)
+    return out
+
+
 def validate_xml_structurally(
     xml_path: str, dtd_path: str, max_errors: int = 20
 ) -> list[str]:
     """Stdlib (expat) streaming DTD validation: every element must be
     declared, every attribute must be declared for its element, #REQUIRED
-    attributes must be present, and each element's child sequence must match
+    attributes must be present, each element's child sequence must match
     its declared content model (XML content models are regular expressions
     over child names — compiled by ``_content_model_regex``, so ordering AND
-    cardinality are enforced, matching lxml's verdict on element structure).
-    Returns violations (empty = valid). Not covered vs a full validator:
-    ID/IDREF cross-references and attribute value types. Single-node
-    streaming pass, O(1) memory per depth level: a pre-flight for corpora
-    readable once on the driver; at 100 TB validation belongs in the ingest
-    pipeline instead."""
+    cardinality are enforced, matching lxml's verdict on element structure),
+    and attribute VALUES must satisfy their declared types: ID syntax +
+    document-wide uniqueness, IDREF/IDREFS resolution against the ID set,
+    NMTOKEN(S) syntax, enumeration membership, #FIXED equality — the same
+    whole-document constraints libxml2 enforces for the reference
+    (XMLToCSV.py:109-110). Returns violations (empty = valid). Not covered
+    vs a full validator: ENTITY/ENTITIES attribute resolution and external
+    parameter entities. Streaming pass, O(depth) parse state plus O(#ID +
+    #IDREF values) for the cross-reference sets — that is the floor any
+    validator pays for ID semantics (libxml2 included): a pre-flight for
+    corpora readable once on the driver; at 100 TB validation belongs in
+    the ingest pipeline instead."""
     import xml.parsers.expat
 
     # all declared element names, root included
-    with open(dtd_path, encoding="utf-8") as f:
-        dtd_text = _COMMENT.sub("", f.read())
+    dtd_text = _read_dtd_text(dtd_path)
     declared = set(_ELEMENT_DECL.findall(dtd_text))
     attrs = get_declared_attributes(dtd_path)
+    attr_types = get_attribute_types(dtd_path)
     models = get_content_models(dtd_path)
     # elements whose content model forbids character data: element-only
     # models and EMPTY. Text is allowed iff the model is the literal token
@@ -341,6 +402,46 @@ def validate_xml_structurally(
     errors: list[str] = []
     # per open element: (name, accumulated child-sequence tokens)
     stack: list[tuple[str, list[str]]] = []
+    ids: set[str] = set()  # every ID-typed attribute value seen
+    idrefs: dict[str, str] = {}  # IDREF(S) value → first-use context
+
+    def check_value(name: str, a: str, value: str) -> None:
+        typ, fixed = attr_types.get(name, {}).get(a, ("CDATA", None))
+        if fixed is not None and value != fixed:
+            errors.append(
+                f"#FIXED attribute {a!r} on <{name}> must be {fixed!r}, "
+                f"got {value!r}"
+            )
+        if typ == "ID":
+            if not _XML_NAME.match(value):
+                errors.append(f"ID attribute {a!r} on <{name}>: {value!r} "
+                              "is not a valid XML name")
+            elif value in ids:
+                errors.append(f"duplicate ID value {value!r} (attribute "
+                              f"{a!r} on <{name}>)")
+            else:
+                ids.add(value)
+        elif typ in ("IDREF", "IDREFS"):
+            tokens = [value] if typ == "IDREF" else value.split()
+            for tok in tokens:
+                if not _XML_NAME.match(tok):
+                    errors.append(f"{typ} attribute {a!r} on <{name}>: "
+                                  f"{tok!r} is not a valid XML name")
+                else:
+                    idrefs.setdefault(tok, f"attribute {a!r} on <{name}>")
+        elif typ in ("NMTOKEN", "NMTOKENS"):
+            tokens = [value] if typ == "NMTOKEN" else value.split()
+            for tok in tokens:
+                if not _NMTOKEN.match(tok):
+                    errors.append(f"{typ} attribute {a!r} on <{name}>: "
+                                  f"{tok!r} is not a valid name token")
+        elif typ.startswith("("):
+            allowed = set(typ.strip("()").split("|"))
+            if value not in allowed:
+                errors.append(
+                    f"attribute {a!r} on <{name}>: {value!r} not in "
+                    f"enumeration {typ}"
+                )
 
     def start(name: str, attributes: dict[str, str]) -> None:
         if stack:
@@ -352,9 +453,11 @@ def validate_xml_structurally(
             errors.append(f"undeclared element <{name}>")
             return
         declared_attrs = attrs.get(name, {})
-        for a in attributes:
+        for a, value in attributes.items():
             if a not in declared_attrs:
                 errors.append(f"undeclared attribute {a!r} on <{name}>")
+            else:
+                check_value(name, a, value)
         for a, required in declared_attrs.items():
             if required and a not in attributes:
                 errors.append(f"missing #REQUIRED attribute {a!r} on <{name}>")
@@ -391,4 +494,16 @@ def validate_xml_structurally(
             parser.ParseFile(f)
     except xml.parsers.expat.ExpatError as e:
         errors.append(f"malformed XML: {e}")
+    # IDREF resolution is a whole-document constraint: checkable only after
+    # the last ID declaration has been seen
+    for ref, context in idrefs.items():
+        if len(errors) >= max_errors:
+            break
+        if ref not in ids:
+            errors.append(f"dangling IDREF {ref!r} ({context}): no element "
+                          f"declares this ID")
     return errors[:max_errors]
+
+
+_XML_NAME = re.compile(r"[A-Za-z_:][\w.:-]*$")
+_NMTOKEN = re.compile(r"[\w.:-]+$")

@@ -186,3 +186,135 @@ def test_validate_against_dtd_honors_supplied_dtd(tmp_path):
         )
     except ImportError:
         assert validate_xml_against_dtd(str(good), str(tmp_path / "seq.dtd")) is None
+
+
+ID_DTD = """\
+<!ELEMENT dblp (rec|ref)*>
+<!ELEMENT rec (#PCDATA)>
+<!ELEMENT ref EMPTY>
+<!ATTLIST rec id ID #REQUIRED
+              kind (journal|conf) "journal"
+              tags NMTOKENS #IMPLIED
+              ver CDATA #FIXED "1">
+<!ATTLIST ref to IDREF #REQUIRED
+              all IDREFS #IMPLIED>
+"""
+
+
+def _write(tmp_path, xml_body):
+    (tmp_path / "id.dtd").write_text(ID_DTD)
+    doc = tmp_path / "doc.xml"
+    doc.write_text('<?xml version="1.0"?>\n<dblp>\n' + xml_body + "</dblp>\n")
+    return str(doc), str(tmp_path / "id.dtd")
+
+
+def test_id_uniqueness_and_idref_resolution(tmp_path):
+    """Whole-document ID/IDREF semantics in the stdlib path (r2 stretch):
+    duplicate IDs and dangling IDREFs must be reported; valid cross-refs
+    must not."""
+    doc, dtd = _write(
+        tmp_path,
+        '<rec id="a1">x</rec>\n<rec id="a1">y</rec>\n'
+        '<ref to="a9"/>\n<ref to="a1" all="a1 zz"/>\n',
+    )
+    errors = validate_xml_structurally(doc, dtd)
+    assert any("duplicate ID value 'a1'" in e for e in errors)
+    assert any("dangling IDREF 'a9'" in e for e in errors)
+    assert any("dangling IDREF 'zz'" in e for e in errors)
+    assert not any("'a1' (attribute 'to'" in e for e in errors)  # resolves
+
+
+def test_idref_forward_reference_is_valid(tmp_path):
+    """An IDREF may point at an ID declared LATER in the document — the
+    check must run after the full pass, not at use time."""
+    doc, dtd = _write(tmp_path, '<ref to="later"/>\n<rec id="later">x</rec>\n')
+    assert validate_xml_structurally(doc, dtd) == []
+
+
+def test_enumeration_nmtoken_and_fixed(tmp_path):
+    doc, dtd = _write(
+        tmp_path,
+        '<rec id="a" kind="blog">x</rec>\n'  # not in (journal|conf)
+        '<rec id="b" tags="ok bad!tok">x</rec>\n'  # NMTOKENS: '!' illegal
+        '<rec id="c" ver="2">x</rec>\n',  # #FIXED must be "1"
+    )
+    errors = validate_xml_structurally(doc, dtd)
+    assert any("'blog' not in enumeration (journal|conf)" in e for e in errors)
+    assert any("'bad!tok' is not a valid name token" in e for e in errors)
+    assert any("#FIXED attribute 'ver' on <rec> must be '1', got '2'" in e for e in errors)
+
+
+def test_id_syntax_checked(tmp_path):
+    doc, dtd = _write(tmp_path, '<rec id="9bad">x</rec>\n')
+    errors = validate_xml_structurally(doc, dtd)
+    assert any("'9bad' is not a valid XML name" in e for e in errors)
+
+
+PE_DTD = """\
+<!ENTITY % field "author|title|year">
+<!ENTITY % pubs "article|book">
+<!ELEMENT dblp (%pubs;)*>
+<!ELEMENT article (%field;)*>
+<!ELEMENT book (%field;)*>
+<!ELEMENT author (#PCDATA)>
+<!ELEMENT title (#PCDATA)>
+<!ELEMENT year (#PCDATA)>
+<!ATTLIST article key CDATA #REQUIRED>
+<!ATTLIST book key CDATA #REQUIRED>
+"""
+
+
+def test_parameter_entities_expand_in_models(tmp_path):
+    """Internal parameter entities (the real DBLP DTD's construction:
+    <!ENTITY % field "..."> used across every record type's model) must
+    expand before model compilation, so PE-based DTDs get full content-model
+    checking and record-type discovery instead of the conservative
+    'undeterminable' fallback."""
+    from dblp_to_csv_spark.sources.dtd import (
+        get_content_models,
+        get_element_children,
+        get_record_types,
+    )
+
+    (tmp_path / "pe.dtd").write_text(PE_DTD)
+    dtd = str(tmp_path / "pe.dtd")
+    assert get_record_types(dtd) == {"article", "book"}
+    assert get_element_children(dtd)["article"] == {"author", "title", "year"}
+    models = get_content_models(dtd)
+    assert models["article"] is not None  # concrete, not unchecked
+    assert models["article"].match("author,year,")
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<article key="a"><editor>E</editor></article>\n'
+        "</dblp>\n"
+    )
+    errors = validate_xml_structurally(str(bad), dtd)
+    assert any("undeclared element <editor>" in e for e in errors)
+
+
+def test_parameter_entity_dtd_builds_schema(tmp_path):
+    """build_record_schema must return a concrete schema (not the inference
+    fallback) for a PE-based DTD."""
+    from dblp_to_csv_spark.sources.dtd import build_record_schema
+
+    (tmp_path / "pe.dtd").write_text(PE_DTD)
+    schema, cuts = build_record_schema(str(tmp_path / "pe.dtd"), "article")
+    assert schema is not None and cuts == []
+    assert set(schema.fieldNames()) == {"_key", "author", "title", "year"}
+
+
+def test_external_parameter_entity_stays_conservative(tmp_path):
+    """External PEs (SYSTEM) cannot be fetched: their references must
+    survive unexpanded and keep the 'undeterminable' classification."""
+    from dblp_to_csv_spark.sources.dtd import build_record_schema, get_element_children
+
+    (tmp_path / "ext.dtd").write_text(
+        '<!ENTITY % ext SYSTEM "http://example.invalid/fields.ent">\n'
+        "<!ELEMENT dblp (article)*>\n"
+        "<!ELEMENT article (%ext;)*>\n"
+        "<!ATTLIST article key CDATA #REQUIRED>\n"
+    )
+    dtd = str(tmp_path / "ext.dtd")
+    assert get_element_children(dtd)["article"] is None
+    assert build_record_schema(dtd, "article") == (None, [])
