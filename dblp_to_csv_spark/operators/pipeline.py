@@ -19,11 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.text import STOPWORDS, WORDS_SQL, words
+from dblp_to_csv_spark.functions.text import (
+    SHINGLES_SQL,
+    STOPWORDS,
+    WORDS_SQL,
+    shingles,
+    words,
+)
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
 _WORDS = WORDS_SQL.format(col="text")
+_SHINGLES = SHINGLES_SQL.format(words="words")
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 # hex-prefix thresholds: md5 first char < '2' → 2/16 = 12.5% sample;
@@ -135,4 +142,137 @@ def pipeline_c4_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id") == F.col("canonical_id"))
         )
         .select("doc_id", "n_tokens")
+    )
+
+
+# every 10th doc_id stands in for the held-out benchmark set
+EVAL_MOD = 10
+PACK_BUDGET = 2048  # tokens per training context window
+
+
+@register(
+    "decontaminate_against_eval",
+    tags=("pipeline", "dedup", "join"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least one word shingle with the held-out eval set (here: every
+    ``EVAL_MOD``-th doc_id stands in for the benchmark), reporting how many
+    distinct shingles overlap — the n-gram-overlap test run before training
+    so eval questions never leak into the corpus (production uses 8-13-gram
+    windows; the shared 3-gram helper keeps the oracle in lock-step).
+
+    Scale shape: the eval set is tiny relative to the corpus (benchmarks are
+    thousands of docs against billions), so its distinct-shingle set is
+    BROADCAST and the contamination check is a map-side hash join over the
+    exploded training shingles — the 100 TB side is NEVER shuffled wholesale
+    (deduplication of its shingles happens as count-DISTINCT per doc AFTER
+    the join, over matched rows only, a vanishing fraction of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode(shingles(words("text"))).alias("shingle")
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(shingles(words("text"))).alias("shingle"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+# per-language keep thresholds on the md5 hex prefix: en is over-represented
+# in the synthetic corpus, so it samples at 2/16 while the rest keep 8/16
+LANG_HEX_LT = {"en": "2"}
+DEFAULT_HEX_LT = "8"
+
+
+@register(
+    "sample_stratified_by_lang",
+    tags=("pipeline", "sampling"),
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              < CASE WHEN lang = 'en' THEN '{LANG_HEX_LT["en"]}'
+                     ELSE '{DEFAULT_HEX_LT}' END
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (rebalance
+    an English-heavy crawl without touching low-resource languages) applied
+    through the same md5-prefix idiom as ``sample_documents_hash`` — so the
+    kept set is stable across runs/engines AND across rate changes in other
+    strata. One narrow projection + filter, no shuffle; the rate table is a
+    CASE expression, not a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    threshold = F.when(
+        F.col("lang") == "en", LANG_HEX_LT["en"]
+    ).otherwise(DEFAULT_HEX_LT)
+    return docs.filter(h < threshold).select("doc_id", "lang")
+
+
+@register(
+    "pack_concat_chunks",
+    tags=("pipeline", "window"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+                   CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS chunk_id
+        FROM t
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk style: documents are concatenated
+    in a deterministic order and cut into fixed ``PACK_BUDGET``-token
+    context windows; each document is assigned the chunk its first token
+    lands in. This is the GPT-style packing that wastes no tokens (documents
+    may straddle a boundary), as opposed to bin-packing which never splits.
+
+    Scale shape: documents are hash-bucketed (16-way md5 prefix) so the
+    running-token-offset window runs per bucket — independent partitions,
+    no global sort, no single-reducer window. Each bucket is one shuffle
+    partition's worth of ordered prefix-sum; at 100 TB you raise the bucket
+    count, not the algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("chunk_id"),
     )

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.text import (
     FINGERPRINT_SQL,
+    SHINGLES_SQL,
     STOPWORDS,
     WORDS_SQL,
     fingerprint,
+    shingles,
     words,
 )
 from dblp_to_csv_spark.registry import register
@@ -289,4 +291,47 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
             F.count("*").alias("n_tokens"),
         )
+    )
+
+
+@register(
+    "text_repetition_score",
+    tags=("text", "scalar"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {WORDS_SQL.format(col="text")} AS w FROM documents),
+        s AS (SELECT doc_id, w, {SHINGLES_SQL.format(words="w")} AS sh FROM t)
+        SELECT doc_id,
+               ROUND((len(w) - len(list_distinct(w))) * 1.0
+                     / GREATEST(len(w), 1), 6) AS dup_token_ratio,
+               ROUND((len(sh) - len(list_distinct(sh))) * 1.0
+                     / GREATEST(len(sh), 1), 6) AS dup_3gram_ratio
+        FROM s
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher/MassiveText repetition
+    rules): the fraction of token occurrences that are repeats and the
+    fraction of 3-gram occurrences that are repeats — the signals that
+    catch boilerplate, keyword-stuffed spam, and degenerate generated text
+    that per-token quality scores miss.
+
+    Pure Column arithmetic over the tokenizer/shingle helpers shared with
+    the dedup operators: one narrow projection per document, no explode, no
+    shuffle — at 100 TB this fuses into the same scan as the other quality
+    gates."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    s = t.select("doc_id", "w", shingles(F.col("w")).alias("sh"))
+    w, sh = F.col("w"), F.col("sh")
+    dup = lambda c: F.round(
+        (F.size(c) - F.size(F.array_distinct(c)))
+        * 1.0
+        / F.greatest(F.size(c), F.lit(1)),
+        6,
+    )
+    return s.select(
+        "doc_id",
+        dup(w).alias("dup_token_ratio"),
+        dup(sh).alias("dup_3gram_ratio"),
     )
