@@ -245,6 +245,7 @@ def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
     materialize_candidates_dir: str | None = None,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """MinHash(K=12) + LSH(B=4 bands × R=3): per-doc signatures from
     MIN over 5-hex slices of md5('0|'+s)||md5('1|'+s) (two md5 calls per
@@ -262,6 +263,18 @@ def minhash_lsh_pairs(
     the (small) candidate set, so a real pipeline materializes — pass a
     durable path (a table location) there. Both paths return identical rows
     (tests/test_dedup_banding.py asserts it).
+
+    ``band_cap``: when set, band buckets holding more than this many
+    documents are DROPPED before the candidate self-join — the standard
+    hot-bucket mitigation: one band key shared by k docs emits k(k-1)/2
+    candidate pairs, so a single boilerplate cluster of 10^5 near-identical
+    pages would otherwise fan out 5×10^9 pairs through one reducer. The
+    oversized keys are found with one aggregate and broadcast as an
+    anti-join (the hot set is tiny by construction), so the bands frame is
+    not re-shuffled. Recall note: a pair suppressed in one hot band is
+    still found by any of its other B-1 bands, and a pair ALL of whose
+    bands are hot is boilerplate by definition — the pairs a dedup pipeline
+    least needs ranked exhaustively.
 
     At 100 TB: signatures are one hash-agg over (doc, seed); the candidate
     join shuffles band keys (small), and verification touches only candidate
@@ -315,6 +328,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bandkey")
+    if band_cap is not None:
+        hot = (
+            bands.groupBy("band", "bandkey")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > band_cap)
+            .drop("cnt")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bandkey"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -373,6 +394,47 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+BAND_CAP = 20  # max docs per band bucket before the bucket is dropped
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    tags=("dedup", "join", "sketch", "skew"),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        mh AS (
+            SELECT doc_id, {_MH_COLS}
+            FROM (SELECT doc_id, {_MH_HH_SQL} AS hh FROM sh)
+            GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        keep AS (
+            SELECT band, bandkey FROM bands
+            GROUP BY band, bandkey HAVING COUNT(*) <= {BAND_CAP}
+        ),
+        kb AS (SELECT bands.* FROM bands JOIN keep USING (band, bandkey)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kb a
+            JOIN kb b ON a.band = b.band AND a.bandkey = b.bandkey
+                     AND a.doc_id < b.doc_id
+        )
+        SELECT j.doc_a, j.doc_b, j.jaccard
+        FROM jac j JOIN cand USING (doc_a, doc_b)
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with a per-band bucket cap (``band_cap=BAND_CAP``) — the
+    skew-safe production twin of ``dedup_minhash_lsh``: hot band buckets
+    (boilerplate clusters) are dropped before the candidate self-join, so
+    the worst-key fan-out is bounded at cap·(cap−1)/2 pairs per bucket
+    instead of quadratic in the cluster size. See ``minhash_lsh_pairs`` for
+    the recall argument; tests/test_dedup_banding.py pins both the hot-band
+    suppression and capped ⊆ uncapped."""
+    return minhash_lsh_pairs(spark, sf_dir, band_cap=BAND_CAP)
 
 
 # --------------------------------------------------------------------------

@@ -276,3 +276,51 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start / PACK_BUDGET).cast("long").alias("chunk_id"),
     )
+
+
+@register(
+    "pack_sequences_greedy",
+    tags=("pipeline", "udf"),
+    # no oracle by declared design: next-fit is a running accumulation WITH
+    # RESET — not expressible as a window function; parity vs a pure-Python
+    # reference is pinned in tests/test_packing.py instead
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, bin-packing style: documents are packed whole into
+    ``PACK_BUDGET``-token bins by deterministic next-fit (per hash bucket,
+    in doc_id order: open a new bin whenever the next document would
+    overflow the current one). The no-split alternative to
+    ``pack_concat_chunks`` — no document straddles a context boundary, at
+    the cost of padding waste; a doc longer than the budget gets a bin of
+    its own.
+
+    Spark shape: the per-bin state machine is inherently sequential, so it
+    runs as ``applyInPandas`` over hash buckets — each bucket is one Arrow
+    batch packed in one pass, buckets in parallel; the only shuffle is the
+    groupBy on the bucket key. At 100 TB you raise the bucket count so each
+    stays executor-sized; global bin ids are (bucket, pack_id) pairs, never
+    a sequential counter across the corpus."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fill, current = [], 0, 0
+        for t_ in pdf["n_tokens"]:
+            if fill > 0 and fill + t_ > PACK_BUDGET:
+                current += 1
+                fill = 0
+            fill += t_
+            pack_ids.append(current)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    return t.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, bucket string, n_tokens long, pack_id long"
+    )

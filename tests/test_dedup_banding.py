@@ -20,6 +20,7 @@ from dblp_to_csv_spark.operators.dedup import (
     dedup_embedding_cosine,
     dedup_embedding_cosine_bucketed,
     dedup_simhash,
+    minhash_lsh_pairs,
 )
 from tests.conftest import SF_CORRECTNESS
 
@@ -103,3 +104,42 @@ def test_embedding_bucketed_subset_of_exact(spark):
     bucketed = _rows(dedup_embedding_cosine_bucketed(spark, SF_CORRECTNESS))
     assert bucketed <= exact
     assert len(bucketed) > 0, "fixture too weak: no bucketed near-dup pairs"
+
+
+def test_band_cap_suppresses_hot_bucket(spark, tmp_path):
+    """A boilerplate cluster (many near-identical docs sharing every band)
+    must vanish under band_cap < cluster size, while an unrelated small
+    near-dup pair survives: its buckets are under the cap."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    hot = [f"{base} copy" for _ in range(8)]  # 8 identical → every band hot
+    cold = [
+        "completely different text about spark query planning and shuffles",
+        "completely different text about spark query planning and shuffle",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(10), "text": hot + cold}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    uncapped = minhash_lsh_pairs(spark, str(tmp_path))
+    capped = minhash_lsh_pairs(spark, str(tmp_path), band_cap=4)
+    un = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cp = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (8, 9) in un and len(un) > 1  # hot cluster + cold pair found
+    assert cp == {(8, 9)}  # cap drops the hot cluster, keeps the cold pair
+
+
+def test_band_cap_is_subset_at_sf(spark):
+    """capped ⊆ uncapped on the fixture corpus (cap can only remove)."""
+    from dblp_to_csv_spark.operators.dedup import BAND_CAP
+
+    un = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, SF_CORRECTNESS).collect()
+    }
+    cp = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, SF_CORRECTNESS, band_cap=BAND_CAP).collect()
+    }
+    assert cp <= un
