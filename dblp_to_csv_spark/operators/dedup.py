@@ -246,6 +246,7 @@ def minhash_lsh_pairs(
     sf_dir: str,
     materialize_candidates_dir: str | None = None,
     band_cap: int | None = None,
+    shingle_df_cap: int | None = None,
 ) -> DataFrame:
     """MinHash(K=12) + LSH(B=4 bands × R=3): per-doc signatures from
     MIN over 5-hex slices of md5('0|'+s)||md5('1|'+s) (two md5 calls per
@@ -276,6 +277,17 @@ def minhash_lsh_pairs(
     bands are hot is boilerplate by definition — the pairs a dedup pipeline
     least needs ranked exhaustively.
 
+    ``shingle_df_cap``: when set, shingles whose DOCUMENT FREQUENCY exceeds
+    the cap are removed BEFORE signature construction (and, consistently,
+    before Jaccard verification) — boilerplate n-grams ("all rights
+    reserved…") otherwise dominate every signature's minima and glue
+    unrelated documents into one candidate blob. The hot-shingle set comes
+    from one distinct+count aggregate and is applied as a broadcast
+    anti-join (ubiquitous shingles are few by definition); the resulting
+    semantics are Jaccard over the capped shingle sets, exactly what
+    ``dedup_ngram_jaccard_capped`` computes — cap both paths with the same
+    constant and they stay comparable.
+
     At 100 TB: signatures are one hash-agg over (doc, seed); the candidate
     join shuffles band keys (small), and verification touches only candidate
     pairs — never the full cross product. md5 keys make the whole pipeline
@@ -299,6 +311,15 @@ def minhash_lsh_pairs(
     sh_raw = docs.select("doc_id", words("text").alias("w")).select(
         "doc_id", F.explode(shingles(F.col("w"))).alias("shingle")
     )
+    if shingle_df_cap is not None:
+        hot_shingles = (
+            sh_raw.distinct()
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > shingle_df_cap)
+            .drop("df")
+        )
+        sh_raw = sh_raw.join(F.broadcast(hot_shingles), "shingle", "left_anti")
     # two md5 calls per shingle, sliced into K 20-bit hash slots (see the
     # construction note above _MH_COLS; the oracle computes the identical
     # string expression)
@@ -786,6 +807,63 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@register(
+    "dedup_minhash_lsh_df_capped",
+    tags=("dedup", "join", "sketch", "skew"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh0 AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        freq AS (
+            SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_FREQ_CAP}
+        ),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)),
+        c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN c ca ON ca.doc_id = da
+            JOIN c cb ON cb.doc_id = db
+        ),
+        mh AS (
+            SELECT doc_id, {_MH_COLS}
+            FROM (SELECT doc_id, {_MH_HH_SQL} AS hh FROM sh)
+            GROUP BY doc_id
+        ),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT j.doc_a, j.doc_b, j.jaccard
+        FROM jac j JOIN cand USING (doc_a, doc_b)
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH over frequency-capped shingles — ubiquitous (boilerplate)
+    shingles are removed before SIGNATURE construction, not just before
+    verification, so they can't dominate the per-band minima and glue
+    unrelated documents into one candidate blob. Semantics = Jaccard over
+    the capped shingle sets, the same quantity ``dedup_ngram_jaccard_capped``
+    computes exactly (shared ``SHINGLE_FREQ_CAP``); the oracle rebuilds the
+    identical capped pipeline end-to-end. See ``minhash_lsh_pairs`` for the
+    broadcast anti-join shape."""
+    return minhash_lsh_pairs(spark, sf_dir, shingle_df_cap=SHINGLE_FREQ_CAP)
 
 
 # --------------------------------------------------------------------------

@@ -143,3 +143,21 @@ def test_band_cap_is_subset_at_sf(spark):
         for r in minhash_lsh_pairs(spark, SF_CORRECTNESS, band_cap=BAND_CAP).collect()
     }
     assert cp <= un
+
+
+def test_shingle_df_cap_removes_boilerplate_glue(spark, tmp_path):
+    """Documents identical except for a unique tail share almost all their
+    shingles (boilerplate): uncapped MinHash pairs them all; with a
+    document-frequency cap below the cluster size the boilerplate shingles
+    leave the signatures AND the verification sets, so no pair survives."""
+    import pandas as pd
+
+    boiler = " ".join(f"w{i}" for i in range(20))  # 18 shared 3-grams
+    docs = [f"{boiler} unique{k} tail{k}" for k in range(6)]
+    pd.DataFrame({"doc_id": range(6), "text": docs}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    uncapped = minhash_lsh_pairs(spark, str(tmp_path))
+    capped = minhash_lsh_pairs(spark, str(tmp_path), shingle_df_cap=3)
+    assert uncapped.count() == 15  # all 6-choose-2 pairs glued by boilerplate
+    assert capped.count() == 0
