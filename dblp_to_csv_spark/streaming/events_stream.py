@@ -145,3 +145,58 @@ def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFr
             "n_events",
         )
     )
+
+
+def stream_upsert_keep_latest(
+    events: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """foreachBatch upsert sink: maintain a parquet table holding the LATEST
+    event per user, merged per micro-batch — the streaming materialization
+    of the keep-latest compaction (operators/dedup.py
+    `dedup_latest_order_per_customer`), and the idiom for any
+    streaming-upsert target that has no native MERGE (with a Delta/Iceberg
+    table the batch body becomes one MERGE INTO statement; the
+    foreachBatch scaffolding is identical).
+
+    Exactly-once discipline: the streaming engine replays a failed batch
+    with the SAME batch_id; the merge body is idempotent (keep-latest of a
+    union is insensitive to re-application of the same rows), so replays
+    converge instead of duplicating. State lives in the target table itself
+    — no streaming state store beyond source offsets in the checkpoint.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from pyspark.sql import Window
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = batch.select("user_id", "ts", "event_id", "event_type", "value")
+        try:
+            current = spark.read.parquet(target_dir)
+        except Exception:  # first batch: nothing to merge yet
+            current = None
+        merged = new if current is None else current.unionByName(new)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # rewrite-on-merge: correct for parquet (no transactional MERGE);
+        # collect-free, one shuffle on user_id. The write must land fully
+        # before replacing the read path — write to a temp subdir then swap
+        # would be the production move; overwrite suffices where the driver
+        # is the only writer (tests) since Spark stages _temporary first.
+        latest.write.mode("overwrite").parquet(target_dir + "_next")
+        import shutil
+
+        shutil.rmtree(target_dir, ignore_errors=True)
+        shutil.move(target_dir + "_next", target_dir)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -268,3 +268,46 @@ def test_multimodal_resize_plumbing(spark):
     assert len(out) == 500
     assert (out["n_bytes"] == 64).all()
     assert out["payload"].map(len).eq(64).all()
+
+
+def test_stream_upsert_keep_latest(spark, tmp_path):
+    """foreachBatch upsert: after draining the stream, the target parquet
+    table holds exactly the batch keep-latest result (one row per user,
+    latest by (ts, event_id)); a second run over the same source is a no-op
+    (idempotent merge)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming import load_events_stream
+    from dblp_to_csv_spark.streaming.events_stream import stream_upsert_keep_latest
+
+    target = str(tmp_path / "latest")
+
+    def run(ckpt: str) -> None:
+        q = stream_upsert_keep_latest(
+            load_events_stream(spark, SF_SMOKE), target, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run("ckpt1")
+    got = spark.read.parquet(target).toPandas().sort_values("user_id")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+        .sort_values("user_id")
+    )
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+
+    run("ckpt2")  # fresh checkpoint: same source replayed into the target
+    again = spark.read.parquet(target).toPandas().sort_values("user_id")
+    assert again["event_id"].tolist() == want["event_id"].tolist()
