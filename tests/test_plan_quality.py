@@ -71,3 +71,36 @@ def test_no_python_row_udfs_in_hot_paths(spark, name):
     BatchEvalPython (row-at-a-time Python UDF) may appear."""
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-shingle set must be the broadcast build side and the plan
+    must push the eval/train doc_id split to the scans; no plain shuffle
+    join of the corpus against the eval set."""
+    plan = _plan(spark, "decontaminate_against_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_pack_chunks_single_bucket_exchange(spark):
+    """Concat-then-chunk packing must be one hashpartitioning exchange on the
+    bucket key feeding one Window — no global (single-partition) sort."""
+    plan = _plan(spark, "pack_concat_chunks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_capped_minhash_variants_stay_equijoin(spark):
+    for name in ["dedup_minhash_lsh_capped", "dedup_minhash_lsh_df_capped"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_repetition_and_stratified_are_scan_projections(spark):
+    """No shuffle at all: these fuse into the document scan."""
+    for name in ["text_repetition_score", "sample_stratified_by_lang"]:
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
