@@ -335,3 +335,62 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup(w).alias("dup_token_ratio"),
         dup(sh).alias("dup_3gram_ratio"),
     )
+
+
+# dialect-portable PII patterns (Java regex and RE2 agree on this subset).
+# Redaction order matters: emails first (their local part can look like a
+# phone), then IPv4 (phone's digit-run would eat dotted quads), then phones.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d() -]{7,}\d"
+
+
+@register(
+    "text_redact_pii",
+    tags=("text", "scalar"),
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+                   AS n_ips,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_PHONE}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails, IPv4 addresses, and phone-shaped digit
+    runs with typed placeholder tokens, and count what was removed — the
+    privacy pass a training-data pipeline runs before any text leaves the
+    ingest boundary. Counts are audit metadata (per-source PII rates feed
+    the compliance dashboard); the chained-replace ORDER is part of the
+    contract (see the pattern comment) and the oracle chains identically.
+
+    Pure scan-side projection — three regexp passes fused into one codegen
+    stage, no shuffle, no UDF; at 100 TB this rides the same scan as the
+    quality gates. (Real pipelines add NER models for names/addresses — a
+    mapInPandas stage like multimodal_decode_stub's; the regex tier is the
+    deterministic, oracle-checkable floor.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n = lambda c, p: F.size(
+        F.regexp_extract_all(c, F.lit(p), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n(t, PII_EMAIL).alias("n_emails"),
+        n(t, PII_IPV4).alias("n_ips"),
+        n(after_ip, PII_PHONE).alias("n_phones"),
+        F.regexp_replace(after_ip, PII_PHONE, "<PHONE>").alias("redacted"),
+    )
