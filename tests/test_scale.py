@@ -124,3 +124,59 @@ def test_etl_large_corpus_multi_split(spark, big_xml, tmp_path):
         assert "author" in a.array_columns
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """AQE runtime bloom-filter pruning — the 100 TB shuffle-join saver: a
+    selective filter on the dimension side is turned into a bloom
+    `might_contain` pre-filter on the FACT side's scan, so rows that cannot
+    join are dropped before the shuffle instead of after it. Thresholds are
+    lowered to fire at test scale (production defaults: 10 MB creation side,
+    10 GB application side); broadcast is disabled so the join actually
+    shuffles — with broadcast on, the hash join itself plays this role."""
+    from contextlib import ExitStack
+
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table, temp_conf
+    from tests.conftest import SF_CORRECTNESS
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with ExitStack() as stack:
+        for k, v in confs.items():
+            stack.enter_context(temp_conf(spark, k, v))
+        li = load_table(spark, SF_CORRECTNESS, "lineitem")
+        o = load_table(spark, SF_CORRECTNESS, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # and the filtered result is still correct
+        got = {(r["o_orderstatus"], r["n"]) for r in j.collect()}
+    want = {
+        (r["o_orderstatus"], r["n"])
+        for r in (
+            load_table(spark, SF_CORRECTNESS, "lineitem")
+            .join(
+                load_table(spark, SF_CORRECTNESS, "orders").filter(
+                    F.col("o_totalprice") > 400000
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
