@@ -2,6 +2,12 @@
 # the package imports and the test suite collects — the two failure modes
 # that can silently zero an entire round of driver evidence (a NameError at
 # import time kills the correctness harness, the bench, AND pytest at once).
+#
+# bash + pipefail so a collection failure is NOT swallowed by the tail pipe
+# (with the default sh, the pipeline's status is tail's — the gate would
+# pass on exactly the failure it exists to catch).
+SHELL := /bin/bash
+.SHELLFLAGS := -o pipefail -c
 .PHONY: smoke test bench
 
 smoke:

@@ -732,35 +732,44 @@ def dedup_connected_components_star(
 
 SHINGLE_FREQ_CAP = 50
 
+# Shared capped-shingle pipeline: the exact capped-Jaccard path AND the
+# df-capped MinHash oracle both build on THIS block, so "the same quantity,
+# same cap" stays true by construction (an edit to one filter cannot
+# silently break the equivalence the tests pin). ``sh`` = the capped
+# distinct (doc, shingle) set; ``jac`` = exact Jaccard over it.
+_CAPPED_SHINGLE_CTE = f"""
+    w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh0 AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+    ),
+    freq AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_FREQ_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)),
+    c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT da AS doc_a, db AS doc_b,
+               ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN c ca ON ca.doc_id = da
+        JOIN c cb ON cb.doc_id = db
+    )
+"""
+
 
 @register(
     "dedup_ngram_jaccard_capped",
     tags=("dedup", "join", "agg", "skew"),
     oracle=f"""
-        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-        sh AS (
-            SELECT DISTINCT doc_id, shingle
-            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
-        ),
-        freq AS (
-            SELECT shingle FROM sh GROUP BY shingle
-            HAVING COUNT(*) <= {SHINGLE_FREQ_CAP}
-        ),
-        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
-        c AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-            FROM shc a JOIN shc b USING (shingle)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        jac AS (
-            SELECT da AS doc_a, db AS doc_b,
-                   ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN c ca ON ca.doc_id = da
-            JOIN c cb ON cb.doc_id = db
-        )
+        WITH {_CAPPED_SHINGLE_CTE}
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
 )
@@ -813,30 +822,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_df_capped",
     tags=("dedup", "join", "sketch", "skew"),
     oracle=f"""
-        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-        sh0 AS (
-            SELECT DISTINCT doc_id, shingle
-            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
-        ),
-        freq AS (
-            SELECT shingle FROM sh0 GROUP BY shingle
-            HAVING COUNT(*) <= {SHINGLE_FREQ_CAP}
-        ),
-        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)),
-        c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-            FROM sh a JOIN sh b USING (shingle)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        jac AS (
-            SELECT da AS doc_a, db AS doc_b,
-                   ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN c ca ON ca.doc_id = da
-            JOIN c cb ON cb.doc_id = db
-        ),
+        WITH {_CAPPED_SHINGLE_CTE},
         mh AS (
             SELECT doc_id, {_MH_COLS}
             FROM (SELECT doc_id, {_MH_HH_SQL} AS hh FROM sh)

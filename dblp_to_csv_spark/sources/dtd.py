@@ -14,7 +14,12 @@ from __future__ import annotations
 import re
 
 _ELEMENT_DECL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)", re.MULTILINE)
-_ATTLIST_DECL = re.compile(r"<!ATTLIST\s+([A-Za-z_:][\w.:-]*)\s+([^>]*)>", re.DOTALL)
+# the body may contain '>' inside quoted default values — consume quoted
+# strings atomically instead of stopping at the first '>'
+_ATTLIST_DECL = re.compile(
+    r"<!ATTLIST\s+([A-Za-z_:][\w.:-]*)\s+((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.DOTALL,
+)
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 
 # internal parameter-entity declaration: <!ENTITY % name "replacement">
@@ -57,7 +62,8 @@ def _read_dtd_text(dtd_path: str) -> str:
 # where type is CDATA, a token type, or an enumeration "(a|b|c)"
 _ATTDEF = re.compile(
     r"([A-Za-z_:][\w.:-]*)\s+"  # attribute name
-    r"(CDATA|ID|IDREF|IDREFS|ENTITY|ENTITIES|NMTOKEN|NMTOKENS|\([^)]*\))\s+"
+    r"(CDATA|IDREFS|IDREF|ID|ENTITY|ENTITIES|NMTOKENS|NMTOKEN"
+    r"|NOTATION\s+\([^)]*\)|\([^)]*\))\s+"
     r"(#REQUIRED|#IMPLIED|(?:#FIXED\s+)?(?:\"[^\"]*\"|'[^']*'))",
     re.DOTALL,
 )
@@ -231,25 +237,28 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     documented deviation, SURVEY.md §4.3.3; see
     ``validate_xml_structurally`` for the stdlib fallback subset).
 
-    ``dtd_path`` is HONORED: the document is always checked structurally
-    (declared elements/attributes, #REQUIRED presence, content-model
-    order/cardinality, ID uniqueness, IDREF/IDREFS resolution,
-    NMTOKEN/enumeration/#FIXED value types) against the *supplied* DTD — a
-    failure there is a False verdict even when lxml is absent. On top of
-    that, when lxml is importable, a second streaming pass validates INLINE
-    against the document's DOCTYPE via iterparse with
+    Authority order: when lxml is importable, its streaming pass validates
+    INLINE against the document's DOCTYPE via iterparse with
     ``dtd_validation=True`` (exactly the reference's construction,
-    XMLToCSV.py:109-110: same flags, same element-clearing discipline),
-    adding what the structural pass does not cover (ENTITY attribute
-    resolution, DTD-declared general entities); a full etree.parse would
-    materialize a DBLP-sized document on the driver.
-    Return None only when lxml is missing AND the structural pass found
-    nothing — i.e. "full validation unavailable, subset passed"."""
-    if validate_xml_structurally(xml_path, dtd_path, max_errors=1):
-        return False  # violates the supplied DTD — no lxml needed to say so
+    XMLToCSV.py:109-110: same flags, same element-clearing discipline,
+    same DOCTYPE-not-argument semantics) and its verdict is FINAL — the
+    stdlib subset below must never overrule libxml2, because the subset has
+    known blind spots (unresolved general entities hide declared children;
+    exotic declarations can mis-parse) that would reject valid documents.
+    A full etree.parse would materialize a DBLP-sized document on the
+    driver, hence iterparse.
+
+    Without lxml, ``dtd_path`` IS honored: the stdlib structural pass
+    checks the document against the *supplied* DTD (declared
+    elements/attributes, #REQUIRED presence, content-model
+    order/cardinality, ID uniqueness, IDREF/IDREFS resolution,
+    NMTOKEN/enumeration/#FIXED value types) and violations return False;
+    None means "full validation unavailable, subset passed"."""
     try:
         from lxml import etree
     except ImportError:
+        if validate_xml_structurally(xml_path, dtd_path, max_errors=1):
+            return False  # violates the supplied DTD
         return None
     root = None
     try:
@@ -322,14 +331,39 @@ def get_content_models(dtd_path: str) -> dict[str, re.Pattern[str] | None]:
     }
 
 
-def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
-    """Per element: {attr: required?} from ATTLIST declarations."""
-    text = _read_dtd_text(dtd_path)
-    out: dict[str, dict[str, bool]] = {}
+def _attdefs_from_text(text: str) -> dict[str, dict[str, tuple[str, str]]]:
+    """One ATTLIST scan: {element: {attr: (normalized type, raw default)}} —
+    the single source both public attribute views derive from (so the
+    required-ness map and the type map can never drift apart)."""
+    out: dict[str, dict[str, tuple[str, str]]] = {}
     for m in _ATTLIST_DECL.finditer(text):
         element, body = m.group(1), m.group(2)
         for am in _ATTDEF.finditer(body):
-            out.setdefault(element, {})[am.group(1)] = am.group(3) == "#REQUIRED"
+            out.setdefault(element, {})[am.group(1)] = (
+                re.sub(r"\s+", "", am.group(2)),
+                am.group(3),
+            )
+    return out
+
+
+def get_declared_attributes(dtd_path: str) -> dict[str, dict[str, bool]]:
+    """Per element: {attr: required?} from ATTLIST declarations."""
+    return {
+        el: {a: default == "#REQUIRED" for a, (_t, default) in defs.items()}
+        for el, defs in _attdefs_from_text(_read_dtd_text(dtd_path)).items()
+    }
+
+
+def _attribute_types_from_text(
+    text: str,
+) -> dict[str, dict[str, tuple[str, str | None]]]:
+    out: dict[str, dict[str, tuple[str, str | None]]] = {}
+    for el, defs in _attdefs_from_text(text).items():
+        for a, (typ, default) in defs.items():
+            fixed = None
+            if default.startswith("#FIXED"):
+                fixed = default.removeprefix("#FIXED").strip().strip("\"'")
+            out.setdefault(el, {})[a] = (typ, fixed)
     return out
 
 
@@ -339,21 +373,12 @@ def get_attribute_types(
     """Per element: {attr: (declared type, #FIXED value or None)}.
 
     Type is one of the DTD tokenized types (``ID``, ``IDREF``, ``IDREFS``,
-    ``NMTOKEN``, ``NMTOKENS``, ``ENTITY``, ``ENTITIES``), ``CDATA``, or an
-    enumeration literal like ``(informal|survey)``. Feeds the value-type
-    checks in ``validate_xml_structurally`` — the subset libxml2 enforces
-    for the reference via ``dtd_validation=True`` (XMLToCSV.py:109-110)."""
-    text = _read_dtd_text(dtd_path)
-    out: dict[str, dict[str, tuple[str, str | None]]] = {}
-    for m in _ATTLIST_DECL.finditer(text):
-        element, body = m.group(1), m.group(2)
-        for am in _ATTDEF.finditer(body):
-            attr, typ, default = am.group(1), am.group(2), am.group(3)
-            fixed = None
-            if default.startswith("#FIXED"):
-                fixed = default.removeprefix("#FIXED").strip().strip("\"'")
-            out.setdefault(element, {})[attr] = (re.sub(r"\s+", "", typ), fixed)
-    return out
+    ``NMTOKEN``, ``NMTOKENS``, ``ENTITY``, ``ENTITIES``,
+    ``NOTATION(...)``), ``CDATA``, or an enumeration literal like
+    ``(informal|survey)``. Feeds the value-type checks in
+    ``validate_xml_structurally`` — the subset libxml2 enforces for the
+    reference via ``dtd_validation=True`` (XMLToCSV.py:109-110)."""
+    return _attribute_types_from_text(_read_dtd_text(dtd_path))
 
 
 def validate_xml_structurally(
@@ -378,12 +403,18 @@ def validate_xml_structurally(
     the ingest pipeline instead."""
     import xml.parsers.expat
 
-    # all declared element names, root included
+    # ONE file read + PE expansion; every catalog view derives from it
     dtd_text = _read_dtd_text(dtd_path)
     declared = set(_ELEMENT_DECL.findall(dtd_text))
-    attrs = get_declared_attributes(dtd_path)
-    attr_types = get_attribute_types(dtd_path)
-    models = get_content_models(dtd_path)
+    attr_types = _attribute_types_from_text(dtd_text)
+    attrs = {
+        el: {a: default == "#REQUIRED" for a, (_t, default) in defs.items()}
+        for el, defs in _attdefs_from_text(dtd_text).items()
+    }
+    models = {
+        m.group(1): _content_model_regex(m.group(2))
+        for m in _ELEMENT_MODEL.finditer(dtd_text)
+    }
     # elements whose content model forbids character data: element-only
     # models and EMPTY. Text is allowed iff the model is the literal token
     # ANY (exact match — a child element NAMED e.g. "MANY" must not trigger
@@ -404,6 +435,12 @@ def validate_xml_structurally(
     stack: list[tuple[str, list[str]]] = []
     ids: set[str] = set()  # every ID-typed attribute value seen
     idrefs: dict[str, str] = {}  # IDREF(S) value → first-use context
+
+    class _ErrorLimit(Exception):
+        """Raised out of the expat handlers once max_errors is reached, so
+        the parse stops instead of scanning a multi-GB corpus to EOF for
+        errors that will be sliced off anyway (max_errors=1 pre-flights
+        abort at the first violation)."""
 
     def check_value(name: str, a: str, value: str) -> None:
         typ, fixed = attr_types.get(name, {}).get(a, ("CDATA", None))
@@ -461,6 +498,8 @@ def validate_xml_structurally(
         for a, required in declared_attrs.items():
             if required and a not in attributes:
                 errors.append(f"missing #REQUIRED attribute {a!r} on <{name}>")
+        if len(errors) >= max_errors:
+            raise _ErrorLimit
 
     def end(name: str) -> None:
         _, tokens = stack.pop()
@@ -473,6 +512,8 @@ def validate_xml_structurally(
                 f"content model violation in <{name}>: children "
                 f"({seq.rstrip(',') or 'none'}) do not match its declaration"
             )
+        if len(errors) >= max_errors:
+            raise _ErrorLimit
 
     def chars(data: str) -> None:
         # character data where the model forbids it (element-only / EMPTY):
@@ -484,6 +525,8 @@ def validate_xml_structurally(
             errors.append(
                 f"character data not allowed in element-only <{stack[-1][0]}>"
             )
+        if len(errors) >= max_errors:
+            raise _ErrorLimit
 
     parser = xml.parsers.expat.ParserCreate()
     parser.StartElementHandler = start
@@ -494,6 +537,8 @@ def validate_xml_structurally(
             parser.ParseFile(f)
     except xml.parsers.expat.ExpatError as e:
         errors.append(f"malformed XML: {e}")
+    except _ErrorLimit:
+        pass  # error budget spent; stop reading
     # IDREF resolution is a whole-document constraint: checkable only after
     # the last ID declaration has been seen
     for ref, context in idrefs.items():

@@ -168,12 +168,23 @@ def stream_upsert_keep_latest(
     from pyspark.sql import Window
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         spark = batch.sparkSession
         new = batch.select("user_id", "ts", "event_id", "event_type", "value")
-        try:
-            current = spark.read.parquet(target_dir)
-        except Exception:  # first batch: nothing to merge yet
-            current = None
+        # crash recovery: a failure between the swap's delete and move left
+        # the fully-merged table in _next and no target — finish the swap
+        # before reading, or the replayed merge would see "first batch" and
+        # lose all prior state
+        if not os.path.isdir(target_dir) and os.path.isdir(target_dir + "_next"):
+            shutil.move(target_dir + "_next", target_dir)
+        # existence check, not try/except: a transient READ failure on an
+        # existing target must raise (so the engine retries the batch), not
+        # be mistaken for "first batch" and silently discard all prior state
+        current = (
+            spark.read.parquet(target_dir) if os.path.isdir(target_dir) else None
+        )
         merged = new if current is None else current.unionByName(new)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
@@ -184,14 +195,15 @@ def stream_upsert_keep_latest(
             .drop("rn")
         )
         # rewrite-on-merge: correct for parquet (no transactional MERGE);
-        # collect-free, one shuffle on user_id. The write must land fully
-        # before replacing the read path — write to a temp subdir then swap
-        # would be the production move; overwrite suffices where the driver
-        # is the only writer (tests) since Spark stages _temporary first.
+        # collect-free, one shuffle on user_id. The new table lands fully in
+        # _next BEFORE the swap; both swap steps raise on failure (a failed
+        # delete must not let move() nest _next INSIDE the stale target).
+        # A crash inside the delete→move window is repaired by the recovery
+        # preamble above on replay; a transactional table format closes the
+        # window entirely via MERGE.
         latest.write.mode("overwrite").parquet(target_dir + "_next")
-        import shutil
-
-        shutil.rmtree(target_dir, ignore_errors=True)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
         shutil.move(target_dir + "_next", target_dir)
 
     return (

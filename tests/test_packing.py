@@ -60,4 +60,10 @@ def test_chunk_assignment_covers_all_docs(spark):
     n_docs = pd.read_parquet(f"{SF_CORRECTNESS}/documents.parquet").shape[0]
     assert len(pdf) == n_docs
     for bucket, grp in pdf.groupby("bucket"):
-        assert grp["chunk_id"].max() == (grp["n_tokens"].sum() - grp["n_tokens"].iloc[-1]) // PACK_BUDGET if len(grp) else True
+        # chunk of the LAST doc in packing order (doc_id asc) = start offset
+        # of that doc over the budget; collect order is arbitrary, so sort
+        grp = grp.sort_values("doc_id")
+        assert (
+            grp["chunk_id"].max()
+            == (grp["n_tokens"].sum() - grp["n_tokens"].iloc[-1]) // PACK_BUDGET
+        )
