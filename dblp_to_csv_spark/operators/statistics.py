@@ -19,8 +19,8 @@ from dblp_to_csv_spark.sources.tables import load_table
         SELECT l_returnflag,
                ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
                ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
-               ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-               ROUND(COVAR_SAMP(l_discount, l_tax), 6) AS disc_tax_covar
+               ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+               ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -28,13 +28,15 @@ from dblp_to_csv_spark.sources.tables import load_table
 def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment-based aggregates (stddev/variance/corr/covar): single-pass
     partial+final aggregation of the co-moments — no second scan, no
-    collect. Rounded to absorb engine summation-order ulps."""
+    collect. Rounded to absorb engine summation-order ulps; ``+ 0.0``
+    normalizes IEEE negative zero (DuckDB's ROUND yields -0.0 for tiny
+    negative values, Spark's yields +0.0 — the r4 hash mismatch)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("disc_tax_covar"),
     )
 
 

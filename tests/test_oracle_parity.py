@@ -58,10 +58,16 @@ def test_query_matches_oracle(spark, duck, name, entry):
     for c in got.columns:
         if pd.api.types.is_float_dtype(got[c]):
             a, b = got[c].to_numpy(), want[c].to_numpy()
+            # Signed-zero-strict: the driver's value hash distinguishes -0.0
+            # from +0.0 (the r4 stats_agg_lineitem mismatch), so == alone
+            # (which says -0.0 == 0.0) would under-report here.
             mism = [
                 (x, y)
                 for x, y in zip(a, b)
-                if not (x == y or (math.isnan(x) and math.isnan(y)))
+                if not (
+                    (x == y and math.copysign(1.0, x) == math.copysign(1.0, y))
+                    or (math.isnan(x) and math.isnan(y))
+                )
             ]
             assert not mism, f"{name}.{c}: {len(mism)} float mismatches, first: {mism[:3]}"
         else:
