@@ -58,14 +58,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
     else:
         df = spark.read.parquet(path)
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as
-    # epoch-nanos LongType. Convert with INTEGER division (epoch nanos exceed
-    # 2^53, double math would corrupt the low digits), truncating to micros —
-    # the same truncation DuckDB applies when it reads the column.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # events.ts has shipped in two parquet encodings across driver versions:
+    # TIMESTAMP(NANOS) (surfaces as epoch-nanos LongType under nanosAsLong)
+    # and TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as
+    # TIMESTAMP_NTZ). Normalize both to TIMESTAMP so every downstream
+    # operator (unix_micros, window, date_trunc) sees one type.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # INTEGER division (epoch nanos exceed 2^53, double math would
+            # corrupt the low digits), truncating to micros — the same
+            # truncation DuckDB applies when it reads the column.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Reinterpret in the session timezone; collect() converts back
+            # via the same zone, so naive wall-clock values round-trip and
+            # match DuckDB's naive read of the identical file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
