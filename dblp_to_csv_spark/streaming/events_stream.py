@@ -37,8 +37,12 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-    if dict(batch.dtypes).get("ts") == "bigint":
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP; same normalization as the batch loader
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
