@@ -13,3 +13,4 @@ import dblp_to_csv_spark.operators.function_gallery  # noqa: F401
 import dblp_to_csv_spark.operators.udf_surface  # noqa: F401
 import dblp_to_csv_spark.operators.statistics  # noqa: F401
 import dblp_to_csv_spark.operators.pipeline  # noqa: F401
+import dblp_to_csv_spark.operators.curation  # noqa: F401

@@ -1,0 +1,407 @@
+"""Corpus-curation operators (SURVEY.md §2.4): the selection/weighting stages
+between filtering and training — rule-based quality gating (Gopher-style),
+per-language token budgeting, temperature resampling, chunk-level exact
+duplication analysis, near-dup cluster accounting, and perplexity-bucket
+labeling (CCNet-style head/middle/tail).
+
+The reference (XMLToCSV.py:1-415) has no corpus-curation surface at all;
+these exist because a 100 TB training-data pipeline is mostly THIS — deciding
+what to keep, in what proportion, and what it costs to drop the rest.
+
+Scale notes:
+* Everything deterministic: sampling decisions are pure functions of ids
+  (md5-uniform draws), so re-runs, retries, and engine swaps keep identical
+  rows — the exactly-once property rand() cannot give.
+* The only shuffles are per-key windows/aggregates on high-cardinality keys
+  (lang, component, chunk hash); rate/cutpoint tables are 1-row-to-few-rows
+  aggregates broadcast back — never a second pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.functions.text import STOPWORDS, WORDS_SQL, words
+from dblp_to_csv_spark.operators.dedup import _CC_ORACLE_CTES
+from dblp_to_csv_spark.operators.dedup import connected_components_min_label
+from dblp_to_csv_spark.operators.text_analysis import text_unigram_logprob
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+_WORDS = WORDS_SQL.format(col="text")
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, scaled to the
+# synthetic corpus: docs are 10-110 words of lowercase tokens).
+GOPHER_MIN_WORDS = 10
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_TOP_WORD_MAX = 0.2  # most-common word ≤ 20% of the doc
+GOPHER_MIN_STOP_DISTINCT = 2  # ≥ 2 distinct stopwords present
+
+LANG_TOKEN_BUDGET = 5_000  # tokens admitted per language
+CHUNK_WORDS = 10  # non-overlapping exact-dup chunk width
+
+
+@register(
+    "quality_gopher_rules",
+    tags=("pipeline", "text", "quality"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   ROUND(list_sum(list_transform(w, x -> length(x)))
+                         * 1.0 / GREATEST(len(w), 1), 6) AS mean_word_len,
+                   ROUND(list_max(list_transform(list_distinct(w),
+                             x -> len(list_filter(w, y -> y = x))))
+                         * 1.0 / GREATEST(len(w), 1), 6) AS top_word_ratio,
+                   len(list_filter(list_distinct(w),
+                       x -> list_contains([{_STOP_LIST}], x))) AS n_stop_distinct
+            FROM t
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+               top_word_ratio, CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+                AND top_word_ratio <= {GOPHER_TOP_WORD_MAX}
+                AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT}) AS keep
+        FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery: word count, mean word length, most-common-
+    word dominance, and distinct-stopword presence → a keep verdict. The
+    C4-shape gate (text_quality_score) tests ratios of the whole text; this
+    one tests the WORD DISTRIBUTION, which is what catches machine-generated
+    and keyword-stuffed pages.
+
+    All four metrics are array expressions over one tokenization — a single
+    narrow projection, no shuffle, fully inside codegen. The top-word scan is
+    O(words²) per document (array_distinct × filter) — bounded by document
+    length, linear in corpus size, and still cheaper than the explode +
+    groupBy + window alternative, which would shuffle every token."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_words = F.size(w)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        * 1.0
+        / denom,
+        6,
+    )
+    top_word_ratio = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x))
+            )
+        )
+        * 1.0
+        / denom,
+        6,
+    )
+    n_stop_distinct = F.size(
+        F.filter(F.array_distinct(w), lambda x: x.isin(*STOPWORDS))
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        top_word_ratio.alias("top_word_ratio"),
+        n_stop_distinct.cast("long").alias("n_stop_distinct"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & F.col("mean_word_len").between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+            & (F.col("top_word_ratio") <= GOPHER_TOP_WORD_MAX)
+            & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "token_budget_per_lang",
+    tags=("pipeline", "sampling", "window"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens
+        FROM (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM t
+        )
+        WHERE start_offset < {LANG_TOKEN_BUDGET}
+    """,
+)
+def token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: admit documents per language, in deterministic
+    doc_id order, until the language's token budget is spent (a document
+    whose first token lands inside the budget is admitted whole) — how a
+    mixture spec ("50 B tokens of en, 10 B of de, …") turns into a concrete
+    document set.
+
+    One running-sum window per language partition, one filter — the shuffle
+    key is lang, and each partition's prefix sum is independent. At 100 TB
+    the per-lang scan parallelizes by pre-bucketing doc_id ranges (the
+    budget check composes: bucket offsets are a 1-row-per-bucket aggregate,
+    broadcast back — same shape as pack_concat_chunks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.withColumn("start_offset", start)
+        .filter(F.col("start_offset") < LANG_TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
+    "lang_temperature_resample",
+    tags=("pipeline", "sampling"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang,
+                   ROUND(sqrt((SELECT MIN(cnt) FROM counts) * 1.0 / cnt), 9)
+                       AS keep_rate
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ('0x' || substr(md5('t|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < r.keep_rate
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling (α = 0.5): per-language keep rates
+    ∝ count^(α−1), normalized so the smallest language keeps 100% —
+    keep_rate(l) = sqrt(min_count / count(l)). The multilingual-balancing
+    move (over-represented languages are downsampled toward the temperature
+    distribution) that turns a crawl's natural skew into a training mix.
+
+    Determinism across engines: the per-doc uniform draw is the first 32
+    bits of md5('t|'+doc_id) scaled to [0,1) — exact integer construction,
+    identical in Spark and DuckDB; the rate is rounded to 9 decimals so both
+    engines compare against the same constant. The rate table is a per-lang
+    aggregate (5 rows) broadcast back onto the scan — one aggregate pass,
+    one map-side join, no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        "lang",
+        F.round(F.sqrt(F.col("min_cnt") * 1.0 / F.col("cnt")), 9).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "dedup_chunk_exact",
+    tags=("dedup", "text"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= {CHUNK_WORDS} THEN
+                       list_transform(
+                           generate_series(0, CAST(len(w) / {CHUNK_WORDS} AS INT) - 1),
+                           i -> md5(array_to_string(
+                               list_slice(w, i * {CHUNK_WORDS} + 1,
+                                          i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')))
+                       ELSE [] END) AS chunk_hash
+            FROM t
+        )
+        SELECT chunk_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact duplication analysis: documents are cut into
+    non-overlapping ``CHUNK_WORDS``-word chunks and chunks appearing in ≥ 2
+    distinct documents are reported with their spread — the granular exact-
+    substring dedup signal (Lee et al. 2022's motivation) at chunk
+    resolution: document-level exact dedup misses pages that share
+    boilerplate paragraphs inside otherwise-distinct text.
+
+    Spark shape: chunk hashes are built INSIDE the row (transform over the
+    token array — no token explode), so the only exploded/shuffled unit is
+    the 32-byte chunk hash, ~1/{CHUNK_WORDS} of the token count; the
+    aggregate is one hash-shuffle on chunk_hash with map-side partials. At
+    100 TB this is the cheapest join-key granularity that still finds
+    shared paragraphs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
+    idxs = F.when(
+        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk_hashes = F.transform(
+        idxs,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunk_hashes).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    tags=("dedup", "graph", "iterative"),
+    oracle=_CC_ORACLE_CTES
+    + f"""
+        , labels AS (
+            SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+        )
+        SELECT l.component,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total,
+               CAST(COALESCE(SUM(CASE WHEN l.doc_id <> l.component
+                                      THEN d.n_chars END), 0) AS BIGINT)
+                   AS n_chars_dropped
+        FROM labels l JOIN documents d USING (doc_id)
+        GROUP BY l.component
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster accounting — the report every dedup pipeline ends
+    with: per cluster (connected component over the MinHash-LSH pair graph,
+    labeled by its canonical min doc_id), how many documents it holds and
+    how many characters deduplication drops by keeping only the canonical.
+
+    Builds on connected_components_min_label (same per-round join+min loop,
+    parquet-checkpointed); the stats pass is one broadcast-sized join from
+    the label frame (|docs in clusters|, a vanishing fraction of the corpus)
+    back to the documents scan, then a per-component aggregate. Shares its
+    WITH RECURSIVE oracle base with the CC registrations."""
+    labels = connected_components_min_label(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        F.broadcast(labels)
+        .join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("doc_id") != F.col("component"), F.col("n_chars")
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_chars_dropped"),
+        )
+    )
+
+
+# tertile boundaries as exact-decimal literals so both engines interpolate
+# from the same doubles
+_TERTILES = ("0.3333333333333333", "0.6666666666666666")
+
+
+@register(
+    "text_logprob_buckets",
+    tags=("pipeline", "text", "quality"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+        ),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT COUNT(*) AS n FROM tok),
+        lp AS (
+            SELECT tok.doc_id,
+                   ROUND(AVG(-ln(freq.cnt * 1.0 / total.n)), 6) AS avg_neg_logprob
+            FROM tok JOIN freq USING (term), total
+            GROUP BY tok.doc_id
+        ),
+        cuts AS (
+            SELECT ROUND(quantile_cont(avg_neg_logprob, {_TERTILES[0]}), 6) AS c1,
+                   ROUND(quantile_cont(avg_neg_logprob, {_TERTILES[1]}), 6) AS c2
+            FROM lp
+        )
+        SELECT lp.doc_id, lp.avg_neg_logprob,
+               CASE WHEN lp.avg_neg_logprob <= cuts.c1 THEN 'head'
+                    WHEN lp.avg_neg_logprob <= cuts.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lp, cuts
+    """,
+)
+def text_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: documents are labeled by
+    which tertile of the corpus unigram-logprob distribution they fall in
+    (head = most-fluent third). Pipelines train preferentially on head and
+    middle; the bucket label is the standard quality stratum key.
+
+    Reuses text_unigram_logprob's score (token explode → broadcast
+    frequency join → per-doc aggregate), then cuts at exact tertiles via
+    one 1-row percentile aggregate broadcast back — the same windowless
+    cutpoint idiom as quartile_labels_by_cutpoint (no global Window, no
+    single-reducer sort; the distribution pass is an aggregate, scale-safe).
+    Cutpoints round to 6 decimals on both engines so boundary comparisons
+    agree bit-for-bit."""
+    lp = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob")
+    cuts = lp.agg(
+        F.round(
+            F.expr(f"percentile(avg_neg_logprob, {_TERTILES[0]}D)"), 6
+        ).alias("c1"),
+        F.round(
+            F.expr(f"percentile(avg_neg_logprob, {_TERTILES[1]}D)"), 6
+        ).alias("c2"),
+    )
+    return lp.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_neg_logprob",
+        F.when(F.col("avg_neg_logprob") <= F.col("c1"), "head")
+        .when(F.col("avg_neg_logprob") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -465,7 +465,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and star-contraction): the fixpoint semantics are identical — every node is
 # labeled with the minimum doc_id reachable from it over the MinHash-LSH pair
 # graph — so one WITH RECURSIVE reachability query verifies both.
-_CC_ORACLE = f"""
+_CC_ORACLE_CTES = f"""
         WITH RECURSIVE {_SHINGLE_CTE},
         mh AS (
             SELECT doc_id, {_MH_COLS}
@@ -495,8 +495,14 @@ _CC_ORACLE = f"""
             UNION
             SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
         )
-        SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
     """
+
+# Full oracle for the CC registrations; curation.py extends the shared CTEs
+# with cluster-level statistics instead.
+_CC_ORACLE = (
+    _CC_ORACLE_CTES
+    + "SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id"
+)
 
 
 @register(

@@ -36,45 +36,76 @@ class QueryEntry:
 
 _REGISTRY: dict[str, QueryEntry] = {}
 
-# Query names with a green driver CORRECTNESS row from rounds 1-2
-# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json). The driver verifies only the
-# first 50 entries of ``queries()`` per round, so ``all_queries()`` enumerates
-# not-yet-verified queries FIRST to close the evidence gap (VERDICT r2 item 1).
-# ``dedup_simhash`` is deliberately omitted: its r2 row was rows-only
-# (no_oracle) and round 3 gives it a DuckDB twin, so it must re-enumerate early
-# for a fresh hash-match row.
+# Query names with a green driver CORRECTNESS row (hash-match, or rows-only
+# for the declared no-oracle queries) from rounds 1-2-4-5 — the union of
+# CORRECTNESS_r{01,02,04,05}.json. The driver verifies only the first 50
+# entries of ``queries()`` per round, so ``all_queries()`` enumerates
+# not-yet-verified queries FIRST to close the evidence gap (VERDICT r2
+# item 1); queries added after round 5 stay out of this set until they earn
+# a green row.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "advanced_agg_gallery",
     "anti_join_customers_without_orders",
+    "apply_in_pandas_label_stats",
     "approx_distinct_users",
     "approx_percentile_prices",
+    "argmax_order_per_customer",
     "array_collapse_returnflags",
+    "array_functions_gallery",
     "asof_join_purchase_last_view",
     "broadcast_join_part_agg",
+    "conditional_agg_orders",
     "cube_orders_status_priority",
+    "date_functions_gallery",
+    "decontaminate_against_eval",
     "dedup_connected_components",
+    "dedup_connected_components_star",
+    "dedup_containment_capped",
     "dedup_containment_pairs",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_bucketed",
     "dedup_exact_documents",
     "dedup_latest_order_per_customer",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_minhash_lsh_df_capped",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
     "dict_encode_segments",
     "distinct_customers_per_status",
+    "event_validity_intervals",
     "from_json_events",
     "full_outer_join_customer_activity",
+    "gapfill_hourly_events",
     "json_extract_events",
     "map_functions_events",
     "market_share_by_year",
     "median_price_by_status",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
     "multimodal_metadata",
+    "ntile_order_quartiles",
     "null_safe_join_suppliers",
+    "outliers_by_mad",
+    "pack_concat_chunks",
+    "pack_sequences_greedy",
+    "pandas_udf_vector_norm",
+    "pipeline_c4_keep",
+    "pivot_status_by_priority",
     "posexplode_order_lines",
     "pricing_summary",
     "prune_empty_columns",
+    "quartile_labels_by_cutpoint",
+    "range_join_events_binned",
+    "rank_functions_suppliers",
+    "regexp_functions_gallery",
     "revenue_by_nation",
     "rollup_lineitem_status",
+    "salted_agg_event_types",
+    "sample_documents_hash",
+    "sample_stratified_by_lang",
     "scalar_functions_gallery",
     "segment_edges",
     "semi_join_discounted_orders",
@@ -86,18 +117,33 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_topk_lsh_bucketed",
+    "sliding_window_events",
+    "sorted_page_orders",
+    "split_train_val_test",
+    "sql_exists_subquery",
+    "sql_grouping_sets",
+    "sql_scalar_subquery",
+    "stats_agg_lineitem",
+    "string_functions_gallery",
     "text_bpe_token_count",
     "text_fingerprint",
     "text_language_id",
     "text_quality_score",
+    "text_redact_pii",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
     "text_token_stats",
+    "text_unigram_logprob",
     "theta_join_nation_pairs",
     "top_orders_by_revenue",
     "tumbling_window_events",
     "type_detect_ladder",
     "type_unification_lattice",
+    "udtf_tokenize_documents",
     "union_by_name_schema_evolution",
+    "unpivot_order_status_counts",
     "window_lag_event_delta",
+    "window_range_frame",
     "window_running_revenue",
     "window_top_orders_per_customer",
 })

@@ -104,3 +104,46 @@ def test_repetition_and_stratified_are_scan_projections(spark):
     for name in ["text_repetition_score", "sample_stratified_by_lang"]:
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
+
+
+def test_gopher_rules_is_scan_projection(spark):
+    """All four Gopher metrics are array expressions over one tokenization —
+    the whole operator must fuse into the scan (no shuffle, no Python)."""
+    plan = _plan(spark, "quality_gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_single_lang_exchange(spark):
+    """One hashpartitioning exchange on lang feeding one Window — no global
+    sort, no second shuffle."""
+    plan = _plan(spark, "token_budget_per_lang")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The 5-row rate table must come back as a broadcast join — the corpus
+    scan is never shuffled."""
+    plan = _plan(spark, "lang_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only hashpartitioning exchanges belong to the tiny per-lang rate
+    # aggregate (partial/final pair), never a corpus re-shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_chunk_dedup_single_hash_shuffle(spark):
+    """Chunk hashes are built inside the row (no token explode through a
+    shuffle); the only exchange is the aggregate on chunk_hash."""
+    plan = _plan(spark, "dedup_chunk_exact")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial/final agg pair
+
+
+def test_logprob_buckets_windowless(spark):
+    """Tertile labeling must use the broadcast-cutpoint idiom — no Window
+    operator, no single-partition sort of the corpus."""
+    plan = _plan(spark, "text_logprob_buckets")
+    assert "Window" not in plan  # the cutpoints come from an aggregate, not ntile
