@@ -63,6 +63,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "stdlib validator: elements/attributes/#REQUIRED + content models); "
         "abort on violations",
     )
+    parser.add_argument(
+        "--single-pass",
+        action="store_true",
+        help="read the raw XML once for ALL record types (byte-range split "
+        "pass -> type-partitioned envelope parquet -> per-type from_xml) "
+        "instead of one native XML scan per type; the 1x-read mode for "
+        "large corpora",
+    )
     parser.add_argument("--master", default=None, help="Spark master (default: local[$CPUS])")
     args = parser.parse_args(argv)
     if args.neo4j and not args.annotate:
@@ -123,6 +131,7 @@ def main(argv: list[str] | None = None) -> None:
             root=args.root,
             single_file=not args.no_single_file,
             output_format=args.output_format,
+            single_pass=args.single_pass,
         )
     except InvalidElementName as e:
         # reference behavior: report and exit 1 (XMLToCSV.py:375-380)

@@ -30,15 +30,23 @@ parallel job; the only shuffles are the per-table pruning/typing aggregates
 (tiny results) and the relation distinct. Nothing is ever collected to the
 driver except per-partition histograms and per-column type sets.
 
-Deliberate trade-off — one XML scan per record type: the native XML source
-extracts one rowTag per read, so a DTD with N record types costs N passes
-over the input. Each pass is an embarrassingly parallel splittable scan that
-discards non-matching regions during tokenization (no parse of other
-records), the passes are independent jobs (a scheduler can overlap them),
-and the alternative — a single hand-written SAX pass multiplexing all types
-via mapPartitions — would abandon the data source's split planning, schema
-handling and codegen for a Python row loop. N is small and fixed by the DTD
-(10 for DBLP); the scan is IO-bound and columnar outputs amortize it.
+Scan strategy — two modes:
+
+* default, one XML scan per record type: the native XML source extracts one
+  rowTag per read, so a DTD with N record types costs N passes over the
+  input. Each pass is an embarrassingly parallel splittable scan that
+  discards non-matching regions during tokenization (no parse of other
+  records), and the passes are independent jobs a scheduler can overlap.
+  N is small and fixed by the DTD (10 for DBLP).
+* ``single_pass=True`` (``--single-pass``): ONE distributed byte-range pass
+  splits the corpus into per-record envelope rows, materialized to parquet
+  partitioned by record_type (sources/xml_single_pass.py); per-type parsing
+  is a partition-pruned parquet read + JVM from_xml with the DTD-derived
+  schema. Raw-XML read cost drops from N× to 1× — the mode that matters at
+  100 TB, where re-reading the corpus per type IS the ETL bottleneck.
+  Requires DTD-derivable schemas (the default path); types whose content
+  models are opaque (parameter-entity fallback) use the native scan.
+  tests/test_single_pass.py pins output equivalence between the modes.
 """
 
 from __future__ import annotations
@@ -132,6 +140,7 @@ class XmlToCsvPlan:
         output_format: str = "csv",
         schema_sampling_ratio: float = 1.0,
         partition_by: list[str] | None = None,
+        single_pass: bool = False,
     ):
         if output_format not in ("csv", "parquet"):
             raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
@@ -159,6 +168,8 @@ class XmlToCsvPlan:
         self.relations = dict(relations or {})
         self.root = root
         self.single_file = single_file
+        self.single_pass = single_pass
+        self._envelope_dir: str | None = None
         self.path, self.ext = os.path.splitext(output_path)
         self.attribute_defaults = get_attribute_defaults(dtd_path)
 
@@ -187,6 +198,24 @@ class XmlToCsvPlan:
     # Stage 2+3: scan one record type (DTD-derived schema + extraction).
     # ------------------------------------------------------------------
     def read_record_type(self, element: str) -> DataFrame:
+        # Single-pass mode: parse from the materialized envelope (one raw-XML
+        # read for ALL types) when this type's schema is DTD-derivable.
+        if self._envelope_dir is not None:
+            schema, cut_paths = build_record_schema(self.dtd_path, element)
+            if schema is not None:
+                if cut_paths:
+                    print(
+                        f"Warning: recursive content model(s) for {element!r} "
+                        f"cut at depth: {', '.join(sorted(set(cut_paths))[:5])}"
+                        " — deeper repeats degrade to text."
+                    )
+                from dblp_to_csv_spark.sources.xml_single_pass import (
+                    read_envelope_type,
+                )
+
+                return read_envelope_type(
+                    self.spark, self._envelope_dir, element, schema
+                )
         # FAILFAST: the reference hard-fails on invalid XML (DTD validation
         # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
         # (see sources.dtd.validate_xml_against_dtd for the lxml-gated
@@ -514,9 +543,24 @@ class XmlToCsvPlan:
         old_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
         self._size_xml_splits()
         try:
+            if self.single_pass and elements:
+                from dblp_to_csv_spark.sources.xml_single_pass import (
+                    materialize_envelope,
+                )
+
+                self._envelope_dir = os.path.join(
+                    os.path.dirname(os.path.abspath(self.path)) or ".",
+                    "_xml_envelope",
+                )
+                materialize_envelope(
+                    self.spark, self.xml_path, elements, self._envelope_dir
+                )
             return self._run(elements)
         finally:
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+            if self._envelope_dir is not None:
+                shutil.rmtree(self._envelope_dir, ignore_errors=True)
+                self._envelope_dir = None
 
     def _run(self, elements: set[str]) -> ConvertResult:
         result = ConvertResult()
@@ -575,6 +619,7 @@ def convert(
     single_file: bool = True,
     output_format: str = "csv",
     schema_sampling_ratio: float = 1.0,
+    single_pass: bool = False,
 ) -> ConvertResult:
     """One-call equivalent of the reference CLI (XMLToCSV.py:365-411)."""
     return XmlToCsvPlan(
@@ -589,6 +634,7 @@ def convert(
         single_file,
         output_format,
         schema_sampling_ratio,
+        single_pass=single_pass,
     ).run()
 
 

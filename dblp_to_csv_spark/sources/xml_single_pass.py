@@ -1,0 +1,268 @@
+"""Single-pass multi-record-type XML extraction (ROADMAP item 6).
+
+The native XML data source extracts ONE rowTag per scan, so a DTD with N
+record types costs N passes over the corpus (the trade-off documented in
+plans/etl.py). At 100 TB that multiplier IS the ETL bottleneck: 10 record
+types = 10 reads + 10 tokenizations of 100 TB. This module removes it:
+
+1. **One distributed pass** over the raw XML bytes splits the corpus into
+   byte ranges (the same split planning a Hadoop input format does), and each
+   task extracts every record of every type whose OPENING TAG starts inside
+   its range — emitting an envelope row ``(record_type, xml, src, offset)``
+   per record.
+2. The envelope is **materialized once** to parquet partitioned by
+   ``record_type`` — the ingest-once raw-record lake.
+3. Per-type parsing then reads the pruned parquet partition and parses with
+   ``F.from_xml`` using the DTD-derived schema — the same JVM StaxXmlParser
+   the native source uses, now fed from columnar storage instead of a fresh
+   XML scan. Total raw-XML cost: exactly one read, regardless of N.
+
+Boundary protocol (the part that matters at scale): a record belongs to the
+task whose byte range contains its opening tag's first byte. Each task scans
+``[start, end)`` for record openings and keeps reading PAST ``end`` (in
+bounded chunks) until the last record it owns closes — so records straddling
+split boundaries are emitted exactly once, by exactly one task. A task whose
+range begins mid-record skips bytes until the first opening tag at or after
+``start`` (the enclosing record belongs to the previous task). A tag string
+split by the boundary is owned by the task where it STARTS; the successor's
+regex simply cannot match the torn prefix. tests/test_single_pass.py drives
+ranges small enough that every record crosses a boundary.
+
+Assumptions (shared with every splittable XML input format, and with the
+reference's own state machine, XMLToCSV.py:120-121 — records are DIRECT
+children of the root): record-type tags do not appear nested inside other
+records, and record bodies do not contain CDATA sections spelling fake
+record tags. True for DBLP; documented, not silently assumed.
+
+Python does the byte scanning (regex over bytes, no XML parse — the actual
+parsing stays JVM-side in from_xml), batched through Arrow via mapInPandas.
+Gzip inputs are non-splittable (same as every text format): one task
+streams the whole member, offsets are decompressed-stream offsets.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Extension read granularity while finishing a boundary-straddling record.
+_EXTEND_CHUNK = 1 << 20
+# Arrow batch granularity for emitted envelope rows.
+_EMIT_BATCH = 2048
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("record_type", T.StringType(), False),
+        T.StructField("xml", T.StringType(), False),
+        T.StructField("src", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+    ]
+)
+
+
+def _plan_ranges(
+    xml_path: str, target_bytes: int
+) -> list[tuple[str, int, int, bool]]:
+    """Byte-range split plan: ``(path, start, end, is_gzip)`` per task.
+    Gzip members are one unsplittable range each (end = -1 → EOF)."""
+    paths = sorted(_glob.glob(xml_path)) or [xml_path]
+    specs: list[tuple[str, int, int, bool]] = []
+    for p in paths:
+        if not os.path.isfile(p):
+            continue
+        if p.endswith(".gz"):
+            specs.append((p, 0, -1, True))
+            continue
+        size = os.path.getsize(p)
+        if size == 0:
+            continue
+        step = max(1, target_bytes)
+        for start in range(0, size, step):
+            specs.append((p, start, min(start + step, size), False))
+    return specs
+
+
+class _RangeScanner:
+    """Sequential scanner over one byte range: yields every record whose
+    opening tag starts inside [range_start, range_end)."""
+
+    def __init__(self, fh, range_start: int, range_end: int, types: list[str]):
+        self.fh = fh
+        self.base = range_start  # file offset of buf[0]
+        self.range_end = range_end  # exclusive; -1 = EOF
+        self.buf = b""
+        self.eof = False
+        names = b"|".join(t.encode() for t in sorted(types, key=len, reverse=True))
+        # opening tag of any record type, at a tag boundary
+        self.open_re = re.compile(rb"<(%s)(?=[\s/>])" % names)
+
+    def _extend(self) -> bool:
+        chunk = self.fh.read(_EXTEND_CHUNK)
+        if not chunk:
+            self.eof = True
+            return False
+        self.buf += chunk
+        return True
+
+    def _find_tag_end(self, pos: int) -> tuple[int, bool]:
+        """Return (index just past the opening tag's '>', self_closing)."""
+        while True:
+            i = self.buf.find(b">", pos)
+            if i != -1:
+                return i + 1, self.buf[i - 1 : i] == b"/"
+            if not self._extend():
+                raise ValueError("unterminated tag at end of input")
+
+    def records(self) -> Iterator[tuple[str, int, bytes]]:
+        pos = 0  # scan cursor, relative to buf
+        while True:
+            m = self.open_re.search(self.buf, pos)
+            while m is None and not self.eof:
+                # keep pos: a tag may straddle the chunk edge, so re-search
+                # from the last unconsumed byte after extending
+                searched_from = max(pos, len(self.buf) - 64)
+                self._extend()
+                m = self.open_re.search(self.buf, searched_from)
+            if m is None:
+                return
+            abs_start = self.base + m.start()
+            if self.range_end != -1 and abs_start >= self.range_end:
+                return  # owned by the next task
+            tag = m.group(1)
+            body_at, self_closing = self._find_tag_end(m.end())
+            if self_closing:
+                yield tag.decode(), abs_start, self.buf[m.start() : body_at]
+                pos = body_at
+                continue
+            # find the matching close, counting nested same-name opens
+            open_pat = re.compile(rb"<%s(?=[\s/>])" % re.escape(tag))
+            close_pat = re.compile(rb"</%s\s*>" % re.escape(tag))
+            depth, cursor = 1, body_at
+            while depth:
+                c = close_pat.search(self.buf, cursor)
+                while c is None:
+                    # a close tag may straddle the buffer edge: re-search from
+                    # just before the PRE-extension end, never the new end
+                    resume = max(cursor, len(self.buf) - 64)
+                    if not self._extend():
+                        raise ValueError(
+                            f"unclosed <{tag.decode()}> at byte {abs_start}"
+                        )
+                    c = close_pat.search(self.buf, resume)
+                # nested opens strictly before this close keep it unmatched
+                o = open_pat.search(self.buf, cursor, c.start())
+                while o is not None:
+                    nest_end, nest_self = self._find_tag_end(o.end())
+                    if not nest_self:
+                        depth += 1
+                    o = open_pat.search(self.buf, nest_end, c.start())
+                depth -= 1
+                cursor = c.end()
+            yield tag.decode(), abs_start, self.buf[m.start() : cursor]
+            pos = cursor
+            # drop consumed bytes so memory stays O(record), not O(range)
+            if pos > _EXTEND_CHUNK:
+                self.base += pos
+                self.buf = self.buf[pos:]
+                pos = 0
+
+
+def _scan_spec(
+    path: str, start: int, end: int, is_gz: bool, types: list[str]
+) -> Iterator[tuple[str, int, bytes]]:
+    if is_gz:
+        with gzip.open(path, "rb") as fh:
+            yield from _RangeScanner(fh, 0, -1, types).records()
+        return
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        yield from _RangeScanner(fh, start, end, types).records()
+
+
+def extract_record_envelope(
+    spark: SparkSession,
+    xml_path: str,
+    record_types: set[str] | list[str],
+    target_split_bytes: int | None = None,
+) -> DataFrame:
+    """The single-pass scan: one DataFrame of ``(record_type, xml, src,
+    offset)`` rows covering every record of every type, built from one
+    distributed read of the raw XML.
+
+    Executors must see ``xml_path`` (shared filesystem or local mode) — the
+    same contract as every file-based source. ``target_split_bytes`` defaults
+    to the session's ``spark.sql.files.maxPartitionBytes``."""
+    types = sorted(set(record_types))
+    if not types:
+        raise ValueError("record_types must be non-empty")
+    if target_split_bytes is None:
+        from dblp_to_csv_spark.plans.etl import _parse_bytes
+
+        target_split_bytes = (
+            _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            or 128 * 1024 * 1024
+        )
+    specs = _plan_ranges(xml_path, target_split_bytes)
+    if not specs:
+        return spark.createDataFrame([], ENVELOPE_SCHEMA)
+    spec_df = spark.createDataFrame(
+        specs, "path string, start long, end long, is_gz boolean"
+    ).repartition(len(specs))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[str, str, str, int]] = []
+        for pdf in batches:
+            for spec in pdf.itertuples(index=False):
+                for tag, off, blob in _scan_spec(
+                    spec.path, spec.start, spec.end, spec.is_gz, types
+                ):
+                    rows.append((tag, blob.decode("utf-8"), spec.path, off))
+                    if len(rows) >= _EMIT_BATCH:
+                        yield pd.DataFrame(
+                            rows, columns=["record_type", "xml", "src", "offset"]
+                        )
+                        rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=["record_type", "xml", "src", "offset"])
+
+    return spec_df.mapInPandas(scan, ENVELOPE_SCHEMA)
+
+
+def materialize_envelope(
+    spark: SparkSession,
+    xml_path: str,
+    record_types: set[str] | list[str],
+    out_dir: str,
+    target_split_bytes: int | None = None,
+) -> str:
+    """Run the single pass and land the envelope as parquet partitioned by
+    record_type — the raw-record lake every later per-type parse prunes
+    into. Returns ``out_dir``."""
+    env = extract_record_envelope(spark, xml_path, record_types, target_split_bytes)
+    env.write.mode("overwrite").partitionBy("record_type").parquet(out_dir)
+    return out_dir
+
+
+def read_envelope_type(
+    spark: SparkSession,
+    envelope_dir: str,
+    element: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Per-type parse from the materialized envelope: partition-pruned
+    parquet read + JVM from_xml with the DTD-derived schema — byte-for-byte
+    the layout ``spark.read.format('xml').option('rowTag', element)`` yields,
+    without touching the raw XML again."""
+    env = spark.read.parquet(envelope_dir).filter(F.col("record_type") == element)
+    parsed = env.select(
+        F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r")
+    )
+    return parsed.select("r.*")

@@ -1,7 +1,10 @@
 """ETL throughput measurement: generate an N-record DBLP-like XML corpus,
 convert it end-to-end (annotate mode), report records/sec.
 
-Usage: python scripts/bench_etl.py [n_records] [out_dir]
+Usage: python scripts/bench_etl.py [n_records] [out_dir] [--single-pass] [--wide]
+
+--wide: 10 record types instead of 3 — the shape where per-type scans pay
+N full corpus reads and the single-pass envelope pays one.
 """
 
 from __future__ import annotations
@@ -16,15 +19,27 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 
-def generate(n: int, d: Path) -> tuple[str, str]:
+WIDE_TYPES = [
+    "incollection", "proceedings", "phdthesis", "mastersthesis",
+    "www", "person", "data",
+]
+
+
+def generate(n: int, d: Path, wide: bool = False) -> tuple[str, str]:
     rng = random.Random(42)
     xml, dtd = d / "corpus.xml", d / "corpus.dtd"
+    base_types = ["article", "inproceedings", "book"] + (WIDE_TYPES if wide else [])
     dtd.write_text(
-        "<!ELEMENT dblp (article|inproceedings|book)*>\n"
+        f"<!ELEMENT dblp ({'|'.join(base_types)})*>\n"
         "<!ELEMENT article (author|title|year|journal|pages)*>\n"
         "<!ELEMENT inproceedings (author|title|year|booktitle)*>\n"
         "<!ELEMENT book (author|title|year|publisher)*>\n"
-        "<!ELEMENT author (#PCDATA)>\n<!ELEMENT title (#PCDATA)>\n"
+        + "".join(
+            f"<!ELEMENT {t} (author|title|year)*>\n"
+            f"<!ATTLIST {t} key CDATA #REQUIRED>\n"
+            for t in (WIDE_TYPES if wide else [])
+        )
+        + "<!ELEMENT author (#PCDATA)>\n<!ELEMENT title (#PCDATA)>\n"
         "<!ELEMENT year (#PCDATA)>\n<!ELEMENT journal (#PCDATA)>\n"
         "<!ELEMENT pages (#PCDATA)>\n<!ELEMENT booktitle (#PCDATA)>\n"
         "<!ELEMENT publisher (#PCDATA)>\n"
@@ -32,16 +47,19 @@ def generate(n: int, d: Path) -> tuple[str, str]:
         '<!ATTLIST inproceedings key CDATA #REQUIRED>\n'
         '<!ATTLIST book key CDATA #REQUIRED>\n'
     )
-    kinds = ["article", "article", "inproceedings", "book"]
+    kinds = ["article", "article", "inproceedings", "book"] + (
+        WIDE_TYPES if wide else []
+    )
     extra = {
         "article": "<journal>Journal {j}</journal><pages>{a}-{b}</pages>",
         "inproceedings": "<booktitle>Conf {j}</booktitle>",
         "book": "<publisher>Pub {j}</publisher>",
     }
+    extra.update({t: "" for t in WIDE_TYPES})
     with open(xml, "w", encoding="utf-8") as f:
         f.write('<?xml version="1.0"?>\n<dblp>\n')
         for i in range(n):
-            k = kinds[i % 4]
+            k = kinds[i % len(kinds)]
             authors = "".join(
                 f"<author>Author {rng.randrange(50000)}</author>"
                 for _ in range(rng.randrange(1, 5))
@@ -60,12 +78,15 @@ def generate(n: int, d: Path) -> tuple[str, str]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp())
+    single_pass = "--single-pass" in sys.argv
+    wide = "--wide" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--single-pass", "--wide")]
+    n = int(args[0]) if len(args) > 0 else 200_000
+    out_dir = Path(args[1]) if len(args) > 1 else Path(tempfile.mkdtemp())
     out_dir.mkdir(parents=True, exist_ok=True)
 
     t0 = time.perf_counter()
-    xml, dtd = generate(n, out_dir)
+    xml, dtd = generate(n, out_dir, wide=wide)
     gen_s = time.perf_counter() - t0
     size_mb = Path(xml).stat().st_size / 1e6
 
@@ -83,12 +104,15 @@ def main() -> None:
         annotate=True,
         relations={"author": "authored_by"},
         single_file=False,
+        single_pass=single_pass,
     )
     convert_s = time.perf_counter() - t0
     print(
         json.dumps(
             {
                 "metric": "etl_records_per_sec",
+                "single_pass": single_pass,
+                "n_types": (10 if wide else 3),
                 "value": round(n / convert_s, 1),
                 "unit": "records/sec",
                 "n_records": result.total_records,

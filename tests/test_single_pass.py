@@ -1,0 +1,115 @@
+"""Single-pass XML extraction (sources/xml_single_pass.py): envelope parity
+with the native per-type scans, the split-boundary ownership protocol, gzip
+handling, and byte-identical end-to-end convert output between the modes.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import shutil
+
+import pytest
+
+from dblp_to_csv_spark.plans.etl import convert, get_record_types
+from dblp_to_csv_spark.sources.xml_single_pass import extract_record_envelope
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+XML = os.path.join(FIX, "mini_dblp.xml")
+DTD = os.path.join(FIX, "mini_dblp.dtd")
+
+
+@pytest.fixture(scope="module")
+def types():
+    return get_record_types(DTD, "dblp")
+
+
+@pytest.fixture(scope="module")
+def envelope_rows(spark, types):
+    return sorted(
+        (r.record_type, r.offset, r.xml)
+        for r in extract_record_envelope(spark, XML, types).collect()
+    )
+
+
+def test_envelope_matches_native_counts(spark, types, envelope_rows):
+    """Per-type record counts must equal what the native rowTag scans see."""
+    by_type: dict[str, int] = {}
+    for t, _, _ in envelope_rows:
+        by_type[t] = by_type.get(t, 0) + 1
+    for t in sorted(types):
+        native = (
+            spark.read.format("xml")
+            .option("rowTag", t)
+            .option("inferSchema", "false")
+            .load(XML)
+            .count()
+        )
+        assert by_type.get(t, 0) == native, t
+
+
+def test_envelope_snippets_are_wellformed(envelope_rows):
+    import xml.etree.ElementTree as ET
+
+    assert envelope_rows, "envelope must not be empty"
+    for t, off, snippet in envelope_rows:
+        elem = ET.fromstring(snippet)
+        assert elem.tag == t
+        assert off >= 0
+
+
+@pytest.mark.parametrize("split_bytes", [64, 17])
+def test_boundary_protocol_split_invariance(spark, types, envelope_rows, split_bytes):
+    """Records straddling split boundaries are emitted exactly once by
+    exactly one task: the envelope is invariant under the split size, down
+    to splits far smaller than any record."""
+    tiny = sorted(
+        (r.record_type, r.offset, r.xml)
+        for r in extract_record_envelope(
+            spark, XML, types, target_split_bytes=split_bytes
+        ).collect()
+    )
+    assert tiny == envelope_rows
+
+
+def test_gzip_member_single_task(spark, types, envelope_rows, tmp_path):
+    """A .gz input is one unsplittable range; offsets are decompressed-stream
+    offsets, so the envelope matches the plain file's exactly."""
+    gz = str(tmp_path / "mini.xml.gz")
+    with open(XML, "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    got = sorted(
+        (r.record_type, r.offset, r.xml)
+        for r in extract_record_envelope(spark, gz, types).collect()
+    )
+    assert got == envelope_rows
+
+
+def test_convert_modes_byte_identical(spark, tmp_path):
+    """Full --annotate --relations convert: every output file byte-identical
+    between the per-type-scan mode and the single-pass mode."""
+    outs = {}
+    for mode, single_pass in (("per_type", False), ("single_pass", True)):
+        d = tmp_path / mode
+        d.mkdir()
+        r = convert(
+            spark,
+            XML,
+            DTD,
+            str(d / "out.csv"),
+            annotate=True,
+            relations={"author": "authored_by"},
+            single_pass=single_pass,
+        )
+        outs[mode] = (r.total_records, d)
+    assert outs["per_type"][0] == outs["single_pass"][0]
+    a_dir, b_dir = outs["per_type"][1], outs["single_pass"][1]
+    a_files = sorted(os.path.basename(p) for p in glob.glob(str(a_dir / "out*")))
+    b_files = sorted(os.path.basename(p) for p in glob.glob(str(b_dir / "out*")))
+    assert a_files == b_files and a_files
+    for name in a_files:
+        with open(a_dir / name, "rb") as fa, open(b_dir / name, "rb") as fb:
+            assert fa.read() == fb.read(), name
+    # the envelope working directory is cleaned up after the run
+    assert not (b_dir / "_xml_envelope").exists()
