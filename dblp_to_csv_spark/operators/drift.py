@@ -1,0 +1,186 @@
+"""Distribution-drift / dataset-QA operators (SURVEY.md §2.4): the checks a
+training pipeline runs BETWEEN dataset versions — two-sample KS drift on a
+numeric column, chi-square independence of two categorical columns, and
+embedding-space centroid geometry per label.
+
+Scale shape shared by all three: aggregate the corpus FIRST (per-bin / per-
+cell / per-(label,dim) partial aggregates, map-side combined), then do the
+statistics on the tiny aggregated frame — the global orderings these
+statistics need (ECDF prefix sums, cell sums) run over hundreds of rows, not
+the corpus. No sampling, no collect, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.sources.tables import load_table
+
+KS_GROUP_A = "click"
+KS_GROUP_B = "view"
+
+
+@register(
+    "drift_ks_events_value",
+    tags=("drift", "stats", "window"),
+    oracle=f"""
+        WITH binned AS (
+            SELECT ROUND(value, 1) AS bin,
+                   COUNT(*) FILTER (event_type = '{KS_GROUP_A}') AS ca,
+                   COUNT(*) FILTER (event_type = '{KS_GROUP_B}') AS cb
+            FROM events
+            WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+            GROUP BY 1
+        ),
+        totals AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
+        ecdf AS (
+            SELECT SUM(ca) OVER (ORDER BY bin) * 1.0 / totals.na AS fa,
+                   SUM(cb) OVER (ORDER BY bin) * 1.0 / totals.nb AS fb
+            FROM binned, totals
+        )
+        SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+               (SELECT CAST(na AS BIGINT) FROM totals) AS n_a,
+               (SELECT CAST(nb AS BIGINT) FROM totals) AS n_b
+        FROM ecdf
+    """,
+)
+def drift_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of two event types: D = max |ECDF_a - ECDF_b| over binned
+    values (0.1-wide bins). The drift gate a pipeline runs between dataset
+    versions before retraining.
+
+    Exact KS needs a global order over observed values; the scale move is to
+    BIN-AGGREGATE first (one shuffle, map-side combined) so the ordered
+    prefix-sum window runs over the ~hundreds of distinct bins, not the
+    corpus — D is then exact for the binned distributions on both engines.
+    The single-partition window over bins is deliberate and bounded."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+    )
+    binned = ev.groupBy(F.round("value", 1).alias("bin")).agg(
+        F.count(F.when(F.col("event_type") == KS_GROUP_A, 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == KS_GROUP_B, 1)).alias("cb"),
+    )
+    totals = binned.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = binned.crossJoin(F.broadcast(totals)).select(
+        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+    )
+
+
+@register(
+    "drift_chi2_source_lang",
+    tags=("drift", "stats", "agg"),
+    oracle="""
+        WITH cells AS (
+            SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT source, SUM(obs) AS rt FROM cells GROUP BY 1),
+        cols_ AS (SELECT lang, SUM(obs) AS ct FROM cells GROUP BY 1),
+        n AS (SELECT SUM(obs) AS total FROM cells)
+        SELECT ROUND(SUM(POW(obs - rt * ct * 1.0 / total, 2)
+                         / (rt * ct * 1.0 / total)), 6) AS chi2,
+               CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+                   * CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof
+        FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang), n
+    """,
+)
+def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of source × lang — 'did the language mix
+    shift between crawl sources?' (the categorical drift twin of the KS
+    gate). One corpus aggregate builds the contingency cells; row/column
+    marginals and the statistic come from the cells frame alone (≤
+    |sources|×|langs| rows), joined broadcast-small. Note chi2 uses only
+    OBSERVED cells — zero cells contribute 0 to the sum, so the sparse cell
+    frame is the complete computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    rows_ = cells.groupBy("source").agg(F.sum("obs").alias("rt"))
+    cols_ = cells.groupBy("lang").agg(F.sum("obs").alias("ct"))
+    total = cells.agg(F.sum("obs").alias("total"))
+    dof = (
+        rows_.count() - 1
+    ) * (cols_.count() - 1)  # dims are tiny and fixed; two scalar actions
+    exp = F.col("rt") * F.col("ct") * 1.0 / F.col("total")
+    return (
+        cells.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6
+            ).alias("chi2"),
+            F.lit(dof).cast("long").alias("dof"),
+        )
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    tags=("similarity", "stats", "agg"),
+    oracle="""
+        WITH flat AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        ),
+        cent AS (
+            SELECT label, pos, AVG(val) AS m FROM flat GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   SUM(a.m * b.m) AS dot,
+                   sqrt(SUM(a.m * a.m)) AS na,
+                   sqrt(SUM(b.m * b.m)) AS nb
+            FROM cent a JOIN cent b USING (pos)
+            WHERE a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT label_a, label_b, ROUND(dot / (na * nb), 5) AS centroid_cos
+        FROM pairs
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space geometry per label: the pairwise cosine between label
+    centroids — the collapse/separability check run on embedding versions
+    (labels whose centroids drift together signal a representation
+    regression).
+
+    posexplode → per-(label, dim) mean (one map-side-combined aggregate over
+    the corpus) → pairwise dot on the centroids frame, which is |labels|×dims
+    rows — the all-pairs join happens AFTER the reduction, never on the
+    corpus. Sums reassociate across engines, so values round to 5 decimals
+    on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    cent = emb.groupBy("label", F.col("pos0").alias("pos")).agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.m") * F.col("b.m")).alias("dot"),
+            F.sqrt(F.sum(F.col("a.m") * F.col("a.m"))).alias("na"),
+            F.sqrt(F.sum(F.col("b.m") * F.col("b.m"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 5).alias("centroid_cos"),
+    )

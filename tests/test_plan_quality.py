@@ -147,3 +147,15 @@ def test_logprob_buckets_windowless(spark):
     operator, no single-partition sort of the corpus."""
     plan = _plan(spark, "text_logprob_buckets")
     assert "Window" not in plan  # the cutpoints come from an aggregate, not ntile
+
+
+def test_drift_stats_aggregate_before_ordering(spark):
+    """Drift statistics must reduce the corpus to a tiny aggregated frame
+    BEFORE any global ordering/all-pairs step: no cartesian products, no
+    Python, and the corpus side only ever feeds hash aggregates."""
+    for name in ["drift_ks_events_value", "drift_chi2_source_lang",
+                 "embedding_label_centroids"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name  # partial/final split
