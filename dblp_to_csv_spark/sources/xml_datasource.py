@@ -1,0 +1,93 @@
+"""``dblp-xml`` — the single-pass XML envelope as a Spark 4 Python Data
+Source, so the byte-range scan participates in Spark's source planning like
+any other format:
+
+    spark.dataSource.register(DblpXmlDataSource)
+    env = (spark.read.format("dblp-xml")
+           .option("path", "/data/dblp.xml")
+           .option("recordTypes", "article,book,www")
+           .load())
+
+Each byte range from the split planner (sources/xml_single_pass._plan_ranges)
+becomes a real ``InputPartition``, so Spark schedules/retries ranges as
+tasks with the engine's own parallelism controls — no spec DataFrame, no
+``mapInPandas`` plumbing in user code. Rows are emitted as Arrow
+RecordBatches (the vectorized path of the Python Data Source API).
+
+The function front-end (extract_record_envelope) remains for callers that
+want a plain function; both share the scanner and the boundary protocol
+(tests/test_single_pass.py, fuzzed in test_single_pass_property.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_ENVELOPE_DDL = "record_type string, xml string, src string, offset long"
+_BATCH_ROWS = 2048
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    path: str
+    start: int
+    end: int
+    is_gz: bool
+
+
+class DblpXmlReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dblp-xml: option 'path' is required")
+        types_opt = options.get("recordtypes") or options.get("recordTypes")
+        if not types_opt:
+            raise ValueError(
+                "dblp-xml: option 'recordTypes' (comma-separated) is required"
+            )
+        self.types = sorted({t.strip() for t in types_opt.split(",") if t.strip()})
+        self.split_bytes = int(options.get("splitbytes", 128 * 1024 * 1024))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from dblp_to_csv_spark.sources.xml_single_pass import _plan_ranges
+
+        return [
+            _RangePartition(p, s, e, gz)
+            for p, s, e, gz in _plan_ranges(self.path, self.split_bytes)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator:
+        import pyarrow as pa
+
+        from dblp_to_csv_spark.sources.xml_single_pass import _scan_spec
+
+        names = ["record_type", "xml", "src", "offset"]
+        rows: list[tuple[str, str, str, int]] = []
+        for tag, off, blob in _scan_spec(
+            partition.path, partition.start, partition.end, partition.is_gz, self.types
+        ):
+            rows.append((tag, blob.decode("utf-8"), partition.path, off))
+            if len(rows) >= _BATCH_ROWS:
+                yield pa.RecordBatch.from_pylist(
+                    [dict(zip(names, r)) for r in rows]
+                )
+                rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist([dict(zip(names, r)) for r in rows])
+
+
+class DblpXmlDataSource(DataSource):
+    """Register with ``spark.dataSource.register(DblpXmlDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dblp-xml"
+
+    def schema(self) -> str:
+        return _ENVELOPE_DDL
+
+    def reader(self, schema) -> DblpXmlReader:
+        return DblpXmlReader(self.options)

@@ -113,3 +113,24 @@ def test_convert_modes_byte_identical(spark, tmp_path):
             assert fa.read() == fb.read(), name
     # the envelope working directory is cleaned up after the run
     assert not (b_dir / "_xml_envelope").exists()
+
+
+def test_python_datasource_matches_function_frontend(spark, types, envelope_rows):
+    """spark.read.format('dblp-xml') must produce the identical envelope the
+    function front-end produces (same scanner, same boundary protocol), with
+    byte ranges as real input partitions."""
+    from dblp_to_csv_spark.sources.xml_datasource import DblpXmlDataSource
+
+    spark.dataSource.register(DblpXmlDataSource)
+    got = sorted(
+        (r.record_type, r.offset, r.xml)
+        for r in (
+            spark.read.format("dblp-xml")
+            .option("path", XML)
+            .option("recordTypes", ",".join(sorted(types)))
+            .option("splitBytes", "64")  # force many partitions
+            .load()
+            .collect()
+        )
+    )
+    assert got == envelope_rows
