@@ -266,3 +266,102 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(actual, "hour", "left").select(
         "hour", F.coalesce("n", F.lit(0)).alias("n_events")
     )
+
+
+@register(
+    "funnel_view_cart_purchase",
+    tags=("window", "time", "funnel"),
+    oracle="""
+        WITH steps AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT
+            CAST(COUNT(t_view) AS BIGINT) AS n_view,
+            CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+                AS n_view_click,
+            CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                            THEN 1 END) AS BIGINT) AS n_view_click_purchase
+        FROM steps
+    """,
+)
+def funnel_view_cart_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the first time each step occurred;
+    a user converts a stage only if the steps happened IN ORDER
+    (view < click < purchase) — the standard product-analytics funnel,
+    expressed as one conditional-MIN aggregate per user plus a global count.
+    One shuffle on user_id with map-side partials; the ordering logic is a
+    row-local comparison of the per-user step times, so no self-joins and
+    no window over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return steps.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "retention_cohorts_weekly",
+    tags=("time", "agg", "cohort"),
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events
+        )
+        SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('week', f.cohort_week, a.act_week) AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active_users
+        FROM firsts f JOIN activity a USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, counted
+    in every later week they were active — the (cohort_week, week_offset)
+    triangle every growth dashboard plots. Two aggregates over the event
+    stream (first-seen per user; distinct user-weeks) joined on user_id —
+    the join is keyed on the same column as both aggregates, so one shuffle
+    partitioning serves all three operators."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.floor(
+                    (F.col("act_week").cast("long") - F.col("cohort_week").cast("long"))
+                    / (7 * 86400)
+                )
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
