@@ -134,3 +134,46 @@ def apply_in_pandas_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         stats, "label int, n_vectors long, min_first double, max_first double"
     )
+
+
+@register(
+    "udaf_geomean_order_price",
+    tags=("udf", "agg"),
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def udaf_geomean_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a GROUPED_AGG pandas_udf (the UDAF corner
+    of the UDF matrix: scalar pandas_udf / UDTF / applyInPandas /
+    grouped-agg): geometric mean of order price per status, computed as
+    exp(mean(log x)) over each group's Arrow batch.
+
+    Scale note: a grouped-agg pandas UDF has NO partial aggregation — every
+    group's values ship to one executor (fine for bounded groups; for
+    corpus-sized groups use the built-in expression form, which this
+    oracle's EXP(AVG(LN(x))) shows is expressible without Python at all —
+    the UDF exists to cover the API surface, and the log-sum trick keeps
+    the two numerically aligned)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count is a pandas aggregate too.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
+        n_rows("o_totalprice").alias("n_orders"),
+    )
