@@ -36,8 +36,10 @@ KS_GROUP_B = "view"
         ),
         totals AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
         ecdf AS (
-            SELECT SUM(ca) OVER (ORDER BY bin) * 1.0 / totals.na AS fa,
-                   SUM(cb) OVER (ORDER BY bin) * 1.0 / totals.nb AS fb
+            -- GREATEST(n,1): an empty sample contributes a flat-zero ECDF
+            -- instead of a division error; D then reads 1.0 = total drift
+            SELECT SUM(ca) OVER (ORDER BY bin) * 1.0 / GREATEST(totals.na, 1) AS fa,
+                   SUM(cb) OVER (ORDER BY bin) * 1.0 / GREATEST(totals.nb, 1) AS fb
             FROM binned, totals
         )
         SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
@@ -68,9 +70,11 @@ def drift_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # greatest(n, 1): an empty sample contributes a flat-zero ECDF instead
+    # of an ANSI division error; D then reads 1.0 = total drift
     ecdf = binned.crossJoin(F.broadcast(totals)).select(
-        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
-        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+        (F.sum("ca").over(w) * 1.0 / F.greatest(F.col("na"), F.lit(1))).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.greatest(F.col("nb"), F.lit(1))).alias("fb"),
         "na",
         "nb",
     )
@@ -96,6 +100,7 @@ def drift_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
                    * CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof
         FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang), n
+        HAVING COUNT(*) > 0
     """,
 )
 def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +130,9 @@ def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
             F.lit(dof).cast("long").alias("dof"),
         )
+        # empty corpus: no cells → the global aggregate still emits one
+        # (null) row; drop it so both engines return an empty frame
+        .filter(F.col("chi2").isNotNull())
     )
 
 

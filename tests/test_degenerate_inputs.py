@@ -69,3 +69,63 @@ def test_blas_topk_corpus_smaller_than_batch(spark, tmp_path):
     assert {r["query_id"] for r in rows} == {0, 1, 2}
     top = {r["neighbor_id"] for r in rows if r["query_id"] == 0 and r["rank"] == 1}
     assert top == {100}  # colinear with query 0 → cos=1.0 beats the others
+
+
+@pytest.fixture()
+def empty_docs_sf(tmp_path):
+    """A sf_dir with an EMPTY documents table (schema intact) and an events
+    table holding a single event type — the shapes that break naive
+    aggregate/window/percentile logic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "n_chars": pa.array([], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]),
+            "user_id": [1, 1],
+            "event_type": ["view", "view"],  # KS groups click/view: one side empty
+            "value": [1.0, 2.0],
+            "props": ['{"k": 1}', '{"k": 2}'],
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "quality_gopher_rules",
+        "token_budget_per_lang",
+        "lang_temperature_resample",
+        "dedup_chunk_exact",
+        "text_logprob_buckets",
+        "drift_chi2_source_lang",
+    ],
+)
+def test_curation_ops_survive_empty_documents(spark, empty_docs_sf, name):
+    """Every curation/drift operator over documents must return an EMPTY
+    frame (not error) on an empty corpus — percentile cutpoints, rate
+    tables, and chi-square marginals all degenerate to empty/null inputs."""
+    assert _entry(name).fn(spark, empty_docs_sf).count() == 0
+
+
+def test_ks_drift_one_empty_group(spark, empty_docs_sf):
+    """KS with one empty sample: ECDF denominator for the missing group is
+    NULL/0 — the statistic row must come back without a division error and
+    report n_b = 0 (no 'click' events in the fixture)."""
+    rows = _entry("drift_ks_events_value").fn(spark, empty_docs_sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] in (0, None) and r["n_b"] == 2 or r["n_b"] in (0, None)
