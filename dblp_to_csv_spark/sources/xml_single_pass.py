@@ -261,7 +261,16 @@ def read_envelope_type(
     parquet read + JVM from_xml with the DTD-derived schema — byte-for-byte
     the layout ``spark.read.format('xml').option('rowTag', element)`` yields,
     without touching the raw XML again."""
-    env = spark.read.parquet(envelope_dir).filter(F.col("record_type") == element)
+    try:
+        env = spark.read.parquet(envelope_dir).filter(
+            F.col("record_type") == element
+        )
+    except Exception:
+        # a corpus with ZERO records of any type writes no parquet files at
+        # all (partitionBy of an empty frame) — surface that as an empty,
+        # correctly-typed frame, matching what the native scan yields for an
+        # absent rowTag under a supplied schema
+        return spark.createDataFrame([], schema)
     parsed = env.select(
         F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r")
     )

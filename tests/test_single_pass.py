@@ -134,3 +134,17 @@ def test_python_datasource_matches_function_frontend(spark, types, envelope_rows
         )
     )
     assert got == envelope_rows
+
+
+def test_single_pass_empty_corpus(spark, tmp_path):
+    """A document with a root but zero records: the envelope write produces
+    no parquet files at all — both modes must still convert cleanly to zero
+    tables."""
+    xml = tmp_path / "empty.xml"
+    xml.write_text('<?xml version="1.0"?>\n<dblp>\n</dblp>\n')
+    for mode in (False, True):
+        d = tmp_path / ("sp" if mode else "pt")
+        d.mkdir()
+        r = convert(spark, str(xml), DTD, str(d / "out.csv"), single_pass=mode)
+        assert r.total_records == 0
+        assert r.tables == {}
