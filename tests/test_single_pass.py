@@ -11,6 +11,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.plans.etl import convert, get_record_types
 from dblp_to_csv_spark.sources.xml_single_pass import extract_record_envelope
@@ -148,3 +149,47 @@ def test_single_pass_empty_corpus(spark, tmp_path):
         r = convert(spark, str(xml), DTD, str(d / "out.csv"), single_pass=mode)
         assert r.total_records == 0
         assert r.tables == {}
+
+
+def test_streaming_ingest_exactly_once(spark, types, tmp_path):
+    """Drop-directory streaming ingest: run 1 picks up file A; after file B
+    lands, run 2 on the SAME checkpoint ingests only B — each record exactly
+    once across restarts (offsets = processed-file set)."""
+    import shutil
+
+    from dblp_to_csv_spark.sources.xml_datasource import DblpXmlDataSource
+
+    spark.dataSource.register(DblpXmlDataSource)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(XML, drop / "dump_a.xml")
+
+    def run_once():
+        q = (
+            spark.readStream.format("dblp-xml")
+            .option("path", str(drop))
+            .option("recordTypes", ",".join(sorted(types)))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_single = spark.read.parquet(out).count()
+    assert n_single == 7  # mini fixture record count
+
+    shutil.copy(XML, drop / "dump_b.xml")
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == 14  # file B added once, file A NOT re-emitted
+    per_src = {
+        os.path.basename(r["src"]): r["n"]
+        for r in result.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"dump_a.xml": 7, "dump_b.xml": 7}
