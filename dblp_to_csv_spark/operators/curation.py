@@ -405,3 +405,36 @@ def text_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    tags=("dedup", "graph", "pipeline"),
+    oracle=_CC_ORACLE_CTES
+    + """
+        , labels AS (
+            SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+        WHERE l.doc_id IS NULL OR l.doc_id = l.component
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE output of the dedup pipeline: the corpus with every non-canonical
+    near-duplicate removed — a document survives iff it is not in any
+    near-dup cluster, or is its cluster's canonical (min doc_id) member.
+    Composes pair-finding (MinHash-LSH) → clustering (connected components)
+    → selection, the end-to-end chain the individual operators demonstrate
+    piecewise.
+
+    Scale shape: the label frame is |docs in clusters| (a vanishing fraction
+    of the corpus) — it BROADCASTS, and the selection is one map-side
+    left-anti-style filter over the corpus scan; the corpus itself never
+    shuffles in the final step."""
+    labels = connected_components_min_label(spark, sf_dir)
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
