@@ -239,7 +239,10 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    unnest(CASE WHEN len(w) >= {CHUNK_WORDS} THEN
                        list_transform(
-                           generate_series(0, CAST(len(w) / {CHUNK_WORDS} AS INT) - 1),
+                           -- integer division (//): CAST(x/y AS INT) ROUNDS in
+                           -- DuckDB (3.5 -> 4) and would emit a phantom partial
+                           -- chunk that Spark's truncating cast never builds
+                           generate_series(0, CAST(len(w) // {CHUNK_WORDS} AS INT) - 1),
                            i -> md5(array_to_string(
                                list_slice(w, i * {CHUNK_WORDS} + 1,
                                           i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')))

@@ -129,3 +129,32 @@ def test_ks_drift_one_empty_group(spark, empty_docs_sf):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_a"] in (0, None) and r["n_b"] == 2 or r["n_b"] in (0, None)
+
+
+def test_chunk_dedup_partial_tail_parity(spark, tmp_path):
+    """Docs whose word count is NOT a multiple of the chunk width, duplicated
+    exactly: both engines must agree that the 5-word TAIL is not a chunk
+    (DuckDB CAST(x/y AS INT) rounds 3.5 -> 4 and would emit a phantom
+    partial chunk — pinned here with a 35-word duplicate pair)."""
+    words35 = " ".join(f"w{i}" for i in range(35))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [words35, words35, "short text here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(words35)] * 2 + [15],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    entry = _entry("dedup_chunk_exact")
+    got = entry.fn(spark, str(tmp_path)).orderBy("chunk_hash").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle + " ORDER BY chunk_hash").df()
+    # exactly 3 full chunks duplicated across the identical pair; no 4th
+    assert len(got) == 3
+    assert got["chunk_hash"].tolist() == want["chunk_hash"].tolist()
+    assert got["n_docs"].tolist() == [2, 2, 2]
+    assert want["n_docs"].astype(int).tolist() == [2, 2, 2]
