@@ -52,7 +52,9 @@ CHUNK_WORDS = 10  # non-overlapping exact-dup chunk width
         m AS (
             SELECT doc_id,
                    len(w) AS n_words,
-                   ROUND(list_sum(list_transform(w, x -> length(x)))
+                   -- COALESCE: list_sum([]) is NULL in DuckDB, while Spark's
+                   -- aggregate() starts from the 0 seed — align on 0.0
+                   ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
                          * 1.0 / GREATEST(len(w), 1), 6) AS mean_word_len,
                    ROUND(list_max(list_transform(list_distinct(w),
                              x -> len(list_filter(w, y -> y = x))))

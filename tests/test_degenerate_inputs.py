@@ -158,3 +158,30 @@ def test_chunk_dedup_partial_tail_parity(spark, tmp_path):
     assert got["chunk_hash"].tolist() == want["chunk_hash"].tolist()
     assert got["n_docs"].tolist() == [2, 2, 2]
     assert want["n_docs"].astype(int).tolist() == [2, 2, 2]
+
+
+def test_gopher_rules_zero_word_doc_parity(spark, tmp_path):
+    """A document with NO alphanumeric tokens: mean word length must be 0.0
+    on both engines (DuckDB list_sum([]) is NULL, Spark's aggregate seed is
+    0 — the oracle coalesces), top_word_ratio NULL on both, keep=false."""
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["!!! ??? ...", "the quick brown fox jumps over the lazy dog and then runs far away"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [11, 67],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    entry = _entry("quality_gopher_rules")
+    got = entry.fn(spark, str(tmp_path)).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle + " ORDER BY doc_id").df()
+    assert got["mean_word_len"].tolist()[0] == 0.0
+    assert float(want["mean_word_len"].iloc[0]) == 0.0
+    assert pd.isna(got["top_word_ratio"].iloc[0]) and pd.isna(want["top_word_ratio"].iloc[0])
+    assert bool(got["keep"].iloc[0]) is False and not bool(want["keep"].iloc[0])
+    assert bool(got["keep"].iloc[1]) and bool(want["keep"].iloc[1])
