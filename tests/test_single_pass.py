@@ -193,3 +193,26 @@ def test_streaming_ingest_exactly_once(spark, types, tmp_path):
         for r in result.groupBy("src").agg(F.count("*").alias("n")).collect()
     }
     assert per_src == {"dump_a.xml": 7, "dump_b.xml": 7}
+
+
+def test_convert_modes_identical_on_edge_cases(spark, tmp_path):
+    """Entities, CDATA sections, and empty elements: both scan modes must
+    produce byte-identical CSVs on the edge-case fixture too (the CDATA
+    content here contains markup-looking text that is NOT a record tag —
+    inside the scanner's documented assumption set)."""
+    exml = os.path.join(FIX, "edge_cases.xml")
+    edtd = os.path.join(FIX, "edge_cases.dtd")
+    outs = {}
+    for mode, single_pass in (("pt", False), ("sp", True)):
+        d = tmp_path / mode
+        d.mkdir()
+        r = convert(spark, exml, edtd, str(d / "out.csv"), annotate=True,
+                    single_pass=single_pass)
+        outs[mode] = (r.total_records, d)
+    assert outs["pt"][0] == outs["sp"][0] > 0
+    a_dir, b_dir = outs["pt"][1], outs["sp"][1]
+    a_files = sorted(os.path.basename(p) for p in glob.glob(str(a_dir / "out*")))
+    assert a_files == sorted(os.path.basename(p) for p in glob.glob(str(b_dir / "out*")))
+    for name in a_files:
+        with open(a_dir / name, "rb") as fa, open(b_dir / name, "rb") as fb:
+            assert fa.read() == fb.read(), name
