@@ -384,19 +384,30 @@ def minhash_lsh_pairs(
     if materialize_candidates_dir is not None:
         cand.write.mode("overwrite").parquet(materialize_candidates_dir)
         cand = spark.read.parquet(materialize_candidates_dir)
-    # verification: exact Jaccard via IN-ROW set intersection. Each doc's
-    # distinct shingle set is carried as an array column (documents are
-    # length-bounded, so the array is too); the candidate frame joins to it
-    # twice and |A∩B| / |A∪B| computes inside the row with array_intersect —
-    # no exploded (doc, shingle) stream, no shingle-equality shuffle join, no
-    # per-pair aggregate. Verification cost scales with |candidates|, and the
-    # corpus-side work is two narrow projections of the scan.
+    # verification: exact Jaccard via IN-ROW set intersection. The shingle
+    # stream is first semi-joined down to CANDIDATE documents (broadcast —
+    # candidates are a vanishing fraction of the corpus), then each
+    # candidate doc's distinct shingle set is collected as an array column
+    # (documents are length-bounded, so the array is too); the candidate
+    # frame joins to it twice and |A∩B| / |A∪B| computes inside the row with
+    # array_intersect — no shingle-equality shuffle join, no per-pair
+    # aggregate. Verification cost scales with |candidates|, never corpus
+    # size.
     # NOTE the two-step projection (words → shingles) is load-bearing:
     # inlining words() into shingles() re-evaluates the tokenizer for every
     # array reference inside the shingle builder (measured 9.5 s vs 0.3 s at
     # sf0.1) — CollapseProject keeps the staged form only because the
     # reference count is > 1.
-    docs_sh = sh_raw.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    docs_sh = (
+        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
     sa = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     i_ = F.size(F.array_intersect("sha", "shb"))

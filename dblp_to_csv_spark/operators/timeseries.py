@@ -331,7 +331,8 @@ def funnel_view_cart_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
-               CAST(date_diff('week', f.cohort_week, a.act_week) AS BIGINT)
+               CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                              CAST(a.act_week AS DATE)) // 7 AS BIGINT)
                    AS week_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active_users
         FROM firsts f JOIN activity a USING (user_id)
@@ -356,10 +357,12 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts.join(activity, "user_id")
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            # DATE arithmetic, not epoch seconds: a DST transition inside the
+            # span would make the epoch difference a non-multiple of 604800 s
+            # under a DST-observing session timezone and shift the floor
             (
                 F.floor(
-                    (F.col("act_week").cast("long") - F.col("cohort_week").cast("long"))
-                    / (7 * 86400)
+                    F.datediff(F.to_date("act_week"), F.to_date("cohort_week")) / 7
                 )
             ).cast("long").alias("week_offset"),
         )

@@ -198,33 +198,6 @@ class XmlToCsvPlan:
     # Stage 2+3: scan one record type (DTD-derived schema + extraction).
     # ------------------------------------------------------------------
     def read_record_type(self, element: str) -> DataFrame:
-        # Single-pass mode: parse from the materialized envelope (one raw-XML
-        # read for ALL types) when this type's schema is DTD-derivable.
-        if self._envelope_dir is not None:
-            schema, cut_paths = build_record_schema(self.dtd_path, element)
-            if schema is not None:
-                if cut_paths:
-                    print(
-                        f"Warning: recursive content model(s) for {element!r} "
-                        f"cut at depth: {', '.join(sorted(set(cut_paths))[:5])}"
-                        " — deeper repeats degrade to text."
-                    )
-                from dblp_to_csv_spark.sources.xml_single_pass import (
-                    read_envelope_type,
-                )
-
-                return read_envelope_type(
-                    self.spark, self._envelope_dir, element, schema
-                )
-        # FAILFAST: the reference hard-fails on invalid XML (DTD validation
-        # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
-        # (see sources.dtd.validate_xml_against_dtd for the lxml-gated
-        # pre-flight), but malformed XML should abort, not silently null.
-        reader = (
-            self.spark.read.format("xml")
-            .option("rowTag", element)
-            .option("mode", "FAILFAST")
-        )
         # The schema comes from the DTD, not reader inference. Two reasons:
         # (1) CORRECTNESS — inference unifies a tag that is text-only in one
         #     record and structured in another to STRING with the raw inner
@@ -238,13 +211,32 @@ class XmlToCsvPlan:
         # opaque to the parser → reader inference (with its documented merge
         # limitation).
         schema, cut_paths = build_record_schema(self.dtd_path, element)
+        if schema is not None and cut_paths:
+            print(
+                f"Warning: recursive content model(s) for {element!r} cut at "
+                f"depth: {', '.join(sorted(set(cut_paths))[:5])} — deeper "
+                "repeats degrade to text."
+            )
+        # Single-pass mode: parse from the materialized envelope (one raw-XML
+        # read for ALL types) when this type's schema is DTD-derivable.
+        if self._envelope_dir is not None and schema is not None:
+            from dblp_to_csv_spark.sources.xml_single_pass import (
+                read_envelope_type,
+            )
+
+            return read_envelope_type(
+                self.spark, self._envelope_dir, element, schema
+            )
+        # FAILFAST: the reference hard-fails on invalid XML (DTD validation
+        # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
+        # (see sources.dtd.validate_xml_against_dtd for the lxml-gated
+        # pre-flight), but malformed XML should abort, not silently null.
+        reader = (
+            self.spark.read.format("xml")
+            .option("rowTag", element)
+            .option("mode", "FAILFAST")
+        )
         if schema is not None:
-            if cut_paths:
-                print(
-                    f"Warning: recursive content model(s) for {element!r} cut at "
-                    f"depth: {', '.join(sorted(set(cut_paths))[:5])} — deeper "
-                    "repeats degrade to text."
-                )
             return reader.schema(schema).load(self.xml_path)
         reader = reader.option("inferSchema", "false")  # strings only
         if self.schema_sampling_ratio < 1.0:
@@ -544,13 +536,17 @@ class XmlToCsvPlan:
         self._size_xml_splits()
         try:
             if self.single_pass and elements:
+                import tempfile
+
                 from dblp_to_csv_spark.sources.xml_single_pass import (
                     materialize_envelope,
                 )
 
-                self._envelope_dir = os.path.join(
-                    os.path.dirname(os.path.abspath(self.path)) or ".",
-                    "_xml_envelope",
+                # per-run unique dir: concurrent converts sharing an output
+                # parent must not clobber each other's envelope
+                self._envelope_dir = tempfile.mkdtemp(
+                    prefix="_xml_envelope_",
+                    dir=os.path.dirname(os.path.abspath(self.path)) or ".",
                 )
                 materialize_envelope(
                     self.spark, self.xml_path, elements, self._envelope_dir

@@ -60,11 +60,18 @@ def write_training_shards(
     )
     # manifest from the written data (read back = what the loader will see)
     spark = df.sparkSession
-    written = spark.read.format(fmt).load(out_dir)
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in written.groupBy("shard").agg(F.count("*").alias("n")).collect()
-    }
+    try:
+        written = spark.read.format(fmt).load(out_dir)
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in written.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+    except Exception as e:
+        # a zero-row input writes no data files at all (partitionBy of an
+        # empty frame) — that's a legitimate all-zero manifest, not an error
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "Unable to infer schema" not in str(e):
+            raise
+        counts = {}
     manifest = {
         "format": fmt,
         "n_shards": n_shards,

@@ -32,7 +32,12 @@ Assumptions (shared with every splittable XML input format, and with the
 reference's own state machine, XMLToCSV.py:120-121 — records are DIRECT
 children of the root): record-type tags do not appear nested inside other
 records, and record bodies do not contain CDATA sections spelling fake
-record tags. True for DBLP; documented, not silently assumed.
+record tags. True for DBLP; documented, not silently assumed. XML comments
+ARE handled — record-looking tags inside ``<!-- ... -->`` are skipped, and
+'>' inside quoted attribute values does not terminate a tag — with one
+residual split-boundary caveat: a comment that OPENS before a task's byte
+range and spells a record tag inside it is invisible to that task (same
+class as the CDATA assumption; pathological for real corpora).
 
 Python does the byte scanning (regex over bytes, no XML parse — the actual
 parsing stays JVM-side in from_xml), batched through Arrow via mapInPandas.
@@ -112,25 +117,68 @@ class _RangeScanner:
         self.buf += chunk
         return True
 
+    _TAG_DELIM = re.compile(rb"[>\"']")
+
     def _find_tag_end(self, pos: int) -> tuple[int, bool]:
-        """Return (index just past the opening tag's '>', self_closing)."""
+        """Return (index just past the opening tag's '>', self_closing) —
+        QUOTE-AWARE: a '>' inside a quoted attribute value does not end the
+        tag (XML allows raw '>' in attribute values)."""
+        quote: bytes | None = None
         while True:
-            i = self.buf.find(b">", pos)
-            if i != -1:
-                return i + 1, self.buf[i - 1 : i] == b"/"
-            if not self._extend():
-                raise ValueError("unterminated tag at end of input")
+            mm = self._TAG_DELIM.search(self.buf, pos)
+            if mm is None:
+                if not self._extend():
+                    raise ValueError("unterminated tag at end of input")
+                continue
+            ch = mm.group(0)
+            pos = mm.end()
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in (b'"', b"'"):
+                quote = ch
+            else:  # '>' outside quotes
+                return pos, self.buf[mm.start() - 1 : mm.start()] == b"/"
+
+    def _search(self, pattern, pos: int, unclosed: str | None = None):
+        """Next match of ``pattern`` at/after ``pos`` that is NOT inside an
+        XML comment whose opener lies in the scanned region; extends the
+        buffer as needed. Returns None at EOF (or raises if ``unclosed``
+        names a construct that must close)."""
+        while True:
+            m = pattern.search(self.buf, pos)
+            while m is None and not self.eof:
+                # keep pos: a token may straddle the chunk edge, so re-search
+                # from just before the PRE-extension end, never the new end
+                resume = max(pos, len(self.buf) - 64)
+                self._extend()
+                m = pattern.search(self.buf, resume)
+            if m is None:
+                if unclosed:
+                    raise ValueError(unclosed)
+                return None
+            cpos = self.buf.find(b"<!--", pos, m.start())
+            if cpos == -1:
+                return m
+            # the match lies at/after a comment opener: skip the comment
+            cend = self.buf.find(b"-->", cpos + 4)
+            while cend == -1:
+                resume = max(cpos + 4, len(self.buf) - 8)
+                if not self._extend():
+                    raise ValueError(f"unterminated comment at byte {self.base + cpos}")
+                cend = self.buf.find(b"-->", resume)
+            pos = cend + 3
 
     def records(self) -> Iterator[tuple[str, int, bytes]]:
         pos = 0  # scan cursor, relative to buf
         while True:
-            m = self.open_re.search(self.buf, pos)
-            while m is None and not self.eof:
-                # keep pos: a tag may straddle the chunk edge, so re-search
-                # from the last unconsumed byte after extending
-                searched_from = max(pos, len(self.buf) - 64)
-                self._extend()
-                m = self.open_re.search(self.buf, searched_from)
+            # drop consumed bytes FIRST (any yield path lands here) so memory
+            # stays O(record), not O(range)
+            if pos > _EXTEND_CHUNK:
+                self.base += pos
+                self.buf = self.buf[pos:]
+                pos = 0
+            m = self._search(self.open_re, pos)
             if m is None:
                 return
             abs_start = self.base + m.start()
@@ -147,17 +195,15 @@ class _RangeScanner:
             close_pat = re.compile(rb"</%s\s*>" % re.escape(tag))
             depth, cursor = 1, body_at
             while depth:
-                c = close_pat.search(self.buf, cursor)
-                while c is None:
-                    # a close tag may straddle the buffer edge: re-search from
-                    # just before the PRE-extension end, never the new end
-                    resume = max(cursor, len(self.buf) - 64)
-                    if not self._extend():
-                        raise ValueError(
-                            f"unclosed <{tag.decode()}> at byte {abs_start}"
-                        )
-                    c = close_pat.search(self.buf, resume)
+                c = self._search(
+                    close_pat,
+                    cursor,
+                    unclosed=f"unclosed <{tag.decode()}> at byte {abs_start}",
+                )
                 # nested opens strictly before this close keep it unmatched
+                # (window scan; comment-shadowed nested same-name opens are
+                # out of scope — record-type tags never nest in the supported
+                # corpora, see the module assumptions)
                 o = open_pat.search(self.buf, cursor, c.start())
                 while o is not None:
                     nest_end, nest_self = self._find_tag_end(o.end())
@@ -168,11 +214,6 @@ class _RangeScanner:
                 cursor = c.end()
             yield tag.decode(), abs_start, self.buf[m.start() : cursor]
             pos = cursor
-            # drop consumed bytes so memory stays O(record), not O(range)
-            if pos > _EXTEND_CHUNK:
-                self.base += pos
-                self.buf = self.buf[pos:]
-                pos = 0
 
 
 def _scan_spec(
@@ -265,12 +306,16 @@ def read_envelope_type(
         env = spark.read.parquet(envelope_dir).filter(
             F.col("record_type") == element
         )
-    except Exception:
+    except Exception as e:
         # a corpus with ZERO records of any type writes no parquet files at
         # all (partitionBy of an empty frame) — surface that as an empty,
         # correctly-typed frame, matching what the native scan yields for an
-        # absent rowTag under a supplied schema
-        return spark.createDataFrame([], schema)
+        # absent rowTag under a supplied schema. ONLY that case: any other
+        # read failure (permissions, corrupt footer, transient FS) must
+        # propagate — swallowing it would silently emit empty tables.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
     parsed = env.select(
         F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r")
     )

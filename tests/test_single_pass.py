@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.plans.etl import convert, get_record_types
 from dblp_to_csv_spark.sources.xml_single_pass import extract_record_envelope
+from tests.conftest import SF_SMOKE
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 XML = os.path.join(FIX, "mini_dblp.xml")
@@ -113,7 +114,7 @@ def test_convert_modes_byte_identical(spark, tmp_path):
         with open(a_dir / name, "rb") as fa, open(b_dir / name, "rb") as fb:
             assert fa.read() == fb.read(), name
     # the envelope working directory is cleaned up after the run
-    assert not (b_dir / "_xml_envelope").exists()
+    assert not glob.glob(str(b_dir / "_xml_envelope*"))
 
 
 def test_python_datasource_matches_function_frontend(spark, types, envelope_rows):
@@ -216,3 +217,43 @@ def test_convert_modes_identical_on_edge_cases(spark, tmp_path):
     for name in a_files:
         with open(a_dir / name, "rb") as fa, open(b_dir / name, "rb") as fb:
             assert fa.read() == fb.read(), name
+
+
+def test_scanner_skips_comments_and_quoted_gt(spark, types, tmp_path):
+    """Record-looking tags inside XML comments must be skipped, and '>'
+    inside a quoted attribute value must not terminate the tag."""
+    doc = (
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<!-- reviewer note: <article key="fake"> is not a record -->\n'
+        '<article key="a&gt;b" mdate="2020-01-01"><year>2020</year></article>\n'
+        "<!-- trailing <www key='nope'/> comment -->\n"
+        '<www key="w1"><year>2021</year></www>\n'
+        "</dblp>\n"
+    )
+    p = tmp_path / "c.xml"
+    p.write_text(doc)
+    # split sizes within the supported envelope: a byte range that STARTS
+    # inside a comment cannot see the opener (the module's documented
+    # residual caveat, shared with every splittable-XML input format), so
+    # splits must be >= the comment span for comment-bearing regions
+    for split in (None, 64):
+        rows = sorted(
+            (r.record_type, r.xml)
+            for r in extract_record_envelope(
+                spark, str(p), types, target_split_bytes=split
+            ).collect()
+        )
+        assert [t for t, _ in rows] == ["article", "www"], rows
+        assert 'key="a&gt;b"' in rows[0][1]
+
+
+def test_export_empty_input_manifest(spark, tmp_path):
+    """Zero-row input: the export must produce an all-zero manifest, not an
+    UNABLE_TO_INFER_SCHEMA crash after a successful (empty) write."""
+    from dblp_to_csv_spark.plans.export import write_training_shards
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 0")
+    manifest = write_training_shards(docs, str(tmp_path / "none"), n_shards=3)
+    assert manifest["total_rows"] == 0
+    assert manifest["shards"] == {"0": 0, "1": 0, "2": 0}
