@@ -43,6 +43,19 @@ GOPHER_MIN_STOP_DISTINCT = 2  # ≥ 2 distinct stopwords present
 LANG_TOKEN_BUDGET = 5_000  # tokens admitted per language
 CHUNK_WORDS = 10  # non-overlapping exact-dup chunk width
 
+# Cluster-label frames are a vanishing fraction of the corpus on real data,
+# but their size is bounded only by that assumption — a pathologically
+# duplicated corpus makes them corpus-sized, and a FORCED broadcast then
+# fails with an executor/driver OOM instead of degrading to a shuffle join.
+# The frames come out of the CC loop checkpointed, so one count() is cheap;
+# past the threshold we hand the join to AQE (which still broadcasts when
+# runtime stats allow). 4M rows of (doc_id[, component]) ≈ tens of MB.
+_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _broadcast_if_small(df: DataFrame) -> DataFrame:
+    return F.broadcast(df) if df.count() <= _BROADCAST_MAX_ROWS else df
+
 
 @register(
     "quality_gopher_rules",
@@ -330,7 +343,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components_min_label(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
-        F.broadcast(labels)
+        _broadcast_if_small(labels)
         .join(docs, "doc_id")
         .groupBy("component")
         .agg(
@@ -440,6 +453,6 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components_min_label(spark, sf_dir)
     drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = load_table(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )

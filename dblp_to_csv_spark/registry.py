@@ -36,117 +36,135 @@ class QueryEntry:
 
 _REGISTRY: dict[str, QueryEntry] = {}
 
-# Query names with a green driver CORRECTNESS row (hash-match, or rows-only
-# for the declared no-oracle queries) from rounds 1-2-4-5 — the union of
-# CORRECTNESS_r{01,02,04,05}.json. The driver verifies only the first 50
-# entries of ``queries()`` per round, so ``all_queries()`` enumerates
-# not-yet-verified queries FIRST to close the evidence gap (VERDICT r2
-# item 1); queries added after round 5 stay out of this set until they earn
-# a green row.
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "advanced_agg_gallery",
-    "anti_join_customers_without_orders",
-    "apply_in_pandas_label_stats",
-    "approx_distinct_users",
-    "approx_percentile_prices",
-    "argmax_order_per_customer",
-    "array_collapse_returnflags",
-    "array_functions_gallery",
-    "asof_join_purchase_last_view",
-    "broadcast_join_part_agg",
-    "conditional_agg_orders",
-    "cube_orders_status_priority",
-    "date_functions_gallery",
-    "decontaminate_against_eval",
-    "dedup_connected_components",
-    "dedup_connected_components_star",
-    "dedup_containment_capped",
-    "dedup_containment_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_exact_documents",
-    "dedup_latest_order_per_customer",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_minhash_lsh_df_capped",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dict_encode_segments",
-    "distinct_customers_per_status",
-    "event_validity_intervals",
-    "from_json_events",
-    "full_outer_join_customer_activity",
-    "gapfill_hourly_events",
-    "json_extract_events",
-    "map_functions_events",
-    "market_share_by_year",
-    "median_price_by_status",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "ntile_order_quartiles",
-    "null_safe_join_suppliers",
-    "outliers_by_mad",
-    "pack_concat_chunks",
-    "pack_sequences_greedy",
-    "pandas_udf_vector_norm",
-    "pipeline_c4_keep",
-    "pivot_status_by_priority",
-    "posexplode_order_lines",
-    "pricing_summary",
-    "prune_empty_columns",
-    "quartile_labels_by_cutpoint",
-    "range_join_events_binned",
-    "rank_functions_suppliers",
-    "regexp_functions_gallery",
-    "revenue_by_nation",
-    "rollup_lineitem_status",
-    "salted_agg_event_types",
-    "sample_documents_hash",
-    "sample_stratified_by_lang",
-    "scalar_functions_gallery",
-    "segment_edges",
-    "semi_join_discounted_orders",
-    "sessionize_events",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "similarity_topk_blas",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh_bucketed",
-    "sliding_window_events",
-    "sorted_page_orders",
-    "split_train_val_test",
-    "sql_exists_subquery",
-    "sql_grouping_sets",
-    "sql_scalar_subquery",
-    "stats_agg_lineitem",
-    "string_functions_gallery",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "theta_join_nation_pairs",
-    "top_orders_by_revenue",
-    "tumbling_window_events",
-    "type_detect_ladder",
-    "type_unification_lattice",
-    "udtf_tokenize_documents",
-    "union_by_name_schema_evolution",
-    "unpivot_order_status_counts",
-    "window_lag_event_delta",
-    "window_range_frame",
-    "window_running_revenue",
-    "window_top_orders_per_customer",
-})
+# Last round in which each query earned a green driver CORRECTNESS row
+# (hash-match, or rows-only for the declared no-oracle queries) — computed
+# from the union of CORRECTNESS_r*.json by scripts/refresh_driver_verified.py.
+# The driver verifies only the first 50 entries of ``queries()`` per round
+# and the testdata is regenerated between rounds, so ``all_queries()``
+# enumerates the STALEST evidence first: never-verified queries, then by
+# ascending last-green round. Queries with no DuckDB oracle sort last so
+# the driver window never burns slots on rows-only ``err: no_oracle`` rows
+# (VERDICT r6 items 1 and 5).
+_LAST_GREEN_ROUND: dict[str, int] = {
+    "advanced_agg_gallery": 5,
+    "anti_join_customers_without_orders": 6,
+    "apply_in_pandas_label_stats": 5,
+    "approx_distinct_users": 6,
+    "approx_percentile_prices": 6,
+    "argmax_order_per_customer": 5,
+    "array_collapse_returnflags": 6,
+    "array_functions_gallery": 5,
+    "asof_join_purchase_last_view": 1,
+    "broadcast_join_part_agg": 6,
+    "conditional_agg_orders": 5,
+    "cube_orders_status_priority": 6,
+    "date_functions_gallery": 5,
+    "decontaminate_against_eval": 5,
+    "dedup_chunk_exact": 6,
+    "dedup_cluster_stats": 6,
+    "dedup_connected_components": 2,
+    "dedup_connected_components_star": 5,
+    "dedup_containment_capped": 5,
+    "dedup_containment_pairs": 2,
+    "dedup_embedding_cosine": 2,
+    "dedup_embedding_cosine_bucketed": 2,
+    "dedup_exact_documents": 2,
+    "dedup_keep_canonical": 6,
+    "dedup_latest_order_per_customer": 2,
+    "dedup_minhash_lsh": 2,
+    "dedup_minhash_lsh_capped": 5,
+    "dedup_minhash_lsh_df_capped": 5,
+    "dedup_ngram_jaccard": 2,
+    "dedup_ngram_jaccard_capped": 2,
+    "dedup_simhash": 5,
+    "dict_encode_segments": 6,
+    "distinct_customers_per_status": 6,
+    "drift_chi2_source_lang": 6,
+    "drift_ks_events_value": 6,
+    "embedding_label_centroids": 6,
+    "event_validity_intervals": 5,
+    "from_json_events": 6,
+    "full_outer_join_customer_activity": 6,
+    "funnel_view_cart_purchase": 6,
+    "gapfill_hourly_events": 5,
+    "json_extract_events": 6,
+    "lang_temperature_resample": 6,
+    "map_functions_events": 6,
+    "market_share_by_year": 6,
+    "median_price_by_status": 6,
+    "multimodal_decode_stub": 5,
+    "multimodal_feature_extract": 5,
+    "multimodal_frame_sample": 5,
+    "multimodal_metadata": 1,
+    "ntile_order_quartiles": 5,
+    "null_safe_join_suppliers": 6,
+    "outliers_by_mad": 5,
+    "pack_concat_chunks": 5,
+    "pack_sequences_greedy": 5,
+    "pandas_udf_vector_norm": 5,
+    "pipeline_c4_keep": 5,
+    "pivot_status_by_priority": 5,
+    "posexplode_order_lines": 6,
+    "pricing_summary": 6,
+    "prune_empty_columns": 6,
+    "quality_gopher_rules": 6,
+    "quartile_labels_by_cutpoint": 5,
+    "range_join_events_binned": 5,
+    "rank_functions_suppliers": 5,
+    "regexp_functions_gallery": 5,
+    "retention_cohorts_weekly": 6,
+    "revenue_by_nation": 6,
+    "rollup_lineitem_status": 6,
+    "salted_agg_event_types": 5,
+    "sample_documents_hash": 5,
+    "sample_stratified_by_lang": 5,
+    "scalar_functions_gallery": 6,
+    "segment_edges": 6,
+    "semi_join_discounted_orders": 6,
+    "sessionize_events": 1,
+    "setop_except_nations": 6,
+    "setop_intersect_nations": 6,
+    "setop_union_nations": 6,
+    "similarity_topk_blas": 2,
+    "similarity_topk_bruteforce": 2,
+    "similarity_topk_ivf": 2,
+    "similarity_topk_lsh_bucketed": 2,
+    "sliding_window_events": 5,
+    "sorted_page_orders": 5,
+    "split_train_val_test": 5,
+    "sql_exists_subquery": 5,
+    "sql_grouping_sets": 5,
+    "sql_lateral_topk_nations": 6,
+    "sql_recursive_cte_months": 6,
+    "sql_scalar_subquery": 5,
+    "sql_variant_events": 6,
+    "stats_agg_lineitem": 5,
+    "string_functions_gallery": 5,
+    "text_bpe_token_count": 1,
+    "text_fingerprint": 1,
+    "text_language_id": 1,
+    "text_logprob_buckets": 6,
+    "text_quality_score": 2,
+    "text_redact_pii": 5,
+    "text_repetition_score": 5,
+    "text_tfidf_top_terms": 5,
+    "text_token_stats": 2,
+    "text_unigram_logprob": 5,
+    "theta_join_nation_pairs": 6,
+    "token_budget_per_lang": 6,
+    "top_orders_by_revenue": 6,
+    "tumbling_window_events": 1,
+    "type_detect_ladder": 6,
+    "type_unification_lattice": 6,
+    "udaf_geomean_order_price": 6,
+    "udtf_tokenize_documents": 5,
+    "union_by_name_schema_evolution": 6,
+    "unpivot_order_status_counts": 5,
+    "window_lag_event_delta": 6,
+    "window_range_frame": 5,
+    "window_running_revenue": 6,
+    "window_top_orders_per_customer": 6,
+}
 
 
 def register(
@@ -172,18 +190,24 @@ def _ensure_loaded() -> None:
 
 
 def all_queries() -> dict[str, QueryEntry]:
-    """All registered queries, never-driver-verified first.
+    """All registered queries, stalest driver evidence first.
 
     Enumeration order matters: the driver's correctness harness checks a
-    window of 50 queries per round in ``queries()`` order. Putting queries
-    without a green CORRECTNESS row first guarantees every query accumulates
-    driver evidence across rounds. Within each group, registration
-    (insertion) order is preserved.
+    window of 50 queries per round in ``queries()`` order, and the testdata
+    is regenerated between rounds. Ordering by ascending last-green round
+    (never-verified first) rotates the window onto the queries whose
+    evidence is oldest; oracle-less (rows-only) queries sort last so the
+    window contains only hash-checkable rows. Ties preserve registration
+    order.
     """
     _ensure_loaded()
-    pending = {n: e for n, e in _REGISTRY.items() if n not in _DRIVER_VERIFIED}
-    verified = {n: e for n, e in _REGISTRY.items() if n in _DRIVER_VERIFIED}
-    return {**pending, **verified}
+    order = list(_REGISTRY)
+    def sort_key(name: str) -> tuple[int, int, int]:
+        e = _REGISTRY[name]
+        no_oracle = 1 if e.oracle is None else 0
+        last_green = _LAST_GREEN_ROUND.get(name, -1)  # never verified → first
+        return (no_oracle, last_green, order.index(name))
+    return {n: _REGISTRY[n] for n in sorted(order, key=sort_key)}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -80,9 +80,11 @@ def _plan_ranges(
     Gzip members are one unsplittable range each (end = -1 → EOF)."""
     paths = sorted(_glob.glob(xml_path)) or [xml_path]
     specs: list[tuple[str, int, int, bool]] = []
+    found_file = False
     for p in paths:
         if not os.path.isfile(p):
             continue
+        found_file = True
         if p.endswith(".gz"):
             specs.append((p, 0, -1, True))
             continue
@@ -92,6 +94,10 @@ def _plan_ranges(
         step = max(1, target_bytes)
         for start in range(0, size, step):
             specs.append((p, start, min(start + step, size), False))
+    if not found_file:
+        # match the native per-type scan, which raises PATH_NOT_FOUND instead
+        # of silently yielding an empty result for a typo'd path
+        raise FileNotFoundError(f"no XML input files match {xml_path!r}")
     return specs
 
 
@@ -105,9 +111,14 @@ class _RangeScanner:
         self.range_end = range_end  # exclusive; -1 = EOF
         self.buf = b""
         self.eof = False
-        names = b"|".join(t.encode() for t in sorted(types, key=len, reverse=True))
+        # escape each name: XML element names may legally contain '.' etc.
+        names = b"|".join(
+            re.escape(t.encode()) for t in sorted(types, key=len, reverse=True)
+        )
         # opening tag of any record type, at a tag boundary
         self.open_re = re.compile(rb"<(%s)(?=[\s/>])" % names)
+        # absolute offset of an XML comment the open-tag scan is inside of
+        self._comment_open_at: int | None = None
 
     def _extend(self) -> bool:
         chunk = self.fh.read(_EXTEND_CHUNK)
@@ -169,6 +180,52 @@ class _RangeScanner:
                 cend = self.buf.find(b"-->", resume)
             pos = cend + 3
 
+    def _next_open(self, pos: int):
+        """Next record-opening-tag match at/after ``pos``, skipping XML
+        comments. Unlike ``_search`` this COMPACTS consumed bytes while
+        scanning, so a record-free tail of any size (huge trailing comment,
+        whitespace, unrelated markup) costs O(chunk) memory, not O(tail) —
+        and a bounded range stops reading once every byte a future match
+        could start at lies past ``range_end``. Returns a match against the
+        (possibly compacted) current ``self.buf``, or None when this task
+        owns no further record."""
+        while True:
+            if self._comment_open_at is not None:
+                cend = self.buf.find(b"-->", pos)
+                if cend == -1:
+                    keep = max(pos, len(self.buf) - 2)  # torn '--' prefix
+                    self.base += keep
+                    self.buf = self.buf[keep:]
+                    pos = 0
+                    if self.range_end != -1 and self.base >= self.range_end:
+                        return None  # comment runs past range: next task's
+                    if not self._extend():
+                        raise ValueError(
+                            f"unterminated comment at byte {self._comment_open_at}"
+                        )
+                    continue
+                pos = cend + 3
+                self._comment_open_at = None
+            m = self.open_re.search(self.buf, pos)
+            limit = m.start() if m is not None else len(self.buf)
+            copen = self.buf.find(b"<!--", pos, limit)
+            if copen != -1:
+                self._comment_open_at = self.base + copen
+                pos = copen + 4
+                continue
+            if m is not None:
+                return m
+            # no match, no comment opener in [pos, len): keep only a
+            # torn-token tail (tokens are <64 bytes) and extend
+            keep = max(pos, len(self.buf) - 64)
+            if self.range_end != -1 and self.base + keep >= self.range_end:
+                return None
+            self.base += keep
+            self.buf = self.buf[keep:]
+            pos = 0
+            if not self._extend():
+                return None
+
     def records(self) -> Iterator[tuple[str, int, bytes]]:
         pos = 0  # scan cursor, relative to buf
         while True:
@@ -178,7 +235,7 @@ class _RangeScanner:
                 self.base += pos
                 self.buf = self.buf[pos:]
                 pos = 0
-            m = self._search(self.open_re, pos)
+            m = self._next_open(pos)
             if m is None:
                 return
             abs_start = self.base + m.start()

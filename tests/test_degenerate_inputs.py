@@ -128,7 +128,10 @@ def test_ks_drift_one_empty_group(spark, empty_docs_sf):
     rows = _entry("drift_ks_events_value").fn(spark, empty_docs_sf).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert r["n_a"] in (0, None) and r["n_b"] == 2 or r["n_b"] in (0, None)
+    # exact fixture expectations: 0 'click' rows (group a), 2 'view' rows
+    # (group b); the empty sample's flat-zero ECDF makes D read total drift
+    assert r["n_a"] == 0 and r["n_b"] == 2
+    assert r["ks_stat"] == 1.0
 
 
 def test_chunk_dedup_partial_tail_parity(spark, tmp_path):
