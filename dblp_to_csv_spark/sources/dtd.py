@@ -28,6 +28,16 @@ _PE_DECL = re.compile(
 )
 _PE_REF = re.compile(r"%([A-Za-z_:][\w.:-]*);")
 
+# unparsed (NDATA) general entity: <!ENTITY name SYSTEM "uri" NDATA notation>
+# — the only kind an ENTITY/ENTITIES attribute may legally name (XML 1.0
+# §3.3.1). PUBLIC form carries two literals before NDATA.
+_UNPARSED_ENTITY_DECL = re.compile(
+    r"<!ENTITY\s+([A-Za-z_:][\w.:-]*)\s+"
+    r"(?:SYSTEM\s+(?:\"[^\"]*\"|'[^']*')"
+    r"|PUBLIC\s+(?:\"[^\"]*\"|'[^']*')\s+(?:\"[^\"]*\"|'[^']*'))"
+    r"\s+NDATA\s+([A-Za-z_:][\w.:-]*)\s*>"
+)
+
 
 def _read_dtd_text(dtd_path: str) -> str:
     """DTD text with comments stripped and INTERNAL parameter entities
@@ -392,11 +402,12 @@ def validate_xml_structurally(
     cardinality are enforced, matching lxml's verdict on element structure),
     and attribute VALUES must satisfy their declared types: ID syntax +
     document-wide uniqueness, IDREF/IDREFS resolution against the ID set,
-    NMTOKEN(S) syntax, enumeration membership, #FIXED equality — the same
-    whole-document constraints libxml2 enforces for the reference
+    NMTOKEN(S) syntax, enumeration and NOTATION membership, ENTITY/ENTITIES
+    resolution against declared unparsed (NDATA) entities, #FIXED equality —
+    the same whole-document constraints libxml2 enforces for the reference
     (XMLToCSV.py:109-110). Returns violations (empty = valid). Not covered
-    vs a full validator: ENTITY/ENTITIES attribute resolution and external
-    parameter entities. Streaming pass, O(depth) parse state plus O(#ID +
+    vs a full validator: external parameter entities (cannot be fetched).
+    Streaming pass, O(depth) parse state plus O(#ID +
     #IDREF values) for the cross-reference sets — that is the floor any
     validator pays for ID semantics (libxml2 included): a pre-flight for
     corpora readable once on the driver; at 100 TB validation belongs in
@@ -430,6 +441,8 @@ def validate_xml_structurally(
             or "%" in model
         )
     }
+    # ENTITY/ENTITIES attribute values must name declared NDATA entities
+    unparsed_entities = {m.group(1) for m in _UNPARSED_ENTITY_DECL.finditer(dtd_text)}
     errors: list[str] = []
     # per open element: (name, accumulated child-sequence tokens)
     stack: list[tuple[str, list[str]]] = []
@@ -472,6 +485,21 @@ def validate_xml_structurally(
                 if not _NMTOKEN.match(tok):
                     errors.append(f"{typ} attribute {a!r} on <{name}>: "
                                   f"{tok!r} is not a valid name token")
+        elif typ in ("ENTITY", "ENTITIES"):
+            tokens = [value] if typ == "ENTITY" else value.split()
+            for tok in tokens:
+                if tok not in unparsed_entities:
+                    errors.append(
+                        f"{typ} attribute {a!r} on <{name}>: {tok!r} does "
+                        f"not name a declared unparsed (NDATA) entity"
+                    )
+        elif typ.startswith("NOTATION"):
+            allowed = set(typ.removeprefix("NOTATION").strip("()").split("|"))
+            if value not in allowed:
+                errors.append(
+                    f"NOTATION attribute {a!r} on <{name}>: {value!r} not "
+                    f"in {typ.removeprefix('NOTATION')}"
+                )
         elif typ.startswith("("):
             allowed = set(typ.strip("()").split("|"))
             if value not in allowed:
