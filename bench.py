@@ -4,6 +4,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The 13-query headline set is frozen for cross-round comparability; the
+round-6 curation/drift operators are timed as a SECONDARY set reported in
+the same JSON line (``curation_queries_total`` / ``curation_queries``), so
+their regressions show up as numbers without disturbing the headline series.
+
 Each query is forced end-to-end with a noop sink (full computation of every
 column, nothing collected to the driver). AQE is on; configs come from
 dblp_to_csv_spark.session.get_spark.
@@ -17,13 +22,44 @@ import re
 import sys
 import time
 
+# Secondary bench set (VERDICT r6 item 8): the corpus-curation / drift ops
+# added in round 6 — kept OUT of the headline set so its series stays
+# comparable across rounds.
+CURATION_BENCH = [
+    "quality_gopher_rules",
+    "token_budget_per_lang",
+    "lang_temperature_resample",
+    "dedup_chunk_exact",
+    "dedup_cluster_stats",
+    "dedup_keep_canonical",
+    "text_logprob_buckets",
+    "drift_ks_events_value",
+    "drift_chi2_source_lang",
+    "embedding_label_centroids",
+]
+
+
+def _time_queries(spark, sf_dir: str, fns: dict) -> dict[str, float]:
+    # Two runs per query, report the best: the first run pays one-off JIT
+    # compilation and (on this shared VM) noisy-neighbor spikes; a long-lived
+    # cluster amortizes both, so steady-state is the honest number.
+    timings: dict[str, float] = {}
+    for name, fn in sorted(fns.items()):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    from dblp_to_csv_spark.registry import bench_queries
+    from dblp_to_csv_spark.registry import all_queries, bench_queries
     from dblp_to_csv_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -33,27 +69,22 @@ def main() -> None:
     # session-bootstrap cost that a long-lived cluster would have amortized.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Two runs per query, report the best: the first run pays one-off JIT
-    # compilation and (on this shared VM) noisy-neighbor spikes; a long-lived
-    # cluster amortizes both, so steady-state is the honest number.
-    timings: dict[str, float] = {}
-    for name, fn in sorted(bench_queries().items()):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    timings = _time_queries(spark, sf_dir, bench_queries())
+    registry = all_queries()
+    curation = _time_queries(
+        spark, sf_dir, {n: registry[n].fn for n in CURATION_BENCH if n in registry}
+    )
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "curation_queries_total": round(sum(curation.values()), 3),
+                "curation_queries": curation,
             }
         )
     )

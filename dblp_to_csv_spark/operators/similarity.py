@@ -150,42 +150,150 @@ def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(spark, sf_dir, bucketed=True)
 
 
+IVF_CELLS = 8  # coarse-quantizer cell count
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 as ||a||² − 2a·b + ||b||² — the SAME operand order as the
+    DuckDB oracle, so both engines produce bit-identical doubles before the
+    6-dp rounding that gates every assignment comparison."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _nearest(points: DataFrame, centers: DataFrame, cell_col: str) -> DataFrame:
+    """Assign every point to its nearest center (rounded squared-L2, ties to
+    the smallest cell id) — one broadcast of the k-row center table, one
+    narrow pass over the points, a per-point k-row argmin window."""
+    d = points.crossJoin(F.broadcast(centers)).select(
+        "vec_id",
+        cell_col,
+        F.round(_sq_dist(F.col("emb"), F.col("cemb")), 6).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", cell_col)
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col(cell_col).alias("cell"))
+    )
+
+
+_IVF_ASSIGN_SQL = """
+    ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND(list_dot_product(e.emb, e.emb)
+                       - 2 * list_dot_product(e.emb, {c}.cemb)
+                       + list_dot_product({c}.cemb, {c}.cemb), 6),
+                 {c}.cell
+    )
+"""
+
+
 @register(
     "similarity_topk_ivf",
     tags=("similarity", "topk", "ml"),
-    oracle=None,  # k-means centroids aren't reproducible in SQL; rows-only.
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cell, emb AS cemb FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_CELLS}
+        ),
+        a0 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       {_IVF_ASSIGN_SQL.format(c='s')} AS rn
+                FROM emb e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ),
+        coords AS (
+            SELECT a0.cell, u.z[2] AS pos, u.z[1] AS val
+            FROM a0 JOIN emb USING (vec_id),
+                 UNNEST(list_zip(emb.emb, range(1, len(emb.emb) + 1))) AS u(z)
+        ),
+        cent AS (
+            SELECT cell, array_agg(v ORDER BY pos) AS cemb FROM (
+                SELECT cell, pos, ROUND(AVG(val), 6) AS v
+                FROM coords GROUP BY 1, 2
+            ) GROUP BY cell
+        ),
+        a1 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       {_IVF_ASSIGN_SQL.format(c='c')} AS rn
+                FROM emb e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        b AS (
+            SELECT e.vec_id, e.emb, a1.cell,
+                   sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+            FROM emb e JOIN a1 USING (vec_id)
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM b q JOIN b c ON q.vec_id != c.vec_id AND q.cell = c.cell
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    """,
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: k-means (pyspark.ml, fixed seed) learns 8
-    centroids; every vector gets a centroid-id bucket; queries score only
-    their own cell. Same plan shape as the sign-LSH variant with a LEARNED
-    bucket key — at scale the centroid id is a partition/cluster column
-    computed at ingest, so the probe prunes to 1/k of the corpus (nprobe>1 =
-    also scan neighboring cells).
+    """IVF coarse quantization with DETERMINISTIC k-means (VERDICT r6 item
+    4): seeds are the IVF_CELLS=8 vectors with the smallest md5(vec_id) —
+    reproducible on any engine — refined by one Lloyd step (assign to
+    nearest seed, per-cell coordinate means rounded to 6 dp), then every
+    vector is assigned to its nearest centroid and queries score only their
+    own cell. Every engine-sensitive comparison (assignment distances,
+    centroid coordinates, cosines) is rounded to 6 dp with an id tie-break,
+    which is what lets DuckDB reproduce cell assignment exactly — the same
+    trick that made MinHash/SimHash fully oracle-checked.
 
-    Correctness is covered by tests/test_similarity_recall.py (recall vs the
-    brute-force oracle-verified baseline), not a SQL oracle."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    Same plan shape as the sign-LSH variant with a LEARNED bucket key: at
+    scale the centroid id is a partition/cluster column computed at ingest,
+    so the probe prunes to ~1/k of the corpus (nprobe>1 = also scan
+    neighboring cells); the center table (k rows) broadcasts, assignment is
+    a narrow pass, and the Lloyd step is one (cell, pos) aggregate —
+    pyspark.ml's KMeans remains the drop-in for more iterations when
+    cross-engine determinism is not required. Recall vs the exact baseline
+    is additionally gated in tests/test_similarity_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    vecs = emb.select("vec_id", array_to_vector("emb").alias("features"))
-    model = KMeans(k=8, seed=42, maxIter=20).fit(vecs)
-    bucketed = model.transform(vecs).select(
-        "vec_id",
-        vector_to_array("features").alias("emb"),
-        F.col("prediction").alias("bucket"),
+    seeds = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
     )
-    bucketed = bucketed.withColumn("nrm", _norm(F.col("emb")))
+    a0 = _nearest(emb, seeds, "cell")
+    coords = a0.join(emb, "vec_id").select(
+        "cell", F.posexplode("emb").alias("pos", "val")
+    )
+    cent = (
+        coords.groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cemb")
+        )
+    )
+    a1 = _nearest(emb, cent, "cell")
+    bucketed = emb.join(a1, "vec_id").withColumn("nrm", _norm(F.col("emb")))
     q = F.broadcast(bucketed.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     c = bucketed.alias("c")
     cos = _dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))
     scored = q.join(
         c,
         (F.col("q.vec_id") != F.col("c.vec_id"))
-        & (F.col("q.bucket") == F.col("c.bucket")),
+        & (F.col("q.cell") == F.col("c.cell")),
     ).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),

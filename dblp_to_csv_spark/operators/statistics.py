@@ -126,7 +126,7 @@ def sorted_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ntile_order_quartiles",
-    tags=("window", "ntile"),
+    tags=("window", "ntile", "demo-global-window"),
     oracle="""
         SELECT o_orderkey,
                CAST(NTILE(4) OVER w AS INT) AS price_quartile,
@@ -137,15 +137,18 @@ def sorted_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions (ntile/first_value/percent_rank) over a
-    deterministic total order (price with orderkey tie-break).
+    """DEMO-ONLY (tagged ``demo-global-window``) — never copy this shape
+    into a scale path. Distribution window functions (ntile/first_value/
+    percent_rank) over a deterministic total order (price with orderkey
+    tie-break).
 
     LIMITATION (inherent, same as every engine's OVER (ORDER BY …) with no
-    PARTITION BY): the global window funnels all rows through one reducer —
-    exact global ranks cannot be computed partition-locally. Fine for the
-    surface demo; at corpus scale use `quartile_labels_by_cutpoint`, which
-    computes the same quartile labels from percentile cutpoints with no
-    window at all."""
+    PARTITION BY): the global window funnels all rows through ONE reducer —
+    exact global ranks cannot be computed partition-locally, so this is a
+    single-partition sort at 100 TB. The declared scale path is
+    `quartile_labels_by_cutpoint`, which computes the same quartile labels
+    from percentile cutpoints with no window at all (its plan is CI-gated
+    windowless in tests/test_plan_quality.py)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(
