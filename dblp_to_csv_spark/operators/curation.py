@@ -456,3 +456,181 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "dedup_chunk_rewrite",
+    tags=("dedup", "text", "pipeline"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        base AS (
+            SELECT doc_id, w,
+                   CAST(len(w) // {CHUNK_WORDS} AS INT) AS n_chunks
+            FROM t
+        ),
+        ch AS (
+            SELECT doc_id, u.i AS idx,
+                   md5(array_to_string(
+                       list_slice(w, u.i * {CHUNK_WORDS} + 1,
+                                  u.i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')) AS h
+            FROM base,
+                 UNNEST(CASE WHEN n_chunks > 0
+                        THEN generate_series(0, n_chunks - 1)
+                        ELSE [] END) AS u(i)
+        ),
+        kept AS (
+            SELECT doc_id, idx FROM (
+                SELECT doc_id, idx,
+                       ROW_NUMBER() OVER (PARTITION BY h
+                                          ORDER BY doc_id, idx) AS rn
+                FROM ch
+            ) WHERE rn = 1
+        ),
+        agg AS (
+            SELECT doc_id, list_sort(array_agg(idx)) AS kept_idx
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               -- COALESCE: DuckDB's array_to_string is NULL on an EMPTY
+               -- list where Spark's array_join is '' (fully-deduplicated
+               -- doc with no tail)
+               COALESCE(array_to_string(
+                   list_concat(
+                       flatten(list_transform(COALESCE(a.kept_idx, []),
+                           i -> list_slice(b.w, i * {CHUNK_WORDS} + 1,
+                                           i * {CHUNK_WORDS} + {CHUNK_WORDS}))),
+                       list_slice(b.w, b.n_chunks * {CHUNK_WORDS} + 1, len(b.w))
+                   ), ' '), '') AS text_clean,
+               CAST(COALESCE(len(a.kept_idx), 0) AS BIGINT) AS n_chunks_kept,
+               CAST(b.n_chunks - COALESCE(len(a.kept_idx), 0) AS BIGINT)
+                   AS n_chunks_dropped
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk dedup as a REWRITE (the C4 line-dedup move at chunk
+    resolution): every non-overlapping ``CHUNK_WORDS``-word chunk keeps only
+    its globally FIRST occurrence (ordered by doc_id, then chunk index);
+    later occurrences are cut out and each document's text is reassembled
+    from its surviving chunks plus its always-kept sub-chunk tail.
+    ``dedup_chunk_exact`` reports the duplication; this operator produces
+    the cleaned corpus a pipeline actually trains on.
+
+    Scale shape: chunk hashes are built in-row (transform over the token
+    array, no token explode), so the ranking shuffle moves one 32-byte hash
+    per chunk (~1/{CHUNK_WORDS} of token count); first-occurrence selection
+    is a per-hash window (partitioned by hash — no global sort, bounded by
+    the duplication factor per chunk); reassembly re-slices the ORIGINAL
+    token array by kept index, so chunk text never round-trips through the
+    shuffle. Docs with no chunks (< {CHUNK_WORDS} words) skip the shuffle
+    path entirely via the left join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
+    idxs = F.when(
+        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk_hashes = F.transform(
+        idxs,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+        ),
+    )
+    base = docs.select("doc_id", "w", n_chunks.alias("n_chunks"),
+                       chunk_hashes.alias("hashes"))
+    ch = base.select("doc_id", F.posexplode("hashes").alias("idx", "h"))
+    first = Window.partitionBy("h").orderBy("doc_id", "idx")
+    kept = (
+        ch.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("kept_idx"))
+    )
+    joined = base.join(kept, "doc_id", "left")
+    kept_idx = F.coalesce(F.col("kept_idx"), F.array().cast("array<int>"))
+    kept_words = F.flatten(
+        F.transform(kept_idx, lambda i: F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+    )
+    tail = F.slice(w, F.col("n_chunks") * CHUNK_WORDS + 1, CHUNK_WORDS)
+    n_kept = F.size(kept_idx).cast("long")
+    return joined.select(
+        "doc_id",
+        F.array_join(F.concat(kept_words, tail), " ").alias("text_clean"),
+        n_kept.alias("n_chunks_kept"),
+        (F.col("n_chunks").cast("long") - n_kept).alias("n_chunks_dropped"),
+    )
+
+
+# deterministic upsampling draw prefix (independent of the 't|' resample draw)
+_UPSAMPLE_SALT = "u|"
+
+
+@register(
+    "mix_upsample_langs",
+    tags=("pipeline", "sampling"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang,
+                   ROUND((SELECT MAX(cnt) FROM counts) * 1.0 / cnt, 9) AS r
+            FROM counts
+        ),
+        epochs AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(FLOOR(r.r) AS INT)
+                   + CASE WHEN ('0x' || substr(md5('{_UPSAMPLE_SALT}'
+                                || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              / 4294967296.0
+                              < ROUND(r.r - FLOOR(r.r), 9)
+                          THEN 1 ELSE 0 END AS n_epochs
+            FROM documents d JOIN rates r USING (lang)
+        )
+        SELECT doc_id, lang, CAST(u.e AS INT) AS epoch
+        FROM epochs, UNNEST(generate_series(1, n_epochs)) AS u(e)
+    """,
+)
+def mix_upsample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling by REPETITION: every language is repeated up to the
+    largest language's document count — repeat factor r = max_count/count,
+    emitted as floor(r) full epochs per document plus one extra epoch for a
+    deterministic fraction (r - floor(r)) of documents. The standard
+    low-resource-language move when a mixture spec wants more of a source
+    than exists (the downsampling twin is ``lang_temperature_resample``);
+    the epoch column keeps repeated rows distinguishable downstream
+    (shuffling/packing stages treat (doc_id, epoch) as the row key).
+
+    Determinism across engines: the extra-epoch draw is the first 32 bits of
+    md5('{_UPSAMPLE_SALT}'+doc_id) scaled to [0,1) — an exact integer
+    construction independent of the resample draw; rates round to 9
+    decimals. Scale shape: the rate table is a per-lang aggregate broadcast
+    back onto the scan, and repetition is an in-row sequence+explode — the
+    corpus is read once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    max_cnt = counts.agg(F.max("cnt").alias("max_cnt"))
+    rates = counts.crossJoin(F.broadcast(max_cnt)).select(
+        "lang", F.round(F.col("max_cnt") * 1.0 / F.col("cnt"), 9).alias("r")
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_UPSAMPLE_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    n_epochs = F.floor(F.col("r")).cast("int") + F.when(
+        draw < F.round(F.col("r") - F.floor(F.col("r")), 9), 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", F.explode(F.sequence(F.lit(1), n_epochs)).alias("epoch"))
+    )

@@ -324,3 +324,56 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("bucket").applyInPandas(
         pack, "doc_id long, bucket string, n_tokens long, pack_id long"
     )
+
+
+@register(
+    "ngram_novelty_vs_reference",
+    tags=("pipeline", "text", "join"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(ev.shingle) AS BIGINT) AS n_shared,
+               ROUND(1.0 - COUNT(ev.shingle) * 1.0 / COUNT(*), 6) AS novelty
+        FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    """,
+)
+def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: for every training document, the fraction of
+    its DISTINCT word shingles absent from the reference set (the held-out
+    eval split, as in ``decontaminate_against_eval``) — the scoring twin of
+    decontamination: instead of flagging contaminated docs, every doc gets a
+    [0,1] novelty used for weighting/curriculum (novelty 1.0 = fully new
+    text, near 0 = mostly memorized/boilerplate n-grams).
+
+    Scale shape: identical to decontamination — the reference shingle set is
+    tiny and BROADCAST; the corpus's shingles stream through a map-side left
+    join (membership probe) and collapse in one per-doc aggregate; the
+    rounded ratio keeps both engines' division on the same 6-dp grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text")))).alias("shingle"),
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(shingles(words("text"))).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+            F.round(1.0 - F.count("hit") * 1.0 / F.count("*"), 6).alias("novelty"),
+        )
+    )

@@ -2,9 +2,12 @@
 convert it end-to-end (annotate mode), report records/sec.
 
 Usage: python scripts/bench_etl.py [n_records] [out_dir] [--single-pass] [--wide]
+                                   [--reuse]
 
 --wide: 10 record types instead of 3 — the shape where per-type scans pay
 N full corpus reads and the single-pass envelope pays one.
+--reuse: skip corpus generation when out_dir/corpus.xml already exists
+(multi-GB corpora take minutes to write; mode A/B runs share one corpus).
 """
 
 from __future__ import annotations
@@ -80,13 +83,17 @@ def generate(n: int, d: Path, wide: bool = False) -> tuple[str, str]:
 def main() -> None:
     single_pass = "--single-pass" in sys.argv
     wide = "--wide" in sys.argv
-    args = [a for a in sys.argv[1:] if a not in ("--single-pass", "--wide")]
+    reuse = "--reuse" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--single-pass", "--wide", "--reuse")]
     n = int(args[0]) if len(args) > 0 else 200_000
     out_dir = Path(args[1]) if len(args) > 1 else Path(tempfile.mkdtemp())
     out_dir.mkdir(parents=True, exist_ok=True)
 
     t0 = time.perf_counter()
-    xml, dtd = generate(n, out_dir, wide=wide)
+    if reuse and (out_dir / "corpus.xml").exists():
+        xml, dtd = str(out_dir / "corpus.xml"), str(out_dir / "corpus.dtd")
+    else:
+        xml, dtd = generate(n, out_dir, wide=wide)
     gen_s = time.perf_counter() - t0
     size_mb = Path(xml).stat().st_size / 1e6
 

@@ -110,6 +110,9 @@ def empty_docs_sf(tmp_path):
         "token_budget_per_lang",
         "lang_temperature_resample",
         "dedup_chunk_exact",
+        "dedup_chunk_rewrite",
+        "mix_upsample_langs",
+        "ngram_novelty_vs_reference",
         "text_logprob_buckets",
         "drift_chi2_source_lang",
     ],

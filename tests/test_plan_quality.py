@@ -159,3 +159,44 @@ def test_drift_stats_aggregate_before_ordering(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert plan.count("HashAggregate") >= 2, name  # partial/final split
+
+
+def test_pipe_syntax_desugars_to_clause_plan(spark):
+    """Pipe-syntax SQL must produce the same plan SHAPE as the clause form:
+    pushdown reaches the scan and the aggregate splits partial/final — pipe
+    stages desugar before Catalyst, so nothing may degrade."""
+    plan = _plan(spark, "sql_pipe_syntax_pricing")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_broadcasts_reference_side(spark):
+    """The reference shingle set must be the broadcast build side; the
+    corpus's exploded shingles stream map-side (never shuffled wholesale)."""
+    plan = _plan(spark, "ngram_novelty_vs_reference")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_upsample_corpus_never_shuffles(spark):
+    """mix_upsample_langs: the rate table broadcasts onto the corpus scan
+    and repetition is an in-row explode — the only exchanges belong to the
+    tiny per-lang aggregate, never the corpus side (no SMJ)."""
+    plan = _plan(spark, "mix_upsample_langs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_chunk_rewrite_shuffles_hashes_only(spark):
+    """dedup_chunk_rewrite: the ranking window partitions by chunk hash (no
+    global/empty-frame window), chunk text never enters the shuffle (the
+    exploded frame carries only doc_id/idx/hash), and no Python UDFs."""
+    plan = _plan(spark, "dedup_chunk_rewrite")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every Window operator is hash-partitioned (none global)
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 400]
+        assert "windowspecdefinition" in tail
