@@ -381,3 +381,44 @@ def unpivot_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n",
     )
+
+
+@register(
+    "try_functions_gallery",
+    tags=("scalar", "ansi", "null-safety"),
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(o_totalprice / NULLIF(o_orderkey % 2, 0), 4) AS half_price,
+               o_orderkey % NULLIF(o_custkey % 3, 0) AS mod_or_null,
+               TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+               TRY_CAST(o_orderstatus AS INT) AS status_num,
+               string_split(o_orderpriority, '-')[2] AS prio_word,
+               string_split(o_orderpriority, '-')[3] AS prio_missing
+        FROM orders
+    """,
+)
+def try_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe function family (Spark 4 runs ANSI by default, so
+    division by zero / bad casts THROW unless the try_* forms are used —
+    the null-safety surface every production pipeline needs): try_divide and
+    try_mod (NULL on zero divisor — half the rows here), try_cast (NULL on
+    a malformed cast instead of aborting the job at task 40k of 50k), and
+    try_element_at (NULL past the end of an array). DuckDB spells the same
+    semantics as NULLIF-guarded arithmetic, TRY_CAST, and its
+    NULL-out-of-range list indexing — the oracle proves the NULL patterns
+    line up row-for-row. All expressions are scan-fused projections."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 2), 4
+        ).alias("half_price"),
+        F.try_mod(F.col("o_orderkey"), F.col("o_custkey") % 3).alias("mod_or_null"),
+        F.expr(
+            "try_cast(split_part(o_orderpriority, '-', 1) AS INT)"
+        ).alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.try_element_at(parts, F.lit(2)).alias("prio_word"),
+        F.try_element_at(parts, F.lit(3)).alias("prio_missing"),
+    )
