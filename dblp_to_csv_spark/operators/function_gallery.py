@@ -422,3 +422,54 @@ def try_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(parts, F.lit(2)).alias("prio_word"),
         F.try_element_at(parts, F.lit(3)).alias("prio_missing"),
     )
+
+
+@register(
+    "higher_order_functions_gallery",
+    tags=("scalar", "array", "lambda"),
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(list_reduce(emb, (acc, x) -> acc + x), 6) AS arr_sum,
+               len(list_filter(emb, x -> x > 0)) AS n_pos,
+               len(list_filter(emb, x -> x > 2)) > 0 AS has_gt2,
+               len(list_filter(emb, x -> NOT (abs(x) < 10))) = 0 AS all_lt10,
+               ROUND(list_dot_product(emb, list_reverse(emb)), 6) AS dot_rev
+        FROM e
+    """,
+)
+def higher_order_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order functions over array columns — the expression
+    family custom array logic should reach for BEFORE any Python UDF
+    (JVM-side, no serialization): aggregate (left fold), filter, exists,
+    forall, zip_with, all reduced to scalars so cross-engine hashing is
+    exact. Fold-order note: Spark's aggregate(0.0, acc+x) and DuckDB's
+    list_reduce produce bit-identical doubles because 0+x1 is exactly x1 in
+    IEEE 754 and both fold left; the zip_with dot product reuses the
+    operand order the similarity oracles already pin. HOF staging caveat
+    (SCALE.md §5): lambdas do not participate in whole-stage codegen and
+    get no common-subexpression elimination — stage shared projections."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    e = F.col("emb")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("arr_sum"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 2).alias("has_gt2"),
+        F.forall(e, lambda x: F.abs(x) < 10).alias("all_lt10"),
+        F.round(
+            F.aggregate(
+                F.zip_with(e, F.reverse(e), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dot_rev"),
+    )
