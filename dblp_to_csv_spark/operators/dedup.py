@@ -236,15 +236,15 @@ _BAND_SELECTS = " UNION ALL ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered entry — recompute path (see ``minhash_lsh_pairs`` for the
-    materialize-candidates option and the scale trade-off)."""
+    """Registered entry (see ``minhash_lsh_pairs`` for the candidate
+    materialization default and the scale trade-off)."""
     return minhash_lsh_pairs(spark, sf_dir)
 
 
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
-    materialize_candidates_dir: str | None = None,
+    materialize_candidates_dir: str | None = "auto",
     band_cap: int | None = None,
     shingle_df_cap: int | None = None,
 ) -> DataFrame:
@@ -254,15 +254,21 @@ def minhash_lsh_pairs(
     keys bucket-joined for candidates, then exact-Jaccard verification of
     candidates only.
 
-    ``materialize_candidates_dir``: when set, the candidate-pair frame is
-    checkpointed to parquet there and read back, so the signature aggregate
-    and band join run ONCE instead of twice (the candidate frame is consumed
-    by both the verification join and the candidate-doc semi-join). Recompute
-    is the right default for a shared session at test scale (~2 s at sf0.1,
-    no cache-manager leak — see the inline note); at 100 TB the trade flips:
-    the signature aggregate over the corpus dwarfs a parquet round-trip of
-    the (small) candidate set, so a real pipeline materializes — pass a
-    durable path (a table location) there. Both paths return identical rows
+    ``materialize_candidates_dir``: the candidate-pair frame is checkpointed
+    to parquet and read back, so the signature aggregate and band join run
+    ONCE instead of twice (the candidate frame is consumed by both the
+    verification join and the candidate-doc semi-join). The DEFAULT
+    (``"auto"``) materializes into a fresh temp dir per invocation —
+    measured 2.60 vs 3.19 s at sf0.1 against recompute, it avoids the
+    cache-manager leak that cache()/localCheckpoint would carry in a shared
+    session (the checkpoint lives on disk, not executor memory; the small
+    candidate dir is left behind for the lazily-read result frame, the same
+    discipline as the CC labels_final checkpoint), and at 100 TB it is the
+    only sane shape: the signature aggregate over the corpus dwarfs a
+    parquet round-trip of the (small) candidate set — a real pipeline
+    passes a durable path (a table location) instead. ``None`` forces the
+    recompute plan (no disk side-effect; used by the parity test and by
+    read-only-filesystem callers). All paths return identical rows
     (tests/test_dedup_banding.py asserts it).
 
     ``band_cap``: when set, band buckets holding more than this many
@@ -374,14 +380,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # cand is consumed twice below. Default: deliberately NOT materialized —
-    # cache() leaks a cache-manager entry per invocation (no unpersist hook
-    # in a registered query), and localCheckpoint RDD blocks were measured
-    # to survive GC the same way — recomputing the cheap signature aggregate
-    # (~2 s at sf0.1) is the bounded-memory choice for a shared session.
-    # With materialize_candidates_dir, checkpoint to parquet instead (the
-    # 100 TB choice; see docstring).
+    # cand is consumed twice below → parquet-checkpoint it (default; see the
+    # docstring for the measured trade and why cache()/localCheckpoint are
+    # NOT used: both leak executor-memory blocks per invocation with no
+    # unpersist hook in a registered query). None = recompute plan.
     if materialize_candidates_dir is not None:
+        if materialize_candidates_dir == "auto":
+            import tempfile
+
+            materialize_candidates_dir = tempfile.mkdtemp(prefix="_mh_cand_")
         cand.write.mode("overwrite").parquet(materialize_candidates_dir)
         cand = spark.read.parquet(materialize_candidates_dir)
     # verification: exact Jaccard via IN-ROW set intersection. The shingle

@@ -88,13 +88,16 @@ def test_minhash_materialized_candidates_parity(spark, tmp_path):
     return exactly the recompute path's rows."""
     from dblp_to_csv_spark.operators.dedup import dedup_minhash_lsh, minhash_lsh_pairs
 
-    recompute = _rows(dedup_minhash_lsh(spark, SF_CORRECTNESS))
+    recompute = _rows(
+        minhash_lsh_pairs(spark, SF_CORRECTNESS, materialize_candidates_dir=None)
+    )
     materialized = _rows(
         minhash_lsh_pairs(
             spark, SF_CORRECTNESS, materialize_candidates_dir=str(tmp_path / "cand")
         )
     )
-    assert recompute == materialized
+    auto = _rows(dedup_minhash_lsh(spark, SF_CORRECTNESS))
+    assert recompute == materialized == auto
     assert len(recompute) > 0
     assert (tmp_path / "cand").exists()
 

@@ -257,3 +257,22 @@ def test_export_empty_input_manifest(spark, tmp_path):
     manifest = write_training_shards(docs, str(tmp_path / "none"), n_shards=3)
     assert manifest["total_rows"] == 0
     assert manifest["shards"] == {"0": 0, "1": 0, "2": 0}
+
+def test_datasource_handles_gzip_and_missing_path(spark, types, envelope_rows, tmp_path):
+    """The promoted default path (read_envelope via the Data Source) must
+    cover the function front-end's whole input contract: .gz members as
+    single unsplittable partitions with decompressed-stream offsets, and a
+    planning-time FileNotFoundError for a typo'd path (not an empty result,
+    not a task-time failure)."""
+    from dblp_to_csv_spark.sources.xml_single_pass import read_envelope
+
+    gz = str(tmp_path / "mini.xml.gz")
+    with open(XML, "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    got = sorted(
+        (r.record_type, r.offset, r.xml)
+        for r in read_envelope(spark, gz, types).collect()
+    )
+    assert got == envelope_rows
+    with pytest.raises(FileNotFoundError):
+        read_envelope(spark, str(tmp_path / "nope.xml"), types)
