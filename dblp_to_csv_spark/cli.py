@@ -71,8 +71,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "instead of one native XML scan per type; the 1x-read mode for "
         "large corpora",
     )
+    parser.add_argument(
+        "--id-order",
+        choices=["table", "document"],
+        default="table",
+        help="id assignment: 'table' (default; dense per sorted table) or "
+        "'document' (reference-exact global counter in raw-XML document "
+        "order, interleaved across record types — requires --single-pass, "
+        "whose envelope records each record's byte position)",
+    )
     parser.add_argument("--master", default=None, help="Spark master (default: local[$CPUS])")
     args = parser.parse_args(argv)
+    if args.id_order == "document" and not args.single_pass:
+        print("error: --id-order document requires --single-pass.")
+        sys.exit(1)
     if args.neo4j and not args.annotate:
         args.annotate = True
         print("--neo4j implies --annotate!")
@@ -112,7 +124,8 @@ def main(argv: list[str] | None = None) -> None:
         if full is None:  # no lxml: the stdlib structural pass already ran
             print(
                 "Validated (stdlib: elements, attributes, #REQUIRED, content "
-                "models, ID/IDREF, value types; not checked: ENTITY refs)."
+                "models, ID/IDREF, NMTOKEN/enumeration/NOTATION/ENTITY value "
+                "types; not checked: external parameter entities)."
             )
         else:
             print("Validated against DTD.")
@@ -132,6 +145,7 @@ def main(argv: list[str] | None = None) -> None:
             single_file=not args.no_single_file,
             output_format=args.output_format,
             single_pass=args.single_pass,
+            id_order=args.id_order,
         )
     except InvalidElementName as e:
         # reference behavior: report and exit 1 (XMLToCSV.py:375-380)

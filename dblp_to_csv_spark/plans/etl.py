@@ -141,9 +141,17 @@ class XmlToCsvPlan:
         schema_sampling_ratio: float = 1.0,
         partition_by: list[str] | None = None,
         single_pass: bool = False,
+        id_order: str = "table",
     ):
         if output_format not in ("csv", "parquet"):
             raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
+        if id_order not in ("table", "document"):
+            raise ValueError(f"id_order must be table or document, got {id_order!r}")
+        if id_order == "document" and not single_pass:
+            # document order is defined by raw-XML byte position, which only
+            # the single-pass envelope records (src, offset per record); the
+            # independent per-type scans have no cross-type order to offer
+            raise ValueError("id_order='document' requires single_pass=True")
         self.output_format = output_format
         # 1.0 = full pass-1 scan (reference semantics: a column exists iff
         # observed ANYWHERE, XMLToCSV.py:108-146). <1.0 samples the schema
@@ -169,6 +177,7 @@ class XmlToCsvPlan:
         self.root = root
         self.single_file = single_file
         self.single_pass = single_pass
+        self.id_order = id_order
         self._envelope_dir: str | None = None
         self.path, self.ext = os.path.splitext(output_path)
         self.attribute_defaults = get_attribute_defaults(dtd_path)
@@ -225,7 +234,19 @@ class XmlToCsvPlan:
             )
 
             return read_envelope_type(
-                self.spark, self._envelope_dir, element, schema
+                self.spark,
+                self._envelope_dir,
+                element,
+                schema,
+                keep_meta=self.id_order == "document",
+            )
+        if self.id_order == "document":
+            # reached only when the DTD cannot determine this type's schema
+            # (external parameter entities): the native fallback scan has no
+            # byte offsets, so document order is unprovable for it
+            raise ValueError(
+                f"id_order='document' requires a DTD-derivable schema for "
+                f"every record type; {element!r} fell back to reader inference"
             )
         # FAILFAST: the reference hard-fails on invalid XML (DTD validation
         # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
@@ -257,13 +278,18 @@ class XmlToCsvPlan:
             return None  # record type never occurs with content (P2 drop)
 
         flat, array_cols = flatten_record_frame(raw, element)
-        if not flat.columns:
+        # '#'-prefixed columns are document-order metadata (flatten passes
+        # them through outside the record namespace); every data-driven rule
+        # below (F1 filter, P2 pruning, A3 types) sees data columns only
+        meta_cols = [c for c in flat.columns if c.startswith("#")]
+        data_cols = [c for c in flat.columns if not c.startswith("#")]
+        if not data_cols:
             return None
 
         # F1: records with no extracted data emit no row (XMLToCSV.py:176)
         non_null = [
             (F.size(c) > 0) if name in array_cols else F.col(name).isNotNull()
-            for name, c in ((n, F.col(n)) for n in flat.columns)
+            for name, c in ((n, F.col(n)) for n in data_cols)
         ]
         cond = non_null[0]
         for c in non_null[1:]:
@@ -276,7 +302,7 @@ class XmlToCsvPlan:
         # the non-empty count (pruning) and — in annotate mode — the observed
         # type set. One pass over the (cached) table instead of two.
         aggs = []
-        for c in flat.columns:
+        for c in data_cols:
             aggs.append(
                 (
                     F.count(F.when(F.size(F.col(c)) > 0, 1))
@@ -306,7 +332,7 @@ class XmlToCsvPlan:
                         F.collect_set(detect_type_column(F.col(c))).alias(f"typ_{c}")
                     )
         stats_row = flat.agg(*aggs).collect()[0]
-        keep = [c for c in flat.columns if stats_row[f"cnt_{c}"] > 0]
+        keep = [c for c in data_cols if stats_row[f"cnt_{c}"] > 0]
         # DTD-defaulted attributes survive pruning even when never set in the
         # data: the reference's pass 1 observes them via attribute_defaults
         # while pass 2 leaves the cells empty (SURVEY.md §1.1; see
@@ -322,7 +348,7 @@ class XmlToCsvPlan:
         if not keep:
             flat.unpersist()
             return None
-        flat = flat.select(*sorted(keep))
+        flat = flat.select(*sorted(keep), *meta_cols)
         array_cols &= set(keep)
 
         # A1 faithfulness: demote never-repeated array columns to scalars
@@ -344,9 +370,15 @@ class XmlToCsvPlan:
 
         # Stage 7: dense IDs continuing the global counter; the row count
         # falls out of the partition histogram — no extra count job.
-        with_ids, n_rows = with_dense_ids_counted(
-            flat, "id", start=id_start, cache_registry=cached
-        )
+        # Document-order mode defers ID assignment to _run's global rank
+        # over every table's (#src, #offset) keys; the count here is cheap
+        # (the frame is cached and already materialized by the stats agg).
+        if self.id_order == "document":
+            with_ids, n_rows = flat, flat.count()
+        else:
+            with_ids, n_rows = with_dense_ids_counted(
+                flat, "id", start=id_start, cache_registry=cached
+            )
         if n_rows == 0:
             # record type never occurs in the data (with the DTD-supplied
             # schema an absent rowTag reads as 0 rows, not a schema error) —
@@ -558,17 +590,50 @@ class XmlToCsvPlan:
                 shutil.rmtree(self._envelope_dir, ignore_errors=True)
                 self._envelope_dir = None
 
+    def _assign_document_order_ids(self, tables: dict[str, TableResult]) -> int:
+        """Reference-exact global IDs (XMLToCSV.py:161-188): one counter over
+        ALL record types in document order — possible because the single-pass
+        envelope stamped every record with its (file, byte-offset) key.
+
+        Scale shape: the rank is computed over the KEY COLUMNS ONLY (two
+        columns per kept record, never the payload), via repartitionByRange +
+        sortWithinPartitions + the same partition-offset arithmetic as
+        with_dense_ids_counted — range partition k holds keys strictly below
+        partition k+1, and rows within a partition are sorted, so partition
+        offsets + within-partition positions ARE the global rank: no global
+        single-reducer sort anywhere. Each table then equi-joins its IDs back
+        on the key. Returns the total record count."""
+        from functools import reduce
+
+        keys = reduce(
+            DataFrame.unionByName,
+            [t.df.select("#src", "#offset") for t in tables.values()],
+        )
+        ranked = keys.repartitionByRange("#src", "#offset").sortWithinPartitions(
+            "#src", "#offset"
+        )
+        ids_df, total = with_dense_ids_counted(
+            ranked, "id", start=0, cache_registry=self._relation_caches
+        )
+        for t in tables.values():
+            t.df = t.df.join(ids_df, ["#src", "#offset"]).drop("#src", "#offset")
+        return total
+
     def _run(self, elements: set[str]) -> ConvertResult:
         result = ConvertResult()
         next_id = 0
-        # deterministic table order replaces the reference's document-order
-        # interleaving for ID assignment (SURVEY.md §7.4 — out of contract)
+        # default ('table') ID mode: deterministic table order replaces the
+        # reference's document-order interleaving (SURVEY.md §7.4 — out of
+        # contract); id_order='document' (single-pass only) restores the
+        # reference's exact interleaved numbering via _assign_document_order_ids
         for element in sorted(elements):
             t = self.prepare_table(element, id_start=next_id)
             if t is None:
                 continue
             next_id += t.n_rows
             result.tables[element] = t
+        if self.id_order == "document" and result.tables:
+            next_id = self._assign_document_order_ids(result.tables)
         result.total_records = next_id
 
         for t in result.tables.values():
@@ -616,6 +681,7 @@ def convert(
     output_format: str = "csv",
     schema_sampling_ratio: float = 1.0,
     single_pass: bool = False,
+    id_order: str = "table",
 ) -> ConvertResult:
     """One-call equivalent of the reference CLI (XMLToCSV.py:365-411)."""
     return XmlToCsvPlan(
@@ -631,6 +697,7 @@ def convert(
         output_format,
         schema_sampling_ratio,
         single_pass=single_pass,
+        id_order=id_order,
     ).run()
 
 

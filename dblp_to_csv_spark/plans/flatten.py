@@ -162,8 +162,14 @@ def flatten_record_frame(df: DataFrame, record: str) -> tuple[DataFrame, set[str
     array columns). Raises InvalidElementName if the data supplies an ``id``
     column (F2)."""
     out: _Exprs = {}
+    # '#'-prefixed columns are engine metadata (document-order keys from the
+    # envelope scan — '#' cannot start an XML name, so no data collision);
+    # they pass through untouched, outside the record's column namespace
+    meta = [f.name for f in df.schema.fields if f.name.startswith("#")]
     for field in df.schema.fields:
         name, dtype = field.name, field.dataType
+        if name.startswith("#"):
+            continue
         if name.startswith(ATTR_PREFIX):
             if name == VALUE_TAG:
                 continue  # record-level text is never extracted (SURVEY.md §1.2)
@@ -195,4 +201,4 @@ def flatten_record_frame(df: DataFrame, record: str) -> tuple[DataFrame, set[str
             array_cols.add(name)
     if not cols:
         return df.sparkSession.createDataFrame([], "dummy string").drop("dummy"), set()
-    return df.select(*cols), array_cols
+    return df.select(*cols, *[df[m] for m in meta]), array_cols

@@ -403,11 +403,18 @@ def read_envelope_type(
     envelope_dir: str,
     element: str,
     schema: T.StructType,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Per-type parse from the materialized envelope: partition-pruned
     parquet read + JVM from_xml with the DTD-derived schema — byte-for-byte
     the layout ``spark.read.format('xml').option('rowTag', element)`` yields,
-    without touching the raw XML again."""
+    without touching the raw XML again.
+
+    ``keep_meta=True`` additionally carries the record's document-order key
+    as ``#src``/``#offset`` columns ('#' cannot start an XML name, so the
+    names cannot collide with data) — the basis for reference-exact global
+    document-order IDs (XMLToCSV.py:161-188), which only the single-pass
+    envelope can provide."""
     try:
         env = spark.read.parquet(envelope_dir).filter(
             F.col("record_type") == element
@@ -420,9 +427,22 @@ def read_envelope_type(
         # read failure (permissions, corrupt footer, transient FS) must
         # propagate — swallowing it would silently emit empty tables.
         if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
-            return spark.createDataFrame([], schema)
+            out_schema = schema
+            if keep_meta:
+                out_schema = T.StructType(
+                    schema.fields
+                    + [
+                        T.StructField("#src", T.StringType()),
+                        T.StructField("#offset", T.LongType()),
+                    ]
+                )
+            return spark.createDataFrame([], out_schema)
         raise
     parsed = env.select(
-        F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r")
+        F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r"),
+        F.col("src").alias("#src"),
+        F.col("offset").alias("#offset"),
     )
+    if keep_meta:
+        return parsed.select("r.*", "#src", "#offset")
     return parsed.select("r.*")
