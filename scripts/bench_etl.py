@@ -84,7 +84,12 @@ def main() -> None:
     single_pass = "--single-pass" in sys.argv
     wide = "--wide" in sys.argv
     reuse = "--reuse" in sys.argv
-    args = [a for a in sys.argv[1:] if a not in ("--single-pass", "--wide", "--reuse")]
+    doc_order = "--doc-order" in sys.argv
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--single-pass", "--wide", "--reuse", "--doc-order")
+    ]
     n = int(args[0]) if len(args) > 0 else 200_000
     out_dir = Path(args[1]) if len(args) > 1 else Path(tempfile.mkdtemp())
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -112,6 +117,7 @@ def main() -> None:
         relations={"author": "authored_by"},
         single_file=False,
         single_pass=single_pass,
+        id_order="document" if doc_order else "table",
     )
     convert_s = time.perf_counter() - t0
     print(
@@ -119,6 +125,7 @@ def main() -> None:
             {
                 "metric": "etl_records_per_sec",
                 "single_pass": single_pass,
+                "id_order": "document" if doc_order else "table",
                 "n_types": (10 if wide else 3),
                 "value": round(n / convert_s, 1),
                 "unit": "records/sec",
