@@ -120,3 +120,36 @@ def test_document_order_requires_single_pass(spark, corpus, tmp_path):
             str(tmp_path / "out.csv"),
             id_order="document",
         )
+
+
+def test_document_order_across_multiple_files(spark, corpus, tmp_path):
+    """Glob inputs: document order extends across files as (path, offset) —
+    lexicographic file order, byte order within each file (the envelope's
+    src column is the path; deterministic for any shard naming that sorts)."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "part_a.xml").write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<book key="s0"><author>X</author></book>\n'
+        '<article key="s1"><title>T</title></article>\n'
+        "</dblp>\n"
+    )
+    (d / "part_b.xml").write_text(
+        '<?xml version="1.0"?>\n<dblp>\n'
+        '<www key="s2"><title>W</title></www>\n'
+        '<article key="s3"><title>U</title></article>\n'
+        "</dblp>\n"
+    )
+    result = convert(
+        spark,
+        str(d / "part_*.xml"),
+        str(corpus / "c.dtd"),
+        str(tmp_path / "out.csv"),
+        single_pass=True,
+        id_order="document",
+    )
+    assert result.total_records == 4
+    got: dict[str, int] = {}
+    for element in result.tables:
+        got.update(_read_ids(str(tmp_path), element))
+    assert got == {"s0": 0, "s1": 1, "s2": 2, "s3": 3}
