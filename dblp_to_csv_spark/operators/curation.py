@@ -341,10 +341,16 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the documents scan, then a per-component aggregate. Shares its
     WITH RECURSIVE oracle base with the CC registrations."""
     labels = connected_components_min_label(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = load_table(spark, sf_dir, "documents")
+    return _cluster_stats_from_labels(labels, docs)
+
+
+def _cluster_stats_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-component accounting from an existing (doc_id, component) label
+    frame — shared by the registered query and ``curate_corpus``."""
     return (
         _broadcast_if_small(labels)
-        .join(docs, "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("component")
         .agg(
             F.count("*").alias("n_docs"),
@@ -359,6 +365,39 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_chars_dropped"),
         )
     )
+
+
+def _keep_canonical_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Canonical-survivor selection from an existing label frame — shared by
+    the registered query and ``curate_corpus``."""
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Production composite (ROADMAP item 12): ONE MinHash-LSH →
+    connected-components chain serves every dedup report — returns
+    ``{"labels": ..., "cluster_stats": ..., "keep_canonical": ...}`` all
+    derived from a single label computation. The registered queries
+    (`dedup_cluster_stats`, `dedup_keep_canonical`) intentionally share no
+    state — each reruns the chain so the driver can verify them
+    independently — but a real pipeline runs the chain once: the label
+    frame comes out of the CC loop parquet-checkpointed, so every derived
+    frame reads the checkpoint instead of recomputing pairs+clustering
+    (~halves the wall-clock of running both reports at sf0.1).
+    Output parity with the registered queries is pinned in
+    tests/test_curate_composite.py."""
+    labels = connected_components_min_label(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        "labels": labels,
+        "cluster_stats": _cluster_stats_from_labels(labels, docs),
+        "keep_canonical": _keep_canonical_from_labels(labels, docs),
+    }
 
 
 # tertile boundaries as exact-decimal literals so both engines interpolate
@@ -451,9 +490,8 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti-style filter over the corpus scan; the corpus itself never
     shuffles in the final step."""
     labels = connected_components_min_label(spark, sf_dir)
-    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = load_table(spark, sf_dir, "documents")
-    return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti").select(
+    return _keep_canonical_from_labels(labels, docs).select(
         "doc_id", "lang", "source"
     )
 
