@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.text import SHINGLES_SQL, WORDS_SQL, shingles, words
-from dblp_to_csv_spark.operators.similarity import _SIGN_BUCKET_SQL, _sign_bucket
+from dblp_to_csv_spark.operators.similarity import (
+    _SIGN_BUCKET_SQL,
+    KMEANS_CELLS_CTE,
+    _sign_bucket,
+    kmeans_cells,
+)
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -1163,6 +1168,72 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("raw_cos") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "dedup_semantic_semdedup",
+    tags=("dedup", "similarity", "ml"),
+    oracle=f"""
+        WITH {KMEANS_CELLS_CTE},
+        b AS (
+            SELECT e.vec_id, e.emb, a1.cell,
+                   sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+            FROM emb e JOIN a1 USING (vec_id)
+        ),
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM b a JOIN b c ON a.cell = c.cell AND c.vec_id < a.vec_id
+            WHERE ROUND(list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm), 6)
+                  >= {COSINE_THRESHOLD}
+        )
+        SELECT a1.vec_id, a1.cell, (d.vec_id IS NULL) AS kept
+        FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023): k-means
+    cluster the embedding space, then within each cluster drop every vector
+    that has a cosine-similar predecessor (rounded cosine ≥ the shared
+    COSINE_THRESHOLD, keep-lowest-id policy — deterministic, no
+    centroid-distance tie-break needed). Returns every vector with its cell
+    and a `kept` verdict — the pruned corpus is `WHERE kept`.
+
+    This is the scale answer to `dedup_embedding_cosine`'s all-pairs join:
+    the quadratic pair search is confined to a k-means cell (corpus/k rows
+    on average; k scales with corpus size so cells stay bounded), exactly
+    how SemDeDup made embedding dedup tractable on web scale. Clustering
+    reuses the deterministic k-means from the IVF path
+    (similarity.kmeans_cells — md5-min seeds + one 6-dp-rounded Lloyd step),
+    which is what lets DuckDB reproduce cell assignment and the judge
+    hash-check the whole pipeline. At 100 TB the cell id is a partition
+    column computed at ingest: the in-cell self-join is partition-local,
+    and the drop-set (a vanishing fraction) broadcasts back, so the corpus
+    is never reshuffled to apply the verdict."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    assigned = emb.join(kmeans_cells(emb), "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    a = assigned.alias("a")
+    c = assigned.alias("c")
+    cos = _dot(F.col("a.emb"), F.col("c.emb")) / (F.col("a.nrm") * F.col("c.nrm"))
+    dropped = (
+        a.join(
+            c,
+            (F.col("a.cell") == F.col("c.cell"))
+            & (F.col("c.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(dropped), "vec_id", "left")
+        .select("vec_id", "cell", F.col("dup").isNull().alias("kept"))
     )
 
 

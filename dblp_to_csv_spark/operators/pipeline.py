@@ -196,6 +196,99 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 16  # 65,536 bits → 1,024 64-bit... stored as 2,048 32-bit words
+BLOOM_HASHES = 5
+
+
+def _bloom_hit_sql() -> str:
+    """SQL predicate: all BLOOM_HASHES bit positions of `shingle` are set in
+    the broadcast `bloom` array (32 bits per BIGINT word, so no sign
+    headaches). Pure JVM expressions — no join, no Python — evaluated inside
+    whole-stage codegen for every corpus shingle."""
+    checks = []
+    for i in range(BLOOM_HASHES):
+        p = f"pmod(xxhash64({i}, shingle), {BLOOM_BITS})"
+        checks.append(
+            f"(shiftright(element_at(bloom, CAST(shiftright({p}, 5) AS INT) + 1),"
+            f" CAST(({p} % 32) AS INT)) & 1) = 1"
+        )
+    return " AND ".join(checks)
+
+
+@register(
+    "decontaminate_bloom",
+    tags=("pipeline", "dedup", "sketch"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM-FILTER prefilter — the runtime-filter
+    twin of `decontaminate_against_eval`, same exact result (Bloom filters
+    have no false negatives; the false positives are discarded by the exact
+    verification join that follows), so the same SQL oracle hash-checks it.
+
+    Spark shape: the eval set's distinct shingles are folded into a
+    65,536-bit Bloom filter (5 × xxhash64 positions; built driver-side from
+    a BOUNDED collect — the distinct set-bit positions, capped at
+    BLOOM_BITS rows, ~16 KB as 32-bits-per-word BIGINTs) and broadcast as a
+    one-row frame. Every corpus shingle probes the filter with pure codegen
+    bit arithmetic — zero shuffle, zero Python — and only the surviving
+    sliver reaches the exact broadcast semi-join + per-doc aggregate.
+
+    Why it matters at 100 TB: the eval shingle SET can be tens of millions
+    of strings (too big to broadcast-hash cheaply), but its Bloom image is
+    kilobytes at any practical size (scale BLOOM_BITS with the set). The
+    corpus-side explode never leaves the scan stage for the ~99% of
+    shingles the filter rejects — this is Spark's own InjectRuntimeFilter
+    bloom pattern, made explicit because the eval side arrives as data, not
+    as a join Spark can infer the filter from."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(shingles(words("text"))).alias("shingle"))
+        .distinct()
+    )
+    positions = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(i), "shingle"), F.lit(BLOOM_BITS))
+                        for i in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # bounded: ≤ BLOOM_BITS distinct positions
+    )
+    bloom_words = [0] * (BLOOM_BITS // 32)
+    for r in positions:
+        p = r["p"]
+        bloom_words[p >> 5] |= 1 << (p & 31)
+    bloom = spark.createDataFrame([(bloom_words,)], "bloom array<bigint>")
+    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode(shingles(words("text"))).alias("shingle")
+    )
+    return (
+        tr.crossJoin(F.broadcast(bloom))
+        .filter(F.expr(_bloom_hit_sql()))
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
+
+
 # per-language keep thresholds on the md5 hex prefix: en is over-represented
 # in the synthetic corpus, so it samples at 2/16 while the rest keep 8/16
 LANG_HEX_LT = {"en": "2"}

@@ -187,12 +187,13 @@ _IVF_ASSIGN_SQL = """
     )
 """
 
-
-@register(
-    "similarity_topk_ivf",
-    tags=("similarity", "topk", "ml"),
-    oracle=f"""
-        WITH emb AS (
+# Deterministic k-means cell assignment as a reusable DuckDB CTE chain:
+# md5-min seeds → one Lloyd step (6-dp-rounded per-cell coordinate means) →
+# final nearest-centroid assignment `a1(vec_id, cell)`. Shared by the IVF
+# top-k oracle and the SemDeDup oracle so both stay in lock-step with
+# `kmeans_cells` below.
+KMEANS_CELLS_CTE = f"""
+        emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         ),
         seeds AS (
@@ -223,7 +224,52 @@ _IVF_ASSIGN_SQL = """
                        {_IVF_ASSIGN_SQL.format(c='c')} AS rn
                 FROM emb e CROSS JOIN cent c
             ) WHERE rn = 1
-        ),
+        )
+"""
+
+
+def kmeans_cells(emb: DataFrame) -> DataFrame:
+    """Deterministic k-means coarse quantization: assign every vector to one
+    of ``IVF_CELLS`` cells, reproducibly on any engine. Seeds are the
+    IVF_CELLS vectors with the smallest md5(vec_id); one Lloyd step refines
+    them (assign to nearest seed, per-cell coordinate means rounded to 6 dp);
+    the result is the nearest-centroid assignment. Input must have columns
+    (vec_id, emb: array<double>); returns (vec_id, cell).
+
+    Scale shape: the seed/centroid tables are k rows (broadcast), both
+    assignment passes are narrow per-row argmins over a broadcast, and the
+    Lloyd step is one (cell, pos) partial/final aggregate — nothing here
+    shuffles the corpus except the posexplode aggregate, whose key space is
+    k × d. DuckDB reproduces the exact assignment via KMEANS_CELLS_CTE."""
+    seeds = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
+    )
+    a0 = _nearest(emb, seeds, "cell")
+    coords = a0.join(emb, "vec_id").select(
+        "cell", F.posexplode("emb").alias("pos", "val")
+    )
+    cent = (
+        coords.groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cemb")
+        )
+    )
+    return _nearest(emb, cent, "cell")
+
+
+@register(
+    "similarity_topk_ivf",
+    tags=("similarity", "topk", "ml"),
+    oracle=f"""
+        WITH {KMEANS_CELLS_CTE},
         b AS (
             SELECT e.vec_id, e.emb, a1.cell,
                    sqrt(list_dot_product(e.emb, e.emb)) AS nrm
@@ -264,29 +310,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    seeds = (
-        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(IVF_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
+    bucketed = emb.join(kmeans_cells(emb), "vec_id").withColumn(
+        "nrm", _norm(F.col("emb"))
     )
-    a0 = _nearest(emb, seeds, "cell")
-    coords = a0.join(emb, "vec_id").select(
-        "cell", F.posexplode("emb").alias("pos", "val")
-    )
-    cent = (
-        coords.groupBy("cell", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("v"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("cemb")
-        )
-    )
-    a1 = _nearest(emb, cent, "cell")
-    bucketed = emb.join(a1, "vec_id").withColumn("nrm", _norm(F.col("emb")))
     q = F.broadcast(bucketed.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     c = bucketed.alias("c")
     cos = _dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))

@@ -113,6 +113,7 @@ def empty_docs_sf(tmp_path):
         "dedup_chunk_rewrite",
         "mix_upsample_langs",
         "ngram_novelty_vs_reference",
+        "decontaminate_bloom",
         "text_logprob_buckets",
         "drift_chi2_source_lang",
     ],
@@ -191,3 +192,12 @@ def test_gopher_rules_zero_word_doc_parity(spark, tmp_path):
     assert pd.isna(got["top_word_ratio"].iloc[0]) and pd.isna(want["top_word_ratio"].iloc[0])
     assert bool(got["keep"].iloc[0]) is False and not bool(want["keep"].iloc[0])
     assert bool(got["keep"].iloc[1]) and bool(want["keep"].iloc[1])
+
+
+def test_semdedup_empty_embeddings(spark, degenerate_sf):
+    """SemDeDup on an EMPTY embeddings table: no seeds → no cells → every
+    stage degenerates to an empty frame with the right schema, not an
+    error."""
+    df = _entry("dedup_semantic_semdedup").fn(spark, degenerate_sf)
+    assert df.count() == 0
+    assert df.columns == ["vec_id", "cell", "kept"]

@@ -200,3 +200,29 @@ def test_chunk_rewrite_shuffles_hashes_only(spark):
     for m in re.finditer(r"Window \[", plan):
         tail = plan[m.start() : m.start() + 400]
         assert "windowspecdefinition" in tail
+
+
+def test_bloom_decontaminate_prefilter_shape(spark):
+    """decontaminate_bloom: the Bloom probe is pure codegen bit arithmetic
+    (xxhash64 inside a Filter, no Python anywhere), the exact verification
+    join broadcasts the eval shingles, and the corpus side is never
+    sort-merge-joined. The one BroadcastNestedLoopJoin is the 1-row bloom
+    frame (intentional, same as quartile_labels_by_cutpoint)."""
+    plan = _plan(spark, "decontaminate_bloom")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_cell_equijoin(spark):
+    """dedup_semantic_semdedup: the quadratic pair search must stay confined
+    to the k-means cell — an equi-join on cell, never a CartesianProduct.
+    (The centroid-assignment BroadcastNestedLoopJoins are k-row broadcasts
+    by design.) The drop-set verdict applies via broadcast, not a corpus
+    reshuffle."""
+    plan = _plan(spark, "dedup_semantic_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -68,3 +68,18 @@ def test_blas_path_matches_expression_path(spark):
         bnid, bsim = blas[key]
         assert bnid == nid, f"{key}: neighbor {bnid} != {nid}"
         assert abs(bsim - sim) < 1e-5, f"{key}: {bsim} vs {sim}"
+
+
+def test_semdedup_drops_subset_of_exact_cosine_pairs(spark):
+    """Cell-restriction can only LOSE near-dup pairs, never invent them:
+    every vector SemDeDup drops must have an exact cosine ≥ threshold
+    partner with a smaller id in the oracle-checked all-pairs result
+    (dedup_embedding_cosine uses the same threshold corpus-wide)."""
+    from dblp_to_csv_spark.registry import all_queries
+
+    sem = all_queries()["dedup_semantic_semdedup"].fn(spark, SF_CORRECTNESS)
+    dropped = {r["vec_id"] for r in sem.collect() if not r["kept"]}
+    assert dropped  # fixture corpus has near-dups at this threshold
+    pairs = all_queries()["dedup_embedding_cosine"].fn(spark, SF_CORRECTNESS)
+    with_smaller_partner = {r["vec_b"] for r in pairs.collect()}
+    assert dropped <= with_smaller_partner
