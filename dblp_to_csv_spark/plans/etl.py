@@ -112,6 +112,9 @@ class TableResult:
     n_rows: int
     cached: list[DataFrame] = field(default_factory=list)
     csv_path: str | None = None
+    # document-order mode: the F1-dropped records' #rank values (a tiny
+    # frame when drops are rare — real DBLP), feeding rank compaction
+    doc_drops: DataFrame | None = None
 
 
 @dataclass
@@ -179,6 +182,7 @@ class XmlToCsvPlan:
         self.single_pass = single_pass
         self.id_order = id_order
         self._envelope_dir: str | None = None
+        self._rank_prefix: DataFrame | None = None
         self.path, self.ext = os.path.splitext(output_path)
         self.attribute_defaults = get_attribute_defaults(dtd_path)
 
@@ -239,6 +243,7 @@ class XmlToCsvPlan:
                 element,
                 schema,
                 keep_meta=self.id_order == "document",
+                rank_prefix=self._rank_prefix,
             )
         if self.id_order == "document":
             # reached only when the DTD cannot determine this type's schema
@@ -294,9 +299,24 @@ class XmlToCsvPlan:
         cond = non_null[0]
         for c in non_null[1:]:
             cond = cond | c
-        flat = flat.filter(cond)
-        flat.cache()  # reused by: prune agg, type agg, id histogram, write
-        cached: list[DataFrame] = [flat]
+        # size(NULL array) is NULL under ANSI/3-valued logic: coalesce so the
+        # keep predicate and its negation (drop capture below) PARTITION the
+        # rows — filter(cond) alone already drops NULLs, but filter(~cond)
+        # would drop them too, losing dropped records from the rank
+        # compaction set
+        cond = F.coalesce(cond, F.lit(False))
+        doc_drops: DataFrame | None = None
+        if self.id_order == "document" and "#rank" in flat.columns:
+            # cache the PRE-filter frame so both the kept side and the
+            # (rare) dropped ranks read from one materialization
+            flat.cache()
+            cached: list[DataFrame] = [flat]
+            doc_drops = flat.filter(~cond).select("#rank")
+            flat = flat.filter(cond)
+        else:
+            flat = flat.filter(cond)
+            flat.cache()  # reused by: prune agg, type agg, id histogram, write
+            cached = [flat]
 
         # P2 + A3 fused: ONE aggregate job computes, for every column, both
         # the non-empty count (pruning) and — in annotate mode — the observed
@@ -370,9 +390,10 @@ class XmlToCsvPlan:
 
         # Stage 7: dense IDs continuing the global counter; the row count
         # falls out of the partition histogram — no extra count job.
-        # Document-order mode defers ID assignment to _run's global rank
-        # over every table's (#src, #offset) keys; the count here is cheap
-        # (the frame is cached and already materialized by the stats agg).
+        # Document-order mode defers ID assignment to _run's rank
+        # compaction over every table's scan-stamped #rank column; the
+        # count here is cheap (the frame is cached and already materialized
+        # by the stats agg).
         if self.id_order == "document":
             with_ids, n_rows = flat, flat.count()
         else:
@@ -394,6 +415,7 @@ class XmlToCsvPlan:
             column_types=column_types,
             n_rows=n_rows,
             cached=cached,
+            doc_drops=doc_drops,
         )
 
     # ------------------------------------------------------------------
@@ -581,8 +603,26 @@ class XmlToCsvPlan:
                     dir=os.path.dirname(os.path.abspath(self.path)) or ".",
                 )
                 materialize_envelope(
-                    self.spark, self.xml_path, elements, self._envelope_dir
+                    self.spark,
+                    self.xml_path,
+                    elements,
+                    self._envelope_dir,
+                    with_rank=self.id_order == "document",
                 )
+                if self.id_order == "document":
+                    from dblp_to_csv_spark.sources.xml_single_pass import (
+                        envelope_rank_prefix,
+                    )
+
+                    try:
+                        self._rank_prefix = envelope_rank_prefix(
+                            self.spark, self._envelope_dir
+                        )
+                    except Exception as e:
+                        # zero-record corpus: partitionBy wrote no files
+                        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                            raise
+                        self._rank_prefix = None
             return self._run(elements)
         finally:
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
@@ -590,34 +630,87 @@ class XmlToCsvPlan:
                 shutil.rmtree(self._envelope_dir, ignore_errors=True)
                 self._envelope_dir = None
 
-    def _assign_document_order_ids(self, tables: dict[str, TableResult]) -> int:
-        """Reference-exact global IDs (XMLToCSV.py:161-188): one counter over
-        ALL record types in document order — possible because the single-pass
-        envelope stamped every record with its (file, byte-offset) key.
+    # drop sets up to this size compact in-row (a literal-array scan per
+    # record); larger ones (pathological corpora: a whole record type
+    # emitting nothing) fall back to the global rank-join
+    DOC_DROP_COMPACT_MAX = 1024
 
-        Scale shape: the rank is computed over the KEY COLUMNS ONLY (two
-        columns per kept record, never the payload), via repartitionByRange +
-        sortWithinPartitions + the same partition-offset arithmetic as
-        with_dense_ids_counted — range partition k holds keys strictly below
-        partition k+1, and rows within a partition are sorted, so partition
-        offsets + within-partition positions ARE the global rank: no global
-        single-reducer sort anywhere. Each table then equi-joins its IDs back
-        on the key. Returns the total record count."""
+    def _assign_document_order_ids(
+        self, tables: dict[str, TableResult], extra_drops: list[DataFrame]
+    ) -> int:
+        """Reference-exact global IDs (XMLToCSV.py:161-188): one counter over
+        ALL record types in document order, skipping records that emit no row.
+
+        Zero-shuffle shape (ROADMAP item 10): every record already carries
+        ``#rank`` — its global document-order position, stamped join-free at
+        envelope-scan time (monotonically_increasing_id + a broadcast
+        per-partition prefix). The reference's id is then ``#rank`` minus the
+        number of DROPPED records (F1 empty records, record types that emit
+        no table) preceding it. Drops are a vanishing fraction of any real
+        corpus, so the drop-rank set collects to the driver (bounded by
+        DOC_DROP_COMPACT_MAX) and the correction is an in-row scan of a tiny
+        sorted literal array — no shuffle, no join, nothing touches the
+        corpus beyond the narrow projection it already pays.
+
+        Fallback for pathological drop counts: rank-compact the kept
+        ``#rank`` keys (single 8-byte column) via repartitionByRange +
+        partition-offset arithmetic — range partition k holds keys strictly
+        below partition k+1, so offsets + within-partition positions ARE the
+        dense id; each table equi-joins its ids back on ``#rank``. No global
+        single-reducer sort in either path. Returns the total record count."""
         from functools import reduce
 
+        drop_frames = [
+            t.doc_drops for t in tables.values() if t.doc_drops is not None
+        ] + extra_drops
+        drops: list[int] = []
+        compact = True
+        if drop_frames:
+            drop_df = reduce(DataFrame.unionByName, drop_frames)
+            rows = drop_df.limit(self.DOC_DROP_COMPACT_MAX + 1).collect()
+            if len(rows) > self.DOC_DROP_COMPACT_MAX:
+                compact = False
+            else:
+                drops = sorted(r[0] for r in rows)
+        if compact:
+            total = 0
+            if drops:
+                d_lit = F.lit(drops)
+                corr = lambda: F.size(  # noqa: E731
+                    F.filter(d_lit, lambda d: d < F.col("#rank"))
+                )
+            else:
+                corr = lambda: F.lit(0)  # noqa: E731
+            for t in tables.values():
+                t.df = t.df.withColumn(
+                    "id", (F.col("#rank") - corr()).cast("long")
+                ).drop("#rank")
+                total += t.n_rows
+            return total
         keys = reduce(
-            DataFrame.unionByName,
-            [t.df.select("#src", "#offset") for t in tables.values()],
+            DataFrame.unionByName, [t.df.select("#rank") for t in tables.values()]
         )
-        ranked = keys.repartitionByRange("#src", "#offset").sortWithinPartitions(
-            "#src", "#offset"
-        )
+        ranked = keys.repartitionByRange("#rank").sortWithinPartitions("#rank")
         ids_df, total = with_dense_ids_counted(
             ranked, "id", start=0, cache_registry=self._relation_caches
         )
         for t in tables.values():
-            t.df = t.df.join(ids_df, ["#src", "#offset"]).drop("#src", "#offset")
+            t.df = t.df.join(ids_df, ["#rank"]).drop("#rank")
         return total
+
+    def _envelope_drop_ranks(self, element: str) -> DataFrame | None:
+        """All envelope records of a record type that produced NO table
+        (never occurs with content, every column pruned, or zero kept rows):
+        each consumed a rank but must consume no id — they join the drop set.
+        Partition-pruned read of the rank columns only."""
+        if self._rank_prefix is None:
+            return None
+        from dblp_to_csv_spark.sources.xml_single_pass import attach_doc_rank
+
+        env = self.spark.read.parquet(self._envelope_dir).filter(
+            F.col("record_type") == element
+        )
+        return attach_doc_rank(env, self._rank_prefix).select("#rank")
 
     def _run(self, elements: set[str]) -> ConvertResult:
         result = ConvertResult()
@@ -626,14 +719,19 @@ class XmlToCsvPlan:
         # reference's document-order interleaving (SURVEY.md §7.4 — out of
         # contract); id_order='document' (single-pass only) restores the
         # reference's exact interleaved numbering via _assign_document_order_ids
+        skipped_drops: list[DataFrame] = []
         for element in sorted(elements):
             t = self.prepare_table(element, id_start=next_id)
             if t is None:
+                if self.id_order == "document":
+                    d = self._envelope_drop_ranks(element)
+                    if d is not None:
+                        skipped_drops.append(d)
                 continue
             next_id += t.n_rows
             result.tables[element] = t
         if self.id_order == "document" and result.tables:
-            next_id = self._assign_document_order_ids(result.tables)
+            next_id = self._assign_document_order_ids(result.tables, skipped_drops)
         result.total_records = next_id
 
         for t in result.tables.values():

@@ -311,23 +311,33 @@ def extract_record_envelope(
     specs = _plan_ranges(xml_path, target_split_bytes)
     if not specs:
         return spark.createDataFrame([], ENVELOPE_SCHEMA)
+    # repartitionByRange (not round-robin repartition): partition ORDER then
+    # follows (path, start) order, so scan output rows are globally in
+    # document order by (partition index, row position) — the property the
+    # doc-order rank stamping (materialize_envelope with_rank=True) relies
+    # on. Parallelism is the same: ~one range per partition.
     spec_df = spark.createDataFrame(
         specs, "path string, start long, end long, is_gz boolean"
-    ).repartition(len(specs))
+    ).repartitionByRange(len(specs), "path", "start")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # materialize this partition's specs (a handful of rows) and sort:
+        # range partitioning orders partitions, not rows within one
+        pdfs = [pdf for pdf in batches if not pdf.empty]
+        if not pdfs:
+            return
+        allspecs = pd.concat(pdfs).sort_values(["path", "start"])
         rows: list[tuple[str, str, str, int]] = []
-        for pdf in batches:
-            for spec in pdf.itertuples(index=False):
-                for tag, off, blob in _scan_spec(
-                    spec.path, spec.start, spec.end, spec.is_gz, types
-                ):
-                    rows.append((tag, blob.decode("utf-8"), spec.path, off))
-                    if len(rows) >= _EMIT_BATCH:
-                        yield pd.DataFrame(
-                            rows, columns=["record_type", "xml", "src", "offset"]
-                        )
-                        rows = []
+        for spec in allspecs.itertuples(index=False):
+            for tag, off, blob in _scan_spec(
+                spec.path, spec.start, spec.end, spec.is_gz, types
+            ):
+                rows.append((tag, blob.decode("utf-8"), spec.path, off))
+                if len(rows) >= _EMIT_BATCH:
+                    yield pd.DataFrame(
+                        rows, columns=["record_type", "xml", "src", "offset"]
+                    )
+                    rows = []
         if rows:
             yield pd.DataFrame(rows, columns=["record_type", "xml", "src", "offset"])
 
@@ -389,13 +399,65 @@ def materialize_envelope(
     out_dir: str,
     target_split_bytes: int | None = None,
     via: str = "datasource",
+    with_rank: bool = False,
 ) -> str:
     """Run the single pass and land the envelope as parquet partitioned by
     record_type — the raw-record lake every later per-type parse prunes
-    into. Returns ``out_dir``."""
+    into. Returns ``out_dir``.
+
+    ``with_rank=True`` additionally stamps ``doc_mono`` =
+    ``monotonically_increasing_id()`` into the parquet — the raw material
+    for ZERO-SHUFFLE document-order ranks. Scan tasks emit records in
+    (path, offset) order and partition indices follow the sorted split plan
+    (real InputPartitions on the data-source path; repartitionByRange on the
+    mapInPandas path), so (partition id, row position) — both encoded in
+    doc_mono — IS the global document order. The parquet write freezes the
+    values; `envelope_rank_prefix` later turns them into dense ranks with
+    one tiny column-pruned aggregate, never re-reading the raw XML and
+    never shuffling the envelope."""
     env = read_envelope(spark, xml_path, record_types, target_split_bytes, via=via)
+    if with_rank:
+        env = env.withColumn("doc_mono", F.monotonically_increasing_id())
     env.write.mode("overwrite").partitionBy("record_type").parquet(out_dir)
     return out_dir
+
+
+def envelope_rank_prefix(spark: SparkSession, envelope_dir: str) -> DataFrame:
+    """The tiny (``_pid``, ``_prefix``) frame that converts a ranked
+    envelope's ``doc_mono`` into the global document-order rank:
+    ``rank = _prefix + (doc_mono - (_pid << 33))``. One column-pruned
+    aggregate over the materialized parquet (one row per scan partition),
+    cumulated on the driver — the 100 TB cost is reading one BIGINT column."""
+    from dblp_to_csv_spark.functions.ids import _PARTITION_SHIFT
+
+    hist = (
+        spark.read.parquet(envelope_dir)
+        .groupBy(F.shiftright("doc_mono", _PARTITION_SHIFT).alias("_pid"))
+        .count()
+        .orderBy("_pid")
+        .collect()
+    )
+    rows, acc = [], 0
+    for r in hist:
+        rows.append((int(r["_pid"]), acc))
+        acc += r["count"]
+    return spark.createDataFrame(rows, "_pid long, _prefix long")
+
+
+def attach_doc_rank(env: DataFrame, rank_prefix: DataFrame) -> DataFrame:
+    """Add ``#rank`` (global document-order position) to an envelope frame
+    carrying ``doc_mono``: broadcast-join the per-partition prefix table and
+    add the in-partition position — a narrow map over the scan, no shuffle."""
+    from dblp_to_csv_spark.functions.ids import _PARTITION_SHIFT
+
+    pid = F.shiftright(F.col("doc_mono"), _PARTITION_SHIFT)
+    pos = F.col("doc_mono") - F.shiftleft(pid, _PARTITION_SHIFT)
+    return (
+        env.withColumn("_pid", pid.cast("long"))
+        .join(F.broadcast(rank_prefix), "_pid")
+        .withColumn("#rank", (F.col("_prefix") + pos).cast("long"))
+        .drop("_pid", "_prefix")
+    )
 
 
 def read_envelope_type(
@@ -404,17 +466,21 @@ def read_envelope_type(
     element: str,
     schema: T.StructType,
     keep_meta: bool = False,
+    rank_prefix: DataFrame | None = None,
 ) -> DataFrame:
     """Per-type parse from the materialized envelope: partition-pruned
     parquet read + JVM from_xml with the DTD-derived schema — byte-for-byte
     the layout ``spark.read.format('xml').option('rowTag', element)`` yields,
     without touching the raw XML again.
 
-    ``keep_meta=True`` additionally carries the record's document-order key
-    as ``#src``/``#offset`` columns ('#' cannot start an XML name, so the
-    names cannot collide with data) — the basis for reference-exact global
-    document-order IDs (XMLToCSV.py:161-188), which only the single-pass
-    envelope can provide."""
+    ``keep_meta=True`` additionally carries document-order metadata outside
+    the record namespace ('#' cannot start an XML name, so the names cannot
+    collide with data): with ``rank_prefix`` (from `envelope_rank_prefix`,
+    requires a ``with_rank=True`` envelope) a single ``#rank`` column — the
+    record's global document-order position, computed join-free from the
+    scan-time stamp — else the raw ``#src``/``#offset`` key pair. Both are
+    the basis for reference-exact global document-order IDs
+    (XMLToCSV.py:161-188), which only the single-pass envelope can provide."""
     try:
         env = spark.read.parquet(envelope_dir).filter(
             F.col("record_type") == element
@@ -429,15 +495,24 @@ def read_envelope_type(
         if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
             out_schema = schema
             if keep_meta:
-                out_schema = T.StructType(
-                    schema.fields
-                    + [
+                extra = (
+                    [T.StructField("#rank", T.LongType())]
+                    if rank_prefix is not None
+                    else [
                         T.StructField("#src", T.StringType()),
                         T.StructField("#offset", T.LongType()),
                     ]
                 )
+                out_schema = T.StructType(schema.fields + extra)
             return spark.createDataFrame([], out_schema)
         raise
+    if keep_meta and rank_prefix is not None:
+        env = attach_doc_rank(env, rank_prefix)
+        parsed = env.select(
+            F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r"),
+            F.col("#rank"),
+        )
+        return parsed.select("r.*", "#rank")
     parsed = env.select(
         F.from_xml(F.col("xml"), schema, {"mode": "FAILFAST"}).alias("r"),
         F.col("src").alias("#src"),
