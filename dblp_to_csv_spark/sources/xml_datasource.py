@@ -111,8 +111,13 @@ class DblpXmlStreamReader(SimpleDataSourceStreamReader):
 
     The simple stream reader scans on the driver — right for the incremental
     trickle (a few files per batch); bulk history loads should use the batch
-    path (one byte-range task per split) and hand the checkpoint to the
-    stream."""
+    path (one byte-range task per split) and hand off to the stream via the
+    ``initialProcessed`` option: a glob/dir naming the files the batch path
+    already ingested. They seed the stream's INITIAL offset, so the first
+    microbatch starts from "history done" instead of re-emitting it — the
+    bulk-history + trickle hybrid in one source format. The glob is
+    evaluated once, when the checkpoint is created; start the stream before
+    new files land (or name history explicitly) so the snapshot is exact."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -122,9 +127,26 @@ class DblpXmlStreamReader(SimpleDataSourceStreamReader):
         if not types_opt:
             raise ValueError("dblp-xml stream: option 'recordTypes' is required")
         self.types = sorted({t.strip() for t in types_opt.split(",") if t.strip()})
+        self.initial_processed = options.get("initialprocessed") or options.get(
+            "initialProcessed"
+        )
 
     def initialOffset(self) -> dict:
-        return {"files": {}}
+        if not self.initial_processed:
+            return {"files": {}}
+        import glob as _glob
+        import os
+
+        pat = self.initial_processed
+        if os.path.isdir(pat):
+            pat = os.path.join(pat, "*.xml*")
+        return {
+            "files": {
+                p: os.path.getsize(p)
+                for p in sorted(_glob.glob(pat))
+                if os.path.isfile(p)
+            }
+        }
 
     def _list(self) -> dict:
         import glob as _glob
