@@ -473,3 +473,37 @@ def higher_order_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("dot_rev"),
     )
+
+
+@register(
+    "bitwise_functions_gallery",
+    tags=("scalar", "bitwise"),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(bit_count(o_orderkey) AS INT) AS popcount,
+               o_orderkey & o_custkey AS band,
+               o_orderkey | o_custkey AS bor,
+               xor(o_orderkey, o_custkey) AS bxor,
+               CAST(o_custkey % 64 AS BIGINT) << 2 AS shifted,
+               CAST((o_orderkey >> 3) & 1 AS TINYINT) AS bit3
+        FROM orders
+        WHERE o_orderkey <= 1000
+    """,
+)
+def bitwise_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions: bit_count (popcount), AND/OR/XOR, shifts,
+    getbit — one codegen'd projection. These are the primitives under the
+    engine's sketch family (SimHash hamming distance is bit_count(a^b); the
+    z-order key is interleaved shifts; Bloom probes are shift+AND), shown
+    here as first-class query surface with exact cross-engine semantics on
+    64-bit signed integers."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.bit_count("o_orderkey").alias("popcount"),
+        F.col("o_orderkey").bitwiseAND(F.col("o_custkey")).alias("band"),
+        F.col("o_orderkey").bitwiseOR(F.col("o_custkey")).alias("bor"),
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("bxor"),
+        F.shiftleft(F.col("o_custkey") % 64, 2).cast("long").alias("shifted"),
+        F.getbit(F.col("o_orderkey"), F.lit(3)).alias("bit3"),
+    )

@@ -226,3 +226,12 @@ def test_semdedup_pair_join_is_cell_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sql_udfs_inline_into_codegen(spark):
+    """SQL UDFs are analysis-time macros: the plan must show the plain
+    partial/final aggregate over inlined expressions — no Python evaluation
+    node, no serialization boundary."""
+    plan = _plan(spark, "sql_udf_scalar_nested")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
