@@ -153,3 +153,47 @@ def test_document_order_across_multiple_files(spark, corpus, tmp_path):
     for element in result.tables:
         got.update(_read_ids(str(tmp_path), element))
     assert got == {"s0": 0, "s1": 1, "s2": 2, "s3": 3}
+
+
+@pytest.mark.parametrize("via", ["datasource", "mapinpandas"])
+def test_envelope_rank_is_document_order_across_splits(spark, tmp_path, via):
+    """The scan-stamped rank (monotonically_increasing_id + per-partition
+    prefix) must equal the (path, offset) document order even when the
+    envelope is split into MANY byte ranges — the property the compaction
+    fast path rests on, for both scanner front-ends."""
+    from dblp_to_csv_spark.sources.xml_single_pass import (
+        attach_doc_rank,
+        envelope_rank_prefix,
+        materialize_envelope,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    # two files, several records each → with a 256-byte split target every
+    # record's range boundary is exercised and specs span both files
+    for part, keys in (("a", range(0, 6)), ("b", range(6, 12))):
+        (d / f"part_{part}.xml").write_text(
+            '<?xml version="1.0"?>\n<dblp>\n'
+            + "".join(
+                f'<article key="k{k}"><title>{"T" * 40}{k}</title></article>\n'
+                for k in keys
+            )
+            + "</dblp>\n"
+        )
+    env_dir = str(tmp_path / "env")
+    materialize_envelope(
+        spark,
+        str(d / "part_*.xml"),
+        {"article"},
+        env_dir,
+        target_split_bytes=256,
+        via=via,
+        with_rank=True,
+    )
+    ranked = attach_doc_rank(
+        spark.read.parquet(env_dir), envelope_rank_prefix(spark, env_dir)
+    )
+    rows = ranked.select("src", "offset", "#rank", "xml").collect()
+    assert len(rows) == 12
+    by_key_order = sorted(rows, key=lambda r: (r["src"], r["offset"]))
+    assert [r["#rank"] for r in by_key_order] == list(range(12))
