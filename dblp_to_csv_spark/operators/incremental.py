@@ -1,0 +1,233 @@
+"""Incremental deduplication against a PERSISTENT fingerprint index — the
+continuous-ingest shape. A 100 TB corpus is not re-deduplicated per batch:
+the pipeline maintains a compact index of what it has already accepted
+(32-byte exact fingerprints; MinHash signatures for near-dup) and each new
+batch checks itself against that index, then appends its own fingerprints.
+
+Design rules that make this hold at scale:
+
+* the INDEX is the big side and is never broadcast, never reshuffled: it is
+  parquet partitioned by fingerprint prefix (exact) / band (near-dup), so a
+  batch's probe prunes to the partitions its own keys live in
+  (PartitionFilters on the scan — plan-asserted in
+  tests/test_incremental_dedup.py);
+* the BATCH is the small side by definition (a day's crawl vs years of
+  corpus) and broadcasts;
+* accepted rows are staged to parquet BEFORE their fingerprints append to
+  the index — the returned frame reads from the immutable staging files, so
+  consuming it after the index has grown cannot re-evaluate the anti-join
+  against an index that now contains the batch itself (the classic
+  read-your-own-append hazard of lazy plans);
+* near-dup verification uses the SIGNATURE similarity estimate (fraction of
+  matching minhash slots — the standard index-side verifier: the index
+  stores K×5-byte signatures, never documents or shingle sets).
+
+These are stateful I/O operators (library functions + pytest), not
+registered queries: a DuckDB oracle has no side-effect contract to mirror.
+Fingerprint/signature constructions reuse the oracle-checked ones from
+operators/dedup.py, so the batch-mode queries remain their semantics
+ground truth.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.functions.text import shingles, words
+from dblp_to_csv_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_B,
+    MINHASH_K,
+    MINHASH_R,
+)
+
+_PREFIX_LEN = 2  # 256 partitions: fine to thousands of index files per prefix
+
+
+def _stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
+    """Materialize ``df`` to immutable parquet and return the re-read — the
+    stability barrier between 'decide what to accept' and 'grow the index'."""
+    out = os.path.join(
+        staging_dir or tempfile.mkdtemp(prefix="_dedup_stage_"), name
+    )
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
+
+
+def _read_index(spark: SparkSession, index_dir: str, schema_ddl: str) -> DataFrame:
+    try:
+        return spark.read.parquet(index_dir)
+    except Exception as e:
+        # first batch: the index does not exist yet
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema_ddl)
+        raise
+
+
+def exact_dedup_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """Accept the subset of ``new_docs`` (doc_id, text) whose content
+    fingerprint md5(text) is new — against the persistent index AND within
+    the batch (keep-lowest-doc_id) — then append the accepted fingerprints
+    to the index. Returns the accepted (doc_id, fp) frame (staged parquet;
+    stable to consume at any time).
+
+    Probe shape: the batch collapses to one fingerprint row each (exact
+    dedup's 32-byte key), broadcasts against the index scan, which prunes to
+    the ≤256 prefix partitions present in the batch — the index is read
+    partition-pruned and never moved."""
+    fp = F.md5("text")
+    batch = (
+        new_docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("prefix", F.substring("fp", 1, _PREFIX_LEN))
+    )
+    prefixes = [r["prefix"] for r in batch.select("prefix").distinct().collect()]
+    index = _read_index(
+        spark, index_dir, "fp string, prefix string"
+    ).filter(F.col("prefix").isin(prefixes) if prefixes else F.lit(False))
+    # matched fingerprints are ≤ batch-size (tiny) — the only thing that
+    # leaves the index scan
+    matched = index.join(
+        F.broadcast(batch.select("fp")), "fp", "left_semi"
+    ).select("fp")
+    accepted = _stage(
+        batch.join(F.broadcast(matched), "fp", "left_anti"),
+        staging_dir,
+        "exact_accepted",
+    )
+    accepted.select("fp", "prefix").write.mode("append").partitionBy(
+        "prefix"
+    ).parquet(index_dir)
+    return accepted.select("doc_id", "fp")
+
+
+def _minhash_signature(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature (doc_id, h0..h{K-1}) — the identical
+    md5-slice construction the oracle-checked batch path uses
+    (operators/dedup.py::minhash_lsh_pairs)."""
+    sh = docs.select("doc_id", words("text").alias("w")).select(
+        "doc_id", F.explode(shingles(F.col("w"))).alias("shingle")
+    )
+    hh = F.concat(
+        F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+        F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+    )
+    return (
+        sh.select("doc_id", hh.alias("hh"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.substring(F.col("hh"), 1 + 5 * i, 5)).alias(f"h{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+    )
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{b * MINHASH_R + r}") for r in range(MINHASH_R)]
+                        ).alias("bandkey"),
+                    )
+                    for b in range(MINHASH_B)
+                ]
+            )
+        ).alias("bk"),
+        *[F.col(f"h{i}") for i in range(MINHASH_K)],
+    ).select("doc_id", "bk.band", "bk.bandkey", *[f"h{i}" for i in range(MINHASH_K)])
+
+
+def minhash_dedup_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup incremental accept: a new document is rejected when any
+    historical (or earlier-in-batch) document shares an LSH band AND the
+    signature-estimated Jaccard — the fraction of equal minhash slots —
+    reaches ``threshold``. Accepted signatures append to the band index.
+    Returns the accepted (doc_id,) frame (staged; stable).
+
+    Index layout: one row per (band, bandkey, doc) carrying the K=12 5-byte
+    signature slots, parquet-partitioned by band; the probe joins only the
+    batch's band keys (broadcast) so the index scan prunes by band and
+    filters bandkeys map-side. Verification is in-row arithmetic over the
+    two signatures — the index never stores documents or shingle sets, and
+    nothing corpus-sized shuffles."""
+    sig = _minhash_signature(new_docs)
+    batch_bands = _bands(sig)
+    hcols = [f"h{i}" for i in range(MINHASH_K)]
+    index = _read_index(
+        spark,
+        index_dir,
+        "doc_id long, bandkey string, "
+        + ", ".join(f"{h} string" for h in hcols)
+        + ", band int",
+    )
+    probe = F.broadcast(
+        batch_bands.select("band", "bandkey", "doc_id", *hcols).withColumnsRenamed(
+            {"doc_id": "new_id", **{h: f"n_{h}" for h in hcols}}
+        )
+    )
+    est = (
+        sum(
+            F.when(F.col(h) == F.col(f"n_{h}"), 1).otherwise(0) for h in hcols
+        )
+        / float(MINHASH_K)
+    )
+    hist_hits = (
+        index.join(probe, ["band", "bandkey"])
+        .filter(est >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    # earlier-in-batch near-dups: same band join within the batch, keep-first
+    a = batch_bands.alias("a")
+    b = batch_bands.alias("b")
+    est_ab = (
+        sum(
+            F.when(F.col(f"a.{h}") == F.col(f"b.{h}"), 1).otherwise(0)
+            for h in hcols
+        )
+        / float(MINHASH_K)
+    )
+    batch_hits = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .filter(est_ab >= threshold)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    rejected = hist_hits.union(batch_hits).distinct()
+    accepted_sigs = _stage(
+        batch_bands.join(F.broadcast(rejected), "doc_id", "left_anti"),
+        staging_dir,
+        "minhash_accepted",
+    )
+    accepted_sigs.select("doc_id", "bandkey", *hcols, "band").write.mode(
+        "append"
+    ).partitionBy("band").parquet(index_dir)
+    return accepted_sigs.select("doc_id").distinct()

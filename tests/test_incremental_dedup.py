@@ -1,0 +1,128 @@
+"""Incremental dedup against a persistent fingerprint index
+(operators/incremental.py): batch-over-batch accept/reject semantics, index
+growth, read-your-own-append stability, and partition-pruned index probes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.operators.incremental import (
+    exact_dedup_incremental,
+    minhash_dedup_incremental,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+TEXT_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+TEXT_B = "completely different content about spark shuffles and partition pruning"
+TEXT_C = "yet another unique document discussing minhash signatures and bands"
+# near-dup of TEXT_A: one word changed at the end (most shingles shared)
+TEXT_A_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+
+
+def test_exact_incremental_batches(spark, tmp_path):
+    idx = str(tmp_path / "fp_index")
+    b1 = exact_dedup_incremental(
+        spark,
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B), (3, TEXT_A)]),  # 3 dups 1 in-batch
+        idx,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    assert sorted(r["doc_id"] for r in b1.collect()) == [1, 2]
+    # batch 2: one historical dup, one new
+    b2 = exact_dedup_incremental(
+        spark,
+        _docs(spark, [(10, TEXT_A), (11, TEXT_C)]),
+        idx,
+        staging_dir=str(tmp_path / "s2"),
+    )
+    assert sorted(r["doc_id"] for r in b2.collect()) == [11]
+    # stability: consuming b1 AFTER the index grew must not change it
+    assert sorted(r["doc_id"] for r in b1.collect()) == [1, 2]
+    # index holds exactly the 3 accepted fingerprints
+    assert spark.read.parquet(idx).count() == 3
+
+
+def test_exact_incremental_first_batch_creates_index(spark, tmp_path):
+    idx = str(tmp_path / "fresh")
+    out = exact_dedup_incremental(
+        spark, _docs(spark, [(5, TEXT_B)]), idx, staging_dir=str(tmp_path / "s")
+    )
+    assert [r["doc_id"] for r in out.collect()] == [5]
+    assert spark.read.parquet(idx).count() == 1
+
+
+def test_exact_probe_prunes_index_partitions(spark, tmp_path):
+    """The index probe must reach the scan as PartitionFilters on the
+    fingerprint prefix — the property that keeps the probe cost proportional
+    to the BATCH, not the index."""
+    idx = str(tmp_path / "fp_index")
+    exact_dedup_incremental(
+        spark,
+        _docs(spark, [(i, f"document number {i} padding content") for i in range(50)]),
+        idx,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    batch = _docs(spark, [(100, TEXT_A)])
+    fp = F.md5("text")
+    prefixes = [
+        r[0]
+        for r in batch.select(F.substring(fp, 1, 2).alias("p")).distinct().collect()
+    ]
+    plan = (
+        spark.read.parquet(idx)
+        .filter(F.col("prefix").isin(prefixes))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "prefix" in m.group(1), plan[:500]
+
+
+def test_minhash_incremental_batches(spark, tmp_path):
+    idx = str(tmp_path / "mh_index")
+    b1 = minhash_dedup_incremental(
+        spark,
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B)]),
+        idx,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    assert sorted(r["doc_id"] for r in b1.collect()) == [1, 2]
+    # batch 2: a near-dup of historical TEXT_A is rejected, a new doc and an
+    # in-batch near-dup pair keep only the first
+    b2 = minhash_dedup_incremental(
+        spark,
+        _docs(spark, [(10, TEXT_A_NEAR), (11, TEXT_C), (12, TEXT_C + " extra")]),
+        idx,
+        staging_dir=str(tmp_path / "s2"),
+    )
+    accepted = sorted(r["doc_id"] for r in b2.collect())
+    assert 10 not in accepted  # near-dup of history
+    assert 11 in accepted
+    assert 12 not in accepted  # in-batch near-dup of 11 (keep-first)
+    # index holds bands only for accepted docs
+    idx_docs = {
+        r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 2, 11}
+
+
+def test_minhash_incremental_estimator_matches_batch_semantics(spark, tmp_path):
+    """A document with NO shared shingles must always be accepted — the
+    signature estimate can only reject on real slot collisions."""
+    idx = str(tmp_path / "mh")
+    minhash_dedup_incremental(
+        spark, _docs(spark, [(1, TEXT_A)]), idx, staging_dir=str(tmp_path / "s1")
+    )
+    out = minhash_dedup_incremental(
+        spark, _docs(spark, [(2, TEXT_B)]), idx, staging_dir=str(tmp_path / "s2")
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]
