@@ -36,6 +36,10 @@ CURATION_BENCH = [
     "drift_ks_events_value",
     "drift_chi2_source_lang",
     "embedding_label_centroids",
+    # late-round-7 additions (totals across rounds compare on the shared
+    # prefix; per-query numbers are the stable series)
+    "dedup_semantic_semdedup",
+    "decontaminate_bloom",
 ]
 
 

@@ -5,7 +5,6 @@ growth, read-your-own-append stability, and partition-pruned index probes.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.operators.incremental import (
@@ -126,3 +125,55 @@ def test_minhash_incremental_estimator_matches_batch_semantics(spark, tmp_path):
         spark, _docs(spark, [(2, TEXT_B)]), idx, staging_dir=str(tmp_path / "s2")
     )
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_streaming_foreachbatch_incremental_dedup(spark, tmp_path):
+    """The production composition: a document STREAM deduplicates each
+    microbatch against the persistent fingerprint index via foreachBatch —
+    exactly-once accept across microbatches, duplicates arriving later are
+    dropped against history the stream itself built."""
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    import json as _json
+
+    def land(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    land("b1.json", [(1, TEXT_A), (2, TEXT_B)])
+
+    def handle(batch_df, batch_id):
+        accepted = exact_dedup_incremental(
+            spark,
+            batch_df,
+            idx,
+            staging_dir=str(tmp_path / f"stage_{batch_id}"),
+        )
+        accepted.write.mode("append").parquet(lake)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(lake).collect()
+    ) == [1, 2]
+    # second microbatch: one historical dup, one new doc
+    land("b2.json", [(10, TEXT_A), (11, TEXT_C)])
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(lake).collect()
+    ) == [1, 2, 11]
