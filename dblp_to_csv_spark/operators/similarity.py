@@ -396,3 +396,62 @@ def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+KNN_K = 3
+
+
+@register(
+    "similarity_knn_graph_bucketed",
+    tags=("similarity", "topk", "sketch"),
+    oracle=f"""
+        WITH {{emb_cte}}
+        SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) DESC,
+                                b.vec_id
+                   ) AS rank
+            FROM e a JOIN e b
+              ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ) WHERE rank <= {KNN_K}
+    """.format(emb_cte=_EMB_CTE),
+)
+def similarity_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction: EVERY vector's top-{k} neighbors (not just a
+    query set's) — the primitive under embedding-cluster pipelines
+    (SemDeDup's cluster refinement, label propagation, graph-based
+    curation). All-pairs kNN is quadratic in the corpus; here candidates
+    are confined to the sign-LSH bucket (the same ingest-computable key the
+    ANN path prunes on), so the self-join shuffles on the bucket key and
+    each task scores one bucket — at 100 TB you raise the bit count so
+    buckets stay task-sized, and a vector's edges degrade gracefully (fewer
+    than k neighbors in a sparse bucket, never a wrong one). Scoring and
+    ranking stay JVM-side: zip_with/aggregate dot products, per-vector
+    WindowGroupLimit top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

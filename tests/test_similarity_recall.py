@@ -83,3 +83,26 @@ def test_semdedup_drops_subset_of_exact_cosine_pairs(spark):
     pairs = all_queries()["dedup_embedding_cosine"].fn(spark, SF_CORRECTNESS)
     with_smaller_partner = {r["vec_b"] for r in pairs.collect()}
     assert dropped <= with_smaller_partner
+
+
+def test_knn_graph_agrees_with_bucketed_topk_on_queries(spark):
+    """The kNN graph restricted to the query set must equal the bucketed
+    top-k's first KNN_K rows — same buckets, same scoring, same ordering."""
+    from dblp_to_csv_spark.operators.similarity import KNN_K, N_QUERIES
+    from dblp_to_csv_spark.registry import all_queries
+
+    graph = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in all_queries()["similarity_knn_graph_bucketed"]
+        .fn(spark, SF_CORRECTNESS)
+        .collect()
+        if r["vec_id"] < N_QUERIES
+    }
+    topk = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in all_queries()["similarity_topk_lsh_bucketed"]
+        .fn(spark, SF_CORRECTNESS)
+        .collect()
+        if r["rank"] <= KNN_K
+    }
+    assert graph == topk and graph
