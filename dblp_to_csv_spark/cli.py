@@ -80,6 +80,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "order, interleaved across record types — requires --single-pass, "
         "whose envelope records each record's byte position)",
     )
+    parser.add_argument(
+        "--parallel-tables",
+        type=int,
+        default=4,
+        help="driver-side thread pool width for per-record-type preparation "
+        "and writes (overlapping Spark jobs keeps executors busy between "
+        "job boundaries; 1 = sequential). Output is identical either way.",
+    )
     parser.add_argument("--master", default=None, help="Spark master (default: local[$CPUS])")
     args = parser.parse_args(argv)
     if args.id_order == "document" and not args.single_pass:
@@ -146,6 +154,7 @@ def main(argv: list[str] | None = None) -> None:
             output_format=args.output_format,
             single_pass=args.single_pass,
             id_order=args.id_order,
+            parallel_tables=args.parallel_tables,
         )
     except InvalidElementName as e:
         # reference behavior: report and exit 1 (XMLToCSV.py:375-380)

@@ -145,6 +145,7 @@ class XmlToCsvPlan:
         partition_by: list[str] | None = None,
         single_pass: bool = False,
         id_order: str = "table",
+        parallel_tables: int = 4,
     ):
         if output_format not in ("csv", "parquet"):
             raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
@@ -181,6 +182,13 @@ class XmlToCsvPlan:
         self.single_file = single_file
         self.single_pass = single_pass
         self.id_order = id_order
+        # Driver-side thread pool width for per-record-type preparation and
+        # table writes. A type's jobs (parse, fused stats agg, id histogram,
+        # sink) rarely saturate the cluster alone — overlapping types keeps
+        # executors busy between job boundaries; the Spark scheduler
+        # multiplexes concurrent jobs from one session by design. 1 = the
+        # sequential reference order.
+        self.parallel_tables = max(1, int(parallel_tables))
         self._envelope_dir: str | None = None
         self._rank_prefix: DataFrame | None = None
         self.path, self.ext = os.path.splitext(output_path)
@@ -720,27 +728,61 @@ class XmlToCsvPlan:
         # contract); id_order='document' (single-pass only) restores the
         # reference's exact interleaved numbering via _assign_document_order_ids
         skipped_drops: list[DataFrame] = []
-        for element in sorted(elements):
-            t = self.prepare_table(element, id_start=next_id)
+        elements_sorted = sorted(elements)
+        # Tables are prepared with LOCAL ids (id_start=0) — possibly in
+        # parallel driver threads — and the reference's global counter is
+        # restored afterwards by adding each table's cumulative base: a
+        # constant-shift projection, so the sequential-id semantics cost
+        # nothing while the heavy per-type jobs overlap.
+        if self.parallel_tables > 1 and len(elements_sorted) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                min(self.parallel_tables, len(elements_sorted))
+            ) as ex:
+                prepared = list(
+                    ex.map(lambda el: (el, self.prepare_table(el, id_start=0)),
+                           elements_sorted)
+                )
+        else:
+            prepared = [
+                (el, self.prepare_table(el, id_start=0)) for el in elements_sorted
+            ]
+        for element, t in prepared:
             if t is None:
                 if self.id_order == "document":
                     d = self._envelope_drop_ranks(element)
                     if d is not None:
                         skipped_drops.append(d)
                 continue
+            if self.id_order == "table" and next_id:
+                t.df = t.df.withColumn(
+                    "id", (F.col("id") + F.lit(next_id)).cast("long")
+                )
             next_id += t.n_rows
             result.tables[element] = t
         if self.id_order == "document" and result.tables:
             next_id = self._assign_document_order_ids(result.tables, skipped_drops)
         result.total_records = next_id
 
-        for t in result.tables.values():
+        def _write_one(t: TableResult) -> None:
             if self.output_format == "parquet":
                 t.csv_path = self.write_table_parquet(t)
             else:
                 t.csv_path = self.write_table_csv(t)
             if self.annotate:
                 self.write_annotated_header(t)
+
+        if self.parallel_tables > 1 and len(result.tables) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                min(self.parallel_tables, len(result.tables))
+            ) as ex:
+                list(ex.map(_write_one, result.tables.values()))
+        else:
+            for t in result.tables.values():
+                _write_one(t)
 
         if self.relations:
             nodes, edges = self.build_relations(result.tables, next_id)
@@ -780,6 +822,7 @@ def convert(
     schema_sampling_ratio: float = 1.0,
     single_pass: bool = False,
     id_order: str = "table",
+    parallel_tables: int = 4,
 ) -> ConvertResult:
     """One-call equivalent of the reference CLI (XMLToCSV.py:365-411)."""
     return XmlToCsvPlan(
@@ -796,6 +839,7 @@ def convert(
         schema_sampling_ratio,
         single_pass=single_pass,
         id_order=id_order,
+        parallel_tables=parallel_tables,
     ).run()
 
 
