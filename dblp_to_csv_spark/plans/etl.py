@@ -329,7 +329,11 @@ class XmlToCsvPlan:
         # P2 + A3 fused: ONE aggregate job computes, for every column, both
         # the non-empty count (pruning) and — in annotate mode — the observed
         # type set. One pass over the (cached) table instead of two.
-        aggs = []
+        # total kept rows rides the same aggregate ('#' cannot appear in an
+        # XML name, so 'cnt_#rows' can never collide with a data column's
+        # f"cnt_{c}") — document-order mode reads it instead of paying a
+        # separate count job per table
+        aggs = [F.count(F.lit(1)).alias("cnt_#rows")]
         for c in data_cols:
             aggs.append(
                 (
@@ -403,7 +407,7 @@ class XmlToCsvPlan:
         # count here is cheap (the frame is cached and already materialized
         # by the stats agg).
         if self.id_order == "document":
-            with_ids, n_rows = flat, flat.count()
+            with_ids, n_rows = flat, int(stats_row["cnt_#rows"])
         else:
             with_ids, n_rows = with_dense_ids_counted(
                 flat, "id", start=id_start, cache_registry=cached
