@@ -470,3 +470,40 @@ def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.count("hit") * 1.0 / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+def observed_keep_gate(spark: SparkSession, sf_dir: str):
+    """The C4-style keep gate with PIPELINE METRICS riding the same job
+    (``df.observe``): rows scanned, rows kept, and total kept tokens are
+    accumulated by the executors during the one pass the query already
+    makes — no second count job, no extra scan. This is how a 100 TB
+    curation run reports its funnel (input → kept, token yield) for free;
+    at scale the same Observations feed a QueryExecutionListener instead of
+    a blocking ``.get``.
+
+    Returns (DataFrame, Observation): run the frame through any action,
+    then read ``observation.get`` for
+    {"rows_seen": ..., "rows_kept": ..., "tokens_kept": ...}."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", words("text").alias("w")
+    )
+    n_tokens = F.size(F.col("w"))
+    keep = (n_tokens >= 20) & (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+        * 1.0
+        / F.greatest(F.length("text"), F.lit(1))
+        < 0.1
+    )
+    obs = Observation("keep_gate")
+    observed = docs.withColumn("keep", keep).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count(F.when(F.col("keep"), 1)).alias("rows_kept"),
+        F.sum(F.when(F.col("keep"), n_tokens).otherwise(0)).alias("tokens_kept"),
+    )
+    return (
+        observed.filter(F.col("keep")).select("doc_id", n_tokens.alias("n_tokens")),
+        obs,
+    )

@@ -177,3 +177,58 @@ def udaf_geomean_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
         n_rows("o_totalprice").alias("n_orders"),
     )
+
+
+@register(
+    "udtf_ngrams_polymorphic",
+    tags=("udf", "udtf", "text"),
+    oracle="""
+        SELECT doc_id, words[i] AS w0, words[i+1] AS w1
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS words
+              FROM documents WHERE doc_id < 10),
+             UNNEST(range(1, len(words))) AS u(i)
+    """,
+)
+def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output schema is
+    computed at plan time from a literal argument — ``ngrams_udtf(text, 2)``
+    emits columns (w0, w1); pass 3 and it would emit (w0, w1, w2) with no
+    code change. ``analyze`` receives the constant-folded argument value and
+    returns the StructType, so Catalyst sees a fully typed relation before
+    execution — the schema-on-plan contract a fixed ``returnType`` cannot
+    express. Tokenization replicates words() exactly (same regex/lower/
+    non-empty filter) so the DuckDB oracle stays in lock-step. Restricted to
+    10 docs: UDTFs are row-at-a-time Python, the documented slow path."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    class Ngrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("ngrams_udtf: n must be a positive integer literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", udtf(Ngrams))
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 10
+    ).createOrReplaceTempView("_udtf_ngram_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.w0, t.w1
+        FROM _udtf_ngram_docs d, LATERAL ngrams_udtf(d.text, 2) t
+        """
+    )

@@ -235,3 +235,17 @@ def test_sql_udfs_inline_into_codegen(spark):
     plan = _plan(spark, "sql_udf_scalar_nested")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_observed_keep_gate_metrics_ride_the_job(spark):
+    """df.observe: the curation funnel's metrics (rows seen/kept, token
+    yield) must come back from the SAME single pass that produced the kept
+    rows — no second scan, no count job."""
+    from dblp_to_csv_spark.operators.pipeline import observed_keep_gate
+
+    df, obs = observed_keep_gate(spark, SF_SMOKE)
+    kept_rows = df.count()
+    m = obs.get
+    assert m["rows_kept"] == kept_rows
+    assert m["rows_seen"] >= m["rows_kept"] > 0
+    assert m["tokens_kept"] >= 20 * m["rows_kept"]  # gate floor
