@@ -311,3 +311,55 @@ def test_stream_upsert_keep_latest(spark, tmp_path):
     run("ckpt2")  # fresh checkpoint: same source replayed into the target
     again = spark.read.parquet(target).toPandas().sort_values("user_id")
     assert again["event_id"].tolist() == want["event_id"].tolist()
+
+
+def test_stream_observe_metrics_per_batch(spark, tmp_path):
+    """df.observe on a STREAM: per-microbatch QA counters (rows, summed
+    event values, null counts) surface in StreamingQueryProgress
+    .observedMetrics — the zero-extra-cost monitoring hook a production
+    ingest uses for funnel dashboards and data-quality alerts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    schema = events.schema
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(SF_SMOKE + "/events.parquet", src_dir / "part-0.parquet")
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(str(src_dir))
+        .observe(
+            "ingest_qa",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("value").alias("value_sum"),
+            F.count(F.when(F.col("value").isNull(), 1)).alias("null_values"),
+        )
+    )
+    q = (
+        src.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("obs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p.observedMetrics["ingest_qa"]
+        for p in q.recentProgress
+        if "ingest_qa" in (p.observedMetrics or {})
+    ]
+    assert observed, "no observed metrics surfaced in progress"
+    total_rows = sum(m["rows"] for m in observed)
+    assert total_rows == events.count()
+    import math
+
+    got = sum(m["value_sum"] for m in observed)
+    want = events.agg(F.sum("value")).collect()[0][0]
+    assert math.isclose(got, want, rel_tol=1e-9)
