@@ -150,6 +150,22 @@ EVAL_MOD = 10
 PACK_BUDGET = 2048  # tokens per training context window
 
 
+def _exploded_shingles(
+    df: DataFrame, with_doc_id: bool, distinct_in_doc: bool = False
+) -> DataFrame:
+    """words → shingles as STAGED projections. Load-bearing: HOF-built
+    arrays get no common-subexpression elimination, so the inline
+    ``shingles(words(text))`` form re-runs the tokenizer for every array
+    reference inside the shingle builder (SCALE.md §5; measured ~2× on
+    decontamination at sf0.1 — the same trap the MinHash path documents)."""
+    cols = ["doc_id"] if with_doc_id else []
+    staged = df.select(*cols, words("text").alias("w"))
+    sh = shingles(F.col("w"))
+    if distinct_in_doc:
+        sh = F.array_distinct(sh)
+    return staged.select(*cols, F.explode(sh).alias("shingle"))
+
+
 @register(
     "decontaminate_against_eval",
     tags=("pipeline", "dedup", "join"),
@@ -181,14 +197,12 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deduplication of its shingles happens as count-DISTINCT per doc AFTER
     the join, over matched rows only, a vanishing fraction of the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.explode(shingles(words("text"))).alias("shingle")
+    tr = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0), with_doc_id=True
     )
-    ev = (
-        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(shingles(words("text"))).alias("shingle"))
-        .distinct()
-    )
+    ev = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0), with_doc_id=False
+    ).distinct()
     return (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
@@ -196,18 +210,26 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_BITS = 1 << 16  # 65,536 bits → 1,024 64-bit... stored as 2,048 32-bit words
+BLOOM_MIN_BITS = 1 << 16
+BLOOM_MAX_BITS = 1 << 24  # 16 Mbit = 2 MB of broadcast at most
 BLOOM_HASHES = 5
 
 
-def _bloom_hit_sql() -> str:
+def _bloom_bits(n_items: int) -> int:
+    """Power-of-two filter size ≈ 16 bits/item (fp ≈ 0.1% at k=5), clamped.
+    Sizing only affects the prefilter's selectivity, never the result — the
+    exact verify-join removes every false positive."""
+    return min(BLOOM_MAX_BITS, max(BLOOM_MIN_BITS, 1 << (16 * n_items).bit_length()))
+
+
+def _bloom_hit_sql(bloom_bits: int) -> str:
     """SQL predicate: all BLOOM_HASHES bit positions of `shingle` are set in
     the broadcast `bloom` array (32 bits per BIGINT word, so no sign
     headaches). Pure JVM expressions — no join, no Python — evaluated inside
     whole-stage codegen for every corpus shingle."""
     checks = []
     for i in range(BLOOM_HASHES):
-        p = f"pmod(xxhash64({i}, shingle), {BLOOM_BITS})"
+        p = f"pmod(xxhash64({i}, shingle), {bloom_bits})"
         checks.append(
             f"(shiftright(element_at(bloom, CAST(shiftright({p}, 5) AS INT) + 1),"
             f" CAST(({p} % 32) AS INT)) & 1) = 1"
@@ -253,36 +275,40 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom pattern, made explicit because the eval side arrives as data, not
     as a join Spark can infer the filter from."""
     docs = load_table(spark, sf_dir, "documents")
-    ev = (
-        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(shingles(words("text"))).alias("shingle"))
-        .distinct()
-    )
-    positions = (
+    ev = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0), with_doc_id=False
+    ).distinct()
+    # size the filter to the eval set (~16 bits/item): an under-sized bloom
+    # saturates and degrades to "prefilter passes everything" — still exact,
+    # all cost, no pruning
+    bloom_bits = _bloom_bits(ev.count())
+    # fold positions into 32-bit words JVM-side (bit_or partial aggregate):
+    # the driver collects ≤ bits/32 words, never the raw position stream
+    word_rows = (
         ev.select(
             F.explode(
                 F.array(
                     *[
-                        F.pmod(F.xxhash64(F.lit(i), "shingle"), F.lit(BLOOM_BITS))
+                        F.pmod(F.xxhash64(F.lit(i), "shingle"), F.lit(bloom_bits))
                         for i in range(BLOOM_HASHES)
                     ]
                 )
             ).alias("p")
         )
-        .distinct()
-        .collect()  # bounded: ≤ BLOOM_BITS distinct positions
+        .groupBy(F.shiftright("p", 5).alias("widx"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("w"))
+        .collect()
     )
-    bloom_words = [0] * (BLOOM_BITS // 32)
-    for r in positions:
-        p = r["p"]
-        bloom_words[p >> 5] |= 1 << (p & 31)
+    bloom_words = [0] * (bloom_bits // 32)
+    for r in word_rows:
+        bloom_words[r["widx"]] = r["w"]
     bloom = spark.createDataFrame([(bloom_words,)], "bloom array<bigint>")
-    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.explode(shingles(words("text"))).alias("shingle")
+    tr = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0), with_doc_id=True
     )
     return (
         tr.crossJoin(F.broadcast(bloom))
-        .filter(F.expr(_bloom_hit_sql()))
+        .filter(F.expr(_bloom_hit_sql(bloom_bits)))
         .join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
@@ -451,13 +477,15 @@ def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (membership probe) and collapse in one per-doc aggregate; the
     rounded ratio keeps both engines' division on the same 6-dp grid."""
     docs = load_table(spark, sf_dir, "documents")
-    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(words("text")))).alias("shingle"),
+    tr = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0),
+        with_doc_id=True,
+        distinct_in_doc=True,
     )
     ev = (
-        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(shingles(words("text"))).alias("shingle"))
+        _exploded_shingles(
+            docs.filter(F.col("doc_id") % EVAL_MOD == 0), with_doc_id=False
+        )
         .distinct()
         .withColumn("hit", F.lit(1))
     )
