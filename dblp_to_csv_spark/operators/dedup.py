@@ -1213,7 +1213,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    assigned = emb.join(kmeans_cells(emb), "vec_id").withColumn(
+    # the (vec_id, cell) assignment is consumed by both the pair search and
+    # the final verdict — parquet-checkpoint it so the k-means chain runs
+    # ONCE (same discipline as the MinHash candidate checkpoint: disk, not
+    # cache(), in a shared session). Measured ~10.5 s → ~5 s at sf0.1.
+    import tempfile
+
+    cells_dir = tempfile.mkdtemp(prefix="_semdedup_cells_")
+    kmeans_cells(emb).write.mode("overwrite").parquet(cells_dir)
+    assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
         "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )
     a = assigned.alias("a")
