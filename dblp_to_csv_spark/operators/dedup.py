@@ -1217,6 +1217,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final verdict — parquet-checkpoint it so the k-means chain runs
     # ONCE (same discipline as the MinHash candidate checkpoint: disk, not
     # cache(), in a shared session). Measured ~10.5 s → ~5 s at sf0.1.
+    # Like that precedent, the small checkpoint dir is deliberately left
+    # behind: the returned frame reads it lazily, so deleting here would
+    # break the caller; a real pipeline passes a managed location.
     import tempfile
 
     cells_dir = tempfile.mkdtemp(prefix="_semdedup_cells_")

@@ -50,9 +50,15 @@ _PREFIX_LEN = 2  # 256 partitions: fine to thousands of index files per prefix
 
 def _stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
     """Materialize ``df`` to immutable parquet and return the re-read — the
-    stability barrier between 'decide what to accept' and 'grow the index'."""
+    stability barrier between 'decide what to accept' and 'grow the index'.
+    Each call writes a FRESH unique subdirectory, so one persistent
+    ``staging_dir`` can safely serve successive batches: a later batch can
+    never overwrite the files an earlier batch's returned frame reads."""
+    import uuid
+
     out = os.path.join(
-        staging_dir or tempfile.mkdtemp(prefix="_dedup_stage_"), name
+        staging_dir or tempfile.mkdtemp(prefix="_dedup_stage_"),
+        f"{name}_{uuid.uuid4().hex}",
     )
     df.write.mode("overwrite").parquet(out)
     return df.sparkSession.read.parquet(out)
@@ -83,8 +89,13 @@ def exact_dedup_incremental(
     Probe shape: the batch collapses to one fingerprint row each (exact
     dedup's 32-byte key), broadcasts against the index scan, which prunes to
     the ≤256 prefix partitions present in the batch — the index is read
-    partition-pruned and never moved."""
-    fp = F.md5("text")
+    partition-pruned and never moved.
+
+    NULL text fingerprints to the sentinel 'NULL' (not a 32-hex md5, so it
+    cannot collide with real content): null keys would silently fail both
+    the cross-batch equality probe and the prefix IN-filter under
+    three-valued logic, accepting every null-text doc forever."""
+    fp = F.when(F.col("text").isNull(), F.lit("NULL")).otherwise(F.md5("text"))
     batch = (
         new_docs.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
@@ -173,8 +184,11 @@ def minhash_dedup_incremental(
     filters bandkeys map-side. Verification is in-row arithmetic over the
     two signatures — the index never stores documents or shingle sets, and
     nothing corpus-sized shuffles."""
-    sig = _minhash_signature(new_docs)
-    batch_bands = _bands(sig)
+    # stage the batch's band/signature rows once: they are consumed by the
+    # history probe, the in-batch self-join (twice), and the index append —
+    # without the barrier the shingle/signature pipeline would re-run per
+    # consumer
+    batch_bands = _stage(_bands(_minhash_signature(new_docs)), staging_dir, "bands")
     hcols = [f"h{i}" for i in range(MINHASH_K)]
     index = _read_index(
         spark,
@@ -222,12 +236,18 @@ def minhash_dedup_incremental(
         .distinct()
     )
     rejected = hist_hits.union(batch_hits).distinct()
-    accepted_sigs = _stage(
-        batch_bands.join(F.broadcast(rejected), "doc_id", "left_anti"),
+    # Accept-set is defined over ALL batch docs, not the signed ones: a doc
+    # too short to shingle has no signature row (shingles() yields [] under
+    # 3 words, and explode drops it), but it cannot near-dup anything — it
+    # must be ACCEPTED, not silently lost. It contributes no index rows.
+    accepted = _stage(
+        new_docs.select("doc_id")
+        .distinct()
+        .join(F.broadcast(rejected), "doc_id", "left_anti"),
         staging_dir,
         "minhash_accepted",
     )
-    accepted_sigs.select("doc_id", "bandkey", *hcols, "band").write.mode(
-        "append"
-    ).partitionBy("band").parquet(index_dir)
-    return accepted_sigs.select("doc_id").distinct()
+    batch_bands.join(F.broadcast(accepted), "doc_id", "left_semi").select(
+        "doc_id", "bandkey", *hcols, "band"
+    ).write.mode("append").partitionBy("band").parquet(index_dir)
+    return accepted

@@ -31,12 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_rank(df: DataFrame, col: str, bits: int) -> Column:
+def _bucket_rank(cuts: list[float], col: str) -> Column:
     """Equi-depth bucket rank in [0, 2^bits): the count of approx-quantile
     cutpoints strictly below the value — an in-row scan of a ≤(2^bits − 1)-
     element literal array (codegen-friendly; 8 bits = 255 comparisons)."""
-    n = 1 << bits
-    cuts = df.approxQuantile(col, [i / n for i in range(1, n)], 0.001)
     # dedupe while preserving order: heavy single values collapse cutpoints
     uniq: list[float] = []
     for c in cuts:
@@ -51,10 +49,16 @@ def _bucket_rank(df: DataFrame, col: str, bits: int) -> Column:
 
 def with_zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     """Add ``zkey``: the Morton interleave of each column's equi-depth
-    bucket rank (``bits`` bits per dimension, most-significant first)."""
+    bucket rank (``bits`` bits per dimension, most-significant first).
+    All columns' quantiles come from ONE approxQuantile pass over the
+    input — never a scan per dimension."""
     if not cols:
         raise ValueError("z-order needs at least one column")
-    ranks = {c: _bucket_rank(df, c, bits).cast("long") for c in cols}
+    n = 1 << bits
+    all_cuts = df.approxQuantile(list(cols), [i / n for i in range(1, n)], 0.001)
+    ranks = {
+        c: _bucket_rank(cuts, c).cast("long") for c, cuts in zip(cols, all_cuts)
+    }
     z: Column = F.lit(0).cast("long")
     for bit in range(bits - 1, -1, -1):
         for c in cols:

@@ -177,3 +177,56 @@ def test_streaming_foreachbatch_incremental_dedup(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(lake).collect()
     ) == [1, 2, 11]
+
+
+def test_minhash_incremental_accepts_shingleless_docs(spark, tmp_path):
+    """A document too short to shingle has no signature — it can never
+    near-dup anything, so it must be ACCEPTED, not silently lost (review
+    finding: explode drops empty shingle arrays)."""
+    idx = str(tmp_path / "mh")
+    out = minhash_dedup_incremental(
+        spark,
+        _docs(spark, [(1, "hello world"), (2, TEXT_A)]),
+        idx,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    # and it contributes no index rows (nothing to band)
+    idx_docs = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert idx_docs == {2}
+
+
+def test_exact_incremental_shared_staging_dir_stays_stable(spark, tmp_path):
+    """One persistent staging_dir across batches: batch 2 must not overwrite
+    batch 1's staged files — the earlier returned frame stays stable."""
+    idx = str(tmp_path / "idx")
+    stage = str(tmp_path / "stage")  # SAME dir for both batches
+    b1 = exact_dedup_incremental(
+        spark, _docs(spark, [(1, TEXT_A)]), idx, staging_dir=stage
+    )
+    b2 = exact_dedup_incremental(
+        spark, _docs(spark, [(2, TEXT_B)]), idx, staging_dir=stage
+    )
+    assert [r["doc_id"] for r in b1.collect()] == [1]
+    assert [r["doc_id"] for r in b2.collect()] == [2]
+
+
+def test_exact_incremental_null_text_dedups_across_batches(spark, tmp_path):
+    """NULL text must behave like any other fingerprint: the first null-text
+    doc is accepted, later ones (same or later batches) are duplicates —
+    null join keys would otherwise never match under 3VL."""
+    idx = str(tmp_path / "idx")
+    b1 = exact_dedup_incremental(
+        spark,
+        spark.createDataFrame([(5, None), (6, TEXT_A)], "doc_id long, text string"),
+        idx,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    assert sorted(r["doc_id"] for r in b1.collect()) == [5, 6]
+    b2 = exact_dedup_incremental(
+        spark,
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        idx,
+        staging_dir=str(tmp_path / "s2"),
+    )
+    assert b2.count() == 0
