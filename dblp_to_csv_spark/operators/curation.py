@@ -672,3 +672,158 @@ def mix_upsample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .select("doc_id", "lang", F.explode(F.sequence(F.lit(1), n_epochs)).alias("epoch"))
     )
+
+
+@register(
+    "dedup_intradoc_rewrite",
+    tags=("dedup", "text", "pipeline"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {{words}} AS w FROM documents),
+        b AS (
+            SELECT doc_id, w, CAST(len(w) // {CHUNK_WORDS} AS INT) AS n
+            FROM t
+        ),
+        h AS (
+            SELECT doc_id, w, n,
+                   CASE WHEN n > 0 THEN list_transform(
+                       generate_series(0, n - 1),
+                       i -> md5(array_to_string(
+                           list_slice(w, i * {CHUNK_WORDS} + 1,
+                                      i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')))
+                   ELSE [] END AS hs
+            FROM b
+        ),
+        k AS (
+            SELECT doc_id, w, n,
+                   CASE WHEN n > 0 THEN list_filter(
+                       generate_series(0, n - 1),
+                       i -> list_position(hs, hs[i + 1]) = i + 1)
+                   ELSE [] END AS kept
+            FROM h
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(list_concat(
+                   flatten(list_transform(kept,
+                       i -> list_slice(w, i * {CHUNK_WORDS} + 1,
+                                       i * {CHUNK_WORDS} + {CHUNK_WORDS}))),
+                   list_slice(w, n * {CHUNK_WORDS} + 1, len(w))), ' '), '')
+                   AS text_clean,
+               CAST(len(kept) AS BIGINT) AS n_chunks_kept,
+               CAST(n - len(kept) AS BIGINT) AS n_chunks_dropped
+        FROM k
+    """.format(words=_WORDS),
+)
+def dedup_intradoc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition rewrite: within each document, every
+    non-overlapping ``CHUNK_WORDS``-word chunk keeps only its first
+    occurrence IN THAT DOCUMENT (self-plagiarized boilerplate, chorus
+    repetition, scraper loops), and the text is reassembled from surviving
+    chunks plus the sub-chunk tail — `dedup_chunk_rewrite`'s corpus-global
+    first-occurrence policy restricted to the document itself.
+
+    Scale shape: the best possible — ZERO shuffle. Chunk hashes, the
+    first-occurrence test (array_position over the in-row hash list), and
+    reassembly are all array expressions over one row; the operator fuses
+    into the scan and costs one narrow pass no matter the corpus size
+    (plan-gated no-Exchange). The hash list is STAGED as its own projection
+    before the filter references it per index — the HOF no-CSE rule."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
+    idxs = F.when(
+        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk_hashes = F.transform(
+        idxs,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+        ),
+    )
+    base = docs.select(
+        "doc_id", "w", n_chunks.alias("n"), chunk_hashes.alias("hs"), idxs.alias("idxs")
+    )
+    kept = F.filter(
+        F.col("idxs"),
+        lambda i: F.array_position(F.col("hs"), F.element_at(F.col("hs"), i + 1))
+        == (i + 1).cast("long"),
+    )
+    staged = base.select("doc_id", "w", "n", kept.alias("kept"))
+    kept_words = F.flatten(
+        F.transform(F.col("kept"), lambda i: F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+    )
+    tail = F.slice(w, F.col("n") * CHUNK_WORDS + 1, CHUNK_WORDS)
+    n_kept = F.size("kept").cast("long")
+    return staged.select(
+        "doc_id",
+        F.array_join(F.concat(kept_words, tail), " ").alias("text_clean"),
+        n_kept.alias("n_chunks_kept"),
+        (F.col("n").cast("long") - n_kept).alias("n_chunks_dropped"),
+    )
+
+
+# fixed logistic weights for the quality scorer (a stand-in for a trained
+# fastText/logreg quality model's coefficients)
+QW_BIAS = -3.0
+QW_LOG_TOKENS = 0.9
+QW_STOP = 4.0
+QW_PUNCT = -8.0
+
+_QSCORE_SQL = f"""
+    1.0 / (1.0 + exp(-({QW_BIAS}
+        + {QW_LOG_TOKENS} * ln(len(w) + 1)
+        + {QW_STOP} * (len(list_filter(w, x -> list_contains([{{stops}}], x)))
+                       * 1.0 / GREATEST(len(w), 1))
+        + {QW_PUNCT} * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                        * 1.0 / GREATEST(length(text), 1)))))
+"""
+
+
+@register(
+    "quality_linear_score",
+    tags=("curation", "text", "ml"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {{words}} AS w FROM documents)
+        SELECT doc_id,
+               ROUND({_QSCORE_SQL}, 6) AS quality_score,
+               ROUND({_QSCORE_SQL}, 6) >= 0.5 AS keep
+        FROM t
+    """.format(
+        words=WORDS_SQL.format(col="text"),
+        stops=", ".join(f"'{w}'" for w in STOPWORDS),
+    ),
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, linear/logistic form: a trained quality
+    classifier's coefficients (here fixed weights over log-token-count,
+    stopword ratio, and punctuation ratio — the fastText-style feature
+    family) applied as ONE sigmoid expression per document. This is how a
+    learned quality filter actually runs at 100 TB: the model is kilobytes
+    of weights compiled into the projection (or broadcast for wide models),
+    scoring fuses into the scan — no shuffle, no Python, no inference
+    service in the data path. The 6-dp rounding puts both engines' exp/ln
+    on the same grid (the same discipline as text_unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_tokens = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+        * 1.0
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    punct_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")
+    ) * 1.0 / F.greatest(F.length("text"), F.lit(1))
+    logit = (
+        F.lit(QW_BIAS)
+        + QW_LOG_TOKENS * F.log(n_tokens + F.lit(1))
+        + QW_STOP * stop_ratio
+        + QW_PUNCT * punct_ratio
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
+    return docs.select(
+        "doc_id", score.alias("quality_score"), (score >= 0.5).alias("keep")
+    )

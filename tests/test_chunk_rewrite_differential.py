@@ -84,3 +84,37 @@ def test_chunk_rewrite_matches_python_reference(spark, tmp_path):
         assert got[d] == want[d], f"doc {d}: {got[d]} != {want[d]}"
     # sanity: the planted duplication actually dropped something
     assert sum(v[2] for v in want.values()) > 0
+
+
+def test_intradoc_rewrite_drops_repeated_chunks(spark, tmp_path):
+    """A document that repeats its first 10-word chunk verbatim keeps only
+    the first occurrence; a cross-document duplicate chunk is NOT dropped
+    (intra-doc scope only)."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.registry import all_queries
+
+    chunk = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    tail = "short tail"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # doc 1: chunk, chunk, other, tail → second chunk dropped
+            "text": [f"{chunk} {chunk} {other} {tail}", f"{chunk} {tail}"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [1, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["dedup_intradoc_rewrite"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows[1]["text_clean"] == f"{chunk} {other} {tail}"
+    assert rows[1]["n_chunks_kept"] == 2 and rows[1]["n_chunks_dropped"] == 1
+    # doc 2 repeats doc 1's chunk but has no INTERNAL repeat: untouched
+    assert rows[2]["text_clean"] == f"{chunk} {tail}"
+    assert rows[2]["n_chunks_dropped"] == 0

@@ -114,6 +114,8 @@ def empty_docs_sf(tmp_path):
         "mix_upsample_langs",
         "ngram_novelty_vs_reference",
         "decontaminate_bloom",
+        "dedup_intradoc_rewrite",
+        "quality_linear_score",
         "text_logprob_buckets",
         "drift_chi2_source_lang",
     ],

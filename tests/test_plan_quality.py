@@ -249,3 +249,19 @@ def test_observed_keep_gate_metrics_ride_the_job(spark):
     assert m["rows_kept"] == kept_rows
     assert m["rows_seen"] >= m["rows_kept"] > 0
     assert m["tokens_kept"] >= 20 * m["rows_kept"]  # gate floor
+
+
+def test_intradoc_rewrite_is_scan_fused(spark):
+    """dedup_intradoc_rewrite: everything is in-row array arithmetic — the
+    plan must contain NO Exchange and no Python."""
+    plan = _plan(spark, "dedup_intradoc_rewrite")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_linear_score_is_scan_projection(spark):
+    """The learned-quality scorer is weights-in-projection: no shuffle, no
+    Python — the model runs inside the scan pass."""
+    plan = _plan(spark, "quality_linear_score")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
