@@ -43,6 +43,27 @@ GOPHER_MIN_STOP_DISTINCT = 2  # ≥ 2 distinct stopwords present
 LANG_TOKEN_BUDGET = 5_000  # tokens admitted per language
 CHUNK_WORDS = 10  # non-overlapping exact-dup chunk width
 
+
+def _chunk_exprs(w):
+    """Shared non-overlapping ``CHUNK_WORDS``-word chunking expressions —
+    ``(n_chunks, idxs, chunk_hashes)`` over a token-array column. ONE
+    definition for the three chunk operators (exact report, corpus rewrite,
+    intra-doc rewrite) so boundary handling, the empty-array guard, and the
+    md5-over-joined-words hash can never diverge between them."""
+    from pyspark.sql import functions as F
+
+    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
+    idxs = F.when(
+        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk_hashes = F.transform(
+        idxs,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+        ),
+    )
+    return n_chunks, idxs, chunk_hashes
+
 # Cluster-label frames are a vanishing fraction of the corpus on real data,
 # but their size is bounded only by that assumption — a pathologically
 # duplicated corpus makes them corpus-sized, and a FORCED broadcast then
@@ -290,16 +311,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words("text").alias("w")
     )
     w = F.col("w")
-    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
-    idxs = F.when(
-        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    chunk_hashes = F.transform(
-        idxs,
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
-        ),
-    )
+    n_chunks, idxs, chunk_hashes = _chunk_exprs(w)
     return (
         docs.select("doc_id", F.explode(chunk_hashes).alias("chunk_hash"))
         .groupBy("chunk_hash")
@@ -566,16 +578,7 @@ def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words("text").alias("w")
     )
     w = F.col("w")
-    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
-    idxs = F.when(
-        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    chunk_hashes = F.transform(
-        idxs,
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
-        ),
-    )
+    n_chunks, idxs, chunk_hashes = _chunk_exprs(w)
     base = docs.select("doc_id", "w", n_chunks.alias("n_chunks"),
                        chunk_hashes.alias("hashes"))
     ch = base.select("doc_id", F.posexplode("hashes").alias("idx", "h"))
@@ -731,16 +734,7 @@ def dedup_intradoc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words("text").alias("w")
     )
     w = F.col("w")
-    n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
-    idxs = F.when(
-        F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    chunk_hashes = F.transform(
-        idxs,
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
-        ),
-    )
+    n_chunks, idxs, chunk_hashes = _chunk_exprs(w)
     base = docs.select(
         "doc_id", "w", n_chunks.alias("n"), chunk_hashes.alias("hs"), idxs.alias("idxs")
     )
@@ -789,10 +783,7 @@ _QSCORE_SQL = f"""
                ROUND({_QSCORE_SQL}, 6) AS quality_score,
                ROUND({_QSCORE_SQL}, 6) >= 0.5 AS keep
         FROM t
-    """.format(
-        words=WORDS_SQL.format(col="text"),
-        stops=", ".join(f"'{w}'" for w in STOPWORDS),
-    ),
+    """.format(words=_WORDS, stops=_STOP_LIST),
 )
 def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring, linear/logistic form: a trained quality

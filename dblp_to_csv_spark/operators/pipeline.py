@@ -357,6 +357,32 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < threshold).select("doc_id", "lang")
 
 
+def assign_pack_chunks(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-then-chunk packing policy over any (doc_id, text) frame:
+    hash-bucket, order by doc_id, running-token prefix sum per bucket, and
+    assign each document the ``budget``-token context window its first
+    token lands in. Shared by the registered query and pipeline
+    compositions (tests/test_pipeline_end_to_end.py) so the policy cannot
+    fork."""
+    t = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("chunk_id"),
+    )
+
+
 @register(
     "pack_concat_chunks",
     tags=("pipeline", "window"),
@@ -387,24 +413,7 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort, no single-reducer window. Each bucket is one shuffle
     partition's worth of ordered prefix-sum; at 100 TB you raise the bucket
     count, not the algorithm."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
-        F.size(words("text")).cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
-        "doc_id",
-        "bucket",
-        "n_tokens",
-        F.floor(start / PACK_BUDGET).cast("long").alias("chunk_id"),
-    )
+    return assign_pack_chunks(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -14,7 +14,11 @@ import os
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.operators.curation import curate_corpus
-from dblp_to_csv_spark.operators.pipeline import PACK_BUDGET, observed_keep_gate
+from dblp_to_csv_spark.operators.pipeline import (
+    PACK_BUDGET,
+    assign_pack_chunks,
+    observed_keep_gate,
+)
 from dblp_to_csv_spark.plans.export import write_training_shards
 from tests.conftest import SF_SMOKE
 
@@ -34,20 +38,27 @@ def _run_pipeline(spark, out_dir: str) -> dict:
         .join(kept_ids, "doc_id")
         .select("doc_id", "text", "lang")
     )
-    # stage 3: pack whole docs into context windows (concat-chunk policy)
-    packed = corpus.select(
-        "doc_id",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("bucket"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-    )
+    # stage 3: pack the CURATED corpus into context windows — the real
+    # operator policy (assign_pack_chunks), not a stand-in projection
+    packed = assign_pack_chunks(corpus)
     # stage 4: deterministic shard export + manifest
     manifest = write_training_shards(
         corpus, out_dir, id_col="doc_id", n_shards=4, fmt="parquet"
+    )
+    pack_stats = (
+        packed.groupBy("bucket")
+        .agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("chunk_id").alias("min_chunk"),
+        )
+        .collect()
     )
     return {
         "metrics": obs.get,
         "n_corpus": corpus.count(),
         "n_packed": packed.count(),
+        "pack_stats": pack_stats,
         "manifest": manifest,
     }
 
@@ -57,7 +68,12 @@ def test_full_pipeline_composes_and_reconciles(spark, tmp_path):
     r = _run_pipeline(spark, out)
     # funnel reconciles: gate output ≥ final corpus (dedup only removes)
     assert r["metrics"]["rows_kept"] >= r["n_corpus"] > 0
+    # packing assigned every curated doc exactly once, into a window count
+    # bounded by the per-bucket token mass (the concat-chunk invariant)
     assert r["n_packed"] == r["n_corpus"]
+    for row in r["pack_stats"]:
+        assert row["n_chunks"] <= row["total_tokens"] // PACK_BUDGET + 1
+        assert row["min_chunk"] == 0
     # manifest matches the files the loader will read
     assert r["manifest"]["total_rows"] == r["n_corpus"]
     back = spark.read.parquet(out)
