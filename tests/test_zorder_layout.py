@@ -108,3 +108,37 @@ def test_zorder_key_is_deterministic_and_bounded(spark, xy):
     assert all(0 <= r["zkey"] < (1 << 8) for r in rows)  # 2 dims × 4 bits
     rows2 = with_zorder_key(xy.limit(1000), ["x", "y"], bits=4).select("zkey").collect()
     assert rows == rows2
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """The Morton interleave must equal an independent Python bit-interleave
+    of the same bucket ranks — catches bit-order/off-by-one drift in the
+    expression construction."""
+    import pandas as pd
+
+    rows = [(i, i % 13, (i * 7) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    bits = 4
+    n = 1 << bits
+    from dblp_to_csv_spark.plans.layout import with_zorder_key
+
+    got = {r["id"]: r["zkey"] for r in with_zorder_key(df, ["x", "y"], bits).collect()}
+
+    # reference: equi-depth rank via the same quantile cutpoints, then
+    # classic bit interleave (x bit first at each level, MSB first)
+    cuts = df.approxQuantile(["x", "y"], [i / n for i in range(1, n)], 0.001)
+    def rank(cutlist, v):
+        uniq = []
+        for c in cutlist:
+            if not uniq or c > uniq[-1]:
+                uniq.append(c)
+        return sum(1 for c in uniq if c < v)
+    want = {}
+    for i, x, y in rows:
+        rx, ry = rank(cuts[0], x), rank(cuts[1], y)
+        z = 0
+        for b in range(bits - 1, -1, -1):
+            z = (z << 1) | ((rx >> b) & 1)
+            z = (z << 1) | ((ry >> b) & 1)
+        want[i] = z
+    assert got == want
