@@ -40,6 +40,8 @@ CURATION_BENCH = [
     # prefix; per-query numbers are the stable series)
     "dedup_semantic_semdedup",
     "decontaminate_bloom",
+    "dedup_intradoc_rewrite",
+    "quality_linear_score",
 ]
 
 
