@@ -261,3 +261,74 @@ def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("o_orderkey", "o_totalprice", F.round(z, 4).alias("robust_z"))
     )
+
+
+def profile_frame(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-profiling report for any frame: one row per column with null
+    count, exact distinct count, and min/max (as strings, so heterogeneous
+    types stack into one report). ALL metrics ride a single aggregate pass
+    (count/count-distinct/min/max are partial/final aggregables), then a
+    constant-width unpivot — at 100 TB the profile costs one scan, same as
+    any other aggregate, and is the standard post-ingest QA artifact."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+@register(
+    "profile_documents",
+    tags=("stats", "agg", "pipeline"),
+    oracle="""
+        SELECT 'doc_id' AS column,
+               CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang',
+               CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+               CAST(COUNT(DISTINCT lang) AS BIGINT),
+               MIN(lang), MAX(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'source',
+               CAST(COUNT(*) - COUNT(source) AS BIGINT),
+               CAST(COUNT(DISTINCT source) AS BIGINT),
+               MIN(source), MAX(source)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars',
+               CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+               CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-ingest data profile of the documents table (id/lang/source/
+    n_chars): null counts, exact distinct cardinalities, min/max — the QA
+    report a pipeline lands next to every ingested partition. One aggregate
+    pass for every metric of every column (see profile_frame); the oracle
+    spells the same numbers as per-column scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_frame(docs, ["doc_id", "lang", "source", "n_chars"])

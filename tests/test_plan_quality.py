@@ -265,3 +265,12 @@ def test_quality_linear_score_is_scan_projection(spark):
     plan = _plan(spark, "quality_linear_score")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_profile_documents_is_one_aggregate_pass(spark):
+    """The profiler computes every column's metrics in ONE aggregate over
+    ONE scan — never a scan per column (the oracle's UNION ALL spelling is
+    the semantic reference, not the plan)."""
+    plan = _plan(spark, "profile_documents")
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
