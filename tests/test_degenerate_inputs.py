@@ -203,3 +203,13 @@ def test_semdedup_empty_embeddings(spark, degenerate_sf):
     df = _entry("dedup_semantic_semdedup").fn(spark, degenerate_sf)
     assert df.count() == 0
     assert df.columns == ["vec_id", "cell", "kept"]
+
+
+def test_profile_documents_empty_corpus(spark, empty_docs_sf):
+    """Profiling an EMPTY table: one report row per column with zero
+    counts and NULL min/max — not an error, not an empty frame."""
+    rows = {r["column"]: r for r in _entry("profile_documents").fn(spark, empty_docs_sf).collect()}
+    assert set(rows) == {"doc_id", "lang", "source", "n_chars"}
+    for r in rows.values():
+        assert r["n_nulls"] == 0 and r["n_distinct"] == 0
+        assert r["min_value"] is None and r["max_value"] is None
