@@ -50,8 +50,6 @@ def _chunk_exprs(w):
     definition for the three chunk operators (exact report, corpus rewrite,
     intra-doc rewrite) so boundary handling, the empty-array guard, and the
     md5-over-joined-words hash can never diverge between them."""
-    from pyspark.sql import functions as F
-
     n_chunks = (F.size(w) / CHUNK_WORDS).cast("int")
     idxs = F.when(
         F.size(w) >= CHUNK_WORDS, F.sequence(F.lit(0), n_chunks - 1)

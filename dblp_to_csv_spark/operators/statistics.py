@@ -271,25 +271,30 @@ def profile_frame(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     constant-width unpivot — at 100 TB the profile costs one scan, same as
     any other aggregate, and is the standard post-ingest QA artifact."""
     cols = columns or df.columns
-    aggs = []
-    for c in cols:
+    # aliases are INDEXED, not name-derived, and source references are
+    # backtick-quoted, so dotted/odd column names profile cleanly; the
+    # frame's row count aggregates once ('__n'), not once per column
+    def _ref(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(_ref(c)).alias(f"__nn_{i}"),
+            F.count_distinct(_ref(c)).alias(f"__d_{i}"),
+            F.min(_ref(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_ref(c)).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
-            (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).cast("long").alias("n_nulls"),
-            F.col(f"__d_{c}").cast("long").alias("n_distinct"),
-            F.col(f"__min_{c}").alias("min_value"),
-            F.col(f"__max_{c}").alias("max_value"),
+            (F.col("__n") - F.col(f"__nn_{i}")).cast("long").alias("n_nulls"),
+            F.col(f"__d_{i}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{i}").alias("min_value"),
+            F.col(f"__max_{i}").alias("max_value"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
 

@@ -213,3 +213,18 @@ def test_profile_documents_empty_corpus(spark, empty_docs_sf):
     for r in rows.values():
         assert r["n_nulls"] == 0 and r["n_distinct"] == 0
         assert r["min_value"] is None and r["max_value"] is None
+
+
+def test_profile_frame_handles_dotted_column_names(spark):
+    """profile_frame's 'any frame' contract: dotted column names (legal in
+    parquet/JSON-derived schemas) must profile via backtick-quoted refs,
+    not break column resolution."""
+    from dblp_to_csv_spark.operators.statistics import profile_frame
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "x"]).withColumnRenamed(
+        "x", "meta.lang"
+    )
+    rows = {r["column"]: r for r in profile_frame(df).collect()}
+    assert rows["meta.lang"]["n_nulls"] == 1
+    assert rows["meta.lang"]["n_distinct"] == 1
+    assert rows["id"]["n_distinct"] == 2

@@ -37,7 +37,7 @@ def _run_pipeline(spark, out_dir: str) -> dict:
         .join(canonical_ids, "doc_id")
         .join(kept_ids, "doc_id")
         .select("doc_id", "text", "lang")
-    )
+    ).cache()  # consumed by packing, shard write, and counts below
     # stage 3: pack the CURATED corpus into context windows — the real
     # operator policy (assign_pack_chunks), not a stand-in projection
     packed = assign_pack_chunks(corpus)
@@ -54,13 +54,15 @@ def _run_pipeline(spark, out_dir: str) -> dict:
         )
         .collect()
     )
-    return {
+    out = {
         "metrics": obs.get,
         "n_corpus": corpus.count(),
         "n_packed": packed.count(),
         "pack_stats": pack_stats,
         "manifest": manifest,
     }
+    corpus.unpersist()
+    return out
 
 
 def test_full_pipeline_composes_and_reconciles(spark, tmp_path):

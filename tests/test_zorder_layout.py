@@ -114,8 +114,6 @@ def test_zorder_key_matches_python_reference(spark):
     """The Morton interleave must equal an independent Python bit-interleave
     of the same bucket ranks — catches bit-order/off-by-one drift in the
     expression construction."""
-    import pandas as pd
-
     rows = [(i, i % 13, (i * 7) % 11) for i in range(200)]
     df = spark.createDataFrame(rows, "id long, x long, y long")
     bits = 4
