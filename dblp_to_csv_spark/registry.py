@@ -54,48 +54,56 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "argmax_order_per_customer": 5,
     "array_collapse_returnflags": 6,
     "array_functions_gallery": 5,
-    "asof_join_purchase_last_view": 1,
+    "asof_join_purchase_last_view": 7,
+    "bitwise_functions_gallery": 7,
     "broadcast_join_part_agg": 6,
     "conditional_agg_orders": 5,
     "cube_orders_status_priority": 6,
     "date_functions_gallery": 5,
     "decontaminate_against_eval": 5,
+    "decontaminate_bloom": 7,
     "dedup_chunk_exact": 6,
+    "dedup_chunk_rewrite": 7,
     "dedup_cluster_stats": 6,
-    "dedup_connected_components": 2,
-    "dedup_connected_components_star": 5,
-    "dedup_containment_capped": 5,
-    "dedup_containment_pairs": 2,
-    "dedup_embedding_cosine": 2,
-    "dedup_embedding_cosine_bucketed": 2,
-    "dedup_exact_documents": 2,
+    "dedup_connected_components": 7,
+    "dedup_connected_components_star": 7,
+    "dedup_containment_capped": 7,
+    "dedup_containment_pairs": 7,
+    "dedup_embedding_cosine": 7,
+    "dedup_embedding_cosine_bucketed": 7,
+    "dedup_exact_documents": 7,
+    "dedup_intradoc_rewrite": 7,
     "dedup_keep_canonical": 6,
-    "dedup_latest_order_per_customer": 2,
-    "dedup_minhash_lsh": 2,
-    "dedup_minhash_lsh_capped": 5,
-    "dedup_minhash_lsh_df_capped": 5,
-    "dedup_ngram_jaccard": 2,
-    "dedup_ngram_jaccard_capped": 2,
-    "dedup_simhash": 5,
+    "dedup_latest_order_per_customer": 7,
+    "dedup_minhash_lsh": 7,
+    "dedup_minhash_lsh_capped": 7,
+    "dedup_minhash_lsh_df_capped": 7,
+    "dedup_ngram_jaccard": 7,
+    "dedup_ngram_jaccard_capped": 7,
+    "dedup_semantic_semdedup": 7,
+    "dedup_simhash": 7,
     "dict_encode_segments": 6,
     "distinct_customers_per_status": 6,
     "drift_chi2_source_lang": 6,
     "drift_ks_events_value": 6,
     "embedding_label_centroids": 6,
-    "event_validity_intervals": 5,
+    "event_validity_intervals": 7,
     "from_json_events": 6,
     "full_outer_join_customer_activity": 6,
     "funnel_view_cart_purchase": 6,
-    "gapfill_hourly_events": 5,
+    "gapfill_hourly_events": 7,
+    "higher_order_functions_gallery": 7,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
     "map_functions_events": 6,
     "market_share_by_year": 6,
     "median_price_by_status": 6,
+    "mix_upsample_langs": 7,
     "multimodal_decode_stub": 5,
     "multimodal_feature_extract": 5,
     "multimodal_frame_sample": 5,
-    "multimodal_metadata": 1,
+    "multimodal_metadata": 7,
+    "ngram_novelty_vs_reference": 7,
     "ntile_order_quartiles": 5,
     "null_safe_join_suppliers": 6,
     "outliers_by_mad": 5,
@@ -106,8 +114,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "pivot_status_by_priority": 5,
     "posexplode_order_lines": 6,
     "pricing_summary": 6,
+    "profile_documents": 7,
     "prune_empty_columns": 6,
     "quality_gopher_rules": 6,
+    "quality_linear_score": 7,
     "quartile_labels_by_cutpoint": 5,
     "range_join_events_binned": 5,
     "rank_functions_suppliers": 5,
@@ -121,42 +131,49 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "scalar_functions_gallery": 6,
     "segment_edges": 6,
     "semi_join_discounted_orders": 6,
-    "sessionize_events": 1,
+    "sessionize_events": 7,
     "setop_except_nations": 6,
     "setop_intersect_nations": 6,
     "setop_union_nations": 6,
+    "similarity_knn_graph_bucketed": 7,
     "similarity_topk_blas": 2,
-    "similarity_topk_bruteforce": 2,
-    "similarity_topk_ivf": 2,
-    "similarity_topk_lsh_bucketed": 2,
-    "sliding_window_events": 5,
+    "similarity_topk_bruteforce": 7,
+    "similarity_topk_ivf": 7,
+    "similarity_topk_lsh_bucketed": 7,
+    "sliding_window_events": 7,
     "sorted_page_orders": 5,
     "split_train_val_test": 5,
     "sql_exists_subquery": 5,
     "sql_grouping_sets": 5,
     "sql_lateral_topk_nations": 6,
+    "sql_parameterized_query": 7,
+    "sql_pipe_syntax_pricing": 7,
     "sql_recursive_cte_months": 6,
     "sql_scalar_subquery": 5,
+    "sql_udf_scalar_nested": 7,
+    "sql_udf_table_valued": 7,
     "sql_variant_events": 6,
     "stats_agg_lineitem": 5,
     "string_functions_gallery": 5,
-    "text_bpe_token_count": 1,
-    "text_fingerprint": 1,
-    "text_language_id": 1,
+    "text_bpe_token_count": 7,
+    "text_fingerprint": 7,
+    "text_language_id": 7,
     "text_logprob_buckets": 6,
-    "text_quality_score": 2,
-    "text_redact_pii": 5,
-    "text_repetition_score": 5,
-    "text_tfidf_top_terms": 5,
-    "text_token_stats": 2,
-    "text_unigram_logprob": 5,
+    "text_quality_score": 7,
+    "text_redact_pii": 7,
+    "text_repetition_score": 7,
+    "text_tfidf_top_terms": 7,
+    "text_token_stats": 7,
+    "text_unigram_logprob": 7,
     "theta_join_nation_pairs": 6,
     "token_budget_per_lang": 6,
     "top_orders_by_revenue": 6,
-    "tumbling_window_events": 1,
+    "try_functions_gallery": 7,
+    "tumbling_window_events": 7,
     "type_detect_ladder": 6,
     "type_unification_lattice": 6,
     "udaf_geomean_order_price": 6,
+    "udtf_ngrams_polymorphic": 7,
     "udtf_tokenize_documents": 5,
     "union_by_name_schema_evolution": 6,
     "unpivot_order_status_counts": 5,
