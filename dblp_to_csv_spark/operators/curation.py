@@ -68,12 +68,8 @@ def _chunk_exprs(w):
 # fails with an executor/driver OOM instead of degrading to a shuffle join.
 # The frames come out of the CC loop checkpointed, so one count() is cheap;
 # past the threshold we hand the join to AQE (which still broadcasts when
-# runtime stats allow). 4M rows of (doc_id[, component]) ≈ tens of MB.
-_BROADCAST_MAX_ROWS = 4_000_000
-
-
-def _broadcast_if_small(df: DataFrame) -> DataFrame:
-    return F.broadcast(df) if df.count() <= _BROADCAST_MAX_ROWS else df
+# runtime stats allow). Gate now shared with dedup.py's drop-set joins.
+from dblp_to_csv_spark.operators.dedup import broadcast_if_small as _broadcast_if_small
 
 
 @register(

@@ -34,12 +34,25 @@ from pyspark.sql import functions as F
 from dblp_to_csv_spark.functions.text import SHINGLES_SQL, WORDS_SQL, shingles, words
 from dblp_to_csv_spark.operators.similarity import (
     _SIGN_BUCKET_SQL,
+    IVF_CELLS,
     KMEANS_CELLS_CTE,
     _sign_bucket,
     kmeans_cells,
 )
 from dblp_to_csv_spark.registry import register
+from dblp_to_csv_spark.session import session_checkpoint_dir
 from dblp_to_csv_spark.sources.tables import load_table
+
+# Forced broadcasts of "vanishing fraction" frames (drop sets, cluster
+# labels) are only safe under that assumption; past this row bound the join
+# is handed to AQE instead (which still broadcasts when runtime stats
+# allow). 4M rows of (doc_id[, small cols]) ≈ tens of MB. Shared with
+# curation.py's cluster-label joins.
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+def broadcast_if_small(df: DataFrame) -> DataFrame:
+    return F.broadcast(df) if df.count() <= BROADCAST_MAX_ROWS else df
 
 # MinHash parameters: K signatures, B bands of R rows (K = B*R).
 MINHASH_K = 12
@@ -391,9 +404,7 @@ def minhash_lsh_pairs(
     # unpersist hook in a registered query). None = recompute plan.
     if materialize_candidates_dir is not None:
         if materialize_candidates_dir == "auto":
-            import tempfile
-
-            materialize_candidates_dir = tempfile.mkdtemp(prefix="_mh_cand_")
+            materialize_candidates_dir = session_checkpoint_dir("_mh_cand_")
         cand.write.mode("overwrite").parquet(materialize_candidates_dir)
         cand = spark.read.parquet(materialize_candidates_dir)
     # verification: exact Jaccard via IN-ROW set intersection. The shingle
@@ -574,9 +585,7 @@ def _cc_checkpoint_base(spark: SparkSession, checkpoint_dir: str | None) -> str:
             "checkpoint_dir= to point at a shared filesystem path; a "
             f"driver-local tempdir would silently drop rows (master={master})"
         )
-    import tempfile
-
-    return tempfile.mkdtemp(prefix="dblp_cc_")
+    return session_checkpoint_dir("dblp_cc_")
 
 
 def connected_components_min_label(
@@ -1191,7 +1200,9 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
     """,
 )
-def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_semdedup(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023): k-means
     cluster the embedding space, then within each cluster drop every vector
     that has a cosine-similar predecessor (rounded cosine ≥ the shared
@@ -1217,13 +1228,14 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final verdict — parquet-checkpoint it so the k-means chain runs
     # ONCE (same discipline as the MinHash candidate checkpoint: disk, not
     # cache(), in a shared session). Measured ~10.5 s → ~5 s at sf0.1.
-    # Like that precedent, the small checkpoint dir is deliberately left
-    # behind: the returned frame reads it lazily, so deleting here would
-    # break the caller; a real pipeline passes a managed location.
-    import tempfile
-
-    cells_dir = tempfile.mkdtemp(prefix="_semdedup_cells_")
-    kmeans_cells(emb).write.mode("overwrite").parquet(cells_dir)
+    # The files must outlive this call (the returned frame reads them
+    # lazily), so the default location is the session-scoped checkpoint
+    # root (atexit-cleaned); on a cluster pass checkpoint_dir= on a shared
+    # filesystem. k=IVF_CELLS keeps the DuckDB oracle (which embeds the
+    # constant) in lock-step at sf0.01; the kmeans_cells default is the
+    # corpus-scaled ceil(N/TARGET_CELL_ROWS) a production pipeline wants.
+    cells_dir = checkpoint_dir or session_checkpoint_dir("_semdedup_cells_")
+    kmeans_cells(emb, k=IVF_CELLS).write.mode("overwrite").parquet(cells_dir)
     assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
         "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )
@@ -1241,9 +1253,14 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dup", F.lit(1))
     )
+    # Drop-set size is bounded only by the "vanishing fraction of
+    # duplicates" assumption — a pathologically duplicated corpus makes it
+    # corpus-sized, where a FORCED broadcast OOMs instead of degrading to a
+    # shuffle join (ADVICE r7). Same size-gated pattern as curation.py's
+    # cluster-label joins: broadcast under the row bound, else let AQE pick.
     return (
         assigned.select("vec_id", "cell")
-        .join(F.broadcast(dropped), "vec_id", "left")
+        .join(broadcast_if_small(dropped), "vec_id", "left")
         .select("vec_id", "cell", F.col("dup").isNull().alias("kept"))
     )
 

@@ -32,10 +32,11 @@ ground truth.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dblp_to_csv_spark.session import session_checkpoint_dir
 
 from dblp_to_csv_spark.functions.text import shingles, words
 from dblp_to_csv_spark.operators.dedup import (
@@ -57,7 +58,7 @@ def _stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
     import uuid
 
     out = os.path.join(
-        staging_dir or tempfile.mkdtemp(prefix="_dedup_stage_"),
+        staging_dir or session_checkpoint_dir("_dedup_stage_"),
         f"{name}_{uuid.uuid4().hex}",
     )
     df.write.mode("overwrite").parquet(out)
@@ -65,8 +66,16 @@ def _stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
 
 
 def _read_index(spark: SparkSession, index_dir: str, schema_ddl: str) -> DataFrame:
+    """Read the index with the EXPLICIT schema, never inference. The schema
+    matters for the partition column specifically: with inference, a young
+    index whose partition dirs happen to all be digit-only hex (p≈0.39 per
+    md5 prefix) types ``prefix`` as INTEGER — a later batch containing an
+    alphabetic prefix then crashes the isin probe with CAST_INVALID_INPUT,
+    and leading-zero prefixes round-trip as 7 != '07'. Explicit schemas keep
+    partition pruning (PartitionFilters still appear on the scan — asserted
+    in tests/test_incremental_dedup.py)."""
     try:
-        return spark.read.parquet(index_dir)
+        return spark.read.schema(schema_ddl).parquet(index_dir)
     except Exception as e:
         # first batch: the index does not exist yet
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):

@@ -150,7 +150,11 @@ def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(spark, sf_dir, bucketed=True)
 
 
-IVF_CELLS = 8  # coarse-quantizer cell count
+IVF_CELLS = 8  # coarse-quantizer cell count for the REGISTERED sf0.01 queries
+# Default cell-size target when k is not given: k = ceil(N / TARGET_CELL_ROWS),
+# so the in-cell quadratic work (SemDeDup pair search, IVF probe) stays
+# O(N · TARGET_CELL_ROWS) as the corpus grows instead of O(N²/k) with fixed k.
+TARGET_CELL_ROWS = 4096
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -228,23 +232,36 @@ KMEANS_CELLS_CTE = f"""
 """
 
 
-def kmeans_cells(emb: DataFrame) -> DataFrame:
+def kmeans_cells(
+    emb: DataFrame, k: int | None = None, target_cell_rows: int = TARGET_CELL_ROWS
+) -> DataFrame:
     """Deterministic k-means coarse quantization: assign every vector to one
-    of ``IVF_CELLS`` cells, reproducibly on any engine. Seeds are the
-    IVF_CELLS vectors with the smallest md5(vec_id); one Lloyd step refines
-    them (assign to nearest seed, per-cell coordinate means rounded to 6 dp);
-    the result is the nearest-centroid assignment. Input must have columns
+    of ``k`` cells, reproducibly on any engine. Seeds are the k vectors with
+    the smallest md5(vec_id); one Lloyd step refines them (assign to nearest
+    seed, per-cell coordinate means rounded to 6 dp); the result is the
+    nearest-centroid assignment. Input must have columns
     (vec_id, emb: array<double>); returns (vec_id, cell).
+
+    ``k`` defaults to ``ceil(N / target_cell_rows)`` — corpus-scaled, so
+    average cell size stays bounded as the corpus grows (VERDICT r7 #2: a
+    fixed k makes the in-cell quadratic grow as the SQUARE of the scale-up;
+    corpus-scaled k keeps it linear). The one extra count() job is a
+    column-pruned scan. Seeds are md5-min ranked, so ANY k is deterministic;
+    the registered sf0.01 queries pass k=IVF_CELLS explicitly to keep their
+    DuckDB oracles (which embed the constant) in lock-step.
 
     Scale shape: the seed/centroid tables are k rows (broadcast), both
     assignment passes are narrow per-row argmins over a broadcast, and the
     Lloyd step is one (cell, pos) partial/final aggregate — nothing here
     shuffles the corpus except the posexplode aggregate, whose key space is
     k × d. DuckDB reproduces the exact assignment via KMEANS_CELLS_CTE."""
+    if k is None:
+        n = emb.select("vec_id").count()
+        k = max(1, -(-n // target_cell_rows))
     seeds = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
-        .limit(IVF_CELLS)
+        .limit(k)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("cemb"))
     )
     a0 = _nearest(emb, seeds, "cell")
@@ -310,7 +327,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    bucketed = emb.join(kmeans_cells(emb), "vec_id").withColumn(
+    bucketed = emb.join(kmeans_cells(emb, k=IVF_CELLS), "vec_id").withColumn(
         "nrm", _norm(F.col("emb"))
     )
     q = F.broadcast(bucketed.filter(F.col("vec_id") < N_QUERIES)).alias("q")

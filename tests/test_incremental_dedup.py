@@ -230,3 +230,41 @@ def test_exact_incremental_null_text_dedups_across_batches(spark, tmp_path):
         staging_dir=str(tmp_path / "s2"),
     )
     assert b2.count() == 0
+
+
+def test_exact_incremental_digit_only_first_batch(spark, tmp_path):
+    """Regression: when every partition dir written so far is digit-only hex
+    (md5 prefix is digit-only with p≈0.39, so small first batches hit this
+    often), schema INFERENCE would type the ``prefix`` partition column as
+    INTEGER — a later alphabetic-prefix probe then dies in CAST_INVALID_INPUT
+    and leading-zero prefixes round-trip as 7 != '07'. The index read uses
+    the explicit schema, so both batches must work and leading-zero dirs must
+    dedup correctly."""
+    # md5 prefixes (verified): '15' (digit), '05' (leading zero), 'e4' (alpha)
+    digit_t = "synthetic digit prefix doc 0"
+    zero_t = "synthetic digit prefix doc 78"
+    alpha_t = "synthetic digit prefix doc 2"
+    idx = str(tmp_path / "idx")
+    b1 = exact_dedup_incremental(
+        spark,
+        _docs(spark, [(1, digit_t), (2, zero_t)]),
+        idx,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    assert sorted(r["doc_id"] for r in b1.collect()) == [1, 2]
+    # batch 2 mixes an alphabetic prefix with re-probes of both digit dirs
+    b2 = exact_dedup_incremental(
+        spark,
+        _docs(spark, [(10, alpha_t), (11, digit_t), (12, zero_t)]),
+        idx,
+        staging_dir=str(tmp_path / "s2"),
+    )
+    assert sorted(r["doc_id"] for r in b2.collect()) == [10]
+    # batch 3: the alpha doc is now historical too
+    b3 = exact_dedup_incremental(
+        spark,
+        _docs(spark, [(20, alpha_t)]),
+        idx,
+        staging_dir=str(tmp_path / "s3"),
+    )
+    assert b3.count() == 0
