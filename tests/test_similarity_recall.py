@@ -85,24 +85,58 @@ def test_semdedup_drops_subset_of_exact_cosine_pairs(spark):
     assert dropped <= with_smaller_partner
 
 
-def test_knn_graph_agrees_with_bucketed_topk_on_queries(spark):
-    """The kNN graph restricted to the query set must equal the bucketed
-    top-k's first KNN_K rows — same buckets, same scoring, same ordering."""
-    from dblp_to_csv_spark.operators.similarity import KNN_K, N_QUERIES
+def test_knn_graph_consistent_with_bucketed_topk_on_queries(spark):
+    """Consistency between the kNN graph (KNN_SIGN_BITS=5 buckets) and the
+    query-set top-k (SIGN_BITS=3): the 5-bit bucket is a PREFIX REFINEMENT
+    of the 3-bit one, so for the query vectors the graph's candidate pool is
+    a subset of the top-k's. That forces, per query:
+    * every graph neighbor shares the query's 5-bit sign prefix;
+    * the graph's best cosine cannot exceed the coarser bucket's best;
+    * any (query, neighbor) pair present in BOTH results carries the same
+      cosine, and common neighbors appear in the same relative order."""
+    from dblp_to_csv_spark.operators.similarity import (
+        KNN_K,
+        KNN_SIGN_BITS,
+        N_QUERIES,
+    )
     from dblp_to_csv_spark.registry import all_queries
+    from dblp_to_csv_spark.sources.tables import load_table
 
-    graph = {
-        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
-        for r in all_queries()["similarity_knn_graph_bucketed"]
-        .fn(spark, SF_CORRECTNESS)
-        .collect()
-        if r["vec_id"] < N_QUERIES
+    sign = {
+        r["vec_id"]: "".join(
+            "1" if r["embedding"][i] >= 0 else "0" for i in range(KNN_SIGN_BITS)
+        )
+        for r in load_table(spark, SF_CORRECTNESS, "embeddings").collect()
     }
-    topk = {
-        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
-        for r in all_queries()["similarity_topk_lsh_bucketed"]
-        .fn(spark, SF_CORRECTNESS)
-        .collect()
-        if r["rank"] <= KNN_K
-    }
-    assert graph == topk and graph
+    graph: dict[int, list] = {}
+    for r in (
+        all_queries()["similarity_knn_graph_bucketed"].fn(spark, SF_CORRECTNESS).collect()
+    ):
+        if r["vec_id"] < N_QUERIES:
+            graph.setdefault(r["vec_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["cos_sim"])
+            )
+    topk: dict[int, list] = {}
+    for r in (
+        all_queries()["similarity_topk_lsh_bucketed"].fn(spark, SF_CORRECTNESS).collect()
+    ):
+        topk.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+        )
+    assert graph  # query vectors do appear in the graph
+    for q, rows in graph.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= KNN_K
+        assert all(sign[n] == sign[q] for _, n, _ in rows)  # 5-bit confinement
+        coarse = sorted(topk.get(q, []))
+        if coarse:
+            assert rows[0][2] <= coarse[0][2] + 1e-9  # refinement can't win
+            coarse_sim = {n: s for _, n, s in coarse}
+            common = [n for _, n, _ in rows if n in coarse_sim]
+            for rank, n, s in rows:
+                if n in coarse_sim:
+                    assert s == coarse_sim[n], (q, n)
+            # same relative order among common neighbors
+            coarse_order = [n for _, n, _ in coarse if n in set(common)]
+            assert common == coarse_order, q
