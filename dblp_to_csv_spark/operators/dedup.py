@@ -1124,6 +1124,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_pairs_blas(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs cosine-threshold scorer with BLOCKED numpy GEMM — the
+    fast twin of ``dedup_embedding_cosine`` (ROADMAP #13 / VERDICT r7 #4).
+    Same contract (every unordered pair vec_a < vec_b with raw cosine ≥
+    threshold, cosine rounded to 6 dp after the filter), but the pairwise
+    dot products run as one (batch×d)·(d×N) matmul per Arrow batch instead
+    of an expression-tree aggregate per pair — ~100× on the recall-gate
+    corpus, which is what un-throttles the tests that need exact ground
+    truth. Parity with the oracle-checked expression path is pinned in
+    tests/test_similarity_recall.py (pair sets identical, cosines to 1e-5 —
+    BLAS reassociation keeps it out of the 6-dp-hash oracle family, same
+    declared reason as similarity_topk_blas).
+
+    Scale shape: the corpus matrix ships once per task (driver-collected —
+    this is a GROUND-TRUTH tool, bounded corpora by contract; the
+    registered banded/bucketed variants are the 100 TB paths), and the
+    quadratic scoring itself stays distributed: each task scores its narrow
+    slice of rows against the matrix, no shuffle until the tiny pair set."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    rows = emb.collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    all_ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["emb"] for r in rows])  # (N, d)
+    norms = np.linalg.norm(mat, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.array(pdf["emb"].tolist())
+            sims = (a_mat @ mat.T) / np.outer(np.linalg.norm(a_mat, axis=1), norms)
+            # unordered pairs once: row id < column id, raw-sim threshold
+            keep = (sims >= threshold) & (a_ids[:, None] < all_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": all_ids[bi],
+                    "cos_sim": np.round(sims[ai, bi], 6),
+                }
+            )
+
+    return emb.mapInPandas(score, out_schema)
+
+
 @register(
     "dedup_embedding_cosine_bucketed",
     tags=("dedup", "similarity", "sketch"),

@@ -103,7 +103,11 @@ def test_minhash_materialized_candidates_parity(spark, tmp_path):
 
 
 def test_embedding_bucketed_subset_of_exact(spark):
-    exact = _rows(dedup_embedding_cosine(spark, SF_CORRECTNESS))
+    # ground truth via the GEMM twin (parity-gated against the expression
+    # path in test_similarity_recall.py) — un-throttles this gate
+    from dblp_to_csv_spark.operators.dedup import embedding_cosine_pairs_blas
+
+    exact = _rows(embedding_cosine_pairs_blas(spark, SF_CORRECTNESS))
     bucketed = _rows(dedup_embedding_cosine_bucketed(spark, SF_CORRECTNESS))
     assert bucketed <= exact
     assert len(bucketed) > 0, "fixture too weak: no bucketed near-dup pairs"

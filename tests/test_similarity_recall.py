@@ -77,12 +77,38 @@ def test_semdedup_drops_subset_of_exact_cosine_pairs(spark):
     (dedup_embedding_cosine uses the same threshold corpus-wide)."""
     from dblp_to_csv_spark.registry import all_queries
 
+    from dblp_to_csv_spark.operators.dedup import embedding_cosine_pairs_blas
+
     sem = all_queries()["dedup_semantic_semdedup"].fn(spark, SF_CORRECTNESS)
     dropped = {r["vec_id"] for r in sem.collect() if not r["kept"]}
     assert dropped  # fixture corpus has near-dups at this threshold
-    pairs = all_queries()["dedup_embedding_cosine"].fn(spark, SF_CORRECTNESS)
+    # exact ground truth via the GEMM twin (parity-gated below)
+    pairs = embedding_cosine_pairs_blas(spark, SF_CORRECTNESS)
     with_smaller_partner = {r["vec_b"] for r in pairs.collect()}
     assert dropped <= with_smaller_partner
+
+
+def test_blas_pair_scorer_matches_expression_path(spark):
+    """The GEMM pair scorer must reproduce the oracle-checked expression
+    path exactly: identical (vec_a, vec_b) pair set, cosines to 1e-5 (BLAS
+    reassociation tolerance) — the parity gate that lets the other recall
+    tests use the fast twin as ground truth."""
+    from dblp_to_csv_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        embedding_cosine_pairs_blas,
+    )
+
+    expr = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_embedding_cosine(spark, SF_CORRECTNESS).collect()
+    }
+    blas = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_cosine_pairs_blas(spark, SF_CORRECTNESS).collect()
+    }
+    assert set(expr) == set(blas) and expr
+    for pair, sim in expr.items():
+        assert abs(blas[pair] - sim) < 1e-5, pair
 
 
 def test_knn_graph_consistent_with_bucketed_topk_on_queries(spark):
