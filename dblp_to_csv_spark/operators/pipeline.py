@@ -280,18 +280,21 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     # size the filter to the eval set (~16 bits/item): an under-sized bloom
     # saturates and degrades to "prefilter passes everything" — still exact,
-    # all cost, no pruning. The item count is a column-pruned UPPER BOUND
-    # (Σ n_chars / 10 ≳ distinct shingles) so sizing costs a metadata-cheap
-    # aggregate, not a tokenize pass; oversizing only lowers the fp rate.
-    # Eval-side tokenization then runs exactly twice (bit-fold build +
-    # verify-join build), same as the broadcast-set twin plus one.
+    # all cost, no pruning. The item count is a column-pruned UPPER BOUND on
+    # distinct shingles: one shingle per word start, words average ≥6 chars
+    # incl. the separator in English-like text, so Σ n_chars / 4 over-counts
+    # by ~1.5x (ADVICE r7: the previous /10 could UNDERSHOOT ~2x and run the
+    # filter at ~8 bits/item). Sizing stays a metadata-cheap aggregate, not
+    # a tokenize pass; oversizing only lowers the fp rate. Eval-side
+    # tokenization then runs exactly twice (bit-fold build + verify-join
+    # build), same as the broadcast-set twin plus one.
     n_est = (
         docs.filter(F.col("doc_id") % EVAL_MOD == 0)
         .agg(F.sum("n_chars"))
         .collect()[0][0]
         or 0
     )
-    bloom_bits = _bloom_bits(int(n_est) // 10 + 1)
+    bloom_bits = _bloom_bits(int(n_est) // 4 + 1)
     # fold positions into 32-bit words JVM-side (bit_or partial aggregate):
     # the driver collects ≤ bits/32 words, never the raw position stream
     word_rows = (

@@ -261,6 +261,21 @@ class XmlToCsvPlan:
                 f"id_order='document' requires a DTD-derivable schema for "
                 f"every record type; {element!r} fell back to reader inference"
             )
+        if schema is None:
+            # COVERAGE.md deviation 6b: unlike the reference (libxml2 fetches
+            # external PEs, XMLToCSV.py:79), this path cannot resolve them —
+            # warn UNMISSABLY because the fallback silently changes merge
+            # semantics (VERDICT r7 #8). Golden: test_dtd_schema.py.
+            print(
+                f"WARNING: DTD content model for {element!r} references "
+                "external parameter entities, which cannot be fetched — "
+                "falling back to reader schema inference. Merge hazard: a "
+                "tag that is text-only in one record and structured in "
+                "another collapses to a raw-XML string on this path, losing "
+                "nested values (DTD-derived schemas avoid this). Inline the "
+                "external entities into the DTD to restore the DTD-schema "
+                "path."
+            )
         # FAILFAST: the reference hard-fails on invalid XML (DTD validation
         # during both scans, XMLToCSV.py:109,152). Spark has no DTD support
         # (see sources.dtd.validate_xml_against_dtd for the lxml-gated
