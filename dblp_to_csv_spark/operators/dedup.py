@@ -1257,7 +1257,10 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def dedup_semantic_semdedup(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    k: int | None = IVF_CELLS,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023): k-means
     cluster the embedding space, then within each cluster drop every vector
@@ -1291,7 +1294,7 @@ def dedup_semantic_semdedup(
     # constant) in lock-step at sf0.01; the kmeans_cells default is the
     # corpus-scaled ceil(N/TARGET_CELL_ROWS) a production pipeline wants.
     cells_dir = checkpoint_dir or session_checkpoint_dir("_semdedup_cells_")
-    kmeans_cells(emb, k=IVF_CELLS).write.mode("overwrite").parquet(cells_dir)
+    kmeans_cells(emb, k=k).write.mode("overwrite").parquet(cells_dir)
     assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
         "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )

@@ -91,3 +91,27 @@ def test_session_checkpoint_root_bounds_tempdir_growth(spark, tmp_path):
     dedup_semantic_semdedup(spark, sf_dir, checkpoint_dir=explicit).count()
     assert os.path.exists(explicit)
     assert set(os.listdir(root)) == after
+
+
+def test_semdedup_corpus_scaled_k_drops_only_true_near_dups(spark):
+    """The production path (k=None → corpus-scaled cells) must preserve the
+    SemDeDup safety invariant regardless of where the cell boundaries land:
+    every dropped vector has an exact cosine-≥-threshold partner with a
+    smaller id (ground truth via the parity-gated GEMM scorer)."""
+    from dblp_to_csv_spark.operators.dedup import (
+        dedup_semantic_semdedup,
+        embedding_cosine_pairs_blas,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    sem = dedup_semantic_semdedup(spark, SF_CORRECTNESS, k=None)
+    dropped = {r["vec_id"] for r in sem.collect() if not r["kept"]}
+    partners = {
+        r["vec_b"]
+        for r in embedding_cosine_pairs_blas(spark, SF_CORRECTNESS).collect()
+    }
+    assert dropped <= partners
+    # with 500 vectors and TARGET_CELL_ROWS=4096 the default collapses to
+    # k=1 — every vector in one cell, i.e. the EXACT all-pairs semantics:
+    # drops equal the full partner set
+    assert dropped == partners
