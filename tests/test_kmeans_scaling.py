@@ -85,7 +85,7 @@ def test_session_checkpoint_root_bounds_tempdir_growth(spark, tmp_path):
     # the second invocation checkpointed under the SAME root (one new subdir
     # there, nothing anywhere else to leak)
     new = after - before
-    assert len(new) == 1 and next(iter(new)).startswith("_semdedup_cells_")
+    assert len(new) == 1 and next(iter(new)).startswith("_semdedup_")
     # explicit location wins over the managed root
     explicit = str(tmp_path / "cells")
     dedup_semantic_semdedup(spark, sf_dir, checkpoint_dir=explicit).count()
