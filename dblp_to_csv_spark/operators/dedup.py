@@ -1332,6 +1332,103 @@ def dedup_semantic_semdedup(
     )
 
 
+EDIT_KEY_WORDS = 4  # title-like key: first 4 space-separated tokens
+EDIT_MAX_DIST = 1
+
+
+@register(
+    "dedup_edit_distance_banded",
+    tags=("dedup", "join", "text"),
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id,
+                   array_to_string((string_split(text, ' '))[1:{EDIT_KEY_WORDS}], ' ')
+                       AS key
+            FROM documents
+        ),
+        v AS (
+            SELECT doc_id, key, UNNEST(list_distinct(list_append(
+                       list_transform(range(1, length(key) + 1),
+                           i -> substr(key, 1, i - 1) || substr(key, i + 1)),
+                       key))) AS variant
+            FROM k
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.key AS key_a, b.key AS key_b
+            FROM v a JOIN v b
+              ON a.variant = b.variant AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(key_a, key_b) AS INT) AS edit_dist
+        FROM cand
+        WHERE levenshtein(key_a, key_b) <= {EDIT_MAX_DIST}
+    """,
+)
+def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs WITHOUT a quadratic pair scan — the
+    SymSpell/symmetric-delete banding: two keys within Levenshtein distance
+    1 must share a member of their deletion neighborhoods (delete the
+    differing position from each side of a substitution; delete the
+    inserted char for an insert/delete; the key itself for equality), so
+    the L+1 variants per key act as LOSSLESS LSH bands for d≤1. Candidates
+    come from a variant equi-join, verification is one JVM `levenshtein`
+    call per candidate pair. The key is the document's first
+    EDIT_KEY_WORDS tokens — the short-text shape (titles, queries, product
+    names) where edit-distance dedup is actually used; pair it with the
+    shingle/minhash family for long bodies.
+
+    Scale shape: explode multiplies the KEY column (bounded length), never
+    the document; the join shuffles on the variant hash; verification and
+    the final distinct see only candidates. Hot variants (very common
+    keys) band-cap exactly like the MinHash path if a corpus needs it.
+    DuckDB reproduces the construction verbatim (same split, same deletion
+    lists, same levenshtein), so the whole pipeline hash-checks."""
+    k = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, EDIT_KEY_WORDS), " "
+        ).alias("key"),
+    )
+    v = k.select(
+        "doc_id",
+        "key",
+        F.explode(
+            F.array_distinct(
+                F.array_append(
+                    F.expr(
+                        "transform(sequence(1, length(key)),"
+                        " i -> concat(substr(key, 1, i - 1), substr(key, i + 1)))"
+                    ),
+                    F.col("key"),
+                )
+            )
+        ).alias("variant"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("key_a", "key_b") <= EDIT_MAX_DIST
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("key_a", "key_b").cast("int").alias("edit_dist"),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 

@@ -168,3 +168,39 @@ def test_shingle_df_cap_removes_boilerplate_glue(spark, tmp_path):
     capped = minhash_lsh_pairs(spark, str(tmp_path), shingle_df_cap=3)
     assert uncapped.count() == 15  # all 6-choose-2 pairs glued by boilerplate
     assert capped.count() == 0
+
+
+def test_edit_distance_banding_is_lossless(spark):
+    """Symmetric-delete banding must find EXACTLY the brute-force d≤1 pair
+    set — unlike MinHash/sign-LSH it is a lossless filter by construction,
+    so equality (not subset) is the invariant."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.dedup import (
+        EDIT_KEY_WORDS,
+        EDIT_MAX_DIST,
+        dedup_edit_distance_banded,
+    )
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    banded = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in dedup_edit_distance_banded(spark, SF_CORRECTNESS).collect()
+    }
+    k = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, EDIT_KEY_WORDS), " ").alias("key"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein("a.key", "b.key").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .collect()
+    }
+    assert banded == brute and banded
