@@ -48,6 +48,7 @@ def test_no_cartesian_or_nested_loop_in_scale_paths(spark):
         "dedup_embedding_cosine_bucketed",
         "dedup_ngram_jaccard_capped",
         "dedup_containment_capped",
+        "dedup_edit_distance_banded",
         "similarity_topk_lsh_bucketed",
         "range_join_events_binned",
         "asof_join_purchase_last_view",
