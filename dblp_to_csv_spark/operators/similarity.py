@@ -157,6 +157,90 @@ def similarity_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored(spark, sf_dir, bucketed=True)
 
 
+_PROBE_SQL = f"""
+    list_prepend(bucket, list_transform(range(1, {SIGN_BITS} + 1),
+        i -> substr(bucket, 1, i - 1)
+             || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, i + 1)))
+"""
+
+
+@register(
+    "similarity_topk_lsh_multiprobe",
+    tags=("similarity", "topk", "sketch"),
+    oracle=f"""
+        WITH {_EMB_CTE},
+        p AS (
+            SELECT vec_id, emb, nrm, UNNEST({_PROBE_SQL}) AS pbucket
+            FROM e WHERE vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM p q JOIN e c ON q.vec_id != c.vec_id AND q.pbucket = c.bucket
+        ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query scores its own bucket PLUS
+    the SIGN_BITS hamming-1 neighbor buckets (flip one sign bit) — the
+    standard multi-probe LSH recall dial (Lv et al. 2007): a near neighbor
+    that landed just across one hyperplane is recovered without doubling
+    the table count or the bucket width. With 3 bits this probes 4 of 8
+    buckets (~N/2 candidates vs ~N/8 single-probe); the probe count is a
+    query-time knob, not an ingest-time layout change.
+
+    Scale shape: identical to the single-probe plan — the probe expansion
+    explodes the tiny QUERY side only (broadcast), the corpus still joins
+    on its one ingest-computed bucket key, partition-prunable; probe
+    buckets are distinct so no candidate dedup is needed. Recall
+    containment (single-probe ⊆ multi-probe ⊆ brute force, per-query best
+    cosine monotone) is pinned in tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        _sign_bucket(F.col("embedding")).alias("bucket"),
+    ).withColumn("nrm", _norm(F.col("emb")))
+    flips = [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", "0").otherwise("1"),
+            F.expr(f"substr(bucket, {i + 2})"),
+        )
+        for i in range(SIGN_BITS)
+    ]
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.explode(F.array(F.col("bucket"), *flips)).alias("pbucket"),
+        )
+    ).alias("q")
+    c = emb.alias("c")
+    cos = _dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = q.join(
+        c,
+        (F.col("q.vec_id") != F.col("c.vec_id"))
+        & (F.col("q.pbucket") == F.col("c.bucket")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 IVF_CELLS = 8  # coarse-quantizer cell count for the REGISTERED sf0.01 queries
 # Default cell-size target when k is not given: k = ceil(N / TARGET_CELL_ROWS),
 # so the in-cell quadratic work (SemDeDup pair search, IVF probe) stays

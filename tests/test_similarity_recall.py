@@ -20,7 +20,11 @@ def _topk(spark, name):
 
 def test_bucketed_variants_subset_of_bruteforce_scores(spark):
     exact = _topk(spark, "similarity_topk_bruteforce")
-    for name in ("similarity_topk_lsh_bucketed", "similarity_topk_ivf"):
+    for name in (
+        "similarity_topk_lsh_bucketed",
+        "similarity_topk_lsh_multiprobe",
+        "similarity_topk_ivf",
+    ):
         approx = _topk(spark, name)
         assert set(approx).issubset(set(exact))
         for q, rows in approx.items():
@@ -28,6 +32,24 @@ def test_bucketed_variants_subset_of_bruteforce_scores(spark):
             assert rows[0][2] <= exact[q][0][2] + 1e-9, (name, q)
             # ranks are 1..k without gaps
             assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe candidates are a SUPERSET of the single-probe bucket's
+    (the probe set contains the home bucket), so per query: every
+    single-probe neighbor set is contained in the multi-probe CANDIDATE
+    pool — observable as the multi-probe best cosine being ≥ the
+    single-probe best, and any common neighbor carrying the same cosine."""
+    single = _topk(spark, "similarity_topk_lsh_bucketed")
+    multi = _topk(spark, "similarity_topk_lsh_multiprobe")
+    assert set(single) <= set(multi) and single
+    for q, srows in single.items():
+        mrows = multi[q]
+        assert mrows[0][2] >= srows[0][2] - 1e-9  # more candidates can't lose
+        msim = {n: s for _, n, s in mrows}
+        for _, n, s in srows:
+            if n in msim:
+                assert msim[n] == s, (q, n)
 
 
 def test_ivf_prunes_candidates(spark):
