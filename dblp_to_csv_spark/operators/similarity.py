@@ -346,6 +346,16 @@ def kmeans_cells(
     Lloyd step is one (cell, pos) partial/final aggregate — nothing here
     shuffles the corpus except the posexplode aggregate, whose key space is
     k × d. DuckDB reproduces the exact assignment via KMEANS_CELLS_CTE."""
+    return _nearest(emb, kmeans_centroids(emb, k, target_cell_rows), "cell")
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int | None = None, target_cell_rows: int = TARGET_CELL_ROWS
+) -> DataFrame:
+    """The (cell, cemb) centroid table behind ``kmeans_cells`` — exposed so
+    probe-time consumers (IVF nprobe ranking) share the exact chain the
+    assignment used instead of re-deriving it. Same determinism contract:
+    md5-min seeds, one 6-dp-rounded Lloyd step."""
     if k is None:
         n = emb.select("vec_id").count()
         k = max(1, -(-n // target_cell_rows))
@@ -359,7 +369,7 @@ def kmeans_cells(
     coords = a0.join(emb, "vec_id").select(
         "cell", F.posexplode("emb").alias("pos", "val")
     )
-    cent = (
+    return (
         coords.groupBy("cell", "pos")
         .agg(F.round(F.avg("val"), 6).alias("v"))
         .groupBy("cell")
@@ -370,7 +380,6 @@ def kmeans_cells(
             ).alias("cemb")
         )
     )
-    return _nearest(emb, cent, "cell")
 
 
 @register(
@@ -436,6 +445,97 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+IVF_NPROBE = 2
+
+
+@register(
+    "similarity_topk_ivf_nprobe",
+    tags=("similarity", "topk", "ml"),
+    oracle=f"""
+        WITH {KMEANS_CELLS_CTE},
+        b AS (
+            SELECT e.vec_id, e.emb, a1.cell,
+                   sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+            FROM emb e JOIN a1 USING (vec_id)
+        ),
+        qc AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       {_IVF_ASSIGN_SQL.format(c='c')} AS rn
+                FROM emb e CROSS JOIN cent c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE rn <= {IVF_NPROBE}
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM b q JOIN qc ON q.vec_id = qc.vec_id
+                   JOIN b c ON c.cell = qc.cell AND c.vec_id != q.vec_id
+        ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with nprobe={IVF_NPROBE}: each query scores the vectors of
+    its IVF_NPROBE nearest centroids instead of only its home cell — the
+    standard IVF recall dial (a near neighbor sitting just across a cell
+    boundary is recovered at query time, no re-clustering). Centroid
+    ranking reuses the deterministic 6-dp-rounded distance with the cell-id
+    tie-break, so DuckDB reproduces the probe set exactly.
+
+    Scale shape: unchanged from single-probe IVF — the corpus keeps its one
+    ingest-time cell id (partition-prunable); only the tiny query→cell map
+    grows by a factor of nprobe and broadcasts. nprobe is a query-time
+    knob: recall/cost trades per query, not per layout."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    bucketed = emb.join(kmeans_cells(emb, k=IVF_CELLS), "vec_id").withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    # per-query top-nprobe centroids, by the same rounded distance +
+    # cell-id order the assignment pass uses
+    cent = kmeans_centroids(emb, k=IVF_CELLS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    d = queries.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        F.round(_sq_dist(F.col("emb"), F.col("cemb")), 6).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    qc = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("vec_id", "cell")
+    )
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .drop("cell")
+        .join(qc, "vec_id")
+    ).alias("q")
+    c = bucketed.alias("c")
+    cos = _dot(F.col("q.emb"), F.col("c.emb")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = q.join(
+        c,
+        (F.col("q.vec_id") != F.col("c.vec_id"))
+        & (F.col("q.cell") == F.col("c.cell")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

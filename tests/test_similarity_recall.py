@@ -24,6 +24,7 @@ def test_bucketed_variants_subset_of_bruteforce_scores(spark):
         "similarity_topk_lsh_bucketed",
         "similarity_topk_lsh_multiprobe",
         "similarity_topk_ivf",
+        "similarity_topk_ivf_nprobe",
     ):
         approx = _topk(spark, name)
         assert set(approx).issubset(set(exact))
@@ -46,6 +47,23 @@ def test_multiprobe_dominates_single_probe(spark):
     for q, srows in single.items():
         mrows = multi[q]
         assert mrows[0][2] >= srows[0][2] - 1e-9  # more candidates can't lose
+        msim = {n: s for _, n, s in mrows}
+        for _, n, s in srows:
+            if n in msim:
+                assert msim[n] == s, (q, n)
+
+
+def test_ivf_nprobe_dominates_single_probe(spark):
+    """The nprobe=2 probe set contains the home cell (rank-1 centroid IS
+    the assignment), so per query the single-probe IVF result is candidate-
+    contained in the nprobe one: best cosine monotone, common neighbors
+    carry identical cosines."""
+    single = _topk(spark, "similarity_topk_ivf")
+    multi = _topk(spark, "similarity_topk_ivf_nprobe")
+    assert set(single) <= set(multi) and single
+    for q, srows in single.items():
+        mrows = multi[q]
+        assert mrows[0][2] >= srows[0][2] - 1e-9
         msim = {n: s for _, n, s in mrows}
         for _, n, s in srows:
             if n in msim:
