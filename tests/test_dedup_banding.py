@@ -204,3 +204,58 @@ def test_edit_distance_banding_is_lossless(spark):
         .collect()
     }
     assert banded == brute and banded
+
+
+def test_edit_distance_adversarial_corpus(spark, tmp_path):
+    """Directed corpus covering every edit kind: equality, substitution,
+    one-char insertion, one-char deletion (found, d<=1), a two-edit key and
+    an unrelated key (excluded). Expected set computed by an independent
+    pure-Python Levenshtein over the same first-4-token keys."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.dedup import dedup_edit_distance_banded
+
+    texts = [
+        "abc def ghi jkl tail zero",      # 0 base
+        "abc def ghi jkl other tail",     # 1 same key -> d=0 vs 0
+        "abc dxf ghi jkl tail two",       # 2 substitution -> d=1 vs 0/1
+        "abc deef ghi jkl tail three",    # 3 insertion -> d=1 vs 0/1
+        "abc df ghi jkl tail four",       # 4 deletion -> d=1 vs 0/1
+        "axc dxf ghi jkl tail five",      # 5 two edits vs 0 -> excluded...
+        "completely different words here six",  # 6 unrelated
+    ]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    keys = [" ".join(t.split(" ")[:4]) for t in texts]
+    expected = {
+        (a, b, lev(keys[a], keys[b]))
+        for a in range(len(keys))
+        for b in range(a + 1, len(keys))
+        if lev(keys[a], keys[b]) <= 1
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in dedup_edit_distance_banded(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # the corpus exercises every class: at least one d=0 and three d=1 pairs
+    assert (0, 1, 0) in got
+    assert {(0, 2, 1), (0, 3, 1), (0, 4, 1)} <= got
+    # doc 5 is d=2 from doc 0 (both edits) but d=1 from doc 2 (one shared
+    # edit) — the banding must make exactly that distinction
+    assert (0, 5, 2) not in got and not any((a, b) == (0, 5) for a, b, _ in got)
+    assert (2, 5, 1) in got
+    assert not any(6 in (a, b) for a, b, _ in got)  # unrelated never pairs
