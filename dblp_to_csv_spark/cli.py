@@ -52,7 +52,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--output-format",
-        choices=["csv", "parquet"],
+        choices=["csv", "parquet", "orc"],
         default="csv",
         help="csv = reference parity; parquet = columnar scale sink (arrays kept native)",
     )

@@ -147,8 +147,10 @@ class XmlToCsvPlan:
         id_order: str = "table",
         parallel_tables: int = 4,
     ):
-        if output_format not in ("csv", "parquet"):
-            raise ValueError(f"output_format must be csv or parquet, got {output_format!r}")
+        if output_format not in ("csv", "parquet", "orc"):
+            raise ValueError(
+                f"output_format must be csv, parquet or orc, got {output_format!r}"
+            )
         if id_order not in ("table", "document"):
             raise ValueError(f"id_order must be table or document, got {id_order!r}")
         if id_order == "document" and not single_pass:
@@ -467,21 +469,25 @@ class XmlToCsvPlan:
         )
         return out
 
-    def write_table_parquet(self, t: TableResult) -> str:
+    def write_table_parquet(self, t: TableResult, fmt: str | None = None) -> str:
         """Scale sink: the PRE-serialized frame (arrays kept as
-        array<string>, no '|' flattening) written as parquet — the format a
-        100 TB deployment keeps; the CSV sink is reference parity. Columnar
-        + dictionary encoding happens in the writer; downstream queries get
-        pushdown/pruning against these files for free. Columns listed in
+        array<string>, no '|' flattening) written as parquet or ORC — the
+        formats a 100 TB deployment keeps; the CSV sink is reference parity.
+        Columnar + dictionary encoding happens in the writer; downstream
+        queries get pushdown/pruning against these files for free (both
+        formats carry min/max indexes Spark's scans use). Columns listed in
         ``partition_by`` (when present in the table) become hive-style
         partition directories, so readers filtering on them prune whole
         partitions before any IO."""
-        out = f"{self.path}_{t.element}.parquet"
-        writer = t.df.select("id", *t.columns).write.mode("overwrite")
+        fmt = fmt or (
+            self.output_format if self.output_format in ("parquet", "orc") else "parquet"
+        )
+        out = f"{self.path}_{t.element}.{fmt}"
+        writer = t.df.select("id", *t.columns).write.mode("overwrite").format(fmt)
         part_cols = [c for c in self.partition_by if c in t.columns]
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(out)
+        writer.save(out)
         return out
 
     # ------------------------------------------------------------------
@@ -785,7 +791,7 @@ class XmlToCsvPlan:
         result.total_records = next_id
 
         def _write_one(t: TableResult) -> None:
-            if self.output_format == "parquet":
+            if self.output_format in ("parquet", "orc"):
                 t.csv_path = self.write_table_parquet(t)
             else:
                 t.csv_path = self.write_table_csv(t)

@@ -178,3 +178,37 @@ def test_external_pe_fallback_warns_and_converts(spark, tmp_path, capsys):
     assert "Merge hazard" in captured and "'rec'" in captured
     rows = _rows(str(tmp_path / "ext_rec.csv"))
     assert rows["a"]["t"] == "X" and rows["b"]["t"] == "Y"
+
+
+def test_orc_sink_matches_parquet_and_prunes(spark, tmp_path):
+    """ORC third sink format: same rows as the parquet sink (both write the
+    pre-serialized frame), hive partitioning works, and a partition-filtered
+    read shows PartitionFilters — ORC carries the same pruning machinery."""
+    import contextlib
+    import io
+
+    from dblp_to_csv_spark.plans.etl import XmlToCsvPlan
+
+    results = {}
+    for fmt in ("parquet", "orc"):
+        XmlToCsvPlan(
+            spark,
+            os.path.join(FIX, "mini_dblp.xml"),
+            os.path.join(FIX, "mini_dblp.dtd"),
+            str(tmp_path / f"{fmt}.csv"),
+            output_format=fmt,
+            partition_by=["year"],
+        ).run()
+        base = str(tmp_path / f"{fmt}_article.{fmt}")
+        df = spark.read.format(fmt).load(base)
+        results[fmt] = {
+            tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
+        }
+    assert results["orc"] == results["parquet"] and results["orc"]
+    orc_dir = tmp_path / "orc_article.orc"
+    assert any(p.name.startswith("year=") for p in orc_dir.iterdir())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.orc(str(orc_dir)).filter("year = '2020'").explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "year" in plan
