@@ -535,6 +535,101 @@ _CC_ORACLE = (
     + "SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id"
 )
 
+# Fixed-point PageRank constants: probabilities are integers in units of
+# 1/PR_SCALE, damping 0.85 = 17/20 stays rational, and every operation is
+# integer add/multiply/floor-divide — ORDER-INDEPENDENT, so Spark and DuckDB
+# produce bit-identical values (float PageRank cannot be hash-checked:
+# engines sum in different orders). PR_ITERS is part of the contract.
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Unrolled PR_ITERS power iterations as plain CTEs (aggregation inside
+    a recursive term is non-standard; a fixed iteration count needs no
+    recursion at all). Shares the minhash edge CTEs with the CC oracle."""
+    steps = []
+    prev = "p0"
+    for t in range(1, PR_ITERS + 1):
+        steps.append(f"""
+        i{t} AS (
+            SELECT e.dst AS doc_id, SUM({prev}.p // deg.deg) AS s
+            FROM edges e
+            JOIN {prev} ON {prev}.doc_id = e.src
+            JOIN deg ON deg.doc_id = e.src
+            GROUP BY e.dst
+        ),
+        p{t} AS (
+            SELECT {prev}.doc_id,
+                   (3 * {PR_SCALE}) // (20 * nn.c) + (17 * COALESCE(i{t}.s, 0)) // 20 AS p
+            FROM {prev} CROSS JOIN nn
+            LEFT JOIN i{t} ON i{t}.doc_id = {prev}.doc_id
+        )""")
+        prev = f"p{t}"
+    return (
+        _CC_ORACLE_CTES
+        + f""",
+        deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS c FROM documents),
+        p0 AS (SELECT d.doc_id, {PR_SCALE} // nn.c AS p
+               FROM documents d CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT doc_id, p AS pr_fixed FROM {prev}
+    """
+    )
+
+
+@register("dedup_graph_pagerank", tags=("dedup", "graph", "iterative"), oracle=_pr_oracle())
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (minhash pair edges, both
+    directions), PR_ITERS power iterations — the centrality signal curation
+    pipelines use to pick cluster canonicals or weight boilerplate hubs: a
+    document similar to many documents scores high. Isolated documents
+    settle at the teleport floor.
+
+    Cross-engine EXACT by fixed-point construction: p lives in units of
+    1/PR_SCALE as BIGINT, the update is
+    ``p' = (3·S)/(20·N) + (17 · Σ_in p/deg) / 20`` with floor division at
+    the two quotient points, and integer sums are associative-commutative —
+    so DuckDB's unrolled-CTE oracle reproduces every bit where a float
+    PageRank would diverge in the last ulp per engine. Same discipline that
+    made the k-means/IVF family hash-checkable (round the ONE
+    order-sensitive spot; here rounding is exact integer floor).
+
+    Scale shape: the edge list parquet-checkpoints once (the minhash chain
+    runs once — CC's policy); each iteration is one equi-join of the edge
+    list with the (doc_id, p) frame plus a map-side-combinable SUM by dst —
+    the standard distributed PageRank shuffle pattern, PR_ITERS shuffles
+    total, nothing quadratic anywhere. Reference: the iterative-join shape
+    mirrors connected_components_min_label (dedup.py) — one more member of
+    the same family, not a new engine mechanism."""
+    base_dir = session_checkpoint_dir("_pr_")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges_path = os.path.join(base_dir, "edges")
+    pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).write.mode("overwrite").parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = (3 * PR_SCALE) // (20 * n)
+    p = docs.withColumn("p", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(PR_ITERS):
+        shares = p.join(deg, p["doc_id"] == deg["src"], "inner").select(
+            F.col("doc_id"), F.expr("p div deg").alias("share")
+        )
+        inflow = (
+            edges.join(shares, edges["src"] == shares["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        p = docs.join(inflow, docs["doc_id"] == inflow["dst"], "left").select(
+            "doc_id",
+            (F.lit(base) + F.expr("div(17 * coalesce(s, 0), 20)")).cast("long").alias("p"),
+        )
+    return p.select("doc_id", F.col("p").alias("pr_fixed"))
+
 
 @register(
     "dedup_connected_components",

@@ -104,3 +104,55 @@ def test_star_parity_random_graphs(spark, n):
     edges = spark.createDataFrame(raw, "src long, dst long")
     labels, _ = _star_labels(spark, edges)
     assert labels == truth
+
+
+def test_pagerank_fixed_point_matches_python_reference(spark, tmp_path):
+    """Independent pure-Python fixed-point PageRank over a crafted graph
+    (a K3 near-dup clique + one isolated doc) must equal the operator's
+    output exactly — integer arithmetic leaves no tolerance to hide in."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.dedup import (
+        PR_ITERS,
+        PR_SCALE,
+        dedup_graph_pagerank,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    texts = [f"{base} copy"] * 3 + [
+        "completely different text about spark query planning and shuffles"
+    ]
+    pd.DataFrame({"doc_id": range(4), "text": texts}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    # ground-truth edge list from the oracle-checked pair operator
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert sorted(pairs) == [(0, 1), (0, 2), (1, 2)]  # the K3 clique
+    edges: dict[int, list[int]] = {}
+    for a, b in pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    n = 4
+    p = {d: PR_SCALE // n for d in range(n)}
+    for _ in range(PR_ITERS):
+        inflow = {d: 0 for d in range(n)}
+        for u, outs in edges.items():
+            share = p[u] // len(outs)
+            for v in outs:
+                inflow[v] += share
+        p = {
+            d: (3 * PR_SCALE) // (20 * n) + (17 * inflow[d]) // 20
+            for d in range(n)
+        }
+    got = {
+        r["doc_id"]: r["pr_fixed"]
+        for r in dedup_graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == p
+    # clique members outrank the isolated doc, which sits at the floor
+    assert got[3] == (3 * PR_SCALE) // (20 * 4)
+    assert min(got[0], got[1], got[2]) > got[3]
