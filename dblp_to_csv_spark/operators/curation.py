@@ -396,13 +396,30 @@ def curate_corpus(
     frame reads the checkpoint instead of recomputing pairs+clustering
     (~halves the wall-clock of running both reports at sf0.1).
     Output parity with the registered queries is pinned in
-    tests/test_curate_composite.py."""
-    labels = connected_components_min_label(spark, sf_dir)
+    tests/test_curate_composite.py.
+
+    Round 8: the VERIFIED PAIR FRAME itself is now the shared checkpoint —
+    one MinHash chain feeds connected components AND graph PageRank, so
+    adding a graph report costs only its own iterations, never another
+    pair search."""
+    import os
+
+    from dblp_to_csv_spark.operators.dedup import (
+        dedup_graph_pagerank,
+        minhash_lsh_pairs,
+    )
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
+    pairs_path = os.path.join(session_checkpoint_dir("_curate_"), "pairs")
+    minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    labels = connected_components_min_label(spark, sf_dir, pairs=pairs)
     docs = load_table(spark, sf_dir, "documents")
     return {
         "labels": labels,
         "cluster_stats": _cluster_stats_from_labels(labels, docs),
         "keep_canonical": _keep_canonical_from_labels(labels, docs),
+        "pagerank": dedup_graph_pagerank(spark, sf_dir, pairs=pairs),
     }
 
 

@@ -580,7 +580,9 @@ def _pr_oracle() -> str:
 
 
 @register("dedup_graph_pagerank", tags=("dedup", "graph", "iterative"), oracle=_pr_oracle())
-def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_graph_pagerank(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """PageRank over the near-dup graph (minhash pair edges, both
     directions), PR_ITERS power iterations — the centrality signal curation
     pipelines use to pick cluster canonicals or weight boilerplate hubs: a
@@ -602,9 +604,12 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard distributed PageRank shuffle pattern, PR_ITERS shuffles
     total, nothing quadratic anywhere. Reference: the iterative-join shape
     mirrors connected_components_min_label (dedup.py) — one more member of
-    the same family, not a new engine mechanism."""
+    the same family, not a new engine mechanism. ``pairs`` lets
+    curate_corpus feed the shared pre-checkpointed pair frame."""
     base_dir = session_checkpoint_dir("_pr_")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = pairs.select("doc_a", "doc_b")
     edges_path = os.path.join(base_dir, "edges")
     pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -684,11 +689,16 @@ def _cc_checkpoint_base(spark: SparkSession, checkpoint_dir: str | None) -> str:
 
 
 def connected_components_min_label(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Min-label propagation implementation backing
     ``dedup_connected_components`` (see its docstring for semantics and the
-    checkpoint policy)."""
+    checkpoint policy). ``pairs`` lets a composite (curate_corpus) feed a
+    pre-checkpointed (doc_a, doc_b) frame so the MinHash chain runs once
+    across all its consumers."""
     base = _cc_checkpoint_base(spark, checkpoint_dir)
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
@@ -696,7 +706,9 @@ def connected_components_min_label(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = pairs.select("doc_a", "doc_b")
     edges = ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))

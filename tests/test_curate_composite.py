@@ -18,13 +18,19 @@ def test_composite_matches_registered_queries(spark):
         dedup_cluster_stats,
         dedup_keep_canonical,
     )
+    from dblp_to_csv_spark.operators.dedup import dedup_graph_pagerank
 
     out = curate_corpus(spark, SF_CORRECTNESS)
-    assert set(out) == {"labels", "cluster_stats", "keep_canonical"}
+    assert set(out) == {"labels", "cluster_stats", "keep_canonical", "pagerank"}
     stats = _rows(out["cluster_stats"])
     kept = _rows(out["keep_canonical"])
     assert stats == _rows(dedup_cluster_stats(spark, SF_CORRECTNESS))
     assert kept == _rows(dedup_keep_canonical(spark, SF_CORRECTNESS))
+    # the shared-pair-frame PageRank equals the registered (chain-rerunning)
+    # query bit-for-bit — fixed-point arithmetic leaves no tolerance
+    assert _rows(out["pagerank"]) == _rows(
+        dedup_graph_pagerank(spark, SF_CORRECTNESS)
+    )
     assert stats and kept  # the sf0.01 corpus has real near-dup clusters
     # every clustered doc is labeled, only canonical members survive
     labels = {r["doc_id"]: r["component"] for r in out["labels"].collect()}
