@@ -829,3 +829,239 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", score.alias("quality_score"), (score >= 0.5).alias("keep")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring (sliding-window) dedup — the suffix-array dedup family
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better") re-expressed as hash-window marking: every SPAN_WORDS-word
+# sliding window that re-occurs ANYWHERE in the corpus (cross- or
+# intra-document) keeps only its globally first occurrence; later
+# occurrences mark their covered word positions for removal. Chunk dedup
+# (above) only catches duplication aligned to fixed chunk boundaries;
+# sliding windows catch duplicated passages at ANY offset — the actual
+# boilerplate/quotation shape in web corpora.
+# --------------------------------------------------------------------------
+SPAN_WORDS = 8  # sliding-window width, in words
+
+
+def _span_window_exprs(w):
+    """(n_windows, window_hashes) for SPAN_WORDS-word sliding windows over a
+    token-array column. Windows are built in-row (transform over a position
+    sequence slicing the ORIGINAL array) so the corpus text never explodes
+    into the shuffle — only 32-byte hashes do."""
+    n_win = F.when(
+        F.size(w) >= SPAN_WORDS, F.size(w) - (SPAN_WORDS - 1)
+    ).otherwise(F.lit(0))
+    hashes = F.when(
+        F.size(w) >= SPAN_WORDS,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SPAN_WORDS),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, SPAN_WORDS))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return n_win, hashes
+
+
+def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
+    """Shared front half of both substring-dedup operators: the tokenized
+    corpus with window counts, and the (doc_id, pos) occurrences of every
+    duplicated window EXCEPT its canonical (globally first by (doc_id, pos))
+    occurrence.
+
+    Plan shape: one corpus-sized shuffle of (hash) rows into a partial/final
+    count + min-struct aggregate — the canonical pick is an associative MIN
+    over (doc_id, pos) structs, NOT a row_number window, so map-side combine
+    collapses each partition's occurrences before the exchange. The
+    surviving duplicated-hash table is a vanishing fraction of the corpus
+    (bounded by the duplication rate) and attaches back onto the occurrence
+    stream via the size-gated broadcast join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n_win, hashes = _span_window_exprs(w)
+    base = docs.select("doc_id", "w", n_win.alias("n_win"), hashes.alias("hashes"))
+    occ = base.select("doc_id", F.posexplode("hashes").alias("pos", "h"))
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("h", "first")
+    )
+    marked = (
+        occ.join(_broadcast_if_small(dup), "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return base, marked
+
+
+# Shared oracle CTEs: tokenize -> sliding windows -> duplicated non-canonical
+# occurrences. The oracle picks canonicals with a ROW_NUMBER window; the
+# Spark path uses the associative min-struct aggregate — identical semantics
+# ((doc_id, pos) lexicographic first), different physical strategy.
+_SUBSTR_CTES = f"""
+        t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        base AS (
+            SELECT doc_id, w,
+                   CASE WHEN len(w) >= {SPAN_WORDS}
+                        THEN len(w) - {SPAN_WORDS - 1} ELSE 0 END AS n_win
+            FROM t
+        ),
+        occ AS (
+            SELECT doc_id, u.i AS pos,
+                   md5(array_to_string(
+                       list_slice(w, u.i + 1, u.i + {SPAN_WORDS}), ' ')) AS h
+            FROM base,
+                 UNNEST(CASE WHEN n_win > 0
+                        THEN generate_series(0, n_win - 1)
+                        ELSE [] END) AS u(i)
+        ),
+        ranked AS (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY h) AS cnt
+            FROM occ
+        ),
+        marked AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1)
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("dedup", "text"),
+    oracle=f"""
+        WITH {_SUBSTR_CTES},
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+            FROM marked
+        ),
+        runs AS (
+            SELECT doc_id, COUNT(*) AS run_len
+            FROM isl GROUP BY doc_id, grp
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+                   CAST(MAX(run_len) + {SPAN_WORDS - 1} AS BIGINT)
+                       AS longest_dup_span
+            FROM runs GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(b.n_win AS BIGINT) AS n_windows,
+               COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(p.longest_dup_span, 0) AS longest_dup_span
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage REPORT: per document, how many of its sliding
+    {SPAN_WORDS}-word windows are non-canonical re-occurrences, and the
+    longest contiguous duplicated passage (in words — a run of r consecutive
+    duplicated window starts covers r + SPAN_WORDS - 1 words). The
+    measurement pass a pipeline runs before deciding the removal threshold.
+
+    Scale shape: see _substring_base_and_marked for the single hash shuffle
+    + broadcast attach; the run-length (gaps-and-islands) window partitions
+    by doc_id over the MARKED rows only — a duplication-rate-sized frame,
+    not the corpus — and each doc's partition is at most its window count.
+    No global window anywhere."""
+    base, marked = _substring_base_and_marked(spark, sf_dir)
+    per_doc_win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.withColumn("grp", F.col("pos") - F.row_number().over(per_doc_win))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("n_dup_windows"),
+            (F.max("run_len") + (SPAN_WORDS - 1)).alias("longest_dup_span"),
+        )
+    )
+    return base.join(runs, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_win").cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce(F.col("longest_dup_span"), F.lit(0)).cast("long")
+            .alias("longest_dup_span"),
+    )
+
+
+@register(
+    "dedup_substring_rewrite",
+    tags=("dedup", "text", "pipeline"),
+    oracle=f"""
+        WITH {_SUBSTR_CTES},
+        dropped AS (
+            SELECT DISTINCT doc_id, u.j AS j
+            FROM marked,
+                 UNNEST(generate_series(pos, pos + {SPAN_WORDS - 1})) AS u(j)
+        ),
+        allw AS (
+            SELECT doc_id, u.j AS j, w[u.j + 1] AS word
+            FROM base,
+                 UNNEST(CASE WHEN len(w) > 0
+                        THEN generate_series(0, len(w) - 1)
+                        ELSE [] END) AS u(j)
+        ),
+        keptw AS (
+            SELECT a.doc_id, a.j, a.word
+            FROM allw a ANTI JOIN dropped d
+              ON a.doc_id = d.doc_id AND a.j = d.j
+        ),
+        agg AS (
+            SELECT doc_id,
+                   array_to_string(array_agg(word ORDER BY j), ' ') AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM keptw GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               COALESCE(a.text_clean, '') AS text_clean,
+               CAST(len(b.w) - COALESCE(a.n_kept, 0) AS BIGINT)
+                   AS n_words_dropped
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a REWRITE: every word covered by a
+    non-canonical duplicated window is cut; each document is reassembled
+    from its surviving words. Overlapping and adjacent duplicated windows
+    merge naturally (the drop set is a union of covered positions), so a
+    long duplicated passage disappears as one span while its first
+    occurrence survives verbatim — the corpus-level guarantee of
+    suffix-array dedup at window resolution.
+
+    Scale shape: the duplicated-window starts come back per-doc as ONE
+    sorted int array (collect_list over the marked frame — bounded by the
+    doc's own window count), and the keep/drop decision per word is an
+    in-row two-arg filter (position j survives iff no duplicated start lies
+    in [j - SPAN_WORDS + 1, j]) — the document text itself never shuffles;
+    the oracle's exploded dropped-set anti-join is the relational twin of
+    the same mask."""
+    base, marked = _substring_base_and_marked(spark, sf_dir)
+    starts_df = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dup_starts")
+    )
+    joined = base.join(_broadcast_if_small(starts_df), "doc_id", "left")
+    w = F.col("w")
+    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        w,
+        lambda x, j: ~F.exists(
+            starts, lambda s: (s <= j) & (s >= j - (SPAN_WORDS - 1))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        (F.size(w) - F.size(kept)).cast("long").alias("n_words_dropped"),
+    )

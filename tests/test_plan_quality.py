@@ -275,3 +275,24 @@ def test_profile_documents_is_one_aggregate_pass(spark):
     plan = _plan(spark, "profile_documents")
     assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_shuffles_hashes_only(spark):
+    """dedup_substring_spans / dedup_substring_rewrite: the canonical pick
+    is a partial/final min-struct AGGREGATE (map-side combinable) — not a
+    corpus-wide row_number window; the duplicated-hash table attaches back
+    via broadcast; the islands window in the spans report partitions by
+    doc_id (no global window); document text never enters a shuffle (the
+    exploded frame carries doc_id/pos/hash only); and no Python anywhere."""
+    for name in ["dedup_substring_spans", "dedup_substring_rewrite"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        # canonical-occurrence selection is an aggregate, not a window:
+        # partial_min over the (doc_id, pos) struct appears before the
+        # hash exchange
+        assert "partial_min" in plan or "min(struct" in plan, name
+    # the rewrite path needs no window operator at all
+    rewrite_plan = _plan(spark, "dedup_substring_rewrite")
+    assert "Window" not in rewrite_plan
