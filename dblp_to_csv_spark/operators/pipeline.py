@@ -557,3 +557,63 @@ def observed_keep_gate(spark: SparkSession, sf_dir: str):
         observed.filter(F.col("keep")).select("doc_id", n_tokens.alias("n_tokens")),
         obs,
     )
+
+
+WEIGHTED_SAMPLE_K = 100  # docs selected by the weighted priority sample
+_U32 = 4294967296.0  # 2^32, the md5-prefix uniform's denominator
+
+
+@register(
+    "sample_weighted_priority",
+    tags=("pipeline", "sampling"),
+    oracle=f"""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               ROUND(
+                   -ln((('0x' || substr(md5('w|' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT + 0.5) / {_U32})
+                   / GREATEST(n_chars, 1), 9) AS priority
+        FROM documents
+        ORDER BY priority, doc_id
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    exponential-key form): each document draws a deterministic uniform
+    u = (md5-prefix + 0.5)/2^32 and gets priority -ln(u)/weight (weight =
+    n_chars: longer documents are proportionally likelier); the global
+    WEIGHTED_SAMPLE_K smallest priorities ARE a weighted sample without
+    replacement — the distributed reservoir: no sequential scan, no state,
+    any K, retry-stable.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps a K-row heap and the driver merges heaps, so the corpus
+    is never globally sorted and the shuffle moves K rows per partition.
+    The priority is rounded to 9 dp (both engines' ln differ by ≤1 ulp;
+    rounding puts them on the same grid — the lang_temperature_resample
+    discipline) and ties at the selection boundary break by doc_id
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / _U32
+    priority = F.round(
+        -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            priority.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )

@@ -232,3 +232,63 @@ def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_ngram_docs d, LATERAL ngrams_udtf(d.text, 2) t
         """
     )
+
+
+@register(
+    "arrow_quantize_embeddings",
+    tags=("udf", "similarity", "multimodal"),
+    oracle="""
+        WITH t AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-12)
+                       AS sc
+            FROM t
+        )
+        SELECT vec_id,
+               list_transform(e, x -> CAST(FLOOR(127 * x / sc + 0.5) AS INT))
+                   AS q,
+               ROUND(sc, 9) AS scale
+        FROM s
+    """,
+)
+def arrow_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface — the zero-copy batch extension point below
+    pandas_udf (no pandas conversion semantics in the exchange; the Python
+    side receives raw Arrow RecordBatches). Demonstrated with symmetric
+    int8 quantization of the embedding column (max-abs per-row scale,
+    q = floor(127·x/scale + 0.5)) — the embedding-compression step ANN
+    serving stacks run before indexing, cutting vector bytes 4× ahead of
+    the shuffle/index build.
+
+    Cross-engine exactness: all arithmetic is float64 (the float32 column
+    is widened BEFORE any op, matching the oracle's CAST to DOUBLE[]), and
+    floor(x + 0.5) rounds in one fixed direction — multiply, divide, add,
+    floor are each correctly-rounded IEEE ops, so Python and DuckDB produce
+    bit-identical int codes; only the reported scale needs the usual 9-dp
+    rounding. The 1e-12 floor guards the all-zero vector identically on
+    both sides."""
+    import pyarrow as pa
+
+    def quantize(batches):
+        for b in batches:
+            pdf = b.to_pandas()
+            qs, scales = [], []
+            for v in pdf["embedding"]:
+                e = np.asarray(v, dtype=np.float64)
+                sc = max(float(np.max(np.abs(e))), 1e-12) if e.size else 1e-12
+                qs.append(np.floor(127.0 * e / sc + 0.5).astype(np.int32))
+                scales.append(round(sc, 9))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
+                    "q": pa.array([q.tolist() for q in qs],
+                                  type=pa.list_(pa.int32())),
+                    "scale": pa.array(scales, type=pa.float64()),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(quantize, "vec_id long, q array<int>, scale double")

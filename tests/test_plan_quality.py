@@ -296,3 +296,13 @@ def test_substring_dedup_shuffles_hashes_only(spark):
     # the rewrite path needs no window operator at all
     rewrite_plan = _plan(spark, "dedup_substring_rewrite")
     assert "Window" not in rewrite_plan
+
+
+def test_triangle_count_equijoins_only(spark):
+    """graph_triangle_count: wedge formation and closure are equi-joins on
+    node keys — degree orientation must never degrade the plan to an
+    all-pairs strategy, and the per-node count is partial/final."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
