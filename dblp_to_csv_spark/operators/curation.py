@@ -1065,3 +1065,51 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("text_clean"),
         (F.size(w) - F.size(kept)).cast("long").alias("n_words_dropped"),
     )
+
+
+@register(
+    "split_leakage_free",
+    tags=("pipeline", "sampling", "dedup", "graph"),
+    oracle=_CC_ORACLE_CTES
+    + """
+        , labels AS (
+            SELECT doc_id, MIN(label) AS component FROM reach GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(l.component, d.doc_id) AS split_key,
+               CASE WHEN substr(md5(CAST(COALESCE(l.component, d.doc_id)
+                                         AS VARCHAR)), 1, 1) < 'c'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(COALESCE(l.component, d.doc_id)
+                                         AS VARCHAR)), 1, 1) < 'e'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    """,
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents are bucketed by the
+    md5 prefix of their near-dup CLUSTER canonical (connected component over
+    the MinHash-LSH pair graph), not their own id — so a document and its
+    near-duplicates always land in the SAME split. This closes the leakage
+    hole ``split_train_val_test`` leaves open: a per-doc hash split puts two
+    near-identical documents in train and test with probability
+    2·p·(1−p), silently inflating eval scores. Isolated documents fall back
+    to their own id (identical buckets to the plain split).
+
+    Scale shape: the CC label frame (docs in clusters — a vanishing
+    fraction of the corpus) comes out of the checkpointed min-label loop
+    and attaches via the size-gated broadcast left join; the split decision
+    itself is a pure projection. Same 75/12.5/12.5 hex thresholds as
+    split_train_val_test."""
+    labels = connected_components_min_label(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(_broadcast_if_small(labels), "doc_id", "left")
+    key = F.coalesce(F.col("component"), F.col("doc_id"))
+    h = F.substring(F.md5(key.cast("string")), 1, 1)
+    return joined.select(
+        "doc_id",
+        key.alias("split_key"),
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+            .alias("split"),
+    )

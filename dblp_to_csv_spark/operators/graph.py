@@ -49,11 +49,10 @@ def copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_triangle_count",
-    tags=("graph", "join"),
-    oracle="""
-        WITH e AS (
+# Shared oracle CTEs: distinct co-occurrence edges -> id-ordered triangle
+# enumeration -> per-corner counts (plus degrees for the coefficient).
+_TRI_CTES = """
+        e AS (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -73,6 +72,14 @@ def copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY node
         )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "join"),
+    oracle=f"""
+        WITH {_TRI_CTES}
         SELECT p.p_partkey AS l_partkey,
                COALESCE(c.n_triangles, 0) AS n_triangles
         FROM part p LEFT JOIN cnt c ON c.node = p.p_partkey
@@ -89,6 +96,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected triangle exactly once, so the per-corner count multiset is
     identical — the orientation is a physical strategy, not a semantic
     choice."""
+    cnt = triangle_counts(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return part.join(
+        cnt, part["l_partkey"] == cnt["node"], "left"
+    ).select(
+        "l_partkey",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_triangles) for every node in ≥1 triangle — the degree-
+    oriented enumeration shared by the count and coefficient queries."""
     e0 = copart_edges(spark, sf_dir)
     deg = (
         e0.select(F.explode(F.array("u", "v")).alias("n"))
@@ -119,15 +141,175 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
     corners = tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
-    cnt = corners.groupBy("node").agg(
+    return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    tags=("graph", "join"),
+    oracle=f"""
+        WITH {_TRI_CTES},
+        deg AS (
+            SELECT node, COUNT(*) AS deg
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node
+        )
+        SELECT p.p_partkey AS l_partkey,
+               CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+               COALESCE(c.n_triangles, 0) AS n_triangles,
+               ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                          THEN 2.0 * COALESCE(c.n_triangles, 0)
+                               / (d.deg * (d.deg - 1))
+                          ELSE 0 END, 6) AS clustering_coeff
+        FROM part p
+        LEFT JOIN deg d ON d.node = p.p_partkey
+        LEFT JOIN cnt c ON c.node = p.p_partkey
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    — the fraction of a node's neighbor pairs that are themselves adjacent.
+    THE graph-cohesion diagnostic (high coefficient = tightly bundled
+    co-purchase neighborhoods; near zero = hub-and-spoke). Derived entirely
+    from the shared triangle/degree frames — one extra aggregate over the
+    edge endpoints, no new joins over the corpus.
+
+    The single float division happens once per node on both engines
+    (float64, correctly rounded), so 6-dp rounding is hash-stable."""
+    cnt = triangle_counts(spark, sf_dir)
+    e0 = copart_edges(spark, sf_dir)
+    deg = (
+        e0.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )
-    return part.join(
-        cnt, part["l_partkey"] == cnt["node"], "left"
-    ).select(
-        "l_partkey",
-        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    joined = (
+        part.join(deg, part["l_partkey"] == deg["node"], "left")
+        .drop(deg["node"])
+        .join(cnt, part["l_partkey"] == cnt["node"], "left")
+        .drop(cnt["node"])
     )
+    d = F.coalesce(F.col("deg"), F.lit(0))
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    coeff = F.when(
+        d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "l_partkey",
+        d.cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )
+
+
+# k-core contract: exactly KCORE_ROUNDS peeling rounds (early-exit on
+# convergence is a no-op-skipping optimization, not a semantic change — a
+# converged set is a fixpoint of the peel, so extra rounds cannot alter it).
+# tests/test_graph_analytics.py asserts the peel CONVERGES well within the
+# round budget on the test corpus, making the answer the true k-core there.
+KCORE_K = 80
+KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled KCORE_ROUNDS peeling rounds as plain CTEs (aggregation in a
+    recursive term is non-standard — same move as dedup.py's _pr_oracle)."""
+    steps = []
+    prev = "c0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+        c{t} AS MATERIALIZED (
+            SELECT u AS node FROM (
+                SELECT und.u, COUNT(*) AS c
+                FROM und
+                JOIN {prev} a ON a.node = und.u
+                JOIN {prev} b ON b.node = und.v
+                GROUP BY und.u
+            ) WHERE c >= {KCORE_K}
+        )""")
+        prev = f"c{t}"
+    # Every multiply-referenced CTE is MATERIALIZED: each round references
+    # its predecessor twice (endpoint joins a and b), so inlining doubles
+    # the operator tree per round — 2^KCORE_ROUNDS plan nodes, a
+    # file-descriptor blowout on the parquet scan and an hours-long plan.
+    # Materialization makes the oracle linear in KCORE_ROUNDS, like the
+    # temp-table loop it mirrors.
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        c0 AS (SELECT DISTINCT u AS node FROM und),
+        {",".join(steps)}
+        SELECT p.p_partkey AS l_partkey,
+               ({prev}.node IS NOT NULL) AS in_core
+        FROM part p LEFT JOIN {prev} ON {prev}.node = p.p_partkey
+    """
+
+
+@register("graph_kcore", tags=("graph", "iterative"), oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = KCORE_K) of the part co-occurrence graph by
+    iterative peeling: each round drops every node whose degree among the
+    SURVIVORS is below k; the fixpoint is the maximal subgraph where every
+    node has ≥ k surviving neighbors — the density skeleton community
+    detection and influence analysis start from.
+
+    Contract: exactly KCORE_ROUNDS rounds (the oracle unrolls them as
+    CTEs); the Spark loop early-exits once the survivor count stops
+    falling, which is semantically free — the peel is monotone, so a
+    converged set is a fixpoint and remaining rounds are no-ops. The
+    convergence test pins that the budget is generous (2× the observed
+    rounds-to-fixpoint).
+
+    Scale shape: the edge list parquet-checkpoints once; each round is two
+    semi-joins of the edge list against the (shrinking) survivor set plus a
+    map-side-combinable degree count — the same per-round join+aggregate
+    silhouette as connected components and PageRank, nothing quadratic.
+    Survivor sets checkpoint per round to cut lineage; superseded rounds
+    are cleaned up by the session checkpoint root."""
+    import os
+
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
+    base_dir = session_checkpoint_dir("_kcore_")
+    e0 = copart_edges(spark, sf_dir)
+    und_path = os.path.join(base_dir, "und")
+    e0.select("u", "v").union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).write.mode("overwrite").parquet(und_path)
+    und = spark.read.parquet(und_path)
+    cur = und.select(F.col("u").alias("node")).distinct()
+    n_cur = cur.count()
+    for rnd in range(KCORE_ROUNDS):
+        nxt = (
+            und.join(cur.withColumnRenamed("node", "u"), "u", "semi")
+            .join(cur.withColumnRenamed("node", "v"), "v", "semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        nxt_path = os.path.join(base_dir, f"round_{rnd}")
+        nxt.write.mode("overwrite").parquet(nxt_path)
+        nxt = spark.read.parquet(nxt_path)
+        n_nxt = nxt.count()
+        converged = n_nxt == n_cur
+        cur, n_cur = nxt, n_nxt
+        if converged:
+            break
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return part.join(
+        cur, part["l_partkey"] == cur["node"], "left"
+    ).select("l_partkey", F.col("node").isNotNull().alias("in_core"))

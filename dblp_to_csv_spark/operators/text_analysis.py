@@ -394,3 +394,61 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(after_ip, PII_PHONE).alias("n_phones"),
         F.regexp_replace(after_ip, PII_PHONE, "<PHONE>").alias("redacted"),
     )
+
+
+BPE_TOP_MERGES = 20  # merge candidates reported per induction round
+
+
+@register(
+    "bpe_merge_candidates",
+    tags=("text", "ml"),
+    oracle=f"""
+        WITH t AS (SELECT {_WORDS} AS w FROM documents),
+        wd AS (SELECT u.word AS word FROM t, UNNEST(w) AS u(word)),
+        pr AS (
+            SELECT substr(word, u.i, 1) AS merge_left,
+                   substr(word, u.i + 1, 1) AS merge_right
+            FROM wd, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+        )
+        SELECT merge_left, merge_right,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM pr GROUP BY merge_left, merge_right
+        ORDER BY pair_count DESC, merge_left, merge_right
+        LIMIT {BPE_TOP_MERGES}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE vocabulary induction, the counting step: adjacent
+    symbol-pair frequencies over every word occurrence in the corpus (the
+    table whose argmax becomes the next merge rule when training a
+    tokenizer ON the corpus being curated — the Sennrich et al. 2016 inner
+    loop). Reported as the top-{BPE_TOP_MERGES} candidates with a total
+    deterministic order (count desc, then pair lexicographic) so the cut
+    boundary is engine-independent.
+
+    Scale shape: pairs are built in-row per word and the count is a
+    partial/final aggregate over a tiny key space (symbol pairs — bounded
+    by alphabet², not corpus size), so the map-side combine collapses each
+    partition to at most |alphabet|² rows before the exchange; the top-K is
+    TakeOrderedAndProject, never a global sort. Later induction rounds
+    re-run the same count over re-segmented words — each round is this same
+    one-aggregate job."""
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.col("word")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(word) - 1),
+        lambda i: F.struct(
+            word.substr(i, F.lit(1)).alias("merge_left"),
+            word.substr(i + 1, F.lit(1)).alias("merge_right"),
+        ),
+    )
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .filter(F.length(word) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.merge_left", "p.merge_right")
+        .groupBy("merge_left", "merge_right")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "merge_left", "merge_right")
+        .limit(BPE_TOP_MERGES)
+    )

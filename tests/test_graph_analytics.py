@@ -1,0 +1,74 @@
+"""Graph-analytics gates beyond oracle parity: the k-core round-budget
+contract (the oracle unrolls KCORE_ROUNDS peels — the budget must stay ≥ 2×
+the observed rounds-to-fixpoint so driver testdata regeneration cannot
+outrun it), an independent pure-Python fixpoint reference, and plan shape.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+
+from dblp_to_csv_spark.operators.graph import KCORE_K, KCORE_ROUNDS
+from dblp_to_csv_spark.registry import all_queries
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+_EDGE_SQL = """
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM read_parquet('{sf}/lineitem.parquet') a
+    JOIN read_parquet('{sf}/lineitem.parquet') b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _edges(sf_dir: str) -> list[tuple[int, int]]:
+    return duckdb.sql(_EDGE_SQL.format(sf=sf_dir)).fetchall()
+
+
+def _peel_to_fixpoint(edges, k: int) -> tuple[set, int]:
+    """Pure-Python peel: drop nodes with < k surviving neighbors until
+    stable. Returns (core node set, rounds until the first no-op round)."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cur = set(adj)
+    rounds = 0
+    while True:
+        nxt = {n for n in cur if len(adj[n] & cur) >= k}
+        rounds += 1
+        if nxt == cur:
+            return cur, rounds
+        cur = nxt
+
+
+def test_kcore_round_budget_has_margin():
+    """The unrolled-oracle contract only equals the true k-core while the
+    peel converges within KCORE_ROUNDS; pin a 2x margin on the correctness
+    corpus so regenerated driver testdata cannot silently outrun it."""
+    _, rounds = _peel_to_fixpoint(_edges(SF_CORRECTNESS), KCORE_K)
+    assert rounds * 2 <= KCORE_ROUNDS, (
+        f"peel took {rounds} rounds; budget {KCORE_ROUNDS} leaves <2x margin"
+    )
+
+
+def test_kcore_matches_python_fixpoint(spark):
+    """Spark's early-exit loop must land on the same fixpoint as an
+    independent in-memory peel (not the DuckDB oracle — a third
+    implementation, so a shared misreading of the recurrence can't pass)."""
+    core, _ = _peel_to_fixpoint(_edges(SF_SMOKE), KCORE_K)
+    got = {
+        r["l_partkey"]
+        for r in all_queries()["graph_kcore"].fn(spark, SF_SMOKE).collect()
+        if r["in_core"]
+    }
+    assert got == core
+
+
+def test_graph_queries_stay_equijoin(spark):
+    for name in ["graph_clustering_coefficient", "graph_kcore"]:
+        df = all_queries()[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
