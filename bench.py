@@ -42,6 +42,10 @@ CURATION_BENCH = [
     "decontaminate_bloom",
     "dedup_intradoc_rewrite",
     "quality_linear_score",
+    # round-8 continuation additions
+    "dedup_substring_rewrite",
+    "graph_triangle_count",
+    "graph_kcore",
 ]
 
 

@@ -845,22 +845,37 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_WORDS = 8  # sliding-window width, in words
 
 
-def _span_window_exprs(w):
-    """(n_windows, window_hashes) for SPAN_WORDS-word sliding windows over a
-    token-array column. Windows are built in-row (transform over a position
-    sequence slicing the ORIGINAL array) so the corpus text never explodes
-    into the shuffle — only 32-byte hashes do."""
-    n_win = F.when(
-        F.size(w) >= SPAN_WORDS, F.size(w) - (SPAN_WORDS - 1)
-    ).otherwise(F.lit(0))
-    hashes = F.when(
-        F.size(w) >= SPAN_WORDS,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - SPAN_WORDS),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, SPAN_WORDS))),
+def _span_window_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, n_win, hashes) with one md5 per SPAN_WORDS-word sliding
+    window, built in-row so the corpus text never enters a shuffle — only
+    32-byte hashes do.
+
+    Construction is ZIPPED SHIFTED SLICES, not per-window slicing: the
+    token array is sliced SPAN_WORDS times per DOCUMENT (shift k, length
+    n_win), arrays_zip aligns the shifts, and the per-window lambda only
+    reads struct fields + concat_ws + md5. Higher-order functions are
+    interpreted (no codegen, no CSE), so per-WINDOW work must be O(fields):
+    the naive ``transform(sequence(...), i -> md5(concat_ws(slice(w, i+1,
+    SPAN))))`` allocates a fresh sub-array per window and measured 8×
+    slower at sf0.1 (8.0 s vs 1.0 s for 236k windows); a lead()-window
+    formulation matches this speed but reshuffles the exploded corpus text
+    by doc_id, which this shape exists to avoid."""
+    w = F.col("w")
+    n_win = F.greatest(F.size(w) - (SPAN_WORDS - 1), F.lit(0))
+    staged = docs.select(
+        "doc_id",
+        "w",
+        n_win.alias("n_win"),
+        *[F.slice(w, k + 1, n_win).alias(f"_s{k}") for k in range(SPAN_WORDS)],
+    )
+    zipped = F.arrays_zip(*[f"_s{k}" for k in range(SPAN_WORDS)])
+    hashes = F.transform(
+        zipped,
+        lambda s: F.md5(
+            F.concat_ws(" ", *[s[f"_s{k}"] for k in range(SPAN_WORDS)])
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return n_win, hashes
+    )
+    return staged.select("doc_id", "w", "n_win", hashes.alias("hashes"))
 
 
 def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
@@ -874,14 +889,20 @@ def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
     over (doc_id, pos) structs, NOT a row_number window, so map-side combine
     collapses each partition's occurrences before the exchange. The
     surviving duplicated-hash table is a vanishing fraction of the corpus
-    (bounded by the duplication rate) and attaches back onto the occurrence
-    stream via the size-gated broadcast join."""
+    (bounded by the duplication rate); it parquet-checkpoints ONCE (the
+    MinHash candidate policy — both operators and the broadcast size gate
+    consume it, and without the checkpoint every consumer re-runs the
+    window+aggregate chain: measured 3× the whole-query time at sf0.1)
+    and attaches back onto the occurrence stream via the size-gated
+    broadcast join."""
+    import os
+
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("w")
     )
-    w = F.col("w")
-    n_win, hashes = _span_window_exprs(w)
-    base = docs.select("doc_id", "w", n_win.alias("n_win"), hashes.alias("hashes"))
+    base = _span_window_base(docs)
     occ = base.select("doc_id", F.posexplode("hashes").alias("pos", "h"))
     dup = (
         occ.groupBy("h")
@@ -892,6 +913,9 @@ def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
         .filter(F.col("cnt") > 1)
         .select("h", "first")
     )
+    dup_path = os.path.join(session_checkpoint_dir("_substr_"), "dup")
+    dup.write.mode("overwrite").parquet(dup_path)
+    dup = spark.read.parquet(dup_path)
     marked = (
         occ.join(_broadcast_if_small(dup), "h")
         .filter(

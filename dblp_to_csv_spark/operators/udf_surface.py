@@ -248,8 +248,9 @@ def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
         )
         SELECT vec_id,
-               list_transform(e, x -> CAST(FLOOR(127 * x / sc + 0.5) AS INT))
-                   AS q,
+               array_to_string(
+                   list_transform(e, x -> CAST(FLOOR(127 * x / sc + 0.5)
+                                               AS INT)), '|') AS q_codes,
                ROUND(sc, 9) AS scale
         FROM s
     """,
@@ -269,7 +270,9 @@ def arrow_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor are each correctly-rounded IEEE ops, so Python and DuckDB produce
     bit-identical int codes; only the reported scale needs the usual 9-dp
     rounding. The 1e-12 floor guards the all-zero vector identically on
-    both sides."""
+    both sides. Codes serialize as a '|'-joined string (the registry's
+    flat-scalar output contract; a library consumer would keep the
+    array<int> and write it straight to the index)."""
     import pyarrow as pa
 
     def quantize(batches):
@@ -279,16 +282,16 @@ def arrow_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in pdf["embedding"]:
                 e = np.asarray(v, dtype=np.float64)
                 sc = max(float(np.max(np.abs(e))), 1e-12) if e.size else 1e-12
-                qs.append(np.floor(127.0 * e / sc + 0.5).astype(np.int32))
+                codes = np.floor(127.0 * e / sc + 0.5).astype(np.int32)
+                qs.append("|".join(str(c) for c in codes))
                 scales.append(round(sc, 9))
             yield pa.RecordBatch.from_pydict(
                 {
                     "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
-                    "q": pa.array([q.tolist() for q in qs],
-                                  type=pa.list_(pa.int32())),
+                    "q_codes": pa.array(qs, type=pa.string()),
                     "scale": pa.array(scales, type=pa.float64()),
                 }
             )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return emb.mapInArrow(quantize, "vec_id long, q array<int>, scale double")
+    return emb.mapInArrow(quantize, "vec_id long, q_codes string, scale double")

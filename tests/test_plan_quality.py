@@ -280,19 +280,41 @@ def test_profile_documents_is_one_aggregate_pass(spark):
 def test_substring_dedup_shuffles_hashes_only(spark):
     """dedup_substring_spans / dedup_substring_rewrite: the canonical pick
     is a partial/final min-struct AGGREGATE (map-side combinable) — not a
-    corpus-wide row_number window; the duplicated-hash table attaches back
-    via broadcast; the islands window in the spans report partitions by
-    doc_id (no global window); document text never enters a shuffle (the
-    exploded frame carries doc_id/pos/hash only); and no Python anywhere."""
+    corpus-wide row_number window; the checkpointed duplicated-hash table
+    attaches back via broadcast; the islands window in the spans report
+    partitions by doc_id (no global window); document text never enters a
+    shuffle (the exploded frame carries doc_id/pos/hash only); and no
+    Python anywhere."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.functions.text import words
+    from dblp_to_csv_spark.operators.curation import _span_window_base
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    # The dup chain runs as a checkpointed pre-job, so assert its shape on
+    # the chain itself: canonical-occurrence selection must be an aggregate
+    # (partial_min over the (doc_id, pos) struct before the hash exchange),
+    # never a corpus-wide window.
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    occ = _span_window_base(docs).select(
+        "doc_id", F.posexplode("hashes").alias("pos", "h")
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min(F.struct("doc_id", "pos")).alias("first"))
+        .filter(F.col("cnt") > 1)
+    )
+    dup_plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in dup_plan
+    assert "Window" not in dup_plan
     for name in ["dedup_substring_spans", "dedup_substring_rewrite"]:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
-        # canonical-occurrence selection is an aggregate, not a window:
-        # partial_min over the (doc_id, pos) struct appears before the
-        # hash exchange
-        assert "partial_min" in plan or "min(struct" in plan, name
     # the rewrite path needs no window operator at all
     rewrite_plan = _plan(spark, "dedup_substring_rewrite")
     assert "Window" not in rewrite_plan
