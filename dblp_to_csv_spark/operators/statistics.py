@@ -337,3 +337,53 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     spells the same numbers as per-column scans."""
     docs = load_table(spark, sf_dir, "documents")
     return profile_frame(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "winsorize_event_values",
+    tags=("agg", "percentile", "pipeline"),
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   ROUND(QUANTILE_CONT(value, 0.05), 6) AS p05,
+                   ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, c.p05, c.p95,
+               CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_lo,
+               CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_hi,
+               ROUND(AVG(e.value), 6) AS mean_raw,
+               ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 6)
+                   AS mean_winsorized
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type, c.p05, c.p95
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier treatment feature pipelines apply before
+    normalizing a heavy-tailed metric: per event type, values clip to the
+    exact [p05, p95] interval (Spark ``percentile`` ≡ DuckDB
+    ``QUANTILE_CONT``, the median_price_by_status equivalence) and the
+    report shows how many rows clipped each side and the mean shift.
+
+    Scale shape: two aggregates over the same event_type key — the
+    cutpoint table (one row per type) broadcasts back onto the scan, so
+    the corpus passes twice but never shuffles wholesale (the second
+    aggregate's exchange carries per-type partials only). The cutpoints
+    round to 6 dp BEFORE clipping so both engines clip against the same
+    constant (the lang_temperature_resample discipline)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    v, lo, hi = F.col("value"), F.col("p05"), F.col("p95")
+    return j.groupBy("event_type", "p05", "p95").agg(
+        F.sum(F.when(v < lo, 1).otherwise(0)).cast("long").alias("n_clipped_lo"),
+        F.sum(F.when(v > hi, 1).otherwise(0)).cast("long").alias("n_clipped_hi"),
+        F.round(F.avg(v), 6).alias("mean_raw"),
+        F.round(F.avg(F.least(F.greatest(v, lo), hi)), 6).alias("mean_winsorized"),
+    )

@@ -452,3 +452,63 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "merge_left", "merge_right")
         .limit(BPE_TOP_MERGES)
     )
+
+
+@register(
+    "text_char_entropy",
+    tags=("text", "quality"),
+    oracle="""
+        WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        ch AS (
+            SELECT doc_id, substr(t, u.i, 1) AS c
+            FROM t, UNNEST(generate_series(1, length(t))) AS u(i)
+        ),
+        cnt AS (
+            SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c
+        ),
+        agg AS (
+            SELECT doc_id, SUM(n) AS total, SUM(n * ln(n)) AS s
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(total AS BIGINT) AS n_chars_counted,
+               ROUND(ln(total) - s / total, 6) AS char_entropy
+        FROM agg
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (natural log), computed
+    as H = ln(n) − Σ cnt·ln(cnt) / n over lower-cased character counts —
+    the gibberish/binary-blob detector quality pipelines run alongside the
+    Gopher rules: encrypted or base64 payloads sit near the uniform ceiling,
+    single-character spam near zero, natural language in a tight band.
+
+    Scale shape: the character explode is corpus-chars-sized but feeds a
+    map-side-combinable (doc_id, char) count — partials collapse to at most
+    |alphabet| rows per doc per partition before the exchange, and the
+    second aggregate is per-doc. The entropy sum runs over ≤ |alphabet|
+    terms, so 6-dp rounding absorbs engine summation-order ulps (the
+    stats_agg discipline)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: F.col("t").substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    cnt = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.log("n")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_chars_counted"),
+        F.round(F.log("total") - F.col("s") / F.col("total"), 6)
+            .alias("char_entropy"),
+    )

@@ -72,3 +72,26 @@ def test_graph_queries_stay_equijoin(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_adamic_adar_capped_subset_of_exact(spark):
+    """Hub capping must only REMOVE score mass: every capped pair exists in
+    the exact result with >= the capped common-neighbor count and score.
+    Runs at SF_CORRECTNESS — the smoke graph is too sparse to clear
+    AA_MIN_COMMON, which would make the containment vacuous."""
+    exact = {
+        (r["part_a"], r["part_b"]): (r["common_neighbors"], r["aa_score"])
+        for r in all_queries()["graph_adamic_adar"]
+        .fn(spark, SF_CORRECTNESS)
+        .collect()
+    }
+    capped = (
+        all_queries()["graph_adamic_adar_capped"].fn(spark, SF_CORRECTNESS).collect()
+    )
+    assert exact, "exact pair set empty — threshold too high for this corpus"
+    for r in capped:
+        key = (r["part_a"], r["part_b"])
+        assert key in exact
+        cn, sc = exact[key]
+        assert r["common_neighbors"] <= cn
+        assert r["aa_score"] <= sc + 1e-9
