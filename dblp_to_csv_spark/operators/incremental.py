@@ -260,3 +260,111 @@ def minhash_dedup_incremental(
         "doc_id", "bandkey", *hcols, "band"
     ).write.mode("append").partitionBy("band").parquet(index_dir)
     return accepted
+
+
+def substring_dedup_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """Window-level (exact-substring) incremental dedup: the batch's
+    SPAN_WORDS-word sliding windows check against a persistent index of
+    every window hash already accepted into the corpus — a window whose
+    hash is historical is cut from ALL its batch occurrences; a window new
+    to the corpus but repeated within the batch keeps only its batch-first
+    occurrence (min (doc_id, pos), the batch operator's canonical rule).
+    Returns the rewritten batch (doc_id, text_clean, n_words_dropped),
+    staged; the batch's surviving (= previously unseen) window hashes
+    append to the index.
+
+    Sequential-equals-batch contract: running batches b1, b2 through this
+    function equals running ``dedup_substring_rewrite`` once over b1 ∪ b2
+    whenever b1's doc_ids sort below b2's — a historical hit is exactly "an
+    earlier batch held the canonical occurrence" (pinned in
+    tests/test_substring_dedup.py).
+
+    Index shape: one row per distinct window hash, parquet-partitioned by
+    2-hex prefix. This is the honest cost of substring-level continuous
+    dedup — the index scales with the corpus's distinct windows (~one
+    32-byte hash per word), the distributed analogue of the suffix-array
+    index in single-node exact-substring dedup — but the probe stays
+    batch-proportional: the batch's distinct hashes broadcast against the
+    prefix-pruned index scan, and only matched hashes (≤ batch distinct)
+    come back."""
+    from dblp_to_csv_spark.operators.curation import (
+        SPAN_WORDS,
+        _span_window_base,
+    )
+
+    base = _stage(
+        _span_window_base(
+            new_docs.select(
+                "doc_id",
+                words(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+            )
+        ),
+        staging_dir,
+        "substr_windows",
+    )
+    occ = base.select("doc_id", F.posexplode("hashes").alias("pos", "h"))
+    distinct_h = (
+        occ.select("h")
+        .distinct()
+        .withColumn("prefix", F.substring("h", 1, _PREFIX_LEN))
+    )
+    prefixes = [
+        r["prefix"] for r in distinct_h.select("prefix").distinct().collect()
+    ]
+    index = _read_index(spark, index_dir, "h string, prefix string").filter(
+        F.col("prefix").isin(prefixes) if prefixes else F.lit(False)
+    )
+    matched = index.join(
+        F.broadcast(distinct_h.select("h")), "h", "left_semi"
+    ).select("h")
+    matched = _stage(matched, staging_dir, "substr_matched")
+    marked_hist = occ.join(F.broadcast(matched), "h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    dup_batch = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("h", "first")
+    )
+    marked_batch = (
+        occ.join(F.broadcast(dup_batch), "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    marked = marked_hist.union(marked_batch).distinct()
+    starts_df = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dup_starts")
+    )
+    w = F.col("w")
+    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        w,
+        lambda x, j: ~F.exists(
+            starts, lambda s: (s <= j) & (s >= j - (SPAN_WORDS - 1))
+        ),
+    )
+    accepted = _stage(
+        base.join(F.broadcast(starts_df), "doc_id", "left").select(
+            "doc_id",
+            F.array_join(kept, " ").alias("text_clean"),
+            (F.size(w) - F.size(kept)).cast("long").alias("n_words_dropped"),
+        ),
+        staging_dir,
+        "substr_accepted",
+    )
+    distinct_h.join(F.broadcast(matched), "h", "left_anti").select(
+        "h", "prefix"
+    ).write.mode("append").partitionBy("prefix").parquet(index_dir)
+    return accepted

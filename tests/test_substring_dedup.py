@@ -157,3 +157,68 @@ def test_random_corpus_matches_reference(spark, tmp_path, seed):
         parts.extend(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
         docs.append((d, " ".join(parts)))
     _check(spark, tmp_path, docs)
+
+
+def test_incremental_sequential_equals_batch(spark, tmp_path):
+    """Split-invariance of the incremental path: feeding b1 then b2 through
+    substring_dedup_incremental (persistent window-hash index between them)
+    must equal the one-shot batch rewrite over b1 ∪ b2 — b1's doc_ids sort
+    below b2's, so 'historical hit' == 'earlier batch held the canonical'."""
+    from dblp_to_csv_spark.operators.incremental import substring_dedup_incremental
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(10)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(SPAN_WORDS, 14)))
+        for _ in range(3)
+    ]
+
+    def make_doc(d):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        if rng.random() < 0.7:
+            parts.append(rng.choice(passages))
+        parts.extend(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+        return (d, " ".join(parts))
+
+    docs = [make_doc(d) for d in range(20)]
+    b1, b2 = docs[:10], docs[10:]
+
+    # one-shot batch reference over the union
+    _, batch_rewrite = _run(spark, tmp_path, docs)
+
+    index_dir = str(tmp_path / "widx")
+    staging = str(tmp_path / "stage")
+    got = []
+    for batch in (b1, b2):
+        bdf = spark.createDataFrame(batch, "doc_id long, text string")
+        out = substring_dedup_incremental(spark, bdf, index_dir, staging_dir=staging)
+        got.extend(
+            (r["doc_id"], r["text_clean"], r["n_words_dropped"])
+            for r in out.collect()
+        )
+    assert sorted(got) == batch_rewrite
+
+
+def test_incremental_index_probe_prunes_partitions(spark, tmp_path):
+    """The history probe must read the index PARTITION-PRUNED (the exact/
+    minhash incremental contract): PartitionFilters with the batch's
+    prefixes appear on the index scan."""
+    from dblp_to_csv_spark.operators.incremental import (
+        _PREFIX_LEN,
+        _read_index,
+        substring_dedup_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "widx")
+    staging = str(tmp_path / "stage")
+    b1 = spark.createDataFrame(
+        [(0, PASSAGE + " one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    substring_dedup_incremental(spark, b1, index_dir, staging_dir=staging)
+    probe = _read_index(spark, index_dir, "h string, prefix string").filter(
+        F.col("prefix").isin(["ab", "cd"])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "prefix" in plan
