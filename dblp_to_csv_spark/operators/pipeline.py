@@ -617,3 +617,64 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+@register(
+    "eval_contamination_report",
+    tags=("pipeline", "dedup", "join"),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM w)
+        ),
+        ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+        tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+        matched AS (SELECT DISTINCT e.shingle FROM ev e JOIN tr USING (shingle))
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(m.shingle) AS BIGINT) AS n_contaminated,
+               ROUND(COUNT(m.shingle) * 1.0 / COUNT(*), 6)
+                   AS contamination_frac
+        FROM ev e LEFT JOIN matched m ON m.shingle = e.shingle
+        GROUP BY e.doc_id
+    """,
+)
+def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL-side view of decontamination: per benchmark item (the
+    ``EVAL_MOD`` stand-in set), what fraction of its distinct shingles
+    occurs anywhere in the training corpus — the severity report that
+    decides whether to drop the eval item (hopelessly leaked) or just the
+    matching training docs (``decontaminate_against_eval``'s output).
+    Benchmark cards report exactly this number.
+
+    Scale shape: the ROLES of decontamination invert but the broadcast
+    direction does not — the eval shingle set is still the small side, so
+    it broadcasts and the corpus-sized training shingle stream semi-joins
+    against it map-side; only MATCHED shingles (≤ eval set size) survive
+    to the distinct + the per-item coverage join. The corpus never
+    shuffles; eval docs too short to shingle produce no rows (their
+    contamination is undefined, not zero)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0),
+        with_doc_id=True,
+        distinct_in_doc=True,
+    )
+    tr = _exploded_shingles(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0), with_doc_id=False
+    )
+    matched = (
+        tr.join(F.broadcast(ev.select("shingle").distinct()), "shingle", "left_semi")
+        .distinct()
+        .withColumnRenamed("shingle", "m_shingle")
+    )
+    j = ev.join(
+        F.broadcast(matched), ev["shingle"] == matched["m_shingle"], "left"
+    )
+    hit = F.count(F.col("m_shingle"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        hit.cast("long").alias("n_contaminated"),
+        F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("contamination_frac"),
+    )

@@ -328,3 +328,14 @@ def test_triangle_count_equijoins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_eval_contamination_broadcasts_eval_side(spark):
+    """eval_contamination_report: both the corpus semi-join probe and the
+    per-item coverage join must broadcast the (eval-sized) small side —
+    the corpus shingle stream is never sort-merge-joined or reshuffled."""
+    plan = _plan(spark, "eval_contamination_report")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -222,3 +222,54 @@ def test_incremental_index_probe_prunes_partitions(spark, tmp_path):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "prefix" in plan
+
+
+def test_streaming_foreachbatch_substring_dedup(spark, tmp_path):
+    """The production composition at window granularity: a document STREAM
+    rewrites each microbatch against the persistent window-hash index via
+    foreachBatch — a passage that arrived in an earlier microbatch is cut
+    from later arrivals, the stream's own history building the index."""
+    import json as _json
+
+    from dblp_to_csv_spark.operators.incremental import substring_dedup_incremental
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "widx")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def handle(batch_df, batch_id):
+        out = substring_dedup_incremental(
+            spark, batch_df, idx, staging_dir=str(tmp_path / f"stage_{batch_id}")
+        )
+        out.write.mode("append").parquet(lake)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("b1.json", [(1, "lead in words " + PASSAGE)])
+    run_once()
+    # second microbatch: same passage at a different offset + a clean doc
+    land("b2.json", [(10, PASSAGE + " fresh tail material"),
+                     (11, "totally unrelated text with no repeats at all")])
+    run_once()
+    rows = {r["doc_id"]: r for r in spark.read.parquet(lake).collect()}
+    assert set(rows) == {1, 10, 11}
+    assert PASSAGE in rows[1]["text_clean"]        # first arrival keeps it
+    assert PASSAGE not in rows[10]["text_clean"]   # later arrival loses it
+    assert rows[10]["n_words_dropped"] == len(PASSAGE.split())
+    assert rows[11]["n_words_dropped"] == 0
