@@ -368,3 +368,69 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "session_window_events",
+    tags=("window", "time", "session"),
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w
+                                >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows (``F.session_window``) — the JVM-side
+    gap-merging aggregate, completing the tumbling/sliding/session window
+    trio. Unlike ``sessionize_events`` (a lag+flag window-function
+    formulation that yields per-event session numbers), this is the
+    groupBy-native operator: sessions merge inside the aggregation, the
+    same code runs under Structured Streaming with a watermark, and no
+    per-event row survives the shuffle — the exchange carries session
+    partials only.
+
+    Boundary contract: Spark merges an event into a session while
+    ``ts < prev_end = prev_ts + gap`` — a gap of EXACTLY
+    {SESSION_GAP_MIN} minutes starts a NEW session. The oracle's flag
+    therefore splits on ``>=`` where sessionize_events splits on ``>`` —
+    the two operators genuinely differ on exact-gap events, which is why
+    both exist and each carries its own oracle. session_end here is
+    Spark's definition: last event + gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
