@@ -2,10 +2,12 @@
 convert it end-to-end (annotate mode), report records/sec.
 
 Usage: python scripts/bench_etl.py [n_records] [out_dir] [--single-pass] [--wide]
-                                   [--reuse]
+                                   [--types=K] [--reuse]
 
 --wide: 10 record types instead of 3 — the shape where per-type scans pay
 N full corpus reads and the single-pass envelope pays one.
+--types=K: K record types (3 base + K-3 synthetic) — the axis along which
+the per-type mode degrades linearly while single-pass stays one read.
 --reuse: skip corpus generation when out_dir/corpus.xml already exists
 (multi-GB corpora take minutes to write; mode A/B runs share one corpus).
 """
@@ -28,10 +30,17 @@ WIDE_TYPES = [
 ]
 
 
-def generate(n: int, d: Path, wide: bool = False) -> tuple[str, str]:
+def generate(
+    n: int, d: Path, wide: bool = False, n_types: int | None = None
+) -> tuple[str, str]:
     rng = random.Random(42)
     xml, dtd = d / "corpus.xml", d / "corpus.dtd"
-    base_types = ["article", "inproceedings", "book"] + (WIDE_TYPES if wide else [])
+    extra_types = list(WIDE_TYPES) if wide else []
+    if n_types is not None and n_types > 3:
+        extra_types = (WIDE_TYPES + [
+            f"xtype{i:03d}" for i in range(n_types - 3 - len(WIDE_TYPES))
+        ])[: n_types - 3]
+    base_types = ["article", "inproceedings", "book"] + extra_types
     dtd.write_text(
         f"<!ELEMENT dblp ({'|'.join(base_types)})*>\n"
         "<!ELEMENT article (author|title|year|journal|pages)*>\n"
@@ -40,7 +49,7 @@ def generate(n: int, d: Path, wide: bool = False) -> tuple[str, str]:
         + "".join(
             f"<!ELEMENT {t} (author|title|year)*>\n"
             f"<!ATTLIST {t} key CDATA #REQUIRED>\n"
-            for t in (WIDE_TYPES if wide else [])
+            for t in extra_types
         )
         + "<!ELEMENT author (#PCDATA)>\n<!ELEMENT title (#PCDATA)>\n"
         "<!ELEMENT year (#PCDATA)>\n<!ELEMENT journal (#PCDATA)>\n"
@@ -50,15 +59,13 @@ def generate(n: int, d: Path, wide: bool = False) -> tuple[str, str]:
         '<!ATTLIST inproceedings key CDATA #REQUIRED>\n'
         '<!ATTLIST book key CDATA #REQUIRED>\n'
     )
-    kinds = ["article", "article", "inproceedings", "book"] + (
-        WIDE_TYPES if wide else []
-    )
+    kinds = ["article", "article", "inproceedings", "book"] + extra_types
     extra = {
         "article": "<journal>Journal {j}</journal><pages>{a}-{b}</pages>",
         "inproceedings": "<booktitle>Conf {j}</booktitle>",
         "book": "<publisher>Pub {j}</publisher>",
     }
-    extra.update({t: "" for t in WIDE_TYPES})
+    extra.update({t: "" for t in extra_types})
     with open(xml, "w", encoding="utf-8") as f:
         f.write('<?xml version="1.0"?>\n<dblp>\n')
         for i in range(n):
@@ -85,10 +92,15 @@ def main() -> None:
     wide = "--wide" in sys.argv
     reuse = "--reuse" in sys.argv
     doc_order = "--doc-order" in sys.argv
+    n_types_arg = None
+    for a in sys.argv[1:]:
+        if a.startswith("--types="):
+            n_types_arg = int(a.split("=", 1)[1])
     args = [
         a
         for a in sys.argv[1:]
         if a not in ("--single-pass", "--wide", "--reuse", "--doc-order")
+        and not a.startswith("--types=")
     ]
     n = int(args[0]) if len(args) > 0 else 200_000
     out_dir = Path(args[1]) if len(args) > 1 else Path(tempfile.mkdtemp())
@@ -98,7 +110,7 @@ def main() -> None:
     if reuse and (out_dir / "corpus.xml").exists():
         xml, dtd = str(out_dir / "corpus.xml"), str(out_dir / "corpus.dtd")
     else:
-        xml, dtd = generate(n, out_dir, wide=wide)
+        xml, dtd = generate(n, out_dir, wide=wide, n_types=n_types_arg)
     gen_s = time.perf_counter() - t0
     size_mb = Path(xml).stat().st_size / 1e6
 
@@ -126,7 +138,7 @@ def main() -> None:
                 "metric": "etl_records_per_sec",
                 "single_pass": single_pass,
                 "id_order": "document" if doc_order else "table",
-                "n_types": (10 if wide else 3),
+                "n_types": (n_types_arg if n_types_arg else (10 if wide else 3)),
                 "value": round(n / convert_s, 1),
                 "unit": "records/sec",
                 "n_records": result.total_records,
