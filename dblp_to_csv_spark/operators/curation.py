@@ -401,7 +401,11 @@ def curate_corpus(
     Round 8: the VERIFIED PAIR FRAME itself is now the shared checkpoint —
     one MinHash chain feeds connected components AND graph PageRank, so
     adding a graph report costs only its own iterations, never another
-    pair search."""
+    pair search. The composite now also emits ``clean_corpus``: the
+    canonical survivors additionally passed through the exact-substring
+    rewrite (document-level near-dup drop, THEN passage-level cut — the
+    order production pipelines use, since whole-doc dedup first shrinks
+    the window-marking input)."""
     import os
 
     from dblp_to_csv_spark.operators.dedup import (
@@ -415,11 +419,16 @@ def curate_corpus(
     pairs = spark.read.parquet(pairs_path)
     labels = connected_components_min_label(spark, sf_dir, pairs=pairs)
     docs = load_table(spark, sf_dir, "documents")
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    kept_docs = docs.join(_broadcast_if_small(drop), "doc_id", "left_anti")
     return {
         "labels": labels,
         "cluster_stats": _cluster_stats_from_labels(labels, docs),
         "keep_canonical": _keep_canonical_from_labels(labels, docs),
         "pagerank": dedup_graph_pagerank(spark, sf_dir, pairs=pairs),
+        "clean_corpus": substring_rewrite_frame(
+            spark, kept_docs.select("doc_id", "text")
+        ),
     }
 
 
@@ -879,9 +888,18 @@ def _span_window_base(docs: DataFrame) -> DataFrame:
 
 
 def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
-    """Shared front half of both substring-dedup operators: the tokenized
-    corpus with window counts, and the (doc_id, pos) occurrences of every
-    duplicated window EXCEPT its canonical (globally first by (doc_id, pos))
+    """sf_dir-loading wrapper around ``_substring_marked_from_docs`` —
+    shared front half of the two registered substring-dedup queries."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    return _substring_marked_from_docs(spark, docs)
+
+
+def _substring_marked_from_docs(spark: SparkSession, docs: DataFrame):
+    """Front half of substring dedup over a (doc_id, w) token frame: the
+    window base, and the (doc_id, pos) occurrences of every duplicated
+    window EXCEPT its canonical (globally first by (doc_id, pos))
     occurrence.
 
     Plan shape: one corpus-sized shuffle of (hash) rows into a partial/final
@@ -899,9 +917,6 @@ def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
 
     from dblp_to_csv_spark.session import session_checkpoint_dir
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("w")
-    )
     base = _span_window_base(docs)
     occ = base.select("doc_id", F.posexplode("hashes").alias("pos", "h"))
     dup = (
@@ -1071,7 +1086,19 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     in [j - SPAN_WORDS + 1, j]) — the document text itself never shuffles;
     the oracle's exploded dropped-set anti-join is the relational twin of
     the same mask."""
-    base, marked = _substring_base_and_marked(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    return substring_rewrite_frame(spark, docs)
+
+
+def substring_rewrite_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The rewrite over an arbitrary document frame — (doc_id, text) or
+    pre-tokenized (doc_id, w) — shared by the registered query and
+    ``curate_corpus``'s passage-rewrite stage."""
+    if "w" not in docs.columns:
+        docs = docs.select("doc_id", words("text").alias("w"))
+    base, marked = _substring_marked_from_docs(spark, docs)
     starts_df = marked.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("dup_starts")
     )

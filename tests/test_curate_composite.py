@@ -21,7 +21,9 @@ def test_composite_matches_registered_queries(spark):
     from dblp_to_csv_spark.operators.dedup import dedup_graph_pagerank
 
     out = curate_corpus(spark, SF_CORRECTNESS)
-    assert set(out) == {"labels", "cluster_stats", "keep_canonical", "pagerank"}
+    assert set(out) == {
+        "labels", "cluster_stats", "keep_canonical", "pagerank", "clean_corpus"
+    }
     stats = _rows(out["cluster_stats"])
     kept = _rows(out["keep_canonical"])
     assert stats == _rows(dedup_cluster_stats(spark, SF_CORRECTNESS))
@@ -37,3 +39,20 @@ def test_composite_matches_registered_queries(spark):
     kept_ids = {r[0] for r in kept}
     for doc_id, component in labels.items():
         assert (doc_id in kept_ids) == (doc_id == component)
+    # clean_corpus: the passage-rewrite stage runs on exactly the canonical
+    # survivors, and matches the independent pure-Python window-marking
+    # reference on that subset (windows compared as tuples, no hashing)
+    from tests.test_substring_dedup import _reference
+
+    import duckdb
+
+    kept_texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_CORRECTNESS}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    kept_texts = [(d, t) for d, t in kept_texts if d in kept_ids]
+    _, ref_rewrite = _reference(kept_texts)
+    got = sorted(
+        (r["doc_id"], r["text_clean"], r["n_words_dropped"])
+        for r in out["clean_corpus"].collect()
+    )
+    assert got == sorted(ref_rewrite)
