@@ -507,3 +507,55 @@ def bitwise_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("o_custkey") % 64, 2).cast("long").alias("shifted"),
         F.getbit(F.col("o_orderkey"), F.lit(3)).alias("bit3"),
     )
+
+
+@register(
+    "xml_functions_gallery",
+    tags=("functions", "xml"),
+    oracle="""
+        SELECT doc_id,
+               lang AS xml_lang,
+               CAST(n_chars AS BIGINT) AS xml_chars,
+               source AS xpath_source,
+               'doc-' || CAST(doc_id AS VARCHAR) AS xpath_key
+        FROM documents
+    """,
+)
+def xml_functions_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SCALAR functions outside the ETL plan: the engine's core ingest
+    is XML (plans/etl.py), but Spark also exposes XML as row-level
+    expressions — ``to_xml`` / ``from_xml`` / ``xpath_string`` /
+    ``xpath_long``. The gallery round-trips each document's fields through
+    a constructed XML fragment and extracts them back with BOTH APIs
+    (schema'd from_xml and positional xpath), so the oracle is the
+    original columns — any asymmetry in Spark's writer/parser pair or
+    xpath evaluation breaks the hash. All JVM expressions; the fragment
+    never leaves the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    frag = F.to_xml(
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("chars"),
+            F.struct(
+                F.concat(F.lit("doc-"), F.col("doc_id")).alias("_key"),
+                F.col("source").alias("_VALUE"),
+            ).alias("src"),
+        ),
+        {"rowTag": "doc"},
+    )
+    staged = docs.select("doc_id", frag.alias("xml"))
+    parsed = F.from_xml(
+        F.col("xml"),
+        "lang string, chars long, src struct<_key string, _VALUE string>",
+    )
+    return staged.select(
+        "doc_id",
+        parsed["lang"].alias("xml_lang"),
+        parsed["chars"].alias("xml_chars"),
+        F.xpath_string(F.col("xml"), F.lit("/doc/src/text()")).alias(
+            "xpath_source"
+        ),
+        # to_xml strips the "_" attributePrefix on write: struct field
+        # `_key` lands in the document as attribute `key`
+        F.xpath_string(F.col("xml"), F.lit("/doc/src/@key")).alias("xpath_key"),
+    )
