@@ -678,3 +678,78 @@ def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.cast("long").alias("n_contaminated"),
         F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("contamination_frac"),
     )
+
+
+CHUNK_TOKENS = 32  # overlapping-chunk width (tokens)
+CHUNK_STRIDE = 24  # stride between chunk starts (25% overlap)
+
+
+@register(
+    "chunk_documents_overlapping",
+    tags=("pipeline", "text"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        b AS (
+            SELECT doc_id, w,
+                   CASE WHEN len(w) = 0 THEN 0
+                        WHEN len(w) <= {CHUNK_TOKENS} THEN 1
+                        ELSE CAST(CEIL((len(w) - {CHUNK_TOKENS})
+                                       * 1.0 / {CHUNK_STRIDE}) AS INT) + 1
+                   END AS n_chunks
+            FROM t
+        )
+        SELECT doc_id, u.i AS chunk_idx,
+               array_to_string(
+                   list_slice(w, u.i * {CHUNK_STRIDE} + 1,
+                              u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+                   AS chunk_text,
+               CAST(LEAST({CHUNK_TOKENS},
+                          len(w) - u.i * {CHUNK_STRIDE}) AS BIGINT)
+                   AS n_tokens
+        FROM b, UNNEST(CASE WHEN n_chunks > 0
+                       THEN generate_series(0, n_chunks - 1)
+                       ELSE [] END) AS u(i)
+    """,
+)
+def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-stride document chunking — the retrieval/context-prep
+    twin of sequence packing: each document becomes ceil((n−size)/stride)+1
+    chunks of CHUNK_TOKENS tokens starting every CHUNK_STRIDE (25%
+    overlap), so no boundary sentence is ever lost to a hard cut. The
+    standard RAG-ingest shape (chunk → embed → index); `pack_concat_chunks`
+    is the training-shape sibling (non-overlapping, budget-packed).
+
+    Scale shape: pure in-row fan-out — chunk starts come from a sequence
+    over the doc's own token array and each chunk re-slices that array, so
+    the operator fuses into the scan with no shuffle at all (plan-gated);
+    output size is the retrieval-index size by design (~n/stride chunks
+    per doc). The final chunk is the natural short tail; a document
+    shorter than one chunk yields exactly itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n = F.size(w)
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= CHUNK_TOKENS, F.lit(1))
+        .otherwise(
+            F.ceil((n - CHUNK_TOKENS) * 1.0 / CHUNK_STRIDE).cast("int") + 1
+        )
+    )
+    staged = docs.select("doc_id", "w", n_chunks.alias("n_chunks"))
+    idxs = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        "doc_id", "w", F.explode(idxs).alias("chunk_idx")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(w, F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size(w) - F.col("chunk_idx") * CHUNK_STRIDE
+        ).cast("long").alias("n_tokens"),
+    )

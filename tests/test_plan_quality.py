@@ -339,3 +339,11 @@ def test_eval_contamination_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_overlapping_chunker_is_scan_fused(spark):
+    """chunk_documents_overlapping: pure in-row fan-out — no exchange, no
+    Python; the explode and the chunk slices fuse into the document scan."""
+    plan = _plan(spark, "chunk_documents_overlapping")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
