@@ -100,12 +100,20 @@ def detect_type_column(col: Column | str) -> Column:
         # regex gate in front rejects the extra formats cast would accept.
         # (try_to_timestamp(format) was ~1000× slower here — exception-driven
         # interpreted fallback.)
+        # year-0000 guard: java.time (and DuckDB) accept proleptic year 0,
+        # but the reference's date.fromisoformat/strptime reject it
+        # (datetime.MINYEAR == 1) — found by the hypothesis ladder property.
+        # substr, not regex lookahead: the DuckDB twin runs on RE2, which
+        # has no lookahead, and the two ladders must stay expression-twins.
         .when(
-            c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$") & c.try_cast("date").isNotNull(),
+            c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+            & (c.substr(1, 4) != "0000")
+            & c.try_cast("date").isNotNull(),
             TYPE_DATE,
         )
         .when(
             c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?$")
+            & (c.substr(1, 4) != "0000")
             & c.try_cast("timestamp").isNotNull(),
             TYPE_DATETIME,
         )
@@ -122,8 +130,10 @@ DETECT_TYPE_SQL = """
       WHEN regexp_matches({col}, '^\\p{{Nd}}+$') THEN 'integer'
       WHEN regexp_matches({col}, '^\\p{{Nd}}+\\.\\p{{Nd}}+$') THEN 'float'
       WHEN regexp_matches({col}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+           AND substr({col}, 1, 4) <> '0000'
            AND TRY_CAST({col} AS DATE) IS NOT NULL THEN 'date'
       WHEN regexp_matches({col}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}} [0-9]{{2}}:[0-9]{{2}}(:[0-9]{{2}})?$')
+           AND substr({col}, 1, 4) <> '0000'
            AND TRY_CAST(CASE WHEN length({col}) = 16 THEN {col} || ':00' ELSE {col} END
                         AS TIMESTAMP) IS NOT NULL THEN 'datetime'
       WHEN LOWER({col}) IN ('true', 'false') THEN 'boolean'

@@ -84,6 +84,12 @@ def test_python_ladder_matches_duckdb(duck, value):
         ("٢٠٢٠-01-01 12:30", "datetime", "string"),  # the strptime year quirk
         ("2020-01-01 12:3٠", "datetime", "string"),  # trailing-digit quirk
         ("2020-٠١-01 12:30", "string", "string"),  # month field is ASCII-only
+        # proleptic year 0: java.time/DuckDB casts accept it, Python's
+        # MINYEAR=1 rejects — the ladders carry an explicit substr guard
+        # so all three engines agree on 'string' (hypothesis-found, r8)
+        ("0000-01-01", "string", "string"),
+        ("0000-12-31 23:59:59", "string", "string"),
+        ("0001-01-01", "date", "date"),  # first valid proleptic year
     ],
 )
 def test_documented_datetime_deviation(duck, value, py_verdict, sql_verdict):
