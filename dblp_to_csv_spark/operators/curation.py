@@ -373,13 +373,18 @@ def _cluster_stats_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def _kept_docs_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Canonical-survivor docs (all columns) from an existing label frame —
+    the ONE definition of the drop rule (doc_id != component), shared by
+    the keep-canonical report and curate_corpus's rewrite input."""
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti")
+
+
 def _keep_canonical_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
     """Canonical-survivor selection from an existing label frame — shared by
     the registered query and ``curate_corpus``."""
-    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti").select(
-        "doc_id", "lang", "source"
-    )
+    return _kept_docs_from_labels(labels, docs).select("doc_id", "lang", "source")
 
 
 def curate_corpus(
@@ -419,8 +424,7 @@ def curate_corpus(
     pairs = spark.read.parquet(pairs_path)
     labels = connected_components_min_label(spark, sf_dir, pairs=pairs)
     docs = load_table(spark, sf_dir, "documents")
-    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    kept_docs = docs.join(_broadcast_if_small(drop), "doc_id", "left_anti")
+    kept_docs = _kept_docs_from_labels(labels, docs)
     return {
         "labels": labels,
         "cluster_stats": _cluster_stats_from_labels(labels, docs),
@@ -917,8 +921,23 @@ def _substring_marked_from_docs(spark: SparkSession, docs: DataFrame):
 
     from dblp_to_csv_spark.session import session_checkpoint_dir
 
+    def checkpoint_then_gate(dup: DataFrame) -> DataFrame:
+        dup_path = os.path.join(session_checkpoint_dir("_substr_"), "dup")
+        dup.write.mode("overwrite").parquet(dup_path)
+        return _broadcast_if_small(spark.read.parquet(dup_path))
+
     base = _span_window_base(docs)
     occ = base.select("doc_id", F.posexplode("hashes").alias("pos", "h"))
+    return base, noncanonical_marked(occ, prepare=checkpoint_then_gate)
+
+
+def noncanonical_marked(occ: DataFrame, prepare=lambda dup: dup) -> DataFrame:
+    """The canonical-pick rule in ONE place (batch query and incremental
+    index path both call it): from a (doc_id, pos, h) occurrence frame,
+    the occurrences of every duplicated hash EXCEPT its (doc_id, pos)-min
+    first occurrence. ``prepare`` wraps the duplicated-hash table before
+    the attach join — checkpoint + size-gated broadcast for the corpus
+    queries, plain broadcast for the (batch-sized) incremental path."""
     dup = (
         occ.groupBy("h")
         .agg(
@@ -928,18 +947,42 @@ def _substring_marked_from_docs(spark: SparkSession, docs: DataFrame):
         .filter(F.col("cnt") > 1)
         .select("h", "first")
     )
-    dup_path = os.path.join(session_checkpoint_dir("_substr_"), "dup")
-    dup.write.mode("overwrite").parquet(dup_path)
-    dup = spark.read.parquet(dup_path)
-    marked = (
-        occ.join(_broadcast_if_small(dup), "h")
+    return (
+        occ.join(prepare(dup), "h")
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))
         )
         .select("doc_id", "pos")
     )
-    return base, marked
+
+
+def rewrite_from_marked(
+    base: DataFrame, marked: DataFrame, attach=None
+) -> DataFrame:
+    """The position-mask rewrite in ONE place: collect each doc's duplicated
+    window starts as a sorted array, cut every covered word in-row, and
+    reassemble. ``attach`` wraps the per-doc start frame before the left
+    join (defaults to the size-gated broadcast)."""
+    if attach is None:
+        attach = _broadcast_if_small
+    starts_df = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dup_starts")
+    )
+    joined = base.join(attach(starts_df), "doc_id", "left")
+    w = F.col("w")
+    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        w,
+        lambda x, j: ~F.exists(
+            starts, lambda s: (s <= j) & (s >= j - (SPAN_WORDS - 1))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        (F.size(w) - F.size(kept)).cast("long").alias("n_words_dropped"),
+    )
 
 
 # Shared oracle CTEs: tokenize -> sliding windows -> duplicated non-canonical
@@ -1099,23 +1142,7 @@ def substring_rewrite_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     if "w" not in docs.columns:
         docs = docs.select("doc_id", words("text").alias("w"))
     base, marked = _substring_marked_from_docs(spark, docs)
-    starts_df = marked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("dup_starts")
-    )
-    joined = base.join(_broadcast_if_small(starts_df), "doc_id", "left")
-    w = F.col("w")
-    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        w,
-        lambda x, j: ~F.exists(
-            starts, lambda s: (s <= j) & (s >= j - (SPAN_WORDS - 1))
-        ),
-    )
-    return joined.select(
-        "doc_id",
-        F.array_join(kept, " ").alias("text_clean"),
-        (F.size(w) - F.size(kept)).cast("long").alias("n_words_dropped"),
-    )
+    return rewrite_from_marked(base, marked)
 
 
 @register(

@@ -125,19 +125,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_counts(
-    spark: SparkSession, sf_dir: str, e0: DataFrame | None = None
-) -> DataFrame:
-    """(node, n_triangles) for every node in ≥1 triangle — the degree-
-    oriented enumeration shared by the count and coefficient queries.
-    ``e0`` lets a composite pass the already-checkpointed edge frame."""
-    if e0 is None:
-        e0 = copart_edges(spark, sf_dir)
-    deg = (
+def degrees(e0: DataFrame) -> DataFrame:
+    """(n, deg) over the undirected edge frame — shared by orientation,
+    the clustering coefficient, and any consumer that would otherwise
+    re-run the endpoint-explode aggregate."""
+    return (
         e0.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def triangle_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    e0: DataFrame | None = None,
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """(node, n_triangles) for every node in ≥1 triangle — the degree-
+    oriented enumeration shared by the count and coefficient queries.
+    ``e0``/``deg`` let a composite pass the already-checkpointed edge
+    frame and its degree aggregate instead of recomputing them."""
+    if e0 is None:
+        e0 = copart_edges(spark, sf_dir)
+    if deg is None:
+        deg = degrees(e0)
     # Orient each edge from its (deg, id)-smaller endpoint to the larger.
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
@@ -200,12 +212,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     The single float division happens once per node on both engines
     (float64, correctly rounded), so 6-dp rounding is hash-stable."""
     e0 = copart_edges(spark, sf_dir)
-    cnt = triangle_counts(spark, sf_dir, e0=e0)
-    deg = (
-        e0.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = degrees(e0)
+    cnt = triangle_counts(spark, sf_dir, e0=e0, deg=deg)
+    deg = deg.withColumnRenamed("n", "node")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )

@@ -293,8 +293,9 @@ def substring_dedup_incremental(
     prefix-pruned index scan, and only matched hashes (≤ batch distinct)
     come back."""
     from dblp_to_csv_spark.operators.curation import (
-        SPAN_WORDS,
         _span_window_base,
+        noncanonical_marked,
+        rewrite_from_marked,
     )
 
     base = _stage(
@@ -323,44 +324,17 @@ def substring_dedup_incremental(
         F.broadcast(distinct_h.select("h")), "h", "left_semi"
     ).select("h")
     matched = _stage(matched, staging_dir, "substr_matched")
+    # historical hits cut ALL their batch occurrences; batch-internal dups
+    # reuse the curation module's canonical-pick rule verbatim (ONE
+    # definition of "first occurrence" — the sequential-equals-batch
+    # contract depends on the two paths never drifting)
     marked_hist = occ.join(F.broadcast(matched), "h", "left_semi").select(
         "doc_id", "pos"
     )
-    dup_batch = (
-        occ.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        .filter(F.col("cnt") > 1)
-        .select("h", "first")
-    )
-    marked_batch = (
-        occ.join(F.broadcast(dup_batch), "h")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
-        .select("doc_id", "pos")
-    )
+    marked_batch = noncanonical_marked(occ, prepare=F.broadcast)
     marked = marked_hist.union(marked_batch).distinct()
-    starts_df = marked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("dup_starts")
-    )
-    w = F.col("w")
-    starts = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        w,
-        lambda x, j: ~F.exists(
-            starts, lambda s: (s <= j) & (s >= j - (SPAN_WORDS - 1))
-        ),
-    )
     accepted = _stage(
-        base.join(F.broadcast(starts_df), "doc_id", "left").select(
-            "doc_id",
-            F.array_join(kept, " ").alias("text_clean"),
-            (F.size(w) - F.size(kept)).cast("long").alias("n_words_dropped"),
-        ),
+        rewrite_from_marked(base, marked, attach=F.broadcast),
         staging_dir,
         "substr_accepted",
     )

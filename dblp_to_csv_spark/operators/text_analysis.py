@@ -492,13 +492,17 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
+    # empty-text guard: sequence(1, 0) DESCENDS ([1, 0]) in Spark, which
+    # would fabricate two '' characters for an empty document while the
+    # oracle's generate_series(1, 0) yields none — same pitfall shingles()
+    # guards with its size check
+    positions = F.when(
+        F.length("t") > 0, F.sequence(F.lit(1), F.length("t"))
+    ).otherwise(F.array().cast("array<int>"))
     chars = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t")),
-                lambda i: F.col("t").substr(i, F.lit(1)),
-            )
+            F.transform(positions, lambda i: F.col("t").substr(i, F.lit(1)))
         ).alias("c"),
     )
     cnt = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))

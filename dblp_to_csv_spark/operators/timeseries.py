@@ -375,7 +375,7 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "time", "session"),
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                    CASE WHEN LAG(ts) OVER w IS NULL
                              OR ts - LAG(ts) OVER w
                                 >= INTERVAL {SESSION_GAP_MIN} MINUTE
@@ -384,9 +384,13 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
+            -- ORDER BY (ts, event_id), matching the flag window: ordering
+            -- by ts alone makes the ROWS-frame sum nondeterministic on
+            -- duplicate (user_id, ts) rows — the flagged row could be
+            -- summed after its tie-partner and split the session
             SELECT user_id, ts, value,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_seq
             FROM flagged

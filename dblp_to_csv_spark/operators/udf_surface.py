@@ -284,7 +284,10 @@ def arrow_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sc = max(float(np.max(np.abs(e))), 1e-12) if e.size else 1e-12
                 codes = np.floor(127.0 * e / sc + 0.5).astype(np.int32)
                 qs.append("|".join(str(c) for c in codes))
-                scales.append(round(sc, 9))
+                # half-AWAY rounding (floor(x*1e9+0.5)/1e9; sc > 0 always):
+                # Python's round() is banker's half-even and would diverge
+                # from DuckDB ROUND on exact 9-dp ties
+                scales.append(np.floor(sc * 1e9 + 0.5) / 1e9)
             yield pa.RecordBatch.from_pydict(
                 {
                     "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),

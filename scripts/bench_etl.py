@@ -138,7 +138,10 @@ def main() -> None:
                 "metric": "etl_records_per_sec",
                 "single_pass": single_pass,
                 "id_order": "document" if doc_order else "table",
-                "n_types": (n_types_arg if n_types_arg else (10 if wide else 3)),
+                # clamp to what generate() actually produced: K <= 3 still
+                # generates the 3 base types (and --reuse keeps whatever the
+                # shared corpus was generated with)
+                "n_types": (max(n_types_arg, 3) if n_types_arg else (10 if wide else 3)),
                 "value": round(n / convert_s, 1),
                 "unit": "records/sec",
                 "n_records": result.total_records,

@@ -273,3 +273,33 @@ def test_streaming_foreachbatch_substring_dedup(spark, tmp_path):
     assert PASSAGE not in rows[10]["text_clean"]   # later arrival loses it
     assert rows[10]["n_words_dropped"] == len(PASSAGE.split())
     assert rows[11]["n_words_dropped"] == 0
+
+
+def test_char_entropy_empty_text(spark, tmp_path):
+    """Regression (review r8): sequence(1, 0) DESCENDS in Spark, so an
+    empty document fabricated two phantom '' characters before the guard —
+    the oracle's generate_series(1, 0) correctly yields none. An empty doc
+    must simply produce no entropy row on either engine."""
+    import duckdb
+
+    from dblp_to_csv_spark.registry import all_queries
+
+    docs = [(0, ""), (1, "abab")]
+    pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    entry = all_queries()["text_char_entropy"]
+    got = {
+        r["doc_id"]: (r["n_chars_counted"], r["char_entropy"])
+        for r in entry.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        d: (n, e) for d, n, e in con.execute(entry.oracle).fetchall()
+    }
+    assert got == want
+    assert 0 not in got          # empty doc: no row on either engine
+    assert got[1][0] == 4        # 'abab': 4 chars, two symbols
