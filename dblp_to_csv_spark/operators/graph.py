@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.registry import register
@@ -469,3 +469,103 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair ranking is nearly preserved — capped ⊆ exact pairs is pinned in
     tests/test_graph_analytics.py. Measured 24 s → ~3 s at sf0.1."""
     return graph_adamic_adar(spark, sf_dir, deg_cap=AA_DEG_CAP)
+
+
+# Coreness contract: exactly CORENESS_ROUNDS h-index iterations (same
+# fixed-round discipline as PageRank and graph_kcore — early exit at the
+# fixpoint is a no-op skip, never a semantic change, because the estimate
+# is monotone non-increasing and an unchanged round is a fixpoint). The
+# estimate AT the fixpoint is the exact coreness (Montresor et al. 2011);
+# tests pin that the budget covers convergence on the test corpus with
+# margin, plus consistency with graph_kcore's fixed-k membership.
+CORENESS_ROUNDS = 30
+
+
+def _coreness_oracle() -> str:
+    steps = []
+    prev = "c0"
+    for t in range(1, CORENESS_ROUNDS + 1):
+        steps.append(f"""
+        c{t} AS MATERIALIZED (
+            SELECT u AS n, MAX(LEAST(rnk, c)) AS cor FROM (
+                SELECT und.u, {prev}.cor AS c,
+                       ROW_NUMBER() OVER (PARTITION BY und.u
+                                          ORDER BY {prev}.cor DESC) AS rnk
+                FROM und JOIN {prev} ON {prev}.n = und.v
+            ) GROUP BY u
+        )""")
+        prev = f"c{t}"
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        c0 AS (SELECT u AS n, COUNT(*) AS cor FROM und GROUP BY u),
+        {",".join(steps)}
+        SELECT p.p_partkey AS l_partkey,
+               CAST(COALESCE({prev}.cor, 0) AS BIGINT) AS coreness
+        FROM part p LEFT JOIN {prev} ON {prev}.n = p.p_partkey
+    """
+
+
+@register("graph_coreness", tags=("graph", "iterative"), oracle=_coreness_oracle())
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL core decomposition — every node's core number in one pass
+    family, not one k at a time: iterate the neighborhood h-index
+    (cor'(u) = max h such that ≥ h neighbors have cor ≥ h, seeded with the
+    degree) to its fixpoint, which IS the coreness (Montresor, De Pellegrini
+    & Miorandi 2011). Integer arithmetic end to end, so the unrolled-CTE
+    oracle is hash-exact — the same trick that made PageRank verifiable.
+
+    Scale shape: each round is one equi-join of the edge list with the
+    (node, cor) frame and a per-node h-index — a window over each node's
+    OWN neighbor list (bounded by its degree, hash-partitioned by node,
+    never global) then max(least(rank, cor)). Estimates only decrease, so
+    convergence detection is one sum comparison per round (strict monotone
+    — the CC loop's trick); per-round parquet checkpoints cut lineage.
+    Cross-operator invariant pinned in tests: {{coreness ≥ k}} is exactly
+    graph_kcore's k-core membership."""
+    import os
+
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
+    base_dir = session_checkpoint_dir("_coreness_")
+    e0 = copart_edges(spark, sf_dir, checkpoint=False)
+    und_path = os.path.join(base_dir, "und")
+    e0.select("u", "v").union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).write.mode("overwrite").parquet(und_path)
+    und = spark.read.parquet(und_path)
+    cor = und.groupBy("u").agg(F.count(F.lit(1)).alias("cor")).select(
+        F.col("u").alias("n"), "cor"
+    )
+    total = cor.agg(F.sum("cor")).collect()[0][0]
+    per_node = Window.partitionBy("u").orderBy(F.desc("c"))
+    for rnd in range(CORENESS_ROUNDS):
+        nxt = (
+            und.join(cor, cor["n"] == und["v"])
+            .select("u", F.col("cor").alias("c"))
+            .withColumn("rnk", F.row_number().over(per_node))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("rnk"), F.col("c"))).alias("cor"))
+            .select(F.col("u").alias("n"), "cor")
+        )
+        nxt_path = os.path.join(base_dir, f"round_{rnd}")
+        nxt.write.mode("overwrite").parquet(nxt_path)
+        nxt = spark.read.parquet(nxt_path)
+        new_total = nxt.agg(F.sum("cor")).collect()[0][0]
+        converged = new_total == total
+        cor, total = nxt, new_total
+        if converged:
+            break
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return part.join(cor, part["l_partkey"] == cor["n"], "left").select(
+        "l_partkey",
+        F.coalesce(F.col("cor"), F.lit(0)).cast("long").alias("coreness"),
+    )

@@ -95,3 +95,54 @@ def test_adamic_adar_capped_subset_of_exact(spark):
         cn, sc = exact[key]
         assert r["common_neighbors"] <= cn
         assert r["aa_score"] <= sc + 1e-9
+
+
+def _coreness_fixpoint(edges) -> tuple[dict, int]:
+    """Pure-Python h-index iteration to fixpoint: (coreness map, rounds)."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cor = {n: len(adj[n]) for n in adj}
+    rounds = 0
+    while True:
+        new = {}
+        for n in adj:
+            vals = sorted((cor[m] for m in adj[n]), reverse=True)
+            h = 0
+            for i, c in enumerate(vals, 1):
+                if c >= i:
+                    h = i
+                else:
+                    break
+            new[n] = h
+        rounds += 1
+        if new == cor:
+            return cor, rounds
+        cor = new
+
+
+def test_coreness_round_budget_has_margin():
+    from dblp_to_csv_spark.operators.graph import CORENESS_ROUNDS
+
+    _, rounds = _coreness_fixpoint(_edges(SF_CORRECTNESS))
+    assert rounds * 1.5 <= CORENESS_ROUNDS, (
+        f"h-index took {rounds} rounds; budget {CORENESS_ROUNDS} < 1.5x margin"
+    )
+
+
+def test_coreness_matches_python_and_kcore(spark):
+    """graph_coreness equals the independent in-memory h-index fixpoint,
+    and {coreness >= KCORE_K} is exactly graph_kcore's membership — the
+    cross-operator invariant tying the two decompositions together."""
+    ref, _ = _coreness_fixpoint(_edges(SF_SMOKE))
+    rows = all_queries()["graph_coreness"].fn(spark, SF_SMOKE).collect()
+    got = {r["l_partkey"]: r["coreness"] for r in rows}
+    for n, c in ref.items():
+        assert got[n] == c
+    core = {
+        r["l_partkey"]
+        for r in all_queries()["graph_kcore"].fn(spark, SF_SMOKE).collect()
+        if r["in_core"]
+    }
+    assert {n for n, c in got.items() if c >= KCORE_K} == core
