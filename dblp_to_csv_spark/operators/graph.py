@@ -545,7 +545,18 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = cor.agg(F.sum("cor")).collect()[0][0]
     per_node = Window.partitionBy("u").orderBy(F.desc("c"))
+    # One ACTION per round: the convergence sum rides the checkpoint write
+    # via df.observe (executor-accumulated during the job the round already
+    # runs — the observed_keep_gate pattern), instead of a second count job
+    # over the checkpoint. Batching several rounds per checkpoint was tried
+    # and REGRESSED ~2× at sf0.1: chaining 5 join+window rounds in one job
+    # re-evaluates the un-materialized predecessor against both the join
+    # and the window, so the per-round checkpoint is load-bearing here,
+    # not just lineage hygiene.
+    from pyspark.sql import Observation
+
     for rnd in range(CORENESS_ROUNDS):
+        obs = Observation(f"coreness_{rnd}")
         nxt = (
             und.join(cor, cor["n"] == und["v"])
             .select("u", F.col("cor").alias("c"))
@@ -553,13 +564,13 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.max(F.least(F.col("rnk"), F.col("c"))).alias("cor"))
             .select(F.col("u").alias("n"), "cor")
+            .observe(obs, F.sum("cor").alias("s"))
         )
         nxt_path = os.path.join(base_dir, f"round_{rnd}")
         nxt.write.mode("overwrite").parquet(nxt_path)
-        nxt = spark.read.parquet(nxt_path)
-        new_total = nxt.agg(F.sum("cor")).collect()[0][0]
+        new_total = obs.get["s"]
         converged = new_total == total
-        cor, total = nxt, new_total
+        cor, total = spark.read.parquet(nxt_path), new_total
         if converged:
             break
     part = load_table(spark, sf_dir, "part").select(
