@@ -192,3 +192,85 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(F.col("dot") / (F.col("na") * F.col("nb")), 5).alias("centroid_cos"),
     )
+
+
+@register(
+    "drift_chi2_by_window",
+    tags=("drift", "stats", "time", "window"),
+    oracle="""
+        WITH obs AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        gmix AS (
+            SELECT event_type, SUM(n) AS nt FROM obs GROUP BY event_type
+        ),
+        tot AS (SELECT SUM(nt) AS n FROM gmix),
+        wtot AS (
+            SELECT window_start, SUM(n) AS nw FROM obs GROUP BY window_start
+        ),
+        grid AS (
+            SELECT w.window_start, g.event_type, w.nw,
+                   w.nw * g.nt * 1.0 / tot.n AS expected
+            FROM wtot w CROSS JOIN gmix g CROSS JOIN tot
+        ),
+        cells AS (
+            SELECT grid.window_start, grid.nw,
+                   POWER(COALESCE(obs.n, 0) - grid.expected, 2)
+                       / grid.expected AS contrib
+            FROM grid LEFT JOIN obs
+              ON obs.window_start = grid.window_start
+             AND obs.event_type = grid.event_type
+        )
+        SELECT window_start,
+               CAST(MAX(nw) AS BIGINT) AS n_events,
+               ROUND(SUM(contrib), 6) AS chi2
+        FROM cells GROUP BY window_start
+    """,
+)
+def drift_chi2_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS drift monitoring shape: per 1-hour tumbling window, the
+    chi-square statistic of that window's event-type mix against the
+    whole-corpus mix — the per-window health number a data-quality monitor
+    alerts on (a traffic shift or a broken producer spikes exactly this).
+    drift_chi2_source_lang answers "are two columns independent?" once;
+    this answers "does any time slice deviate from the norm?" per slice.
+
+    Scale shape: one (window, type) aggregate over the corpus (map-side
+    combined; the key space is hours × |event types|), then everything —
+    global mix, window totals, the expected grid, the chi-square fold —
+    runs on that reduced frame (a cross join of two tiny aggregates, the
+    drift-family contract). The same windowed aggregation core runs under
+    Structured Streaming with a watermark; the streaming twin's parity
+    with this query's counts is pinned in tests/test_streaming.py. ≤ |type|
+    float terms per window sum, so 6-dp rounding is hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    glob = obs.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    tot = glob.agg(F.sum("nt").alias("n_total"))
+    wtot = obs.groupBy("window_start").agg(F.sum("n").alias("nw"))
+    grid = (
+        wtot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window_start",
+            "event_type",
+            "nw",
+            (F.col("nw") * F.col("nt") * 1.0 / F.col("n_total")).alias("expected"),
+        )
+    )
+    cells = grid.join(obs, ["window_start", "event_type"], "left").select(
+        "window_start",
+        "nw",
+        (
+            F.pow(F.coalesce(F.col("n"), F.lit(0)) - F.col("expected"), 2)
+            / F.col("expected")
+        ).alias("contrib"),
+    )
+    return cells.groupBy("window_start").agg(
+        F.max("nw").cast("long").alias("n_events"),
+        F.round(F.sum("contrib"), 6).alias("chi2"),
+    )

@@ -363,3 +363,35 @@ def test_stream_observe_metrics_per_batch(spark, tmp_path):
     got = sum(m["value_sum"] for m in observed)
     want = events.agg(F.sum("value")).collect()[0][0]
     assert math.isclose(got, want, rel_tol=1e-9)
+
+
+def test_stream_windowed_type_mix_equals_batch_monitor(spark):
+    """The windowed drift monitor's aggregation core under Structured
+    Streaming: per-(hour window, event_type) counts with a watermark must
+    equal the batch drift_chi2_by_window observation frame — the chi-square
+    fold is driver-side arithmetic over this tiny frame, so count parity IS
+    monitor parity."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming import load_events_stream
+
+    stream = load_events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = _run_stream(agg, "drift_mix_test")
+    got = _canon(spark.sql("SELECT * FROM drift_mix_test").toPandas())
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = _canon(
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    q.stop()
