@@ -347,3 +347,30 @@ def test_overlapping_chunker_is_scan_fused(spark):
     plan = _plan(spark, "chunk_documents_overlapping")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Runtime Bloom-filter injection (InjectRuntimeFilter) — the
+    100 TB semi-join-reduction move for the case broadcast can't cover:
+    when a filtered dimension is too big to broadcast, Spark builds a
+    Bloom filter from the creation side and injects a codegen
+    might_contain(xxhash64(key)) predicate into the FACT SCAN stage, so
+    most fact rows die before the shuffle. Off by default; pinned here so
+    the engine's cluster conf recipe (SCALE.md §7) stays honest."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.sources.tables import load_table, temp_conf
+
+    with temp_conf(spark, "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"), \
+         temp_conf(spark, "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"), \
+         temp_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), \
+         temp_conf(spark, "spark.sql.adaptive.enabled", "false"):
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan
+    assert "xxhash64" in plan
