@@ -54,7 +54,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--output-format",
         choices=["csv", "parquet", "orc"],
         default="csv",
-        help="csv = reference parity; parquet = columnar scale sink (arrays kept native)",
+        help=(
+            "csv = reference parity; parquet = columnar scale sink (arrays "
+            "kept native); orc = same columnar semantics on the ORC "
+            "format for Hive/Trino-centered lakes"
+        ),
     )
     parser.add_argument(
         "--validate",

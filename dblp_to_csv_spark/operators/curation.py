@@ -388,7 +388,7 @@ def _keep_canonical_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame
 
 
 def curate_corpus(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> dict[str, DataFrame]:
     """Production composite (ROADMAP item 12): ONE MinHash-LSH →
     connected-components chain serves every dedup report — returns
@@ -412,26 +412,32 @@ def curate_corpus(
     order production pipelines use, since whole-doc dedup first shrinks
     the window-marking input)."""
     import os
+    import uuid
 
     from dblp_to_csv_spark.operators.dedup import (
         dedup_graph_pagerank,
         minhash_lsh_pairs,
     )
-    from dblp_to_csv_spark.session import session_checkpoint_dir
+    from dblp_to_csv_spark.session import checkpoint_base
 
-    pairs_path = os.path.join(session_checkpoint_dir("_curate_"), "pairs")
+    base = checkpoint_base(spark, checkpoint_dir, "_curate_")
+    pairs_path = os.path.join(base, f"pairs_{uuid.uuid4().hex}")
     minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
     pairs = spark.read.parquet(pairs_path)
-    labels = connected_components_min_label(spark, sf_dir, pairs=pairs)
+    labels = connected_components_min_label(
+        spark, sf_dir, checkpoint_dir=checkpoint_dir, pairs=pairs
+    )
     docs = load_table(spark, sf_dir, "documents")
     kept_docs = _kept_docs_from_labels(labels, docs)
     return {
         "labels": labels,
         "cluster_stats": _cluster_stats_from_labels(labels, docs),
         "keep_canonical": _keep_canonical_from_labels(labels, docs),
-        "pagerank": dedup_graph_pagerank(spark, sf_dir, pairs=pairs),
+        "pagerank": dedup_graph_pagerank(
+            spark, sf_dir, pairs=pairs, checkpoint_dir=checkpoint_dir
+        ),
         "clean_corpus": substring_rewrite_frame(
-            spark, kept_docs.select("doc_id", "text")
+            spark, kept_docs.select("doc_id", "text"), checkpoint_dir
         ),
     }
 
@@ -900,7 +906,9 @@ def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
     return _substring_marked_from_docs(spark, docs)
 
 
-def _substring_marked_from_docs(spark: SparkSession, docs: DataFrame):
+def _substring_marked_from_docs(
+    spark: SparkSession, docs: DataFrame, checkpoint_dir: str | None = None
+):
     """Front half of substring dedup over a (doc_id, w) token frame: the
     window base, and the (doc_id, pos) occurrences of every duplicated
     window EXCEPT its canonical (globally first by (doc_id, pos))
@@ -918,11 +926,16 @@ def _substring_marked_from_docs(spark: SparkSession, docs: DataFrame):
     and attaches back onto the occurrence stream via the size-gated
     broadcast join."""
     import os
+    import uuid
 
-    from dblp_to_csv_spark.session import session_checkpoint_dir
+    from dblp_to_csv_spark.session import checkpoint_base
 
     def checkpoint_then_gate(dup: DataFrame) -> DataFrame:
-        dup_path = os.path.join(session_checkpoint_dir("_substr_"), "dup")
+        # uuid suffix: an explicit shared checkpoint_dir may serve several
+        # invocations whose frames read lazily (non-local-master guard and
+        # collision policy shared with the other checkpointing operators)
+        base = checkpoint_base(spark, checkpoint_dir, "_substr_")
+        dup_path = os.path.join(base, f"dup_{uuid.uuid4().hex}")
         dup.write.mode("overwrite").parquet(dup_path)
         return _broadcast_if_small(spark.read.parquet(dup_path))
 
@@ -1135,13 +1148,15 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_rewrite_frame(spark, docs)
 
 
-def substring_rewrite_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def substring_rewrite_frame(
+    spark: SparkSession, docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The rewrite over an arbitrary document frame — (doc_id, text) or
     pre-tokenized (doc_id, w) — shared by the registered query and
     ``curate_corpus``'s passage-rewrite stage."""
     if "w" not in docs.columns:
         docs = docs.select("doc_id", words("text").alias("w"))
-    base, marked = _substring_marked_from_docs(spark, docs)
+    base, marked = _substring_marked_from_docs(spark, docs, checkpoint_dir)
     return rewrite_from_marked(base, marked)
 
 

@@ -574,14 +574,17 @@ def _pr_oracle() -> str:
         p0 AS (SELECT d.doc_id, {PR_SCALE} // nn.c AS p
                FROM documents d CROSS JOIN nn),
         {",".join(steps)}
-        SELECT doc_id, p AS pr_fixed FROM {prev}
+        SELECT doc_id, CAST(p AS BIGINT) AS pr_fixed FROM {prev}
     """
     )
 
 
 @register("dedup_graph_pagerank", tags=("dedup", "graph", "iterative"), oracle=_pr_oracle())
 def dedup_graph_pagerank(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over the near-dup graph (minhash pair edges, both
     directions), PR_ITERS power iterations — the centrality signal curation
@@ -605,8 +608,12 @@ def dedup_graph_pagerank(
     total, nothing quadratic anywhere. Reference: the iterative-join shape
     mirrors connected_components_min_label (dedup.py) — one more member of
     the same family, not a new engine mechanism. ``pairs`` lets
-    curate_corpus feed the shared pre-checkpointed pair frame."""
-    base_dir = session_checkpoint_dir("_pr_")
+    curate_corpus feed the shared pre-checkpointed pair frame;
+    ``checkpoint_dir`` must be a shared path on a non-local master (the CC
+    guard, generalized via session.checkpoint_base)."""
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_pr_")
     if pairs is None:
         pairs = minhash_lsh_pairs(spark, sf_dir)
     pairs = pairs.select("doc_a", "doc_b")
@@ -618,6 +625,10 @@ def dedup_graph_pagerank(
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
+    if n == 0:
+        # empty corpus: PR_SCALE // n would raise; the fixpoint over zero
+        # nodes is the empty frame (the embedding_cosine_pairs_blas policy)
+        return docs.select("doc_id", F.lit(0).cast("long").alias("pr_fixed"))
     base = (3 * PR_SCALE) // (20 * n)
     p = docs.withColumn("p", F.lit(PR_SCALE // n).cast("long"))
     for _ in range(PR_ITERS):
@@ -676,16 +687,9 @@ def _cc_checkpoint_base(spark: SparkSession, checkpoint_dir: str | None) -> str:
     like minhash_lsh_pairs' materialize_candidates_dir). The driver-local
     tempdir fallback is only correct when all executors share the driver's
     filesystem, so it is guarded by a local-master assertion (ADVICE r2)."""
-    if checkpoint_dir is not None:
-        return checkpoint_dir
-    master = spark.conf.get("spark.master", "")
-    if not master.startswith("local"):
-        raise ValueError(
-            "connected components on a non-local master requires "
-            "checkpoint_dir= to point at a shared filesystem path; a "
-            f"driver-local tempdir would silently drop rows (master={master})"
-        )
-    return session_checkpoint_dir("dblp_cc_")
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    return checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
 
 
 def connected_components_min_label(
@@ -1401,7 +1405,14 @@ def dedup_semantic_semdedup(
     # constant) in lock-step at sf0.01; the kmeans_cells default is the
     # corpus-scaled ceil(N/TARGET_CELL_ROWS) a production pipeline wants.
     base_dir = checkpoint_dir or session_checkpoint_dir("_semdedup_")
-    cells_dir = os.path.join(base_dir, "cells")
+    # per-invocation uniquifier: a caller-provided checkpoint_dir may serve
+    # SEVERAL invocations whose returned frames all read their files
+    # lazily — fixed subpaths in overwrite mode would clobber an earlier
+    # frame's inputs (the _stage() discipline from incremental.py)
+    import uuid
+
+    run_id = uuid.uuid4().hex
+    cells_dir = os.path.join(base_dir, f"cells_{run_id}")
     kmeans_cells(emb, k=k).write.mode("overwrite").parquet(cells_dir)
     assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
         "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
@@ -1429,7 +1440,7 @@ def dedup_semantic_semdedup(
     # so the drop set parquet-checkpoints FIRST (it is tiny; the count then
     # reads a footer, and the verdict join reads the same files — the pair
     # search runs exactly once, measured 7.4 s → 3.8 s at sf0.1).
-    dropped_dir = os.path.join(base_dir, "dropped")
+    dropped_dir = os.path.join(base_dir, f"dropped_{run_id}")
     dropped.write.mode("overwrite").parquet(dropped_dir)
     dropped = spark.read.parquet(dropped_dir)
     return (

@@ -36,7 +36,10 @@ from dblp_to_csv_spark.sources.tables import load_table
 
 
 def copart_edges(
-    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Undirected distinct part co-occurrence edges (u < v by part id).
 
@@ -44,10 +47,12 @@ def copart_edges(
     checkpoint root — the CC/PageRank policy): every consumer reads it
     ≥ 2× (degrees + orientation, peel rounds, wedge sides), and without the
     checkpoint each read re-runs the lineitem self-join + distinct —
-    measured ~40% of graph_triangle_count's whole-query time at sf0.1."""
+    measured ~40% of graph_triangle_count's whole-query time at sf0.1.
+    On a non-local master ``checkpoint_dir`` must point at a shared
+    filesystem (session.checkpoint_base guard)."""
     import os
 
-    from dblp_to_csv_spark.session import session_checkpoint_dir
+    from dblp_to_csv_spark.session import checkpoint_base
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
@@ -61,7 +66,7 @@ def copart_edges(
     )
     if not checkpoint:
         return edges
-    path = os.path.join(session_checkpoint_dir("_copart_"), "edges")
+    path = os.path.join(checkpoint_base(spark, checkpoint_dir, "_copart_"), "edges")
     edges.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -287,7 +292,9 @@ def _kcore_oracle() -> str:
 
 
 @register("graph_kcore", tags=("graph", "iterative"), oracle=_kcore_oracle())
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_kcore(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """k-core decomposition (k = KCORE_K) of the part co-occurrence graph by
     iterative peeling: each round drops every node whose degree among the
     SURVIVORS is below k; the fixpoint is the maximal subgraph where every
@@ -309,9 +316,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cleaned up by the session checkpoint root."""
     import os
 
-    from dblp_to_csv_spark.session import session_checkpoint_dir
+    from dblp_to_csv_spark.session import checkpoint_base
 
-    base_dir = session_checkpoint_dir("_kcore_")
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_kcore_")
     # no edge checkpoint: und (both directions) is written right below and
     # is the only thing the peel loop reads
     e0 = copart_edges(spark, sf_dir, checkpoint=False)
@@ -513,7 +520,9 @@ def _coreness_oracle() -> str:
 
 
 @register("graph_coreness", tags=("graph", "iterative"), oracle=_coreness_oracle())
-def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_coreness(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """FULL core decomposition — every node's core number in one pass
     family, not one k at a time: iterate the neighborhood h-index
     (cor'(u) = max h such that ≥ h neighbors have cor ≥ h, seeded with the
@@ -531,9 +540,9 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_kcore's k-core membership."""
     import os
 
-    from dblp_to_csv_spark.session import session_checkpoint_dir
+    from dblp_to_csv_spark.session import checkpoint_base
 
-    base_dir = session_checkpoint_dir("_coreness_")
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_coreness_")
     e0 = copart_edges(spark, sf_dir, checkpoint=False)
     und_path = os.path.join(base_dir, "und")
     e0.select("u", "v").union(

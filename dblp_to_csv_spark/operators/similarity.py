@@ -499,12 +499,15 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    bucketed = emb.join(kmeans_cells(emb, k=IVF_CELLS), "vec_id").withColumn(
+    # ONE centroid chain: derive the corpus assignment from the same cent
+    # frame the probe ranking uses (kmeans_cells would rebuild the whole
+    # seed/Lloyd chain a second time — review r8)
+    cent = kmeans_centroids(emb, k=IVF_CELLS)
+    bucketed = emb.join(_nearest(emb, cent, "cell"), "vec_id").withColumn(
         "nrm", _norm(F.col("emb"))
     )
     # per-query top-nprobe centroids, by the same rounded distance +
     # cell-id order the assignment pass uses
-    cent = kmeans_centroids(emb, k=IVF_CELLS)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     d = queries.crossJoin(F.broadcast(cent)).select(
         "vec_id",

@@ -135,7 +135,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "setop_except_nations": 6,
     "setop_intersect_nations": 6,
     "setop_union_nations": 6,
-    "similarity_knn_graph_bucketed": 7,
+    # similarity_knn_graph_bucketed: r7 green predates the KNN_SIGN_BITS=5
+    # widening (same round, later commit) — the current implementation has
+    # never been driver-verified, so it must sort as never-verified, not
+    # ride the stale r7 evidence (review r8).
     "similarity_topk_blas": 2,
     "similarity_topk_bruteforce": 7,
     "similarity_topk_ivf": 7,

@@ -35,6 +35,28 @@ def session_checkpoint_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_CKPT_ROOT)
 
 
+def checkpoint_base(spark, checkpoint_dir: str | None, prefix: str) -> str:
+    """Resolve a parquet-checkpoint location for operators whose returned
+    frames (or iteration rounds) read the files lazily. ``checkpoint_dir``
+    must be a SHARED/durable filesystem path on a real cluster — executors
+    and driver must see the same files. The driver-local tempdir fallback
+    is only correct when all executors share the driver's filesystem, so it
+    is guarded by a local-master assertion (the CC guard from ADVICE r2,
+    generalized in r8 to every checkpointing operator: PageRank, k-core,
+    coreness, co-part edges, the substring dup table, curate_corpus)."""
+    if checkpoint_dir is not None:
+        return checkpoint_dir
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"{prefix.strip('_')} checkpointing on a non-local master "
+            "requires checkpoint_dir= to point at a shared filesystem "
+            "path; a driver-local tempdir would silently drop rows "
+            f"(master={master})"
+        )
+    return session_checkpoint_dir(prefix)
+
+
 def get_spark(app_name: str = "dblp-to-csv-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
