@@ -559,6 +559,58 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+@register(
+    "setop_multiset_all_nations",
+    tags=("setop",),
+    oracle="""
+        WITH i AS (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+        ),
+        x AS (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        )
+        SELECT nationkey, 'intersect_all' AS op,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM i GROUP BY nationkey
+        UNION ALL
+        SELECT nationkey, 'except_all', CAST(COUNT(*) AS BIGINT)
+        FROM x GROUP BY nationkey
+    """,
+)
+def setop_multiset_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep occurrence
+    counts (each match consumes ONE occurrence from each side), the
+    semantics the DISTINCT variants above deliberately discard.
+    ``intersectAll`` yields min(count_left, count_right) copies per key and
+    ``exceptAll`` max(count_left − count_right, 0) — reported here as
+    per-key multiplicities so the multiset arithmetic itself is what the
+    oracle hashes. Spark plans both as count-comparing aggregates, not
+    row-at-a-time removal — one shuffle per side, no join explosion."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    i = (
+        c.intersectAll(sup)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("nationkey", F.lit("intersect_all").alias("op"), "n")
+    )
+    x = (
+        c.exceptAll(sup)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("nationkey", F.lit("except_all").alias("op"), "n")
+    )
+    return i.unionAll(x)
+
+
 # --------------------------------------------------------------------------
 # Distinct aggregates and exact percentiles.
 # --------------------------------------------------------------------------
