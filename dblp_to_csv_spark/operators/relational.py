@@ -925,3 +925,72 @@ def posexplode_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.select(
         "l_orderkey", F.posexplode("lines").alias("pos", "linenumber")
     )
+
+
+@register(
+    "integrity_audit",
+    tags=("agg", "join", "quality"),
+    oracle="""
+        SELECT 'lineitem_without_order' AS violation,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n
+        UNION ALL
+        SELECT 'order_without_customer',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_without_part',
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'customer_without_nation',
+               CAST((SELECT COUNT(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT)
+    """,
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the sanity pass a pipeline runs BEFORE
+    trusting its joins: orphan counts for each foreign-key edge of the
+    schema (lineitem→orders, orders→customer, lineitem→part,
+    customer→nation). Inner joins silently DROP orphaned rows; this report
+    is how you learn the drop happened (a healthy extract reads all
+    zeros, and a nonzero row tells you which upstream feed broke).
+
+    Scale shape: each check is one LEFT ANTI join + count — anti joins
+    plan as broadcast/shuffled hash joins with no fan-out (at most one
+    output row per probe row), the dimension sides broadcast where small,
+    and the four counts union into a 4-row report. No subquery runs per
+    row; the NOT EXISTS in the oracle desugars to the same anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(name, child, parent, ck, pk):
+        n = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        return n.select(F.lit(name).alias("violation"), "n")
+
+    return (
+        orphans("lineitem_without_order", li, orders, "l_orderkey", "o_orderkey")
+        .unionAll(
+            orphans("order_without_customer", orders, customer, "o_custkey", "c_custkey")
+        )
+        .unionAll(
+            orphans("lineitem_without_part", li, part, "l_partkey", "p_partkey")
+        )
+        .unionAll(
+            orphans("customer_without_nation", customer, nation, "c_nationkey", "n_nationkey")
+        )
+    )
