@@ -438,3 +438,59 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "forward_fill_event_metric",
+    tags=("window", "time", "pipeline"),
+    oracle="""
+        WITH t AS (
+            SELECT event_id, user_id, ts,
+                   TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                       AS k
+            FROM events
+        ),
+        sparse AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN k % 3 = 0 THEN k END AS k_reported
+            FROM t
+        )
+        SELECT event_id, user_id, k_reported,
+               LAST_VALUE(k_reported IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS k_filled
+        FROM sparse
+    """,
+)
+def forward_fill_event_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward) — the gap-repair
+    move for sparse sensor/metric streams: a metric that only reports
+    every third reading (k % 3 == 0, a deterministic sparsity stand-in)
+    is carried forward per user via ``last(..., ignorenulls=True)`` over
+    a running row frame. Rows before a user's first report stay null —
+    the honest answer, not an invented zero. ``gapfill_hourly_events``
+    repairs MISSING ROWS; this repairs missing VALUES on existing rows.
+
+    Scale shape: one hash exchange on user_id feeding one running-frame
+    window — per-user partitions, never a global sort; the JSON extract
+    is a scan-fused projection (same plan class as json_extract_events)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(k % 3 == 0, k).alias("k_reported"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "k_reported",
+        F.last("k_reported", ignorenulls=True).over(w).alias("k_filled"),
+    )
