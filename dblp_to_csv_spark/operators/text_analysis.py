@@ -516,3 +516,120 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("total") - F.col("s") / F.col("total"), 6)
             .alias("char_entropy"),
     )
+
+
+FEATURE_HASH_DIM = 16  # hashed bag-of-words dimensionality
+
+
+@register(
+    "text_feature_hash_embedding",
+    tags=("text", "ml", "similarity"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(term), 1, 4))::BIGINT
+                       % {FEATURE_HASH_DIM} AS bucket,
+                   CASE WHEN ('0x' || substr(md5(term), 5, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM tok
+        ),
+        comp AS (
+            SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS raw
+            FROM hashed GROUP BY doc_id, bucket
+        ),
+        grid AS (
+            SELECT c.doc_id, g.b,
+                   COALESCE(MAX(CASE WHEN c.bucket = g.b THEN c.raw END), 0)
+                       AS comp
+            FROM comp c, UNNEST(generate_series(0, {FEATURE_HASH_DIM - 1}))
+                 AS g(b)
+            GROUP BY c.doc_id, g.b
+        ),
+        vec AS (
+            SELECT doc_id, array_agg(comp ORDER BY b) AS comps
+            FROM grid GROUP BY doc_id
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(comps, c -> CAST(
+                       ROUND(c / GREATEST(sqrt(list_sum(
+                           list_transform(comps, x -> x * x * 1.0))), 1e-12), 6)
+                       AS VARCHAR)), '|') AS embedding
+        FROM vec
+    """,
+)
+def text_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING-TRICK vectorizer (Weinberger et al. 2009) — the
+    text→vector step done engine-side, no model service: each token hashes
+    to one of FEATURE_HASH_DIM buckets with a ±1 sign hash, per-bucket
+    signed counts form the raw vector, and L2 normalization makes it
+    cosine-ready. This is how a pipeline bootstraps embeddings for the
+    similarity/dedup families before a learned encoder exists — the
+    derived vectors feed the same sign-LSH/IVF machinery as the
+    embeddings table (composition pinned in tests/test_feature_hash.py).
+
+    Cross-engine exactness: buckets and signs come from md5 prefixes
+    (portable — neither engine's native hash matches the other's), the
+    per-bucket sums are INTEGER (order-independent), and only the final
+    normalize divides in float, one correctly-rounded op per component
+    before 6-dp rounding. Serialized '|'-joined per the flat-output
+    contract.
+
+    Scale shape: one (doc, bucket) map-side-combinable aggregate over the
+    token explode (key space = docs × DIM), then an in-row pivot to the
+    dense component array — no UDF, no model inference, no second corpus
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    bucket = F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % (
+        FEATURE_HASH_DIM
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5("term"), 5, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    comp = (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("raw"))
+    )
+    vec = comp.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "raw")).alias("pairs")
+    )
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(FEATURE_HASH_DIM - 1)),
+        # try_element_at: a doc may hit no term in bucket b — the plain
+        # element_at raises INVALID_ARRAY_INDEX on the empty filter result
+        lambda b: F.coalesce(
+            F.try_element_at(
+                F.transform(
+                    F.filter(F.col("pairs"), lambda r: r["bucket"] == b),
+                    lambda r: r["raw"],
+                ),
+                F.lit(1),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    staged = vec.select("doc_id", comps.alias("comps"))
+    norm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.col("comps"),
+                F.lit(0.0),
+                lambda acc, x: acc + (x * x).cast("double"),
+            )
+        ),
+        F.lit(1e-12),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("comps"), lambda c: F.round(c / norm, 6).cast("string")
+            ),
+            "|",
+        ).alias("embedding"),
+    )
