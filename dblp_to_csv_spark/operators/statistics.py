@@ -387,3 +387,112 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(v), 6).alias("mean_raw"),
         F.round(F.avg(F.least(F.greatest(v, lo), hi)), 6).alias("mean_winsorized"),
     )
+
+
+BOOTSTRAP_B = 40  # deterministic resamples
+# Poisson(1) CDF thresholds as exact shared literals (9 dp): the
+# Poissonized bootstrap draws each row's weight per resample from these —
+# both engines compare the SAME md5-uniform against the SAME constants.
+_POIS1_CDF = [
+    ("0.367879441", 0),
+    ("0.735758882", 1),
+    ("0.919698603", 2),
+    ("0.981011843", 3),
+    ("0.996340153", 4),
+    ("0.999405815", 5),
+]
+_BOOT_EVENT_TYPE = "purchase"
+
+
+def _pois_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {w}" for t, w in _POIS1_CDF
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    tags=("stats", "sampling", "approx"),
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, value FROM events
+            WHERE event_type = '{_BOOT_EVENT_TYPE}'
+        ),
+        draws AS (
+            SELECT g.b, value,
+                   {_pois_weight_sql(
+                       "(('0x' || substr(md5('b|' || CAST(g.b AS VARCHAR) "
+                       "|| '|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT"
+                       " + 0.5) / 4294967296.0"
+                   )} AS w
+            FROM base, UNNEST(generate_series(0, {BOOTSTRAP_B - 1})) AS g(b)
+        ),
+        means AS (
+            SELECT b, ROUND(SUM(w * value) / SUM(w), 4) AS m
+            FROM draws GROUP BY b
+        )
+        SELECT CAST({BOOTSTRAP_B} AS BIGINT) AS n_resamples,
+               ROUND((SELECT AVG(value) FROM base), 4) AS mean_full,
+               ROUND(QUANTILE_CONT(m, 0.025), 4) AS ci_lo,
+               ROUND(QUANTILE_CONT(m, 0.975), 4) AS ci_hi
+        FROM means
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval WITHOUT rand(): the Poissonized
+    bootstrap (each row enters resample b with weight ~ Poisson(1),
+    the large-n limit of multinomial resampling) driven by md5-uniform
+    draws keyed on (resample, event_id) — deterministic, retry-stable,
+    engine-exact, the same discipline as every sampler here. Gives the
+    95% CI of the mean purchase value from {BOOTSTRAP_B} resamples —
+    uncertainty quantification as a QUERY, no statistics service.
+
+    Scale shape: the resample axis fans out IN-ROW (sequence+explode,
+    the mixture-upsampling idiom — B×rows only ever exists inside the
+    scan task), the per-resample means are one map-side-combinable
+    aggregate on b (B groups), and the quantile runs over B rows. Means
+    round at 4 dp: the weighted sums span ~|subset| terms, so the 1e-4
+    grid sits orders of magnitude above engine summation-order ulps."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == _BOOT_EVENT_TYPE
+    ).select("event_id", "value")
+    b = F.col("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("b|"),
+                        b.cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    w = F.lit(6)
+    for t, k in reversed(_POIS1_CDF):
+        w = F.when(u < float(t), k).otherwise(w)
+    draws = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+        "event_id",
+        "value",
+    ).select(b, w.alias("w"), "value")
+    means = draws.groupBy("b").agg(
+        F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4).alias("m")
+    )
+    full = ev.agg(F.round(F.avg("value"), 4).alias("mean_full"))
+    return means.agg(
+        F.lit(BOOTSTRAP_B).cast("long").alias("n_resamples"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    ).crossJoin(F.broadcast(full)).select(
+        "n_resamples", "mean_full", "ci_lo", "ci_hi"
+    )
