@@ -412,7 +412,6 @@ def curate_corpus(
     order production pipelines use, since whole-doc dedup first shrinks
     the window-marking input)."""
     import os
-    import uuid
 
     from dblp_to_csv_spark.operators.dedup import (
         dedup_graph_pagerank,
@@ -421,7 +420,7 @@ def curate_corpus(
     from dblp_to_csv_spark.session import checkpoint_base
 
     base = checkpoint_base(spark, checkpoint_dir, "_curate_")
-    pairs_path = os.path.join(base, f"pairs_{uuid.uuid4().hex}")
+    pairs_path = os.path.join(base, "pairs")
     minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
     pairs = spark.read.parquet(pairs_path)
     labels = connected_components_min_label(
@@ -926,16 +925,15 @@ def _substring_marked_from_docs(
     and attaches back onto the occurrence stream via the size-gated
     broadcast join."""
     import os
-    import uuid
 
     from dblp_to_csv_spark.session import checkpoint_base
 
     def checkpoint_then_gate(dup: DataFrame) -> DataFrame:
-        # uuid suffix: an explicit shared checkpoint_dir may serve several
-        # invocations whose frames read lazily (non-local-master guard and
-        # collision policy shared with the other checkpointing operators)
+        # checkpoint_base: non-local-master guard + per-invocation unique
+        # base, so a shared checkpoint_dir across runs cannot clobber files
+        # an earlier returned frame still reads
         base = checkpoint_base(spark, checkpoint_dir, "_substr_")
-        dup_path = os.path.join(base, f"dup_{uuid.uuid4().hex}")
+        dup_path = os.path.join(base, "dup")
         dup.write.mode("overwrite").parquet(dup_path)
         return _broadcast_if_small(spark.read.parquet(dup_path))
 

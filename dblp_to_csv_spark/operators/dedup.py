@@ -40,7 +40,7 @@ from dblp_to_csv_spark.operators.similarity import (
     kmeans_cells,
 )
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.session import session_checkpoint_dir
+from dblp_to_csv_spark.session import checkpoint_base, session_checkpoint_dir
 from dblp_to_csv_spark.sources.tables import load_table
 
 # Forced broadcasts of "vanishing fraction" frames (drop sets, cluster
@@ -610,9 +610,8 @@ def dedup_graph_pagerank(
     the same family, not a new engine mechanism. ``pairs`` lets
     curate_corpus feed the shared pre-checkpointed pair frame;
     ``checkpoint_dir`` must be a shared path on a non-local master (the CC
-    guard, generalized via session.checkpoint_base)."""
-    from dblp_to_csv_spark.session import checkpoint_base
-
+    guard, generalized via session.checkpoint_base; the base is
+    per-invocation unique, so shared dirs across runs are safe)."""
     base_dir = checkpoint_base(spark, checkpoint_dir, "_pr_")
     if pairs is None:
         pairs = minhash_lsh_pairs(spark, sf_dir)
@@ -680,18 +679,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_min_label(spark, sf_dir)
 
 
-def _cc_checkpoint_base(spark: SparkSession, checkpoint_dir: str | None) -> str:
-    """Resolve the per-round parquet checkpoint location for the iterative
-    CC operators. ``checkpoint_dir`` must be a SHARED/durable filesystem
-    path on a real cluster (executors and driver must see the same files —
-    like minhash_lsh_pairs' materialize_candidates_dir). The driver-local
-    tempdir fallback is only correct when all executors share the driver's
-    filesystem, so it is guarded by a local-master assertion (ADVICE r2)."""
-    from dblp_to_csv_spark.session import checkpoint_base
-
-    return checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
-
-
 def connected_components_min_label(
     spark: SparkSession,
     sf_dir: str,
@@ -703,7 +690,7 @@ def connected_components_min_label(
     checkpoint policy). ``pairs`` lets a composite (curate_corpus) feed a
     pre-checkpointed (doc_a, doc_b) frame so the MinHash chain runs once
     across all its consumers."""
-    base = _cc_checkpoint_base(spark, checkpoint_dir)
+    base = checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(base, name)
@@ -778,7 +765,7 @@ def star_contraction_components(
     is unchanged per round and strictly better in round count. Edges are
     kept in canonical (src > dst) orientation between rounds; each round is
     checkpointed to parquet under ``checkpoint_base`` (same durable-path
-    discipline as min-label; see _cc_checkpoint_base)."""
+    discipline as min-label; see session.checkpoint_base)."""
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(checkpoint_base, name)
@@ -868,7 +855,7 @@ def dedup_connected_components_star(
     MinHash-LSH pair graph, same min-of-component labels, same DuckDB
     WITH RECURSIVE oracle; parity with min-label asserted in
     tests/test_connected_components.py)."""
-    base = _cc_checkpoint_base(spark, checkpoint_dir)
+    base = checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
     pairs = minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -1404,15 +1391,11 @@ def dedup_semantic_semdedup(
     # filesystem. k=IVF_CELLS keeps the DuckDB oracle (which embeds the
     # constant) in lock-step at sf0.01; the kmeans_cells default is the
     # corpus-scaled ceil(N/TARGET_CELL_ROWS) a production pipeline wants.
-    base_dir = checkpoint_dir or session_checkpoint_dir("_semdedup_")
-    # per-invocation uniquifier: a caller-provided checkpoint_dir may serve
-    # SEVERAL invocations whose returned frames all read their files
-    # lazily — fixed subpaths in overwrite mode would clobber an earlier
-    # frame's inputs (the _stage() discipline from incremental.py)
-    import uuid
-
-    run_id = uuid.uuid4().hex
-    cells_dir = os.path.join(base_dir, f"cells_{run_id}")
+    # checkpoint_base: non-local-master guard + per-invocation unique base
+    # (a caller-provided checkpoint_dir may serve several invocations whose
+    # returned frames all read their files lazily — review r8)
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_semdedup_")
+    cells_dir = os.path.join(base_dir, "cells")
     kmeans_cells(emb, k=k).write.mode("overwrite").parquet(cells_dir)
     assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
         "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
@@ -1440,7 +1423,7 @@ def dedup_semantic_semdedup(
     # so the drop set parquet-checkpoints FIRST (it is tiny; the count then
     # reads a footer, and the verdict join reads the same files — the pair
     # search runs exactly once, measured 7.4 s → 3.8 s at sf0.1).
-    dropped_dir = os.path.join(base_dir, f"dropped_{run_id}")
+    dropped_dir = os.path.join(base_dir, "dropped")
     dropped.write.mode("overwrite").parquet(dropped_dir)
     dropped = spark.read.parquet(dropped_dir)
     return (

@@ -553,11 +553,15 @@ FEATURE_HASH_DIM = 16  # hashed bag-of-words dimensionality
             FROM grid GROUP BY doc_id
         )
         SELECT doc_id,
+               -- printf('%.6f'): fixed-decimal rendering on BOTH engines —
+               -- a VARCHAR cast diverges once components drop below 1e-3
+               -- (DuckDB prints 0.0005, Java prints 5.0E-4); + 0.0
+               -- normalizes IEEE negative zero (the stats_agg discipline)
                array_to_string(
-                   list_transform(comps, c -> CAST(
+                   list_transform(comps, c -> printf('%.6f',
                        ROUND(c / GREATEST(sqrt(list_sum(
                            list_transform(comps, x -> x * x * 1.0))), 1e-12), 6)
-                       AS VARCHAR)), '|') AS embedding
+                       + 0.0)), '|') AS embedding
         FROM vec
     """,
 )
@@ -628,7 +632,13 @@ def text_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(
             F.transform(
-                F.col("comps"), lambda c: F.round(c / norm, 6).cast("string")
+                F.col("comps"),
+                # format_string('%.6f'): fixed-decimal on both engines (a
+                # plain string cast goes scientific below 1e-3); + 0.0
+                # normalizes -0.0 (the stats_agg discipline)
+                lambda c: F.format_string(
+                    "%.6f", F.round(c / norm, 6) + F.lit(0.0)
+                ),
             ),
             "|",
         ).alias("embedding"),

@@ -42,10 +42,21 @@ def checkpoint_base(spark, checkpoint_dir: str | None, prefix: str) -> str:
     and driver must see the same files. The driver-local tempdir fallback
     is only correct when all executors share the driver's filesystem, so it
     is guarded by a local-master assertion (the CC guard from ADVICE r2,
-    generalized in r8 to every checkpointing operator: PageRank, k-core,
-    coreness, co-part edges, the substring dup table, curate_corpus)."""
+    generalized in r8 to every checkpointing operator: PageRank, CC,
+    k-core, coreness, co-part edges, SemDeDup, the substring dup table,
+    curate_corpus).
+
+    ALWAYS returns a fresh per-invocation subdirectory — also under an
+    explicit ``checkpoint_dir``: operators write fixed file names
+    ('edges', 'round_3', 'cells') beneath the base, so handing two
+    invocations the same base would let the second overwrite (or its
+    cleanup delete) files the first invocation's returned frame still
+    reads lazily (review r8 — the semdedup/_stage collision policy,
+    centralized)."""
+    import uuid
+
     if checkpoint_dir is not None:
-        return checkpoint_dir
+        return os.path.join(checkpoint_dir, f"{prefix}{uuid.uuid4().hex}")
     master = spark.conf.get("spark.master", "")
     if not master.startswith("local"):
         raise ValueError(

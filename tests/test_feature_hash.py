@@ -50,3 +50,30 @@ def test_feature_hash_embedding_properties(spark, tmp_path):
     sims = {d: cos(vecs[0], v) for d, v in vecs.items() if d != 0}
     assert max(sims, key=sims.get) == 1
     assert sims[1] > sims[2] and sims[1] > sims[3]
+
+
+def test_feature_hash_small_component_rendering(spark, tmp_path):
+    """Regression (review r8): a component below 1e-3 must render as fixed
+    decimal on both engines — Spark's plain string cast goes scientific
+    ('5.0E-4') while DuckDB prints '0.0005', silently breaking the oracle
+    hash only on corpora with large norms. One word repeated 2000x plus a
+    single distinct word forces exactly that shape."""
+    import duckdb
+
+    docs = [(0, " ".join(["alpha"] * 2000) + " omega")]
+    pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    entry = all_queries()["text_feature_hash_embedding"]
+    got = entry.fn(spark, str(tmp_path)).collect()[0]["embedding"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle).fetchone()[1]
+    assert got == want
+    assert "E" not in got and "e" not in got  # no scientific notation
+    comps = [float(x) for x in got.split("|")]
+    assert any(0 < abs(c) < 1e-3 for c in comps), (
+        "fixture no longer produces a sub-1e-3 component"
+    )
