@@ -111,9 +111,15 @@ def detect_type_column(col: Column | str) -> Column:
             & c.try_cast("date").isNotNull(),
             TYPE_DATE,
         )
+        # hour-24 guard: DuckDB's TRY_CAST follows Postgres in accepting
+        # '24:00' as next-day midnight, while both strptime and Spark's
+        # try_cast reject it — redundant on the Spark side (try_cast
+        # already returns NULL) but kept so the two ladders stay literal
+        # expression-twins.
         .when(
             c.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?$")
             & (c.substr(1, 4) != "0000")
+            & (c.substr(12, 2) != "24")
             & c.try_cast("timestamp").isNotNull(),
             TYPE_DATETIME,
         )
@@ -134,6 +140,7 @@ DETECT_TYPE_SQL = """
            AND TRY_CAST({col} AS DATE) IS NOT NULL THEN 'date'
       WHEN regexp_matches({col}, '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}} [0-9]{{2}}:[0-9]{{2}}(:[0-9]{{2}})?$')
            AND substr({col}, 1, 4) <> '0000'
+           AND substr({col}, 12, 2) <> '24'
            AND TRY_CAST(CASE WHEN length({col}) = 16 THEN {col} || ':00' ELSE {col} END
                         AS TIMESTAMP) IS NOT NULL THEN 'datetime'
       WHEN LOWER({col}) IN ('true', 'false') THEN 'boolean'

@@ -90,6 +90,14 @@ def test_python_ladder_matches_duckdb(duck, value):
         ("0000-01-01", "string", "string"),
         ("0000-12-31 23:59:59", "string", "string"),
         ("0001-01-01", "date", "date"),  # first valid proleptic year
+        # hour 24: Postgres/DuckDB accept '24:00' as next-day midnight,
+        # strptime and Spark's try_cast reject it — the ladders carry an
+        # explicit hour guard so all three engines agree (probe-found, r8)
+        ("2020-01-01 24:00", "string", "string"),
+        ("2020-01-01 24:00:00", "string", "string"),
+        ("2020-01-01 23:59", "datetime", "datetime"),
+        ("2021-02-29", "string", "string"),  # calendar check: non-leap
+        ("2020-02-29", "date", "date"),  # leap day accepted everywhere
     ],
 )
 def test_documented_datetime_deviation(duck, value, py_verdict, sql_verdict):
