@@ -281,7 +281,12 @@ def minhash_lsh_pairs(
     cache-manager leak that cache()/localCheckpoint would carry in a shared
     session (the checkpoint lives on disk, not executor memory; the small
     candidate dir is left behind for the lazily-read result frame, the same
-    discipline as the CC labels_final checkpoint), and at 100 TB it is the
+    discipline as the CC labels_final checkpoint). An EXPLICIT path is a
+    caller-owned dataset location ("materialize here", readable later via
+    spark.read.parquet) — unlike the checkpoint_dir bases it is NOT
+    per-invocation unique, so do not reuse one path across invocations
+    while an earlier returned frame is still live (the overwrite clobbers
+    the files that frame reads lazily). At 100 TB it is the
     only sane shape: the signature aggregate over the corpus dwarfs a
     parquet round-trip of the (small) candidate set — a real pipeline
     passes a durable path (a table location) instead. ``None`` forces the
