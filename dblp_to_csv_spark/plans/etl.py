@@ -151,6 +151,15 @@ class XmlToCsvPlan:
             raise ValueError(
                 f"output_format must be csv, parquet or orc, got {output_format!r}"
             )
+        if neo4j and output_format != "csv":
+            # the generated neo4j-admin script references the per-table CSV
+            # paths; with a columnar sink those files are never written and
+            # the script would point at nonexistent inputs (review r8)
+            raise ValueError(
+                "neo4j=True requires output_format='csv': neo4j-admin "
+                "imports the CSV files this run would not produce under "
+                f"output_format={output_format!r}"
+            )
         if id_order not in ("table", "document"):
             raise ValueError(f"id_order must be table or document, got {id_order!r}")
         if id_order == "document" and not single_pass:
@@ -202,9 +211,7 @@ class XmlToCsvPlan:
         leaves a small corpus parsing on ONE core (measured: a 42 MB corpus
         ran every scan single-threaded). Target ≥2 tasks per core, floor
         4 MB so huge inputs keep the default-sized splits."""
-        import glob as _glob
-
-        paths = _glob.glob(self.xml_path) or [self.xml_path]
+        paths = glob.glob(self.xml_path) or [self.xml_path]
         try:
             total = sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
         except OSError:
@@ -395,7 +402,13 @@ class XmlToCsvPlan:
                 if attr not in flat.columns:
                     flat = flat.withColumn(attr, F.lit(None).cast("string"))
         if not keep:
-            flat.unpersist()
+            # unpersist the REGISTERED frames: in document-order mode
+            # ``flat`` is by now a filter() derivative of the cached
+            # pre-filter frame, and unpersisting a derived plan is a no-op
+            # (see the _run comment) — the sibling n_rows == 0 path below
+            # got this right
+            for c in cached:
+                c.unpersist()
             return None
         flat = flat.select(*sorted(keep), *meta_cols)
         array_cols &= set(keep)
@@ -660,7 +673,17 @@ class XmlToCsvPlan:
         finally:
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
             if self._envelope_dir is not None:
-                shutil.rmtree(self._envelope_dir, ignore_errors=True)
+                # the returned TableResult/relation frames lazily read the
+                # envelope parquet in single-pass mode — an immediate rmtree
+                # would dangle them (review r8: the same lazily-read-frame
+                # hazard as the operator checkpoints). Defer to interpreter
+                # exit: the CLI exits right after convert; a long-lived
+                # session keeps the frames usable for its lifetime.
+                import atexit
+
+                atexit.register(
+                    shutil.rmtree, self._envelope_dir, ignore_errors=True
+                )
                 self._envelope_dir = None
 
     # drop sets up to this size compact in-row (a literal-array scan per

@@ -73,19 +73,49 @@ ENVELOPE_SCHEMA = T.StructType(
 )
 
 
+# stdlib-decompressible whole-stream codecs (unsplittable: one range each)
+_CODEC_EXTS = (".gz", ".bz2", ".xz", ".lzma")
+# known Hadoop-side codec extensions we CANNOT byte-scan: refuse loudly
+# instead of regex-scanning compressed bytes into a silently empty envelope
+_UNSUPPORTED_CODEC_EXTS = (".zst", ".zstd", ".sz", ".snappy", ".lz4",
+                           ".deflate", ".br")
+
+
 def _plan_ranges(
     xml_path: str, target_bytes: int
 ) -> list[tuple[str, int, int, bool]]:
-    """Byte-range split plan: ``(path, start, end, is_gzip)`` per task.
-    Gzip members are one unsplittable range each (end = -1 → EOF)."""
-    paths = sorted(_glob.glob(xml_path)) or [xml_path]
+    """Byte-range split plan: ``(path, start, end, is_compressed)`` per
+    task. Compressed members (gz/bz2/xz — stdlib codecs) are one
+    unsplittable range each (end = -1 → EOF); unsupported codec extensions
+    raise rather than silently scanning compressed bytes; a directory
+    input expands to its files (the native per-type scan's contract)."""
+    hits = sorted(_glob.glob(xml_path)) or [xml_path]
+    paths: list[str] = []
+    for p in hits:
+        if os.path.isdir(p):
+            paths.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if os.path.isfile(os.path.join(p, f))
+                )
+            )
+        else:
+            paths.append(p)
     specs: list[tuple[str, int, int, bool]] = []
     found_file = False
     for p in paths:
         if not os.path.isfile(p):
             continue
         found_file = True
-        if p.endswith(".gz"):
+        if p.endswith(_UNSUPPORTED_CODEC_EXTS):
+            raise ValueError(
+                f"single-pass scan cannot byte-scan {p!r}: codec is not "
+                "stdlib-decompressible (supported: "
+                f"{', '.join(_CODEC_EXTS)}); decompress first or use the "
+                "default per-type mode with a Hadoop codec"
+            )
+        if p.endswith(_CODEC_EXTS):
             specs.append((p, 0, -1, True))
             continue
         size = os.path.getsize(p)
@@ -99,6 +129,53 @@ def _plan_ranges(
         # of silently yielding an empty result for a typo'd path
         raise FileNotFoundError(f"no XML input files match {xml_path!r}")
     return specs
+
+
+def _codec_open(path: str):
+    """Open a compressed whole-stream member with the stdlib codec its
+    extension names."""
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    import lzma
+
+    return lzma.open(path, "rb")
+
+
+_ENC_DECL_RE = re.compile(rb"<\?xml[^>]*encoding=[\'\"]([A-Za-z0-9._-]+)")
+_ASCII_SUPERSETS_PREFIXES = ("utf-8", "us-ascii", "ascii", "iso-8859",
+                            "latin", "cp12", "windows-12", "koi8")
+
+
+def sniff_encoding(path: str, is_compressed: bool = False) -> str:
+    """The file's declared XML encoding (default utf-8). Byte-range
+    scanning requires an ASCII-superset single-byte-compatible encoding —
+    UTF-16/32 would make the tag regexes silently match nothing — so
+    anything else raises at PLAN time instead of yielding an empty
+    envelope."""
+    opener = _codec_open(path) if is_compressed else open(path, "rb")
+    with opener as fh:
+        head = fh.read(256)
+    if head[:2] in (b"\xff\xfe", b"\xfe\xff") or b"\x00" in head[:64]:
+        raise ValueError(
+            f"{path!r} looks UTF-16/32 encoded; the byte-range scanner "
+            "requires an ASCII-compatible encoding — transcode to UTF-8 "
+            "or use the default per-type mode"
+        )
+    m = _ENC_DECL_RE.search(head)
+    if not m:
+        return "utf-8"
+    enc = m.group(1).decode("ascii").lower()
+    if not enc.startswith(_ASCII_SUPERSETS_PREFIXES):
+        raise ValueError(
+            f"{path!r} declares encoding {enc!r}; the byte-range scanner "
+            "supports ASCII-compatible encodings only — transcode to "
+            "UTF-8 or use the default per-type mode"
+        )
+    return enc
 
 
 class _RangeScanner:
@@ -117,6 +194,11 @@ class _RangeScanner:
         )
         # opening tag of any record type, at a tag boundary
         self.open_re = re.compile(rb"<(%s)(?=[\s/>])" % names)
+        # torn-token tail width: a token can be truncated at a chunk edge
+        # by up to its own length minus one, so the kept margin must cover
+        # the longest record-type tag (plus '</', '>' and the 4-byte
+        # comment opener) — 64 was a silent cap on element-name length
+        self._margin = max(64, max((len(t) for t in types), default=0) + 8)
         # absolute offset of an XML comment the open-tag scan is inside of
         self._comment_open_at: int | None = None
 
@@ -161,7 +243,7 @@ class _RangeScanner:
             while m is None and not self.eof:
                 # keep pos: a token may straddle the chunk edge, so re-search
                 # from just before the PRE-extension end, never the new end
-                resume = max(pos, len(self.buf) - 64)
+                resume = max(pos, len(self.buf) - self._margin)
                 self._extend()
                 m = pattern.search(self.buf, resume)
             if m is None:
@@ -216,8 +298,8 @@ class _RangeScanner:
             if m is not None:
                 return m
             # no match, no comment opener in [pos, len): keep only a
-            # torn-token tail (tokens are <64 bytes) and extend
-            keep = max(pos, len(self.buf) - 64)
+            # torn-token tail (see self._margin) and extend
+            keep = max(pos, len(self.buf) - self._margin)
             if self.range_end != -1 and self.base + keep >= self.range_end:
                 return None
             self.base += keep
@@ -276,8 +358,10 @@ class _RangeScanner:
 def _scan_spec(
     path: str, start: int, end: int, is_gz: bool, types: list[str]
 ) -> Iterator[tuple[str, int, bytes]]:
+    # is_gz means "compressed whole-stream member" — the codec comes from
+    # the extension (gz/bz2/xz, the stdlib-decompressible set)
     if is_gz:
-        with gzip.open(path, "rb") as fh:
+        with _codec_open(path) as fh:
             yield from _RangeScanner(fh, 0, -1, types).records()
         return
     with open(path, "rb") as fh:
@@ -301,13 +385,7 @@ def extract_record_envelope(
     types = sorted(set(record_types))
     if not types:
         raise ValueError("record_types must be non-empty")
-    if target_split_bytes is None:
-        from dblp_to_csv_spark.plans.etl import _parse_bytes
-
-        target_split_bytes = (
-            _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-            or 128 * 1024 * 1024
-        )
+    target_split_bytes = _resolve_split_bytes(spark, target_split_bytes)
     specs = _plan_ranges(xml_path, target_split_bytes)
     if not specs:
         return spark.createDataFrame([], ENVELOPE_SCHEMA)
@@ -328,11 +406,19 @@ def extract_record_envelope(
             return
         allspecs = pd.concat(pdfs).sort_values(["path", "start"])
         rows: list[tuple[str, str, str, int]] = []
+        encodings: dict[str, str] = {}
         for spec in allspecs.itertuples(index=False):
+            # per-file declared encoding (ASCII-compatible by the plan-time
+            # guard); a hard-coded utf-8 decode crashed on declared
+            # ISO-8859-1 corpora with raw high bytes
+            enc = encodings.get(spec.path)
+            if enc is None:
+                enc = sniff_encoding(spec.path, spec.is_gz)
+                encodings[spec.path] = enc
             for tag, off, blob in _scan_spec(
                 spec.path, spec.start, spec.end, spec.is_gz, types
             ):
-                rows.append((tag, blob.decode("utf-8"), spec.path, off))
+                rows.append((tag, blob.decode(enc), spec.path, off))
                 if len(rows) >= _EMIT_BATCH:
                     yield pd.DataFrame(
                         rows, columns=["record_type", "xml", "src", "offset"]

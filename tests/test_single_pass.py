@@ -104,7 +104,7 @@ def test_convert_modes_byte_identical(spark, tmp_path):
             relations={"author": "authored_by"},
             single_pass=single_pass,
         )
-        outs[mode] = (r.total_records, d)
+        outs[mode] = (r.total_records, d, r)
     assert outs["per_type"][0] == outs["single_pass"][0]
     a_dir, b_dir = outs["per_type"][1], outs["single_pass"][1]
     a_files = sorted(os.path.basename(p) for p in glob.glob(str(a_dir / "out*")))
@@ -113,8 +113,13 @@ def test_convert_modes_byte_identical(spark, tmp_path):
     for name in a_files:
         with open(a_dir / name, "rb") as fa, open(b_dir / name, "rb") as fb:
             assert fa.read() == fb.read(), name
-    # the envelope working directory is cleaned up after the run
-    assert not glob.glob(str(b_dir / "_xml_envelope*"))
+    # the envelope working dir now OUTLIVES the run (atexit-cleaned): the
+    # returned frames read it lazily, so an immediate rmtree dangled them
+    # (review r8). Pin the regression: a returned table frame must still
+    # re-collect after convert() returned.
+    sp_result = outs["single_pass"][2]
+    some_table = next(iter(sp_result.tables.values()))
+    assert some_table.df.count() == some_table.n_rows
 
 
 def test_python_datasource_matches_function_frontend(spark, types, envelope_rows):

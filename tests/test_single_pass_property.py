@@ -92,3 +92,86 @@ def test_scanner_matches_reference_parse(doc: str, split: int):
         assert [(t, x) for _, t, x in got] == _reference_records(doc)
     finally:
         os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
+# Review-r8 regressions: codec/directory/encoding handling in _plan_ranges
+# and the torn-token margin for long element names.
+# ---------------------------------------------------------------------------
+import bz2
+import pytest
+
+from dblp_to_csv_spark.sources.xml_single_pass import (
+    _EXTEND_CHUNK,
+    _plan_ranges,
+    _scan_spec,
+    sniff_encoding,
+)
+
+
+def _scan_all(path, types, step=1 << 20):
+    out = []
+    for p, s, e, gz in _plan_ranges(path, step):
+        out.extend(_scan_spec(p, s, e, gz, types))
+    return out
+
+
+def test_bz2_input_scans(tmp_path):
+    """A .bz2 corpus must decompress-scan (stdlib codec), not byte-scan
+    compressed bytes into a silently empty envelope."""
+    xml = b'<?xml version="1.0"?>\n<dblp><article key="a"><t>x</t></article></dblp>'
+    p = tmp_path / "c.xml.bz2"
+    p.write_bytes(bz2.compress(xml))
+    recs = _scan_all(str(p), ["article"])
+    assert [r[0] for r in recs] == ["article"]
+
+
+def test_unsupported_codec_raises(tmp_path):
+    (tmp_path / "c.xml.zst").write_bytes(b"\x28\xb5\x2f\xfd junk")
+    with pytest.raises(ValueError, match="cannot byte-scan"):
+        _plan_ranges(str(tmp_path / "c.xml.zst"), 1 << 20)
+
+
+def test_directory_input_expands(tmp_path):
+    d = tmp_path / "dumps"
+    d.mkdir()
+    for i in range(2):
+        (d / f"p{i}.xml").write_bytes(
+            f'<dblp><article key="a{i}"><t>x</t></article></dblp>'.encode()
+        )
+    recs = _scan_all(str(d), ["article"])
+    assert len(recs) == 2
+
+
+def test_declared_latin1_encoding_decodes(tmp_path):
+    """A declared ISO-8859-1 corpus with raw high bytes must sniff and
+    decode, where a hard-coded utf-8 decode raised UnicodeDecodeError."""
+    body = '<?xml version="1.0" encoding="ISO-8859-1"?>\n<dblp><article key="a"><t>caf\xe9</t></article></dblp>'
+    p = tmp_path / "c.xml"
+    p.write_bytes(body.encode("iso-8859-1"))
+    assert sniff_encoding(str(p)) == "iso-8859-1"
+    recs = _scan_all(str(p), ["article"])
+    assert recs[0][2].decode("iso-8859-1").count("café") == 1
+
+
+def test_utf16_rejected_loudly(tmp_path):
+    p = tmp_path / "c.xml"
+    p.write_bytes('<?xml version="1.0"?><dblp/>'.encode("utf-16"))
+    with pytest.raises(ValueError, match="UTF-16"):
+        sniff_encoding(str(p))
+
+
+def test_long_element_name_straddles_chunk_boundary(tmp_path):
+    """A record-type name longer than the old fixed 64-byte torn-token tail,
+    with its opening tag straddling the 1 MiB extension boundary, must still
+    be found (the margin now derives from the longest type name)."""
+    name = "x" * 80
+    rec = f'<{name} key="a"><t>hit</t></{name}>'
+    header = "<dblp>\n"
+    # place the opening '<' 10 bytes before the first extension boundary so
+    # the tag is torn mid-name on the first read
+    pad = b"z" * (_EXTEND_CHUNK - len(header) - 10)
+    p = tmp_path / "c.xml"
+    p.write_bytes(header.encode() + pad + rec.encode() + b"\n</dblp>")
+    recs = _scan_all(str(p), [name], step=1 << 30)
+    assert [r[0] for r in recs] == [name]
