@@ -50,7 +50,12 @@ def parse_annotated_header(header_path: str) -> list[tuple[str, str, bool]]:
 def _typed(col: Column, typ: str, is_array: bool) -> Column:
     spark_type = _SPARK_TYPES.get(typ, "string")
     if is_array:
-        arr = F.when(col == "", F.array().cast("array<string>")).otherwise(
+        # '' rehydrates to NULL, not an empty array: the writer serializes
+        # the all-absent (null) array as '' (flatten.py normalizes empty →
+        # null so absence behaves like a missing scalar), so an empty-array
+        # rehydration inverted isNotNull/size predicates after a round trip
+        # (review r8)
+        arr = F.when(col == "", F.lit(None).cast("array<string>")).otherwise(
             F.split(col, r"\|")
         )
         if spark_type == "string":
@@ -86,6 +91,11 @@ def read_inferred_csv(spark: SparkSession, csv_path: str, header: bool = True) -
         .option("quote", '"')
         .option("escape", '"')
         .option("header", str(header).lower())
+        # the sink quotes embedded newlines; without multiLine a quoted
+        # newline splits one record across two (review r8). Cost: multiLine
+        # files are not split within a file — acceptable for reading back
+        # the engine's own sink output (many files per table at scale).
+        .option("multiLine", "true")
         .csv(csv_path)
     )
     types = infer_csv_types(raw)
@@ -109,6 +119,7 @@ def read_annotated_csv(
         .option("quote", '"')
         .option("escape", '"')
         .option("header", "false")
+        .option("multiLine", "true")  # see read_inferred_csv
         .csv(csv_path)
     )
     if len(raw.columns) != len(schema):

@@ -13,29 +13,41 @@ from __future__ import annotations
 
 import re
 
-_ELEMENT_DECL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)", re.MULTILINE)
+# XML 1.0 NameStartChar / NameChar (BMP subset — astral names are legal but
+# vanishingly rare in DTDs): the previous ASCII-only [A-Za-z_:] first-char
+# class silently dropped declarations for legal non-ASCII element names
+# (review r8), flipping the no-lxml validator's verdict on valid corpora.
+_NS = (
+    "A-Za-z_:\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF\u0370-\u037D"
+    "\u037F-\u1FFF\u200C\u200D\u2070-\u218F\u2C00-\u2FEF"
+    "\u3001-\uD7FF\uF900-\uFDCF\uFDF0-\uFFFD"
+)
+_NC = _NS + "\\-.0-9\u00B7\u0300-\u036F\u203F-\u2040"
+_NAME = f"[{_NS}][{_NC}]*"
+
+_ELEMENT_DECL = re.compile(rf"<!ELEMENT\s+({_NAME})", re.MULTILINE)
 # the body may contain '>' inside quoted default values — consume quoted
 # strings atomically instead of stopping at the first '>'
 _ATTLIST_DECL = re.compile(
-    r"<!ATTLIST\s+([A-Za-z_:][\w.:-]*)\s+((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    rf"<!ATTLIST\s+({_NAME})\s+((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
     re.DOTALL,
 )
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 
 # internal parameter-entity declaration: <!ENTITY % name "replacement">
 _PE_DECL = re.compile(
-    r"<!ENTITY\s+%\s+([A-Za-z_:][\w.:-]*)\s+(?:\"([^\"]*)\"|'([^']*)')\s*>"
+    rf"<!ENTITY\s+%\s+({_NAME})\s+(?:\"([^\"]*)\"|'([^']*)')\s*>"
 )
-_PE_REF = re.compile(r"%([A-Za-z_:][\w.:-]*);")
+_PE_REF = re.compile(rf"%({_NAME});")
 
 # unparsed (NDATA) general entity: <!ENTITY name SYSTEM "uri" NDATA notation>
 # — the only kind an ENTITY/ENTITIES attribute may legally name (XML 1.0
 # §3.3.1). PUBLIC form carries two literals before NDATA.
 _UNPARSED_ENTITY_DECL = re.compile(
-    r"<!ENTITY\s+([A-Za-z_:][\w.:-]*)\s+"
+    rf"<!ENTITY\s+({_NAME})\s+"
     r"(?:SYSTEM\s+(?:\"[^\"]*\"|'[^']*')"
     r"|PUBLIC\s+(?:\"[^\"]*\"|'[^']*')\s+(?:\"[^\"]*\"|'[^']*'))"
-    r"\s+NDATA\s+([A-Za-z_:][\w.:-]*)\s*>"
+    rf"\s+NDATA\s+({_NAME})\s*>"
 )
 
 
@@ -71,7 +83,7 @@ def _read_dtd_text(dtd_path: str) -> str:
 #   name  type  (#REQUIRED | #IMPLIED | [#FIXED] "default")
 # where type is CDATA, a token type, or an enumeration "(a|b|c)"
 _ATTDEF = re.compile(
-    r"([A-Za-z_:][\w.:-]*)\s+"  # attribute name
+    rf"({_NAME})\s+"  # attribute name
     r"(CDATA|IDREFS|IDREF|ID|ENTITY|ENTITIES|NMTOKENS|NMTOKEN"
     r"|NOTATION\s+\([^)]*\)|\([^)]*\))\s+"
     r"(#REQUIRED|#IMPLIED|(?:#FIXED\s+)?(?:\"[^\"]*\"|'[^']*'))",
@@ -120,12 +132,13 @@ def get_attribute_defaults(dtd_path: str) -> dict[str, dict[str, str]]:
     the *annotated* header because its header iterates pass-2 type
     observations (XMLToCSV.py:290), leaving the header one column short of
     the CSV — a bug we fix by including them, typed 'string'."""
-    text = _read_dtd_text(dtd_path)
+    # derived from the single ATTLIST scan (_attdefs_from_text), so the
+    # first-binding-wins rule and any future parsing fix apply to every
+    # attribute view at once (review r8: the two independent scan loops
+    # would have needed the same fix twice)
     defaults: dict[str, dict[str, str]] = {}
-    for m in _ATTLIST_DECL.finditer(text):
-        element, body = m.group(1), m.group(2)
-        for am in _ATTDEF.finditer(body):
-            attr, _type, default = am.group(1), am.group(2), am.group(3)
+    for element, defs in _attdefs_from_text(_read_dtd_text(dtd_path)).items():
+        for attr, (_type, default) in defs.items():
             if default in ("#REQUIRED", "#IMPLIED"):
                 continue
             value = default.removeprefix("#FIXED").strip().strip("\"'")
@@ -151,7 +164,7 @@ def get_record_types(dtd_path: str, root: str = "dblp") -> set[str]:
     m = re.search(rf"<!ELEMENT\s+{re.escape(root)}\s+\(([^>]*)\)", text)
     if not m:
         return all_elements
-    names = set(re.findall(r"[A-Za-z_:][\w.:-]*", m.group(1))) - {"#PCDATA"}
+    names = set(re.findall(_NAME, m.group(1))) - {"#PCDATA"}
     children = names & all_elements
     return children or all_elements
 
@@ -173,7 +186,7 @@ def get_element_children(dtd_path: str) -> dict[str, set[str] | None]:
         elif model == "EMPTY":
             out[name] = set()
         else:
-            kids = set(re.findall(r"[A-Za-z_:][\w.:-]*", model)) - {"#PCDATA"}
+            kids = set(re.findall(_NAME, model)) - {"#PCDATA"}
             out[name] = kids & all_elements
     return out
 
@@ -293,8 +306,8 @@ def validate_xml_against_dtd(xml_path: str, dtd_path: str) -> bool | None:
     return root is not None
 
 
-_ELEMENT_MODEL = re.compile(r"<!ELEMENT\s+([A-Za-z_:][\w.:-]*)\s+([^>]+)>", re.DOTALL)
-_NAME_OR_PUNCT = re.compile(r"([A-Za-z_:][\w.:-]*)|([(),|?*+])")
+_ELEMENT_MODEL = re.compile(rf"<!ELEMENT\s+({_NAME})\s+([^>]+)>", re.DOTALL)
+_NAME_OR_PUNCT = re.compile(rf"({_NAME})|([(),|?*+])")
 
 
 def _content_model_regex(model: str) -> re.Pattern[str] | None:
@@ -313,7 +326,7 @@ def _content_model_regex(model: str) -> re.Pattern[str] | None:
     if model == "EMPTY":
         return re.compile(r"^$")
     if "#PCDATA" in model:
-        names = re.findall(r"[A-Za-z_:][\w.:-]*", model.replace("#PCDATA", ""))
+        names = re.findall(_NAME, model.replace("#PCDATA", ""))
         if not names:
             return re.compile(r"^$")
         return re.compile("^(?:(?:" + "|".join(map(re.escape, names)) + "),)*$")
@@ -349,9 +362,13 @@ def _attdefs_from_text(text: str) -> dict[str, dict[str, tuple[str, str]]]:
     for m in _ATTLIST_DECL.finditer(text):
         element, body = m.group(1), m.group(2)
         for am in _ATTDEF.finditer(body):
-            out.setdefault(element, {})[am.group(1)] = (
-                re.sub(r"\s+", "", am.group(2)),
-                am.group(3),
+            # FIRST binding wins (XML 1.0 §3.3: later declarations of the
+            # same attribute are ignored) — last-wins overwrote the binding
+            # and mis-validated the standard DTD-customization pattern
+            # (review r8); same rule the PE table already applies (§4.2)
+            out.setdefault(element, {}).setdefault(
+                am.group(1),
+                (re.sub(r"\s+", "", am.group(2)), am.group(3)),
             )
     return out
 
@@ -516,6 +533,11 @@ def validate_xml_structurally(
             return
         if name not in declared:
             errors.append(f"undeclared element <{name}>")
+            if len(errors) >= max_errors:
+                # raise here too: returning without the abort let a fully
+                # undeclared document scan to EOF after the budget was
+                # spent (review r8 — the max_errors=1 pre-flight abort)
+                raise _ErrorLimit
             return
         declared_attrs = attrs.get(name, {})
         for a, value in attributes.items():
@@ -578,5 +600,5 @@ def validate_xml_structurally(
     return errors[:max_errors]
 
 
-_XML_NAME = re.compile(r"[A-Za-z_:][\w.:-]*$")
-_NMTOKEN = re.compile(r"[\w.:-]+$")
+_XML_NAME = re.compile(rf"{_NAME}$")
+_NMTOKEN = re.compile(rf"[{_NC}]+$")

@@ -97,4 +97,30 @@ def test_csv_roundtrip_typed(spark, tmp_path):
     assert rows["a3"]["year"] == 7  # '007' cast to integer
     assert rows["a2"]["note"] is True
     assert rows["a2"]["score"] == 3.14
-    assert rows["a3"]["author"] == []  # empty cell → empty array
+    # empty cell → NULL array: the writer serializes the all-absent (null)
+    # array as '' (flatten normalizes empty → null), so the round trip must
+    # restore null — an empty array inverted isNotNull/size predicates vs
+    # the engine-built frame (review r8)
+    assert rows["a3"]["author"] is None
+
+
+def test_csv_roundtrip_embedded_newline(spark, tmp_path):
+    """A quoted embedded newline must survive the round trip: without
+    multiLine on the readers, the quoted cell split one record across two
+    physical lines (confirmed-broken pre-fix, review r8)."""
+    from dblp_to_csv_spark.plans.etl import _write_csv
+    from dblp_to_csv_spark.sources.csv_source import read_annotated_csv
+
+    df = spark.createDataFrame(
+        [(0, "line1\nline2", "a|b"), (1, "plain", "c")],
+        "id long, title string, author string",
+    )
+    out = tmp_path / "t.csv"
+    _write_csv(df.select("id", "title", "author"), str(out), header=False,
+               single_file=True)
+    (tmp_path / "t_header.csv").write_text("id:integer;title:string;author:string[]")
+    back = read_annotated_csv(spark, str(out))
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[0]["title"] == "line1\nline2"
+    assert rows[0]["author"] == ["a", "b"]
+    assert rows[1]["title"] == "plain"

@@ -426,3 +426,71 @@ def test_pe_dtd_etl_byte_identical_to_expanded_twin(spark, tmp_path, capsys):
         assert filecmp.cmp(
             out_pe.parent / name, out_tw.parent / name, shallow=False
         ), f"output file {name} differs between PE DTD and expanded twin"
+
+
+def test_attlist_first_binding_wins(tmp_path):
+    """XML 1.0 §3.3: when the same attribute is declared twice, the FIRST
+    declaration is binding — the standard DTD-customization-layer pattern.
+    Last-wins mis-validated valid documents and returned wrong defaults
+    (review r8)."""
+    dtd = tmp_path / "d.dtd"
+    dtd.write_text(
+        "<!ELEMENT dblp (e)*>\n<!ELEMENT e (#PCDATA)>\n"
+        '<!ATTLIST e a CDATA #IMPLIED>\n'
+        '<!ATTLIST e a (x|y) #REQUIRED>\n'
+        '<!ATTLIST e b CDATA "first">\n'
+        '<!ATTLIST e b CDATA "second">\n'
+    )
+    from dblp_to_csv_spark.sources.dtd import (
+        get_attribute_defaults,
+        get_declared_attributes,
+        validate_xml_structurally,
+    )
+
+    attrs = get_declared_attributes(str(dtd))
+    assert attrs["e"]["a"] is False  # first binding: #IMPLIED, not #REQUIRED
+    assert get_attribute_defaults(str(dtd))["e"]["b"] == "first"
+    xml = tmp_path / "c.xml"
+    xml.write_text('<dblp><e a="z">t</e></dblp>')
+    # 'z' is valid under the binding CDATA declaration; the ignored second
+    # declaration's enumeration must not reject it
+    assert validate_xml_structurally(str(xml), str(dtd)) == []
+
+
+def test_non_ascii_element_names_declared(tmp_path):
+    """Legal non-ASCII XML names must be visible to the DTD catalog and the
+    validator (the ASCII-only first-char class silently dropped them)."""
+    dtd = tmp_path / "d.dtd"
+    dtd.write_text(
+        "<!ELEMENT dblp (über)*>\n<!ELEMENT über (#PCDATA)>\n"
+        '<!ATTLIST über schlüssel CDATA #REQUIRED>\n'
+    )
+    from dblp_to_csv_spark.sources.dtd import (
+        get_elements,
+        get_record_types,
+        validate_xml_structurally,
+    )
+
+    assert get_elements(str(dtd)) == {"über"}
+    assert get_record_types(str(dtd)) == {"über"}
+    xml = tmp_path / "c.xml"
+    xml.write_text('<dblp><über schlüssel="k">t</über></dblp>', encoding="utf-8")
+    assert validate_xml_structurally(str(xml), str(dtd)) == []
+
+
+def test_error_limit_aborts_on_undeclared_elements(tmp_path):
+    """The max_errors pre-flight abort must fire on the undeclared-element
+    path too: a fully undeclared document used to scan to EOF after the
+    budget was spent (review r8). Proxy: the error list never exceeds the
+    budget even though the doc holds far more violations."""
+    dtd = tmp_path / "d.dtd"
+    dtd.write_text("<!ELEMENT dblp (e)*>\n<!ELEMENT e (#PCDATA)>\n")
+    xml = tmp_path / "c.xml"
+    xml.write_text(
+        "<dblp>" + "".join(f"<zzz>{i}</zzz>" for i in range(5000)) + "</dblp>"
+    )
+    from dblp_to_csv_spark.sources.dtd import validate_xml_structurally
+
+    errors = validate_xml_structurally(str(xml), str(dtd), max_errors=3)
+    assert len(errors) == 3
+    assert all("undeclared element" in e for e in errors)
