@@ -97,12 +97,7 @@ def _scored(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         F.round(cos, 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, "query_id", TOP_K)
 
 
 @register(
@@ -233,11 +228,22 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("c.vec_id").alias("neighbor_id"),
         F.round(cos, 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return _topk(scored, "query_id", TOP_K)
+
+
+def _topk(scored: DataFrame, key: str, k: int) -> DataFrame:
+    """The per-query top-k contract in ONE place (review r8 — it existed as
+    six copies): rank by (cos_sim desc, neighbor_id) — the deterministic
+    tie-break every recall-containment test in test_similarity_recall.py
+    relies on — keep k, emit (key, neighbor_id, cos_sim, rank). WindowGroup-
+    Limit turns the per-key window into a partial top-k before the shuffle."""
+    w = Window.partitionBy(key).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .filter(F.col("rank") <= k)
+        .select(key, "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -442,12 +448,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         F.round(cos, 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, "query_id", TOP_K)
 
 
 IVF_NPROBE = 2
@@ -536,12 +537,7 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         F.round(cos, 6).alias("cos_sim"),
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, "query_id", TOP_K)
 
 
 @register(
@@ -601,12 +597,7 @@ def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.mapInPandas(score_batches, out_schema).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, "query_id", TOP_K)
 
 
 KNN_K = 3
@@ -680,9 +671,4 @@ def similarity_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("b.vec_id").alias("neighbor_id"),
         F.round(cos, 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk(scored, "vec_id", KNN_K)

@@ -64,19 +64,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP_NTZ). Normalize both to TIMESTAMP so every downstream
     # operator (unix_micros, window, date_trunc) sees one type.
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
+        df = normalize_events_ts(df)
+    return df
 
-        if ts_type == "bigint":
-            # INTEGER division (epoch nanos exceed 2^53, double math would
-            # corrupt the low digits), truncating to micros — the same
-            # truncation DuckDB applies when it reads the column.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # Reinterpret in the session timezone; collect() converts back
-            # via the same zone, so naive wall-clock values round-trip and
-            # match DuckDB's naive read of the identical file.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """ts → TIMESTAMP, whichever parquet encoding the file shipped with —
+    ONE definition shared by the batch loader and the events stream reader
+    (the two had drifted-prone verbatim copies, review r8):
+
+    * epoch-nanos LongType (TIMESTAMP(NANOS) under nanosAsLong): INTEGER
+      division to micros — epoch nanos exceed 2^53, double math would
+      corrupt the low digits; same truncation DuckDB applies on read.
+    * TIMESTAMP_NTZ (TIMESTAMP(MICROS, isAdjustedToUTC=false)):
+      reinterpret in the session timezone; collect() converts back via the
+      same zone, so naive wall-clock values round-trip and match DuckDB's
+      naive read of the identical file."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

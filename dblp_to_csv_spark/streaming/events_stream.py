@@ -23,27 +23,33 @@ from pyspark.sql import functions as F
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream twin of sources.tables.load_table(..., 'events'): explicit
-    schema (streams cannot infer), nanos→timestamp conversion identical to
-    the batch loader. The nanosAsLong conf is restored after setup (same
-    hygiene as the batch loader; it is captured by the stream's schema)."""
-    from dblp_to_csv_spark.sources.tables import temp_conf
+    schema (streams cannot infer), ts normalization shared with the batch
+    loader (sources.tables.normalize_events_ts).
+
+    Conf hygiene caveat (review r8): a stream over a TIMESTAMP(NANOS) file
+    re-reads nanosAsLong at EVERY micro-batch's scan planning — the conf is
+    NOT captured by the stream's schema, so restoring it after setup (the
+    batch loader's hygiene) would crash the first micro-batch with
+    'Illegal Parquet type: INT64 (TIMESTAMP(NANOS))'. For that encoding the
+    conf is left SET on the session for the stream's lifetime — the lesser
+    evil, documented here; the MICROS/NTZ encoding needs no conf at all."""
+    from dblp_to_csv_spark.sources.tables import normalize_events_ts, temp_conf
 
     with temp_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
         batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # the file-stream source wants a directory; glob-filter to the table
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
-    ts_type = dict(batch.dtypes).get("ts")
+        ts_type = dict(batch.dtypes).get("ts")
     if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # watermarks require TIMESTAMP; same normalization as the batch loader
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+        # nanos encoding: every micro-batch scan needs the conf — set it
+        # for the session lifetime (see docstring)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source wants a directory; glob-filter to the table
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_events_ts(stream)
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -97,9 +103,7 @@ def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
     standard shape for slowly-changing dims at ingest (swap the snapshot
     under the path to 'update' the dim)."""
     dim = F.broadcast(
-        customers.select(
-            F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
-        )
+        customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
     return events.join(dim, "user_id", "left").select(
         "event_id", "user_id", "ts", "event_type", "value", "c_mktsegment"
@@ -177,12 +181,21 @@ def stream_upsert_keep_latest(
 
         spark = batch.sparkSession
         new = batch.select("user_id", "ts", "event_id", "event_type", "value")
-        # crash recovery: a failure between the swap's delete and move left
-        # the fully-merged table in _next and no target — finish the swap
-        # before reading, or the replayed merge would see "first batch" and
-        # lose all prior state
+        # crash recovery for the rename-swap below. Two windows:
+        # (a) crash after target→_old but before _next→target: target is
+        #     missing and the fully-merged table sits in _next — finish the
+        #     swap, or the replayed merge would see "first batch" and lose
+        #     all prior state;
+        # (b) crash during the final _old cleanup: target is complete and
+        #     _old is stale — just remove it. Directory RENAMES are atomic,
+        #     so no state is ever partially deleted while readable (the
+        #     earlier rmtree-then-move protocol could crash mid-delete and
+        #     leave a PARTIAL target that replay treated as authoritative —
+        #     permanent row loss, review r8).
         if not os.path.isdir(target_dir) and os.path.isdir(target_dir + "_next"):
             shutil.move(target_dir + "_next", target_dir)
+        if os.path.isdir(target_dir + "_old"):
+            shutil.rmtree(target_dir + "_old")
         # existence check, not try/except: a transient READ failure on an
         # existing target must raise (so the engine retries the batch), not
         # be mistaken for "first batch" and silently discard all prior state
@@ -200,15 +213,17 @@ def stream_upsert_keep_latest(
         )
         # rewrite-on-merge: correct for parquet (no transactional MERGE);
         # collect-free, one shuffle on user_id. The new table lands fully in
-        # _next BEFORE the swap; both swap steps raise on failure (a failed
-        # delete must not let move() nest _next INSIDE the stale target).
-        # A crash inside the delete→move window is repaired by the recovery
-        # preamble above on replay; a transactional table format closes the
-        # window entirely via MERGE.
+        # _next BEFORE the swap, then two ATOMIC renames replace the target
+        # (target→_old, _next→target) and the stale _old is deleted last —
+        # every crash point leaves either the old complete table or the new
+        # complete table, never a partial one. A transactional table format
+        # closes even the missing-target instant via MERGE.
         latest.write.mode("overwrite").parquet(target_dir + "_next")
         if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
-        shutil.move(target_dir + "_next", target_dir)
+            os.rename(target_dir, target_dir + "_old")
+        os.rename(target_dir + "_next", target_dir)
+        if os.path.isdir(target_dir + "_old"):
+            shutil.rmtree(target_dir + "_old")
 
     return (
         events.writeStream.foreachBatch(merge_batch)

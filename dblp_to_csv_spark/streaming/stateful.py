@@ -21,21 +21,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_event_type string"
-STATE_SCHEMA = "n long, total double, last string"
+# last_ts/last_id make "last" EVENT-TIME latest, not arrival-latest: the
+# state must carry the watermark-free ordering key or a multi-chunk batch
+# (chunks arrive in arbitrary order) and any late event silently overwrite
+# the true latest (review r8)
+STATE_SCHEMA = "n long, total double, last string, last_ts long, last_id long"
 
 
 def _update_user_profile(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total, last = state.get if state.exists else (0, 0.0, None)
+    n, total, last, last_ts, last_id = (
+        state.get if state.exists else (0, 0.0, None, -1, -1)
+    )
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
         n += len(pdf)
         total += float(pdf["value"].sum())
         if len(pdf):
-            last = str(pdf["event_type"].iloc[-1])
-    state.update((n, total, last))
+            # per-chunk event-time max, compared against the carried state:
+            # applyInPandasWithState delivers one group as MULTIPLE chunks
+            # in arbitrary order, and a later micro-batch may deliver an
+            # out-of-order (older) event — both must lose to the stored
+            # (ts, event_id) maximum
+            idx = pdf.sort_values(["ts", "event_id"]).index[-1]
+            ts_us = int(pd.Timestamp(pdf["ts"][idx]).value // 1000)
+            eid = int(pdf["event_id"][idx])
+            if (ts_us, eid) > (last_ts, last_id):
+                last, last_ts, last_id = str(pdf["event_type"][idx]), ts_us, eid
+    state.update((n, total, last, last_ts, last_id))
     yield pd.DataFrame(
         {
             "user_id": [user_id],

@@ -395,3 +395,72 @@ def test_stream_windowed_type_mix_equals_batch_monitor(spark):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     q.stop()
+
+
+def test_stateful_last_event_is_event_time_latest(spark, tmp_path):
+    """Regression (review r8): 'last_event_type' must be the EVENT-TIME
+    latest, not the arrival-latest — a late (older-ts) event in a later
+    micro-batch used to overwrite the stored value because state carried
+    no ordering key."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.streaming.stateful import stream_user_profiles
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": i, "user_id": u, "ts": ts, "event_type": et,
+                     "value": 1.0}
+                )
+                for i, u, ts, et in rows
+            )
+        )
+
+    lake = str(tmp_path / "lake")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, "
+                "event_type string, value double"
+            ).json(str(src))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(lake)
+
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint across restarts, and the checkpoint is the point —
+        # batch 2 must arrive in a SEPARATE micro-batch with carried state
+        q = (
+            stream_user_profiles(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # batch 1: the user's true latest event (purchase @ 12:00)
+    land("b1.json", [(1, 7, "2024-01-01 10:00:00", "view"),
+                     (2, 7, "2024-01-01 12:00:00", "purchase")])
+    run_once()
+    # batch 2: a LATE event with an older timestamp (click @ 11:00)
+    land("b2.json", [(3, 7, "2024-01-01 11:00:00", "click")])
+    run_once()
+    rows = sorted(
+        spark.read.parquet(lake).filter(F.col("user_id") == 7).collect(),
+        key=lambda r: r["n_events"],
+    )
+    latest = rows[-1]  # update mode emits one row per batch; max n = final
+    assert latest["n_events"] == 3
+    assert latest["last_event_type"] == "purchase"  # event-time latest wins
