@@ -45,6 +45,17 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # ascending last-green round. Queries with no DuckDB oracle sort last so
 # the driver window never burns slots on rows-only ``err: no_oracle`` rows
 # (VERDICT r6 items 1 and 5).
+# Queries whose implementation changed AFTER their last green driver row.
+# scripts/refresh_driver_verified.py drops these from _LAST_GREEN_ROUND when
+# it rewrites the literal, so they sort as never-verified (first in the
+# window) instead of riding stale evidence. Remove a name once the driver
+# re-greens the CURRENT implementation.
+_EVIDENCE_RESET: set[str] = {
+    # KNN_SIGN_BITS=5 widening (r7, post-driver commit) changed the result
+    # set; the r7 green row verified the old SIGN_BITS=3 implementation.
+    "similarity_knn_graph_bucketed",
+}
+
 _LAST_GREEN_ROUND: dict[str, int] = {
     "advanced_agg_gallery": 5,
     "anti_join_customers_without_orders": 6,
@@ -135,10 +146,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "setop_except_nations": 6,
     "setop_intersect_nations": 6,
     "setop_union_nations": 6,
-    # similarity_knn_graph_bucketed: r7 green predates the KNN_SIGN_BITS=5
-    # widening (same round, later commit) — the current implementation has
-    # never been driver-verified, so it must sort as never-verified, not
-    # ride the stale r7 evidence (review r8).
     "similarity_topk_blas": 2,
     "similarity_topk_bruteforce": 7,
     "similarity_topk_ivf": 7,

@@ -36,10 +36,23 @@ def compute_last_green() -> dict[str, int]:
     return last
 
 
+def read_evidence_reset(src: str) -> set[str]:
+    """Names in registry._EVIDENCE_RESET: implementation changed after the
+    last green row, so the entry must be dropped (sorts as never-verified)."""
+    m = re.search(r"_EVIDENCE_RESET: set\[str\] = \{(.*?)\}", src, flags=re.DOTALL)
+    if not m:
+        return set()
+    return set(re.findall(r'"([^"]+)"', m.group(1)))
+
+
 def main() -> None:
     last = compute_last_green()
-    body = "\n".join(f'    "{k}": {v},' for k, v in sorted(last.items()))
     src = REGISTRY.read_text()
+    reset = read_evidence_reset(src)
+    for name in reset & last.keys():
+        del last[name]
+        print(f"evidence reset: {name} (sorts as never-verified)")
+    body = "\n".join(f'    "{k}": {v},' for k, v in sorted(last.items()))
     new_src, n = re.subn(
         r"_LAST_GREEN_ROUND: dict\[str, int\] = \{\n.*?\n\}\n",
         "_LAST_GREEN_ROUND: dict[str, int] = {\n" + body + "\n}\n",
