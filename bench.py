@@ -44,8 +44,17 @@ CURATION_BENCH = [
     "quality_linear_score",
     # round-8 continuation additions
     "dedup_substring_rewrite",
+]
+
+# Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and
+# graph series trend independently; totals across rounds compare on the
+# shared per-query series, as with the r7 CURATION_BENCH extension.
+GRAPH_BENCH = [
     "graph_triangle_count",
     "graph_kcore",
+    "graph_coreness",
+    "graph_adamic_adar_capped",
+    "graph_report",
 ]
 
 
@@ -84,6 +93,9 @@ def main() -> None:
     curation = _time_queries(
         spark, sf_dir, {n: registry[n].fn for n in CURATION_BENCH if n in registry}
     )
+    graph = _time_queries(
+        spark, sf_dir, {n: registry[n].fn for n in GRAPH_BENCH if n in registry}
+    )
 
     print(
         json.dumps(
@@ -95,6 +107,8 @@ def main() -> None:
                 "sf": sf,
                 "curation_queries_total": round(sum(curation.values()), 3),
                 "curation_queries": curation,
+                "graph_queries_total": round(sum(graph.values()), 3),
+                "graph_queries": graph,
             }
         )
     )

@@ -73,12 +73,9 @@ def copart_edges(
 
 # Shared oracle CTEs: distinct co-occurrence edges -> id-ordered triangle
 # enumeration -> per-corner counts (plus degrees for the coefficient).
-_TRI_CTES = """
-        e AS (
-            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-            FROM lineitem a JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ),
+# _TRI_BODY references an `e(u, v)` CTE the caller provides, so composites
+# can share one MATERIALIZED edge CTE across triangle/coreness sections.
+_TRI_BODY = """
         t AS (
             SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM e e1
@@ -94,6 +91,15 @@ _TRI_CTES = """
             SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY node
         )
+"""
+
+_TRI_CTES = f"""
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        {_TRI_BODY}
 """
 
 
@@ -321,12 +327,9 @@ def graph_kcore(
     base_dir = checkpoint_base(spark, checkpoint_dir, "_kcore_")
     # no edge checkpoint: und (both directions) is written right below and
     # is the only thing the peel loop reads
-    e0 = copart_edges(spark, sf_dir, checkpoint=False)
-    und_path = os.path.join(base_dir, "und")
-    e0.select("u", "v").union(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).write.mode("overwrite").parquet(und_path)
-    und = spark.read.parquet(und_path)
+    und = write_und_edges(
+        spark, copart_edges(spark, sf_dir, checkpoint=False), base_dir
+    )
     cur = und.select(F.col("u").alias("node")).distinct()
     n_cur = cur.count()
     for rnd in range(KCORE_ROUNDS):
@@ -488,7 +491,75 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORENESS_ROUNDS = 30
 
 
-def _coreness_oracle() -> str:
+def write_und_edges(spark: SparkSession, e0: DataFrame, base_dir: str) -> DataFrame:
+    """Checkpoint the symmetrized (both-directions) edge frame under
+    ``base_dir`` and return the parquet-backed read — the one copy every
+    iterative consumer (k-core peel, coreness rounds, a composite's degree
+    seed) re-reads instead of re-deriving the lineitem self-join."""
+    import os
+
+    und_path = os.path.join(base_dir, "und")
+    e0.select("u", "v").union(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).write.mode("overwrite").parquet(und_path)
+    return spark.read.parquet(und_path)
+
+
+def coreness_fixpoint(
+    spark: SparkSession,
+    und: DataFrame,
+    base_dir: str,
+    cor: DataFrame | None = None,
+) -> DataFrame:
+    """Iterate the neighborhood h-index to its fixpoint over a checkpointed
+    ``und`` frame; returns the final (n, cor) frame. ``cor`` lets a caller
+    seed with an already-computed degree frame (the composite shares it with
+    the clustering coefficient); default seeds from ``und`` degrees.
+
+    One ACTION per round: the convergence sum rides the checkpoint write
+    via df.observe (executor-accumulated during the job the round already
+    runs — the observed_keep_gate pattern), instead of a second count job
+    over the checkpoint. Batching several rounds per checkpoint was tried
+    and REGRESSED ~2× at sf0.1: chaining 5 join+window rounds in one job
+    re-evaluates the un-materialized predecessor against both the join
+    and the window, so the per-round checkpoint is load-bearing here,
+    not just lineage hygiene."""
+    import os
+
+    from pyspark.sql import Observation
+
+    if cor is None:
+        cor = und.groupBy("u").agg(F.count(F.lit(1)).alias("cor")).select(
+            F.col("u").alias("n"), "cor"
+        )
+    total = cor.agg(F.sum("cor")).collect()[0][0]
+    per_node = Window.partitionBy("u").orderBy(F.desc("c"))
+    for rnd in range(CORENESS_ROUNDS):
+        obs = Observation(f"coreness_{rnd}")
+        nxt = (
+            und.join(cor, cor["n"] == und["v"])
+            .select("u", F.col("cor").alias("c"))
+            .withColumn("rnk", F.row_number().over(per_node))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("rnk"), F.col("c"))).alias("cor"))
+            .select(F.col("u").alias("n"), "cor")
+            .observe(obs, F.sum("cor").alias("s"))
+        )
+        nxt_path = os.path.join(base_dir, f"round_{rnd}")
+        nxt.write.mode("overwrite").parquet(nxt_path)
+        new_total = obs.get["s"]
+        converged = new_total == total
+        cor, total = spark.read.parquet(nxt_path), new_total
+        if converged:
+            break
+    return cor
+
+
+def _coreness_step_ctes() -> tuple[str, str]:
+    """The unrolled h-index rounds (c1..cN, each MATERIALIZED — the
+    multiply-referenced-CTE rule) referencing caller-provided `und` and
+    `c0(n, cor)` CTEs; returns (joined steps SQL, final CTE name) so the
+    standalone oracle and the graph_report composite share one unroll."""
     steps = []
     prev = "c0"
     for t in range(1, CORENESS_ROUNDS + 1):
@@ -502,6 +573,11 @@ def _coreness_oracle() -> str:
             ) GROUP BY u
         )""")
         prev = f"c{t}"
+    return ",".join(steps), prev
+
+
+def _coreness_oracle() -> str:
+    steps, prev = _coreness_step_ctes()
     return f"""
         WITH e AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -512,7 +588,7 @@ def _coreness_oracle() -> str:
             SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
         ),
         c0 AS (SELECT u AS n, COUNT(*) AS cor FROM und GROUP BY u),
-        {",".join(steps)}
+        {steps}
         SELECT p.p_partkey AS l_partkey,
                CAST(COALESCE({prev}.cor, 0) AS BIGINT) AS coreness
         FROM part p LEFT JOIN {prev} ON {prev}.n = p.p_partkey
@@ -538,54 +614,123 @@ def graph_coreness(
     — the CC loop's trick); per-round parquet checkpoints cut lineage.
     Cross-operator invariant pinned in tests: {{coreness ≥ k}} is exactly
     graph_kcore's k-core membership."""
-    import os
-
     from dblp_to_csv_spark.session import checkpoint_base
 
     base_dir = checkpoint_base(spark, checkpoint_dir, "_coreness_")
-    e0 = copart_edges(spark, sf_dir, checkpoint=False)
-    und_path = os.path.join(base_dir, "und")
-    e0.select("u", "v").union(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).write.mode("overwrite").parquet(und_path)
-    und = spark.read.parquet(und_path)
-    cor = und.groupBy("u").agg(F.count(F.lit(1)).alias("cor")).select(
-        F.col("u").alias("n"), "cor"
+    und = write_und_edges(
+        spark, copart_edges(spark, sf_dir, checkpoint=False), base_dir
     )
-    total = cor.agg(F.sum("cor")).collect()[0][0]
-    per_node = Window.partitionBy("u").orderBy(F.desc("c"))
-    # One ACTION per round: the convergence sum rides the checkpoint write
-    # via df.observe (executor-accumulated during the job the round already
-    # runs — the observed_keep_gate pattern), instead of a second count job
-    # over the checkpoint. Batching several rounds per checkpoint was tried
-    # and REGRESSED ~2× at sf0.1: chaining 5 join+window rounds in one job
-    # re-evaluates the un-materialized predecessor against both the join
-    # and the window, so the per-round checkpoint is load-bearing here,
-    # not just lineage hygiene.
-    from pyspark.sql import Observation
-
-    for rnd in range(CORENESS_ROUNDS):
-        obs = Observation(f"coreness_{rnd}")
-        nxt = (
-            und.join(cor, cor["n"] == und["v"])
-            .select("u", F.col("cor").alias("c"))
-            .withColumn("rnk", F.row_number().over(per_node))
-            .groupBy("u")
-            .agg(F.max(F.least(F.col("rnk"), F.col("c"))).alias("cor"))
-            .select(F.col("u").alias("n"), "cor")
-            .observe(obs, F.sum("cor").alias("s"))
-        )
-        nxt_path = os.path.join(base_dir, f"round_{rnd}")
-        nxt.write.mode("overwrite").parquet(nxt_path)
-        new_total = obs.get["s"]
-        converged = new_total == total
-        cor, total = spark.read.parquet(nxt_path), new_total
-        if converged:
-            break
+    cor = coreness_fixpoint(spark, und, base_dir)
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )
     return part.join(cor, part["l_partkey"] == cor["n"], "left").select(
         "l_partkey",
         F.coalesce(F.col("cor"), F.lit(0)).cast("long").alias("coreness"),
+    )
+
+
+def _graph_report_oracle() -> str:
+    steps, prev = _coreness_step_ctes()
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        {_TRI_BODY},
+        deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM und GROUP BY u),
+        c0 AS (SELECT u AS n, COUNT(*) AS cor FROM und GROUP BY u),
+        {steps}
+        SELECT p.p_partkey AS l_partkey,
+               COALESCE(d.deg, 0) AS degree,
+               COALESCE(c.n_triangles, 0) AS n_triangles,
+               ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                          THEN 2.0 * COALESCE(c.n_triangles, 0)
+                               / (d.deg * (d.deg - 1))
+                          ELSE 0 END, 6) AS clustering_coeff,
+               CAST(COALESCE({prev}.cor, 0) AS BIGINT) AS coreness,
+               (COALESCE({prev}.cor, 0) >= {KCORE_K}) AS in_core
+        FROM part p
+        LEFT JOIN deg d ON d.node = p.p_partkey
+        LEFT JOIN cnt c ON c.node = p.p_partkey
+        LEFT JOIN {prev} ON {prev}.n = p.p_partkey
+    """
+
+
+@register(
+    "graph_report",
+    tags=("graph", "iterative", "composite"),
+    oracle=_graph_report_oracle(),
+)
+def graph_report(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """One-pass graph analytics report — the composite that shares what the
+    standalone queries must each rebuild (ROADMAP #20, the curate_corpus
+    pattern): the co-occurrence edge list and its symmetrized twin
+    checkpoint ONCE, the und-degree aggregate seeds BOTH the clustering
+    coefficient AND the coreness h-index fixpoint, and k-core membership
+    falls out of coreness for free (coreness(u) >= k iff u is in the
+    k-core — the cross-operator invariant tests/test_graph_analytics.py
+    pins), so the peel loop never runs. Per part: degree, triangle count,
+    local clustering coefficient, core number, KCORE_K-core membership.
+
+    Cost vs running the four standalone queries: one lineitem self-join
+    instead of four, one coreness loop instead of (coreness + KCORE_ROUNDS
+    peel rounds), one degree aggregate instead of three — the remaining
+    work (triangle wedge join + the h-index rounds) is irreducible."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_graphrep_")
+    # e0 (u < v) feeds the triangle orientation; und feeds degrees/coreness.
+    # Checkpoint e0 once and derive und from the parquet read (two column-
+    # pruned scans of the checkpoint, not two more lineitem self-joins).
+    e0_path = os.path.join(base_dir, "edges")
+    copart_edges(spark, sf_dir, checkpoint=False).write.mode(
+        "overwrite"
+    ).parquet(e0_path)
+    e0 = spark.read.parquet(e0_path)
+    und = write_und_edges(spark, e0, base_dir)
+    deg_und = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    cor = coreness_fixpoint(
+        spark,
+        und,
+        base_dir,
+        cor=deg_und.select(F.col("u").alias("n"), F.col("deg").alias("cor")),
+    )
+    cnt = triangle_counts(
+        spark, sf_dir, e0=e0, deg=deg_und.withColumnRenamed("u", "n")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    deg = deg_und.select(F.col("u").alias("node"), "deg")
+    joined = (
+        part.join(deg, part["l_partkey"] == deg["node"], "left")
+        .drop(deg["node"])
+        .join(cnt, part["l_partkey"] == cnt["node"], "left")
+        .drop(cnt["node"])
+        .join(cor, part["l_partkey"] == cor["n"], "left")
+        .drop(cor["n"])
+    )
+    d = F.coalesce(F.col("deg"), F.lit(0))
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    core = F.coalesce(F.col("cor"), F.lit(0))
+    coeff = F.when(
+        d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "l_partkey",
+        d.cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+        core.cast("long").alias("coreness"),
+        (core >= KCORE_K).alias("in_core"),
     )

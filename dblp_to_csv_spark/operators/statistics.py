@@ -496,3 +496,39 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(full)).select(
         "n_resamples", "mean_full", "ci_lo", "ci_hi"
     )
+
+
+@register(
+    "regression_moments_lineitem",
+    tags=("agg", "stats", "regression"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avg_x,
+               ROUND(REGR_AVGY(l_extendedprice, l_quantity), 2) AS avg_y,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 3) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) + 0.0 AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def regression_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group via the REGR_* moment aggregates (y =
+    l_extendedprice on x = l_quantity): slope/intercept/R² come from one
+    partial+final co-moment aggregation — the distributed shape for fitting
+    millions of tiny per-group models (one per key) without any solver or
+    second scan. Rounding absorbs summation-order ulps (slope/intercept are
+    ratios of two large co-moment sums: relative fp error ~1e-11, so 3/2 dp
+    on magnitudes ~1e3 is far outside the noise); ``+ 0.0`` normalizes
+    IEEE -0.0 as in stats_agg_lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+        F.round(F.regr_slope(y, x), 3).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
+    )

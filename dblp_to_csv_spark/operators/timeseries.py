@@ -494,3 +494,73 @@ def forward_fill_event_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_reported",
         F.last("k_reported", ignorenulls=True).over(w).alias("k_filled"),
     )
+
+
+# EWMA decay 1/2: every weight (1-alpha)^i is a power of two, so the
+# per-term products are exact exponent shifts and the 8-term sums are
+# bit-identical across engines — what makes a smoothing query hash-checkable
+# without a tolerance harness.
+EWMA_ALPHA = 0.5
+EWMA_LAGS = 8  # bounded frame: the truncated tail weight is 2^-8 ≈ 0.4%
+
+
+def _ewma_oracle() -> str:
+    lags = ", ".join(
+        f"LAG(value, {i}) OVER w AS l{i}" for i in range(1, EWMA_LAGS)
+    )
+    num = " + ".join(
+        f"COALESCE(l{i}, 0) * {(1.0 - EWMA_ALPHA) ** i!r}"
+        for i in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{i} IS NOT NULL THEN {(1.0 - EWMA_ALPHA) ** i!r} ELSE 0 END)"
+        for i in range(EWMA_LAGS)
+    )
+    return f"""
+        WITH lagged AS (
+            SELECT user_id, event_id, value AS l0, {lags}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, l0 AS value,
+               ROUND(({num}) / NULLIF({den}, 0.0), 6) + 0.0 AS ewma
+        FROM lagged
+    """
+
+
+@register(
+    "ewma_event_values",
+    tags=("window", "time", "stats"),
+    oracle=_ewma_oracle(),
+)
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over the last
+    EWMA_LAGS events — the smoothing/monitoring primitive (metric
+    dashboards, rate limiters, drift smoothing) as a BOUNDED window: K lag
+    columns + a renormalized weighted sum, instead of the unbounded
+    recursive EWMA that needs per-row sequential state. Truncation error is
+    ≤ (1-alpha)^K of the weight mass (0.4% here) — the standard trade that
+    keeps the operator a single hash exchange on user_id + one window pass,
+    embarrassingly parallel across keys at any scale. Early rows renormalize
+    over the weights actually present (no warm-up bias); all-null tails
+    yield NULL via the zero-denominator guard, identical three-valued logic
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag = {0: F.col("value")}
+    for i in range(1, EWMA_LAGS):
+        lag[i] = F.lag("value", i).over(w)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    # left-assoc chains in declaration order: the same association the
+    # oracle's `+` chain parses to, so the dyadic-exact sums stay bit-equal
+    for i in range(EWMA_LAGS):
+        wt = (1.0 - EWMA_ALPHA) ** i
+        num = num + F.coalesce(lag[i], F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lag[i].isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias("ewma"),
+    )
