@@ -1204,3 +1204,45 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
             .alias("split"),
     )
+
+
+SOURCE_CAP = 15  # max docs admitted per source/domain
+
+
+@register(
+    "curate_source_cap",
+    tags=("curation", "window", "sample"),
+    oracle=f"""
+        SELECT doc_id, source, kept FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) <= {SOURCE_CAP} AS kept
+            FROM documents
+        )
+    """,
+)
+def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain admission cap: keep at most SOURCE_CAP documents per
+    source, chosen by md5(doc_id) priority — the crawl-curation move that
+    stops boilerplate-heavy domains from dominating the training mix while
+    staying deterministic (no rand(), same verdict on re-run; the md5
+    priority is an unbiased uniform draw within each source, the
+    sample_documents_hash discipline).
+
+    Scale shape: one hash exchange on source feeding one row_number
+    window — per-source partitions only (a hot domain is exactly what the
+    cap bounds the DOWNSTREAM of; the window itself sees the domain's rows,
+    which is the irreducible read). Emitting a kept verdict per doc (not
+    just survivors) keeps the operator composable as a broadcast anti-join
+    verdict, the corpus-never-reshuffles pattern the dedup family uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
+    )

@@ -643,3 +643,159 @@ def text_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("embedding"),
     )
+
+
+# BM25 constants (Okapi, Lucene-style idf): fixed query + standard k1/b.
+BM25_TERMS = ("join", "hash", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 50
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    norm = f"({BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    score = " + ".join(
+        f"ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * tf_{t} * ({BM25_K1} + 1) / (tf_{t} + {norm})"
+        for t in BM25_TERMS
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_TERMS
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {WORDS_SQL.format(col="text")} AS w FROM documents
+        ),
+        tf AS (SELECT doc_id, len(w) AS dl, {tf_cols} FROM t),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl, {df_cols}
+            FROM tf
+        )
+        SELECT doc_id,
+               ROUND({score}, 6) + 0.0 AS bm25,
+               CAST({matched} AS BIGINT) AS n_terms_matched
+        FROM tf, stats
+        ORDER BY ROUND({score}, 6) DESC, doc_id
+        LIMIT {BM25_TOP}
+    """
+
+
+@register("search_bm25", tags=("text", "search", "agg"), oracle=_bm25_oracle())
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Okapi tf saturation + length normalization,
+    Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf): the LEXICAL retrieval twin of
+    the ANN family — top-BM25_TOP documents for a fixed conjunctive query.
+
+    Scale shape: per-term tf is an IN-ROW array filter over the tokenized
+    projection (terms are fixed, so no posting-list explode and the corpus
+    never shuffles); the corpus statistics (N, avgdl, per-term df) reduce to
+    ONE 1-row aggregate attached back by broadcast crossJoin (the rate-table
+    pattern); top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps, no global sort). Determinism: ranking ties break on doc_id, and
+    the ORDER BY key is the 6-dp ROUNDED score, so both engines cut the
+    same top-k set."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", words("text").alias("w"))
+
+    def _tf(term: str):
+        # closure per term — a 2-arg lambda with a default would flip
+        # F.filter into its (element, index) calling convention
+        return F.size(F.filter("w", lambda x: x == F.lit(term)))
+
+    tf = t.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        *[_tf(t_).alias(f"tf_{t_}") for t_ in BM25_TERMS],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t_}") > 0).cast("int")).alias(f"df_{t_}")
+            for t_ in BM25_TERMS
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    norm = F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for t_ in BM25_TERMS:
+        tf_c = F.col(f"tf_{t_}")
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df_{t_}") + 0.5) / (F.col(f"df_{t_}") + 0.5)
+        )
+        score = score + idf * tf_c * F.lit(BM25_K1 + 1) / (tf_c + norm)
+        matched = matched + (tf_c > 0).cast("int")
+    rounded = F.round(score, 6) + F.lit(0.0)
+    return (
+        scored.select(
+            "doc_id",
+            rounded.alias("bm25"),
+            matched.cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+ZIPF_TOP = 256  # rank depth for the log-log frequency fit
+
+
+@register(
+    "text_zipf_slope",
+    tags=("text", "stats", "regression"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({WORDS_SQL.format(col="text")}) AS tok FROM documents
+        ),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {ZIPF_TOP}),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM top
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               ROUND(REGR_SLOPE(ln(c), ln(r)), 6) AS zipf_slope,
+               ROUND(REGR_INTERCEPT(ln(c), ln(r)), 6) AS zipf_intercept,
+               ROUND(REGR_R2(ln(c), ln(r)), 6) + 0.0 AS fit_r2
+        FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: fit ln(freq) ~ ln(rank) over the top-ZIPF_TOP
+    token frequencies. Natural corpora fit slope ≈ −1; a slope far from it
+    (this synthetic near-uniform corpus sits near 0) flags templated or
+    degenerate text — a corpus-level quality gate to run next to the
+    per-document Gopher rules.
+
+    Scale shape: the only corpus-sized work is the token count (explode +
+    map-side-combinable groupBy); the fit itself runs on ≤ ZIPF_TOP rows —
+    top-k cut via orderBy+limit (TakeOrderedAndProject), rank via a window
+    over that tiny frame (single partition of ≤ 256 rows — bounded by
+    construction, not a corpus-sized global window), regression via the
+    REGR_* moment aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tok").limit(ZIPF_TOP)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    lc, lr = F.log("c"), F.log("r")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        (F.round(F.regr_r2(lc, lr), 6) + F.lit(0.0)).alias("fit_r2"),
+    )
