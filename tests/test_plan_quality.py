@@ -374,3 +374,51 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
         plan = j._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan
     assert "xxhash64" in plan
+
+
+def test_bm25_no_explode_single_stats_broadcast(spark):
+    """search_bm25's tf columns are in-row array filters — no posting-list
+    Generate/explode, the corpus stats attach as ONE broadcast (the 1-row
+    crossJoin pattern), and top-k is a partial TakeOrderedAndProject, not a
+    global sort."""
+    plan = _plan(spark, "search_bm25")
+    assert "Generate" not in plan  # no posting-list explode
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats row
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_fit_aggregates_before_ordering(spark):
+    """text_zipf_slope's only corpus-sized shuffle is the token count; the
+    top-k cut is a partial TakeOrderedAndProject and the regression runs on
+    the bounded frame."""
+    plan = _plan(spark, "text_zipf_slope")
+    assert "TakeOrderedAndProject" in plan
+    # partial+final token count (map-side combine before the exchange)
+    assert "partial_count" in plan
+
+
+def test_source_cap_single_exchange(spark):
+    """curate_source_cap is one hash exchange on source + one window —
+    no joins, no global sort."""
+    plan = _plan(spark, "curate_source_cap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    """ewma_event_values: K lag columns share ONE window spec — one hash
+    exchange on user_id, one Window node, no self-joins."""
+    plan = _plan(spark, "ewma_event_values")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_regression_moments_partial_final(spark):
+    """regression_moments_lineitem reduces in one partial+final aggregate
+    pass over a pruned 3-column scan."""
+    plan = _plan(spark, "regression_moments_lineitem")
+    assert "partial_regr_slope" in plan or "partial_" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_orderkey" not in m.group(1)
