@@ -1644,3 +1644,84 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     return _containment_from_shingles(sh.join(freq_ok, "shingle", "left_semi"))
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    tags=("dedup", "join", "scale"),
+    oracle=f"""
+        WITH {_SHINGLE_CTE}
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07): the deterministic scale path the
+    probabilistic MinHash route approximates. Identical output to
+    ``dedup_ngram_jaccard`` (the oracle IS the quadratic ground truth, so
+    the driver hash-check proves the filter lossless), but candidates come
+    from a bounded prefix join instead of the full shingle join.
+
+    Prefix principle: order every doc's shingles by GLOBAL rarity
+    (document-frequency asc, shingle asc). J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·|A|⌉, and ≥ ⌈t·|B|⌉ — so by pigeonhole on the minimum
+    common element, A and B must share a shingle within their first
+    n − ⌈t·n⌉ + 1 shingles. Only those prefixes join; with rarity
+    ordering the prefix tokens are precisely the LOW-fan-out ones, so the
+    candidate join's key-frequency distribution is capped by construction
+    — the skew the raw shingle join suffers is filtered out, not salted
+    around. Verification is in-row (array_intersect over the two candidate
+    docs' shingle sets — no re-join per shingle).
+
+    Scale shape: one token-frequency aggregate (map-side combinable), one
+    per-doc window (hash exchange on doc_id; rank + count share the
+    partition), a prefix-token equi-join over ~(1−t)·corpus tokens, and a
+    candidate-sized verify join. At t = 0.5 the prefix is half of each
+    doc; at t = 0.9 it is a tenth — cost scales down as the threshold
+    rises, the opposite of the quadratic twin."""
+    from pyspark.sql import Window
+
+    sh = _shingle_frame(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "pos", F.row_number().over(per_doc.orderBy("df", "shingle"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("ws"), F.count(F.lit(1)).alias("n")
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("da"), F.col("ws").alias("wa"), F.col("n").alias("na")
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("db"), F.col("ws").alias("wb"), F.col("n").alias("nb")
+    )
+    i = F.size(F.array_intersect("wa", "wb"))
+    return (
+        cand.join(da, "da")
+        .join(db, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(i * 1.0 / (F.col("na") + F.col("nb") - i), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -270,3 +270,54 @@ def test_edit_distance_adversarial_corpus(spark, tmp_path):
     assert (0, 5, 2) not in got and not any((a, b) == (0, 5) for a, b, _ in got)
     assert (2, 5, 1) in got
     assert not any(6 in (a, b) for a, b, _ in got)  # unrelated never pairs
+
+
+def test_prefix_filter_prunes_candidate_space(spark):
+    """The AllPairs prefix join must generate strictly fewer candidate
+    pairs than the raw shingle join (the quadratic twin's fan-out) while
+    the registered query's output equals the exact result (that part is
+    the parity suite's job — this pins the EFFICIENCY claim: the filter
+    actually filters)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shingle_frame,
+    )
+
+    sh = _shingle_frame(spark, SF_CORRECTNESS)
+    raw_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(per_doc.orderBy("df", "shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < raw_pairs, (cand, raw_pairs)
