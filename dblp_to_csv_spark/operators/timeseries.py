@@ -564,3 +564,89 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias("ewma"),
     )
+
+
+# Interval-overlap join: 1-hour activity intervals around error events.
+IVL_LEN_S = 3600  # interval length = bucket width (each interval spans <= 2 buckets)
+IVL_EPOCH = "2024-01-01"  # fixed origin: second offsets are tz-independent
+
+
+@register(
+    "interval_overlap_join_bucketed",
+    tags=("join", "range", "time"),
+    oracle=f"""
+        WITH iv AS (
+            SELECT event_id,
+                   date_diff('second', TIMESTAMP '{IVL_EPOCH}', ts) AS s,
+                   date_diff('second', TIMESTAMP '{IVL_EPOCH}', ts)
+                       + {IVL_LEN_S} AS e
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT a.event_id AS event_a, b.event_id AS event_b,
+               LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_s
+        FROM iv a JOIN iv b
+          ON a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def interval_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (all pairs of overlapping 1-hour windows
+    around error events) — the general time-range join, executed the way it
+    scales: an interval predicate alone gives Spark a broadcast nested-loop
+    join (all-pairs in time), so each interval instead EXPLODES onto the
+    ≤ 2 hour-buckets it touches (bucket width = max interval length), pairs
+    hash-join on the bucket, and a residual filter applies the exact
+    overlap. Duplicate elimination is free — a pair is emitted only from
+    its CANONICAL bucket (the one containing the later start), never
+    distinct'd. Every quantity is integer seconds from a fixed origin, so
+    the result is engine-exact, and second-offset differences cancel the
+    session-timezone dependence of unix_timestamp.
+
+    Scale shape: the shuffle key is the hour bucket — fan-out per row ≤ 2,
+    per-bucket work quadratic only in CONCURRENT intervals (the physical
+    density of the data, the irreducible output size), never in corpus
+    length. The oracle states the textbook inequality join; this plan is
+    what it compiles to at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    origin = F.unix_timestamp(F.lit(IVL_EPOCH).cast("timestamp"))
+    iv = ev.select(
+        "event_id",
+        (F.unix_timestamp("ts") - origin).alias("s"),
+    ).withColumn("e", F.col("s") + IVL_LEN_S)
+    # end-exclusive: the last touched bucket is floor((e-1)/width)
+    buck = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / IVL_LEN_S),
+                F.floor((F.col("e") - 1) / IVL_LEN_S),
+            )
+        ).alias("bucket"),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    canonical = F.col("a.bucket") == F.floor(
+        F.greatest(F.col("a.s"), F.col("b.s")) / IVL_LEN_S
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(
+            (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e"))
+            & canonical
+        )
+        .select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_s"),
+        )
+    )

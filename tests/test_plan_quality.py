@@ -422,3 +422,12 @@ def test_regression_moments_partial_final(spark):
     assert "partial_regr_slope" in plan or "partial_" in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "l_orderkey" not in m.group(1)
+
+
+def test_interval_overlap_is_bucket_equijoin(spark):
+    """The interval predicate must ride a bucket EQUI-join (hash/SMJ with
+    the overlap as residual condition), never degrade to the
+    nested-loop/cartesian plan a bare inequality join produces."""
+    plan = _plan(spark, "interval_overlap_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
