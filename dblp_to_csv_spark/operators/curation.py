@@ -1246,3 +1246,194 @@ def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
     )
+
+
+def _pretrain_oracle() -> str:
+    """The whole admission pipeline as one CTE chain. The MinHash→CC
+    fragment is reused VERBATIM from the dedup module with its corpus
+    rebound to the stage-3 survivors (``FROM documents`` → ``FROM
+    eligible`` — asserted single occurrence, so the rebind is total)."""
+    from dblp_to_csv_spark.functions.text import SHINGLES_SQL
+    from dblp_to_csv_spark.operators.pipeline import EVAL_MOD
+
+    cc = _CC_ORACLE_CTES.replace("FROM documents", "FROM eligible")
+    assert _CC_ORACLE_CTES.count("FROM documents") == 1
+    cc_list = cc.strip()
+    assert cc_list.startswith("WITH RECURSIVE")
+    cc_list = cc_list[len("WITH RECURSIVE"):]
+    shingles_of_words = SHINGLES_SQL.format(words="words")
+    return f"""
+        WITH RECURSIVE
+        base AS (SELECT doc_id, source, text, doc_id % {EVAL_MOD} = 0 AS is_eval
+                 FROM documents),
+        cap AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) <= {SOURCE_CAP} AS cap_ok
+            FROM base WHERE NOT is_eval
+        ),
+        qt AS (SELECT doc_id, {_WORDS} AS qw FROM documents),
+        q AS (
+            SELECT doc_id,
+                   (len(qw) >= {GOPHER_MIN_WORDS}
+                    AND ROUND(COALESCE(list_sum(list_transform(qw, x -> length(x))), 0)
+                          * 1.0 / GREATEST(len(qw), 1), 6)
+                        BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+                    AND ROUND(list_max(list_transform(list_distinct(qw),
+                              x -> len(list_filter(qw, y -> y = x))))
+                          * 1.0 / GREATEST(len(qw), 1), 6) <= {GOPHER_TOP_WORD_MAX}
+                    AND len(list_filter(list_distinct(qw),
+                        x -> list_contains([{_STOP_LIST}], x))) >= {GOPHER_MIN_STOP_DISTINCT}
+                   ) AS q_ok
+            FROM qt
+        ),
+        exact AS (
+            SELECT b.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) = 1
+                       AS exact_keep
+            FROM base b JOIN cap USING (doc_id) JOIN q USING (doc_id)
+            WHERE NOT b.is_eval AND cap.cap_ok AND q.q_ok
+        ),
+        eligible AS (
+            SELECT b.doc_id, b.text
+            FROM base b JOIN exact USING (doc_id)
+            WHERE exact.exact_keep
+        ),
+        {cc_list},
+        labels AS (SELECT doc_id, MIN(label) AS label FROM reach GROUP BY doc_id),
+        canon AS (SELECT label, MIN(doc_id) AS canonical FROM labels GROUP BY label),
+        nd AS (SELECT l.doc_id, l.doc_id <> cn.canonical AS nd_fail
+               FROM labels l JOIN canon cn USING (label)),
+        dw AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        dsh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest({shingles_of_words}) AS shingle FROM dw)
+        ),
+        ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % {EVAL_MOD} = 0),
+        cont AS (
+            SELECT DISTINCT s.doc_id FROM dsh s JOIN ev USING (shingle)
+            WHERE s.doc_id % {EVAL_MOD} <> 0
+        )
+        SELECT b.doc_id,
+               CASE WHEN b.is_eval THEN 'eval_holdout'
+                    WHEN cap.cap_ok IS NOT TRUE THEN 'source_cap'
+                    WHEN q.q_ok IS NOT TRUE THEN 'quality'
+                    WHEN exact.exact_keep IS NOT TRUE THEN 'exact_dup'
+                    WHEN COALESCE(nd.nd_fail, FALSE) THEN 'near_dup'
+                    WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'kept' END AS stage
+        FROM base b
+        LEFT JOIN cap USING (doc_id)
+        LEFT JOIN q USING (doc_id)
+        LEFT JOIN exact USING (doc_id)
+        LEFT JOIN nd USING (doc_id)
+        LEFT JOIN cont USING (doc_id)
+    """
+
+
+@register(
+    "pretrain_corpus_report",
+    tags=("curation", "composite", "pipeline", "dedup"),
+    oracle=_pretrain_oracle(),
+)
+def pretrain_corpus_report(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """THE pipeline: every document's fate through the full pretraining
+    admission chain, with the FIRST failing stage named —
+    eval_holdout → source_cap → quality (Gopher rules) → exact_dup →
+    near_dup (MinHash-LSH → connected components, keep-canonical) →
+    contaminated (eval n-gram overlap) → kept. Sequential semantics where
+    they matter: the per-source cap competes only non-eval docs, exact
+    dedup elects canonicals only among cap+quality survivors, and the
+    near-dup chain runs over exactly the stage-3 survivor corpus (a cluster
+    whose canonical was quality-rejected elects a NEW canonical — the
+    verdicts are not independent filters).
+
+    Scale shape: the per-doc verdict stages are one window each (source,
+    content-hash); the survivor set parquet-checkpoints ONCE and feeds the
+    one MinHash→CC chain (the curate_corpus discipline — pairs checkpoint,
+    CC rounds checkpoint); the near-dup verdict and contamination flags
+    attach back as small-side joins (size-gated broadcast), so the corpus
+    text never reshuffles after tokenization. This is the production
+    entry point; the standalone stage queries stay registered for
+    independent driver verification."""
+    import os
+
+    from dblp_to_csv_spark.operators.dedup import (
+        connected_components_min_label,
+        minhash_lsh_pairs,
+    )
+    from dblp_to_csv_spark.operators.pipeline import (
+        EVAL_MOD,
+        decontaminate_against_eval,
+    )
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base = checkpoint_base(spark, checkpoint_dir, "_pretrain_")
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    cap_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    cap = docs.filter(~is_eval).select(
+        "doc_id", (F.row_number().over(cap_w) <= SOURCE_CAP).alias("cap_ok")
+    )
+    q = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_ok")
+    )
+    surv1 = (
+        docs.select("doc_id", "text", is_eval.alias("is_eval"))
+        .join(cap, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .filter(~F.col("is_eval") & F.col("cap_ok") & F.col("q_ok"))
+    )
+    ex_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = surv1.select(
+        "doc_id", "text", (F.row_number().over(ex_w) == 1).alias("exact_keep")
+    )
+    elig_path = os.path.join(base, "eligible")
+    exact.filter("exact_keep").select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(elig_path)
+    eligible = spark.read.parquet(elig_path)
+    pairs_path = os.path.join(base, "pairs")
+    minhash_lsh_pairs(spark, sf_dir, docs=eligible).write.mode(
+        "overwrite"
+    ).parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    labels = connected_components_min_label(
+        spark, sf_dir, checkpoint_dir=checkpoint_dir, pairs=pairs
+    )
+    canon = labels.groupBy("component").agg(F.min("doc_id").alias("canonical"))
+    nd = labels.join(canon, "component").select(
+        "doc_id", (F.col("doc_id") != F.col("canonical")).alias("nd_fail")
+    )
+    cont = decontaminate_against_eval(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+
+    def not_true(c):
+        return ~F.coalesce(F.col(c), F.lit(False))
+
+    return (
+        docs.select("doc_id", is_eval.alias("is_eval"))
+        .join(cap, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(exact.select("doc_id", "exact_keep"), "doc_id", "left")
+        .join(_broadcast_if_small(nd), "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_eval"), "eval_holdout")
+            .when(not_true("cap_ok"), "source_cap")
+            .when(not_true("q_ok"), "quality")
+            .when(not_true("exact_keep"), "exact_dup")
+            .when(F.coalesce(F.col("nd_fail"), F.lit(False)), "near_dup")
+            .when(F.col("contaminated").isNotNull(), "contaminated")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )

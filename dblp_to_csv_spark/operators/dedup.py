@@ -265,6 +265,7 @@ def minhash_lsh_pairs(
     materialize_candidates_dir: str | None = "auto",
     band_cap: int | None = None,
     shingle_df_cap: int | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash(K=12) + LSH(B=4 bands × R=3): per-doc signatures from
     MIN over 5-hex slices of md5('0|'+s)||md5('1|'+s) (two md5 calls per
@@ -335,8 +336,13 @@ def minhash_lsh_pairs(
       sets ride as array columns, candidates join to them twice, and
       array_intersect computes |A∩B| inside the row — no shingle-equality
       shuffle join and no per-pair aggregate, so verification cost scales
-      with |candidates|, not corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+      with |candidates|, not corpus size.
+
+    ``docs``: optional (doc_id, text) frame overriding the documents table —
+    a composite (pretrain_corpus_report) passes the already-filtered
+    survivor set so the chain runs over exactly the eligible corpus."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     # raw shingles: narrow (tokenize+explode), duplicates kept
     sh_raw = docs.select("doc_id", words("text").alias("w")).select(
         "doc_id", F.explode(shingles(F.col("w"))).alias("shingle")
