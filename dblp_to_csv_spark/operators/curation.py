@@ -44,6 +44,36 @@ LANG_TOKEN_BUDGET = 5_000  # tokens admitted per language
 CHUNK_WORDS = 10  # non-overlapping exact-dup chunk width
 
 
+def _gopher_m_sql(src: str) -> str:
+    """The Gopher metric CTE body over a (doc_id, w) source — ONE
+    definition shared by the standalone quality_gopher_rules oracle and the
+    pretrain composite's q stage (review r8 session 3: a hand-copied
+    variant of this predicate would silently diverge on the next threshold
+    or tokenization change)."""
+    return f"""
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   -- COALESCE: list_sum([]) is NULL in DuckDB, while Spark's
+                   -- aggregate() starts from the 0 seed — align on 0.0
+                   ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                         * 1.0 / GREATEST(len(w), 1), 6) AS mean_word_len,
+                   ROUND(list_max(list_transform(list_distinct(w),
+                             x -> len(list_filter(w, y -> y = x))))
+                         * 1.0 / GREATEST(len(w), 1), 6) AS top_word_ratio,
+                   len(list_filter(list_distinct(w),
+                       x -> list_contains([{_STOP_LIST}], x))) AS n_stop_distinct
+            FROM {src}
+    """
+
+
+_GOPHER_KEEP_PRED = (
+    f"(n_words >= {GOPHER_MIN_WORDS} "
+    f"AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI} "
+    f"AND top_word_ratio <= {GOPHER_TOP_WORD_MAX} "
+    f"AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT})"
+)
+
+
 def _chunk_exprs(w):
     """Shared non-overlapping ``CHUNK_WORDS``-word chunking expressions —
     ``(n_chunks, idxs, chunk_hashes)`` over a token-array column. ONE
@@ -77,26 +107,10 @@ from dblp_to_csv_spark.operators.dedup import broadcast_if_small as _broadcast_i
     tags=("pipeline", "text", "quality"),
     oracle=f"""
         WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-        m AS (
-            SELECT doc_id,
-                   len(w) AS n_words,
-                   -- COALESCE: list_sum([]) is NULL in DuckDB, while Spark's
-                   -- aggregate() starts from the 0 seed — align on 0.0
-                   ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
-                         * 1.0 / GREATEST(len(w), 1), 6) AS mean_word_len,
-                   ROUND(list_max(list_transform(list_distinct(w),
-                             x -> len(list_filter(w, y -> y = x))))
-                         * 1.0 / GREATEST(len(w), 1), 6) AS top_word_ratio,
-                   len(list_filter(list_distinct(w),
-                       x -> list_contains([{_STOP_LIST}], x))) AS n_stop_distinct
-            FROM t
-        )
+        m AS ({_gopher_m_sql("t")})
         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
                top_word_ratio, CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
-               (n_words >= {GOPHER_MIN_WORDS}
-                AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
-                AND top_word_ratio <= {GOPHER_TOP_WORD_MAX}
-                AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT}) AS keep
+               {_GOPHER_KEEP_PRED} AS keep
         FROM m
     """,
 )
@@ -1274,21 +1288,9 @@ def _pretrain_oracle() -> str:
                    ) <= {SOURCE_CAP} AS cap_ok
             FROM base WHERE NOT is_eval
         ),
-        qt AS (SELECT doc_id, {_WORDS} AS qw FROM documents),
-        q AS (
-            SELECT doc_id,
-                   (len(qw) >= {GOPHER_MIN_WORDS}
-                    AND ROUND(COALESCE(list_sum(list_transform(qw, x -> length(x))), 0)
-                          * 1.0 / GREATEST(len(qw), 1), 6)
-                        BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
-                    AND ROUND(list_max(list_transform(list_distinct(qw),
-                              x -> len(list_filter(qw, y -> y = x))))
-                          * 1.0 / GREATEST(len(qw), 1), 6) <= {GOPHER_TOP_WORD_MAX}
-                    AND len(list_filter(list_distinct(qw),
-                        x -> list_contains([{_STOP_LIST}], x))) >= {GOPHER_MIN_STOP_DISTINCT}
-                   ) AS q_ok
-            FROM qt
-        ),
+        qt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        qm AS ({_gopher_m_sql("qt")}),
+        q AS (SELECT doc_id, {_GOPHER_KEEP_PRED} AS q_ok FROM qm),
         exact AS (
             SELECT b.doc_id,
                    ROW_NUMBER() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) = 1
@@ -1384,21 +1386,32 @@ def pretrain_corpus_report(
     q = quality_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("q_ok")
     )
-    surv1 = (
-        docs.select("doc_id", "text", is_eval.alias("is_eval"))
+    # the per-doc verdict frame is consumed by BOTH the survivor filter and
+    # the final report — checkpoint it once so the O(words²) Gopher scan
+    # and the per-source window run once per invocation, not three times
+    # (review r8 session 3; the curate_corpus pairs-checkpoint discipline)
+    v_path = os.path.join(base, "verdict0")
+    (
+        docs.select("doc_id", is_eval.alias("is_eval"))
         .join(cap, "doc_id", "left")
         .join(q, "doc_id", "left")
-        .filter(~F.col("is_eval") & F.col("cap_ok") & F.col("q_ok"))
+        .write.mode("overwrite")
+        .parquet(v_path)
+    )
+    verdict0 = spark.read.parquet(v_path)
+    surv1 = docs.select("doc_id", "text").join(
+        verdict0.filter(
+            ~F.col("is_eval") & F.col("cap_ok") & F.col("q_ok")
+        ).select("doc_id"),
+        "doc_id",
     )
     ex_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = surv1.select(
+    ex_path = os.path.join(base, "exact")
+    surv1.select(
         "doc_id", "text", (F.row_number().over(ex_w) == 1).alias("exact_keep")
-    )
-    elig_path = os.path.join(base, "eligible")
-    exact.filter("exact_keep").select("doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(elig_path)
-    eligible = spark.read.parquet(elig_path)
+    ).write.mode("overwrite").parquet(ex_path)
+    exact = spark.read.parquet(ex_path)
+    eligible = exact.filter("exact_keep").select("doc_id", "text")
     pairs_path = os.path.join(base, "pairs")
     minhash_lsh_pairs(spark, sf_dir, docs=eligible).write.mode(
         "overwrite"
@@ -1411,20 +1424,21 @@ def pretrain_corpus_report(
     nd = labels.join(canon, "component").select(
         "doc_id", (F.col("doc_id") != F.col("canonical")).alias("nd_fail")
     )
-    cont = decontaminate_against_eval(spark, sf_dir).select(
+    # checkpoint before the size-gated broadcast: the gate's count() would
+    # otherwise re-run the whole decontamination chain (semdedup precedent)
+    cont_path = os.path.join(base, "cont")
+    decontaminate_against_eval(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("contaminated")
-    )
+    ).write.mode("overwrite").parquet(cont_path)
+    cont = spark.read.parquet(cont_path)
 
     def not_true(c):
         return ~F.coalesce(F.col(c), F.lit(False))
 
     return (
-        docs.select("doc_id", is_eval.alias("is_eval"))
-        .join(cap, "doc_id", "left")
-        .join(q, "doc_id", "left")
-        .join(exact.select("doc_id", "exact_keep"), "doc_id", "left")
+        verdict0.join(exact.select("doc_id", "exact_keep"), "doc_id", "left")
         .join(_broadcast_if_small(nd), "doc_id", "left")
-        .join(cont, "doc_id", "left")
+        .join(_broadcast_if_small(cont), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_eval"), "eval_holdout")

@@ -1685,34 +1685,26 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-sized verify join. At t = 0.5 the prefix is half of each
     doc; at t = 0.9 it is a tenth — cost scales down as the threshold
     rises, the opposite of the quadratic twin."""
-    from pyspark.sql import Window
-
     sh = _shingle_frame(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn(
-            "pos", F.row_number().over(per_doc.orderBy("df", "shingle"))
-        )
-        .withColumn("n", F.count(F.lit(1)).over(per_doc))
-    )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    # candidates checkpoint (the MinHash discipline): consumed three times
+    # below (doc semi-join + both verify sides) — without it the freq
+    # aggregate + rarity window re-run per consumer
+    cand_dir = session_checkpoint_dir("_pfx_cand_")
+    _prefix_candidates(sh).write.mode("overwrite").parquet(cand_dir)
+    cand = spark.read.parquet(cand_dir)
+    # verify over CANDIDATE docs only (review r8 session 3 — the
+    # minhash_lsh_pairs shape): semi-join the shingle stream down before
+    # collecting per-doc sets, so the collect aggregate scales with
+    # candidates, not corpus
+    cand_docs = (
+        cand.select(F.col("da").alias("doc_id"))
+        .union(cand.select("db"))
         .distinct()
     )
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("ws"), F.count(F.lit(1)).alias("n")
+    docsets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("ws"), F.count(F.lit(1)).alias("n"))
     )
     da = docsets.select(
         F.col("doc_id").alias("da"), F.col("ws").alias("wa"), F.col("n").alias("na")
@@ -1730,4 +1722,34 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(i * 1.0 / (F.col("na") + F.col("nb") - i), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _prefix_candidates(sh: DataFrame) -> DataFrame:
+    """(da, db) candidate pairs from the AllPairs prefix join over a
+    (doc_id, shingle) frame — the single definition the registered query
+    AND the pruning-effectiveness test consume (a test re-implementing the
+    prefix construction could not catch a broken bound here)."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(per_doc.orderBy("df", "shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(per_doc))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
     )

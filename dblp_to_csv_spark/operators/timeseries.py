@@ -597,9 +597,13 @@ def interval_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     hash-join on the bucket, and a residual filter applies the exact
     overlap. Duplicate elimination is free — a pair is emitted only from
     its CANONICAL bucket (the one containing the later start), never
-    distinct'd. Every quantity is integer seconds from a fixed origin, so
-    the result is engine-exact, and second-offset differences cancel the
-    session-timezone dependence of unix_timestamp.
+    distinct'd. Every quantity is integer seconds from a fixed origin,
+    computed NAIVELY (timestampdiff over TIMESTAMP_NTZ, matching the
+    oracle's naive date_diff) — epoch-second subtraction is NOT
+    tz-independent across a DST transition inside the span (the offset
+    changes mid-data, the retention_cohorts_weekly lesson; review r8
+    session 3), while the naive difference matches DuckDB under any
+    session timezone.
 
     Scale shape: the shuffle key is the hour bucket — fan-out per row ≤ 2,
     per-bucket work quadratic only in CONCURRENT intervals (the physical
@@ -609,11 +613,13 @@ def interval_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "error"
     )
-    origin = F.unix_timestamp(F.lit(IVL_EPOCH).cast("timestamp"))
-    iv = ev.select(
-        "event_id",
-        (F.unix_timestamp("ts") - origin).alias("s"),
-    ).withColumn("e", F.col("s") + IVL_LEN_S)
+    naive_s = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'{IVL_EPOCH} 00:00:00',"
+        " CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    iv = ev.select("event_id", naive_s.alias("s")).withColumn(
+        "e", F.col("s") + IVL_LEN_S
+    )
     # end-exclusive: the last touched bucket is floor((e-1)/width)
     buck = iv.select(
         "event_id",

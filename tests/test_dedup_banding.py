@@ -277,12 +277,13 @@ def test_prefix_filter_prunes_candidate_space(spark):
     pairs than the raw shingle join (the quadratic twin's fan-out) while
     the registered query's output equals the exact result (that part is
     the parity suite's job — this pins the EFFICIENCY claim: the filter
-    actually filters)."""
-    from pyspark.sql import Window
+    actually filters). Candidates come from the OPERATOR's own
+    _prefix_candidates helper, so a broken prefix bound fails here, not in
+    a drifted test copy."""
     from pyspark.sql import functions as F
 
     from dblp_to_csv_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
+        _prefix_candidates,
         _shingle_frame,
     )
 
@@ -298,26 +299,5 @@ def test_prefix_filter_prunes_candidate_space(spark):
         .distinct()
         .count()
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("pos", F.row_number().over(per_doc.orderBy("df", "shingle")))
-        .withColumn("n", F.count(F.lit(1)).over(per_doc))
-    )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select("a.doc_id", "b.doc_id")
-        .distinct()
-        .count()
-    )
+    cand = _prefix_candidates(sh).count()
     assert cand < raw_pairs, (cand, raw_pairs)

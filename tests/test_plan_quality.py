@@ -419,7 +419,7 @@ def test_regression_moments_partial_final(spark):
     """regression_moments_lineitem reduces in one partial+final aggregate
     pass over a pruned 3-column scan."""
     plan = _plan(spark, "regression_moments_lineitem")
-    assert "partial_regr_slope" in plan or "partial_" in plan
+    assert "partial_regr_slope" in plan and "partial_regr_r2" in plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "l_orderkey" not in m.group(1)
 
