@@ -301,3 +301,73 @@ def test_prefix_filter_prunes_candidate_space(spark):
     )
     cand = _prefix_candidates(sh).count()
     assert cand < raw_pairs, (cand, raw_pairs)
+
+
+def test_prefix_filter_differential_adversarial(spark, tmp_path):
+    """Pure-Python differential for the AllPairs prefix bound over a corpus
+    built to stress it: an EXACT-threshold pair (J = 0.5 precisely — the
+    ceil boundary the n−⌈t·n⌉+1 prefix must not lose), identical docs,
+    minimum-size docs (3 words = 1 shingle), pairs sharing only their
+    RAREST vs only their COMMONEST shingles (both prefix extremes), and
+    seeded random mutations. The expected pair set is brute-forced here
+    with an independent 3-shingle implementation — no shared code with the
+    operator."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_jaccard_prefix_filter,
+    )
+
+    rng = random.Random(77)
+    pool = [f"w{i}" for i in range(12)]  # small pool → shared, varied-df shingles
+    docs = []
+    # exact-boundary pair: 8-word doc vs shared 6-word run + 2 fresh words
+    a_words = [f"a{i}" for i in range(8)]
+    docs.append(" ".join(a_words))
+    docs.append(" ".join(a_words[:6] + ["zq1", "zq2"]))
+    # identical pair
+    docs.append("dup dup alpha beta gamma")
+    docs.append("dup dup alpha beta gamma")
+    # minimum-size: single shared shingle (J = 1.0 at size 1)
+    docs.append("tiny one shingle")
+    docs.append("tiny one shingle")
+    # rare-only vs common-only sharing: 'c0 c1 c2' appears in MANY docs
+    # (common shingle), 'r0 r1 r2' in exactly two (rare)
+    for _ in range(6):
+        docs.append("c0 c1 c2 " + " ".join(rng.choices(pool, k=6)))
+    docs.append("r0 r1 r2 r3 r4 uniqx")  # shares 3 of 4 shingles with next
+    docs.append("r0 r1 r2 r3 r4 uniqy")  # J = 3/5 — above threshold via RARE shingles only
+    # seeded random docs for incidental near-boundary pairs
+    for _ in range(20):
+        docs.append(" ".join(rng.choices(pool, k=rng.randint(3, 12))))
+    pd.DataFrame({"doc_id": range(len(docs)), "text": docs}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    def sh3(text):  # independent reimplementation of the 3-shingle set
+        w = [t for t in "".join(
+            ch if ch.isalnum() else " " for ch in text.lower()
+        ).split() if t]
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh3(t) for i, t in enumerate(docs)}
+    expected = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        a, b = sets[i], sets[j]
+        if not a or not b:
+            continue
+        jac = len(a & b) / len(a | b)
+        if round(jac, 6) >= JACCARD_THRESHOLD:
+            expected.add((i, j))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_jaccard_prefix_filter(spark, str(tmp_path)).collect()
+    }
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
+    # the corpus must actually exercise the boundary and both extremes
+    assert (0, 1) in expected  # J == 0.5 exactly
+    assert (len(docs) - 22, len(docs) - 21) in expected  # rare-only pair
