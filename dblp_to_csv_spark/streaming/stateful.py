@@ -70,3 +70,84 @@ def stream_user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Streaming EWMA: the stateful twin of operators/timeseries.ewma_event_values.
+# State per user = the last EWMA_LAGS-1 (ts_us, event_id, value) triples in
+# event-time order — null-value rows INCLUDED (they occupy lag positions in
+# the batch twin's window, contributing nothing to the numerator and being
+# excluded from the weight mass).
+EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, value double, ewma double"
+EWMA_STATE_SCHEMA = "ts_us array<long>, ids array<long>, vals array<double>"
+
+
+def _update_user_ewma(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from dblp_to_csv_spark.operators.timeseries import EWMA_ALPHA, EWMA_LAGS
+
+    (user_id,) = key
+    buf: list[tuple[int, int, float | None]] = (
+        [tuple(t) for t in zip(*state.get)] if state.exists else []
+    )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out_ids: list[int] = []
+    out_vals: list[float | None] = []
+    out_ewma: list[float | None] = []
+    if chunks:
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for _, row in batch.iterrows():
+            ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
+            eid = int(row["event_id"])
+            val = None if pd.isna(row["value"]) else float(row["value"])
+            window = buf[-(EWMA_LAGS - 1):] + [(ts_us, eid, val)]
+            num = den = 0.0
+            # newest-last buffer: age i = distance from the current row,
+            # weight (1-alpha)^i — the batch twin's lag ladder
+            for age, (_, _, v) in enumerate(reversed(window)):
+                if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                    w = (1.0 - EWMA_ALPHA) ** age
+                    num += v * w
+                    den += w
+            out_ids.append(eid)
+            out_vals.append(val)
+            out_ewma.append(round(num / den, 6) + 0.0 if den != 0.0 else None)
+            buf.append((ts_us, eid, val))
+            buf = buf[-(EWMA_LAGS - 1):]
+    state.update(
+        (
+            [t for t, _, _ in buf],
+            [i for _, i, _ in buf],
+            [v for _, _, v in buf],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_ids),
+            "event_id": out_ids,
+            "value": out_vals,
+            "ewma": out_ewma,
+        }
+    )
+
+
+def stream_user_ewma(events: DataFrame) -> DataFrame:
+    """Per-event EWMA under Structured Streaming with explicit group state
+    (the last EWMA_LAGS-1 observations per user).
+
+    Ordering contract (the substring-dedup precedent): batch parity holds
+    when each user's events arrive in event-time order ACROSS micro-batches
+    (within a batch they are sorted here) — the bulk-replay / log-structured
+    delivery shape. A late cross-batch event gets an EWMA over its
+    predecessors-in-arrival rather than its event-time window; pin
+    correctness with a watermarked source if late data is possible.
+    State is O(EWMA_LAGS) per active user, hash-partitioned by key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

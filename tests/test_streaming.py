@@ -464,3 +464,68 @@ def test_stateful_last_event_is_event_time_latest(spark, tmp_path):
     latest = rows[-1]  # update mode emits one row per batch; max n = final
     assert latest["n_events"] == 3
     assert latest["last_event_type"] == "purchase"  # event-time latest wins
+
+
+def test_stream_ewma_equals_batch(spark, tmp_path):
+    """stream_user_ewma under the declared ordering contract (event-time-
+    ordered delivery: the corpus split into three time-range parquet files,
+    one micro-batch each) must reproduce the batch ewma_event_values row
+    for row — same per-event EWMA from carried O(EWMA_LAGS) state."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.timeseries import ewma_event_values
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming.stateful import stream_user_ewma
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3]
+    src = tmp_path / "src"
+    for i, part in enumerate(
+        [
+            ev.filter(F.col("ts") <= cuts[0]),
+            ev.filter((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+            ev.filter(F.col("ts") > cuts[1]),
+        ]
+    ):
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    lake = str(tmp_path / "lake")
+    q = (
+        stream_user_ewma(stream)
+        .writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(lake)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.read.parquet(lake).collect()
+    }
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_event_values(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want) and len(got) > 100
+    for eid, w in want.items():
+        g = got[eid]
+        assert (g is None) == (w is None), eid
+        if w is not None:
+            # Python round() is banker's, Spark round() half-up: allow the
+            # 6th-decimal ulp on exact ties, nothing more
+            assert math.isclose(g, w, abs_tol=1.1e-6), (eid, g, w)
