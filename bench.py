@@ -44,6 +44,8 @@ CURATION_BENCH = [
     "quality_linear_score",
     # round-8 continuation additions
     "dedup_substring_rewrite",
+    # round-8 session-3: the flagship end-to-end admission composite
+    "pretrain_corpus_report",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and
