@@ -1727,9 +1727,23 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _prefix_candidates(sh: DataFrame) -> DataFrame:
     """(da, db) candidate pairs from the AllPairs prefix join over a
-    (doc_id, shingle) frame — the single definition the registered query
-    AND the pruning-effectiveness test consume (a test re-implementing the
-    prefix construction could not catch a broken bound here)."""
+    (doc_id, shingle) frame, with the PPJoin POSITIONAL filter (Xiao et
+    al. VLDB'08; ROADMAP #21) applied on top — the single definition the
+    registered query AND the pruning-effectiveness test consume (a test
+    re-implementing the prefix construction could not catch a broken
+    bound here).
+
+    Positional bound: take each pair's FIRST common element in the global
+    rarity order (it lies in both prefixes — the prefix principle — and
+    minimizes both positions simultaneously, so min(a.pos) and min(b.pos)
+    locate the same element). All further common elements sit after it in
+    both lists, so |A∩B| ≤ 1 + min(|A|−i, |B|−j); pairs whose bound
+    cannot reach the required overlap ⌈t/(1+t)·(|A|+|B|)⌉ are dropped
+    BEFORE the verify join ever sees them. One element of slack guards
+    the theoretical case of a pair whose true Jaccard sits within the
+    6-dp ROUNDING of the threshold (the final filter compares rounded
+    values; possible only at ~10⁶-shingle doc sizes, but the slack makes
+    losslessness unconditional)."""
     from pyspark.sql import Window
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -1742,14 +1756,25 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
-    return (
+    ).select("doc_id", "shingle", "pos", "n")
+    t = JACCARD_THRESHOLD
+    pairs = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(
+            F.min("a.pos").alias("i"),
+            F.min("b.pos").alias("j"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
+    o_min = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+    ubound = 1 + F.least(F.col("na") - F.col("i"), F.col("nb") - F.col("j"))
+    return pairs.filter(ubound >= o_min - 1).select("da", "db")
