@@ -431,3 +431,12 @@ def test_interval_overlap_is_bucket_equijoin(spark):
     plan = _plan(spark, "interval_overlap_join_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_is_equijoin(spark):
+    """The AllPairs prefix+positional candidate stage and the verify join
+    must stay equi-joins — the whole point of the construction is never
+    degrading to the all-pairs nested-loop plan."""
+    plan = _plan(spark, "dedup_jaccard_prefix_filter")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
