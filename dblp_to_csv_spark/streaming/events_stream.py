@@ -231,3 +231,79 @@ def stream_upsert_keep_latest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_overlaps(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of the batch ``interval_overlap_join_bucketed``
+    (ROADMAP #22): pairs of overlapping 1-hour error-event intervals as a
+    stream-stream SELF-join. The batch operator's three moves port intact —
+    each interval explodes onto its ≤ 2 hour buckets, the join keys on the
+    bucket (the equi-key that hash-partitions state; without it a
+    stream-stream join has no shuffle key and every task scans all state),
+    and a pair emits only from its canonical bucket, so no dedup pass.
+
+    What streaming adds: BOTH sides carry watermarks and the join condition
+    bounds the two event times within one interval length — the two
+    prerequisites Spark demands before it will run a stream-stream join
+    with bounded state (state ≈ one interval length + watermark slack per
+    bucket). Second arithmetic is calendar-naive (TIMESTAMP_NTZ), matching
+    the batch operator's DST-safe contract."""
+    from dblp_to_csv_spark.operators.timeseries import IVL_EPOCH, IVL_LEN_S
+
+    naive_s = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'{IVL_EPOCH} 00:00:00',"
+        " CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    base = (
+        events.filter(F.col("event_type") == "error")
+        .withColumn("s", naive_s)
+        .withColumn("e", F.col("s") + IVL_LEN_S)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / IVL_LEN_S),
+                    F.floor((F.col("e") - 1) / IVL_LEN_S),
+                )
+            ),
+        )
+    )
+    a = base.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = base.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cond = (
+        (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("event_a") < F.col("event_b"))
+        & (F.col("sa") < F.col("eb"))
+        & (F.col("sb") < F.col("ea"))
+        # event-time range bound for state eviction (overlap implies it,
+        # but Spark's state-cleanup analysis needs it stated on the
+        # WATERMARKED columns)
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {IVL_LEN_S} SECOND"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {IVL_LEN_S} SECOND"))
+        & (
+            F.col("bucket_a")
+            == F.floor(F.greatest(F.col("sa"), F.col("sb")) / IVL_LEN_S)
+        )
+    )
+    return a.join(b, cond).select(
+        "event_a",
+        "event_b",
+        (
+            F.least(F.col("ea"), F.col("eb"))
+            - F.greatest(F.col("sa"), F.col("sb"))
+        ).alias("overlap_s"),
+    )

@@ -529,3 +529,38 @@ def test_stream_ewma_equals_batch(spark, tmp_path):
             # Python round() is banker's, Spark round() half-up: allow the
             # 6th-decimal ulp on exact ties, nothing more
             assert math.isclose(g, w, abs_tol=1.1e-6), (eid, g, w)
+
+
+def test_stream_interval_overlaps_equals_batch(spark):
+    """The stream-stream bucketed interval self-join must emit exactly the
+    batch interval_overlap_join_bucketed pair set (inner join: matches emit
+    once both sides arrive; the watermark only gates state eviction)."""
+    from dblp_to_csv_spark.operators.timeseries import (
+        interval_overlap_join_bucketed,
+    )
+    from dblp_to_csv_spark.streaming.events_stream import (
+        load_events_stream,
+        stream_interval_overlaps,
+    )
+
+    stream = load_events_stream(spark, SF_SMOKE)
+    q = (
+        stream_interval_overlaps(stream)
+        .writeStream.format("memory")
+        .queryName("ivl_overlap_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["event_a"], r["event_b"], r["overlap_s"])
+        for r in spark.sql("SELECT * FROM ivl_overlap_test").collect()
+    }
+    want = {
+        (r["event_a"], r["event_b"], r["overlap_s"])
+        for r in interval_overlap_join_bucketed(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(want) > 50, "fixture too weak: few overlapping intervals"
