@@ -652,7 +652,11 @@ BM25_B = 0.75
 BM25_TOP = 50
 
 
-def _bm25_oracle() -> str:
+def _bm25_sql_parts() -> tuple[str, str, str]:
+    """Shared SQL fragments for the BM25 family: the tokenize/tf/stats CTE
+    chain, the score expression, and the matched-term count — used verbatim
+    by both the standalone BM25 oracle and the hybrid-RRF oracle so the
+    lexical arm is definitionally identical in both."""
     tf_cols = ", ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
     )
@@ -669,8 +673,8 @@ def _bm25_oracle() -> str:
     matched = " + ".join(
         f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_TERMS
     )
-    return f"""
-        WITH t AS (
+    cte = f"""
+        t AS (
             SELECT doc_id, {WORDS_SQL.format(col="text")} AS w FROM documents
         ),
         tf AS (SELECT doc_id, len(w) AS dl, {tf_cols} FROM t),
@@ -678,6 +682,14 @@ def _bm25_oracle() -> str:
             SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl, {df_cols}
             FROM tf
         )
+    """
+    return cte, score, matched
+
+
+def _bm25_oracle() -> str:
+    cte, score, matched = _bm25_sql_parts()
+    return f"""
+        WITH {cte}
         SELECT doc_id,
                ROUND({score}, 6) + 0.0 AS bm25,
                CAST({matched} AS BIGINT) AS n_terms_matched
@@ -687,20 +699,10 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("search_bm25", tags=("text", "search", "agg"), oracle=_bm25_oracle())
-def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (Okapi tf saturation + length normalization,
-    Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf): the LEXICAL retrieval twin of
-    the ANN family — top-BM25_TOP documents for a fixed conjunctive query.
-
-    Scale shape: per-term tf is an IN-ROW array filter over the tokenized
-    projection (terms are fixed, so no posting-list explode and the corpus
-    never shuffles); the corpus statistics (N, avgdl, per-term df) reduce to
-    ONE 1-row aggregate attached back by broadcast crossJoin (the rate-table
-    pattern); top-k is orderBy+limit = TakeOrderedAndProject (per-partition
-    heaps, no global sort). Determinism: ranking ties break on doc_id, and
-    the ORDER BY key is the 6-dp ROUNDED score, so both engines cut the
-    same top-k set."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25-scored corpus (doc_id, bm25 rounded 6-dp, n_terms_matched)
+    shared by search_bm25 and the hybrid-RRF fusion — one definition of the
+    lexical arm, two consumers."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", words("text").alias("w"))
 
@@ -736,14 +738,155 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = score + idf * tf_c * F.lit(BM25_K1 + 1) / (tf_c + norm)
         matched = matched + (tf_c > 0).cast("int")
     rounded = F.round(score, 6) + F.lit(0.0)
+    return scored.select(
+        "doc_id",
+        rounded.alias("bm25"),
+        matched.cast("long").alias("n_terms_matched"),
+    )
+
+
+@register("search_bm25", tags=("text", "search", "agg"), oracle=_bm25_oracle())
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Okapi tf saturation + length normalization,
+    Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf): the LEXICAL retrieval twin of
+    the ANN family — top-BM25_TOP documents for a fixed conjunctive query.
+
+    Scale shape: per-term tf is an IN-ROW array filter over the tokenized
+    projection (terms are fixed, so no posting-list explode and the corpus
+    never shuffles); the corpus statistics (N, avgdl, per-term df) reduce to
+    ONE 1-row aggregate attached back by broadcast crossJoin (the rate-table
+    pattern); top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps, no global sort). Determinism: ranking ties break on doc_id, and
+    the ORDER BY key is the 6-dp ROUNDED score, so both engines cut the
+    same top-k set."""
     return (
-        scored.select(
-            "doc_id",
-            rounded.alias("bm25"),
-            matched.cast("long").alias("n_terms_matched"),
-        )
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP)
+    )
+
+
+# Reciprocal-rank-fusion constants: Cormack et al. 2009's k=60, two arms
+# (BM25 lexical + embedding cosine), fixture query = document/vector 0.
+RRF_K = 60
+RRF_ARM_DEPTH = 100
+RRF_TOP = 20
+RRF_QUERY_ID = 0
+
+
+def _rrf_oracle() -> str:
+    cte, score, _ = _bm25_sql_parts()
+    return f"""
+        WITH {cte},
+        lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND({score}, 6) DESC, doc_id
+                   ) AS lex_rank
+            FROM tf, stats WHERE doc_id <> {RRF_QUERY_ID}
+            QUALIFY lex_rank <= {RRF_ARM_DEPTH}
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS qn
+            FROM embeddings WHERE vec_id = {RRF_QUERY_ID}
+        ),
+        dense AS (
+            SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(
+                           list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+                              * qn), 6) DESC, vec_id
+                   ) AS dense_rank
+            FROM embeddings, q WHERE vec_id <> {RRF_QUERY_ID}
+            QUALIFY dense_rank <= {RRF_ARM_DEPTH}
+        )
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0)
+                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + d.dense_rank), 0),
+                     6) + 0.0 AS rrf_score
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    tags=("text", "search", "similarity", "join"),
+    oracle=_rrf_oracle(),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 lexical ranking with an embedding-cosine dense ranking
+    (query = vector RRF_QUERY_ID; doc_id and vec_id are aligned in the
+    fixture corpus) as Σ 1/(RRF_K + rank) over the arms that retrieved the
+    document — the standard RAG retrieval front-end, run entirely in the
+    engine. A document found by only one arm still scores (the other arm's
+    term is 0), which is RRF's point: arms need not agree on depth.
+
+    Determinism: each arm ranks on its 6-dp ROUNDED score with doc_id
+    tie-break, so the RRF_ARM_DEPTH cut sets are engine-independent; ranks
+    are integers, so the fused score is exact before its own rounding.
+
+    Scale shape: each arm is corpus-scan + TakeOrderedAndProject (the
+    orderBy/limit ARM_DEPTH happens BEFORE ranks are assigned, so the
+    row_number window runs over ≤ ARM_DEPTH rows, never the corpus); the
+    fusion is a full outer join of two ≤ ARM_DEPTH-row frames — driver-
+    trivial at any corpus size. The expensive parts (BM25 stats, dot
+    products) reuse the exact plans of search_bm25 / similarity_topk_*."""
+    from dblp_to_csv_spark.operators.similarity import _as_double, _dot, _norm
+
+    lex_scored = _bm25_scored(spark, sf_dir).filter(
+        F.col("doc_id") != RRF_QUERY_ID
+    )
+    lex_top = lex_scored.orderBy(F.desc("bm25"), "doc_id").limit(RRF_ARM_DEPTH)
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == RRF_QUERY_ID).select(
+            F.col("emb").alias("qe"), F.col("nrm").alias("qn")
+        )
+    )
+    cos = _dot(F.col("emb"), F.col("qe")) / (F.col("nrm") * F.col("qn"))
+    dense_scored = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cos_sim")
+        )
+    )
+    dense_top = dense_scored.orderBy(F.desc("cos_sim"), "doc_id").limit(
+        RRF_ARM_DEPTH
+    )
+    w_dense = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    dense = dense_top.select(
+        "doc_id", F.row_number().over(w_dense).cast("long").alias("dense_rank")
+    )
+
+    fused = lex.join(dense, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        6,
+    ) + F.lit(0.0)
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOP)
     )
 
 
