@@ -753,3 +753,78 @@ def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CHUNK_TOKENS), F.size(w) - F.col("chunk_idx") * CHUNK_STRIDE
         ).cast("long").alias("n_tokens"),
     )
+
+
+# --- Deterministic training order (epoch shuffle + shard assignment) -------
+
+EPOCH_COUNT = 2
+EPOCH_SHARDS = 8
+
+
+@register(
+    "training_epoch_order",
+    tags=("pipeline", "sampling", "window"),
+    oracle=f"""
+        WITH ep AS (
+            SELECT d.doc_id, e.epoch,
+                   md5(CAST(e.epoch AS VARCHAR) || ':'
+                       || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents d,
+                 UNNEST(generate_series(0, {EPOCH_COUNT - 1})) AS e(epoch)
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch,
+               ('0x' || substr(shuffle_key, 1, 4))::BIGINT
+                   % {EPOCH_SHARDS} AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY epoch,
+                       ('0x' || substr(shuffle_key, 1, 4))::BIGINT
+                           % {EPOCH_SHARDS}
+                   ORDER BY shuffle_key, doc_id
+               ) AS shard_pos,
+               doc_id
+        FROM ep
+    """,
+)
+def training_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-EPOCH training order: every document gets, for each
+    epoch, a shard (hash of an epoch-salted md5 key — different epochs
+    permute differently, which is the point of epoch reshuffling) and a
+    position within that shard (ordered by the same key). Reproducible
+    training runs need exactly this: a seed-free, engine-independent
+    permutation a re-run or a resumed job regenerates bit-identically —
+    rand() cannot (task retries re-draw), and a global sort per epoch would
+    serialize the corpus.
+
+    Scale shape: the shuffle key and shard are in-row md5 expressions; the
+    only exchange is the per-(epoch, shard) window — EPOCH_SHARDS
+    independent sorts of corpus/EPOCH_SHARDS rows each, exactly the layout
+    a sharded training-data writer wants (one output file per shard, rows
+    pre-ordered). Only ids move; document payloads join back by doc_id at
+    write time (or never move, if the writer emits id manifests)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(EPOCH_COUNT)])
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(":", F.col("epoch"), F.col("doc_id"))
+        ).alias("shuffle_key"),
+    )
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("long")
+        % EPOCH_SHARDS
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        ep.withColumn("shard", shard)
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "shard",
+            F.row_number().over(w).cast("long").alias("shard_pos"),
+            "doc_id",
+        )
+    )

@@ -994,3 +994,139 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans("customer_without_nation", customer, nation, "c_nationkey", "n_nationkey")
         )
     )
+
+
+# --- CDC MERGE / upsert apply ----------------------------------------------
+
+MERGE_INSERT_OFFSET = 1_000_000  # keyspace offset for synthesized inserts
+
+_MERGE_CHANGES_SQL = f"""
+    changes AS (
+        SELECT o_orderkey, o_custkey, 'U' AS op, 'X' AS new_status,
+               o_totalprice + 10.0 AS new_price, 1 AS change_seq
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U', 'Y',
+               o_totalprice + 20.0, 2
+        FROM orders WHERE o_orderkey % 100 = 3
+        UNION ALL
+        SELECT o_orderkey, NULL, 'D', NULL, NULL, 1
+        FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT o_orderkey + {MERGE_INSERT_OFFSET}, o_custkey, 'I', 'N',
+               o_totalprice + 0.5, 1
+        FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    latest AS (
+        SELECT * FROM changes
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY change_seq DESC
+        ) = 1
+    )
+"""
+
+
+@register(
+    "merge_upsert_orders",
+    tags=("relational", "join", "cdc"),
+    oracle=f"""
+        WITH {_MERGE_CHANGES_SQL}
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN t.o_orderkey IS NULL THEN s.o_custkey
+                    ELSE t.o_custkey END AS o_custkey,
+               CASE WHEN s.op IS NULL THEN t.o_orderstatus
+                    ELSE s.new_status END AS o_orderstatus,
+               ROUND(CASE WHEN s.op IS NULL THEN t.o_totalprice
+                          ELSE s.new_price END, 6) + 0.0 AS o_totalprice,
+               CASE WHEN s.op IS NULL THEN 'kept'
+                    WHEN t.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action
+        FROM orders t FULL OUTER JOIN latest s
+          ON t.o_orderkey = s.o_orderkey
+        WHERE NOT COALESCE(s.op = 'D', FALSE)
+          AND NOT (t.o_orderkey IS NULL AND s.op <> 'I')
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert contract) as a batch
+    operator: apply a CDC change feed — inserts, updates, deletes, with
+    LATEST-WINS conflict resolution on change_seq — onto the orders table
+    in one pass. Matched+D drops the row, matched+U rewrites it, unmatched
+    +I inserts, unmatched U/D are no-ops (standard MERGE), untouched rows
+    pass through tagged 'kept'. The change feed is synthesized
+    deterministically from orders itself (keys ≡3 mod 10 update — twice,
+    proving the seq-dedup — ≡7 delete, ≡5 insert at a keyspace offset).
+
+    Scale shape: latest-wins is a per-key window (row_number over
+    change_seq desc) on the CHANGE FEED only — feeds are deltas, orders of
+    magnitude smaller than the target, so this never touches the corpus;
+    the apply is ONE full-outer equi-join on the key (AQE picks broadcast
+    when the delta is small; bucketed targets co-locate it) and the
+    actions resolve as in-row CASEs — no second pass, no driver loop. This
+    is the batch core the foreachBatch streaming upsert sink replays per
+    micro-batch."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def feed(pred, key, cust, op, status, price, seq):
+        return orders.filter(pred).select(
+            key.alias("o_orderkey"),
+            cust.alias("s_custkey"),
+            F.lit(op).alias("op"),
+            F.lit(status).cast("string").alias("new_status"),
+            price.alias("new_price"),
+            F.lit(seq).alias("change_seq"),
+        )
+
+    null_l = F.lit(None)
+    changes = (
+        feed(k % 10 == 3, k, F.col("o_custkey"), "U", "X",
+             F.col("o_totalprice") + 10.0, 1)
+        .unionAll(feed(k % 100 == 3, k, F.col("o_custkey"), "U", "Y",
+                       F.col("o_totalprice") + 20.0, 2))
+        .unionAll(feed(k % 10 == 7, k, null_l.cast("long"), "D",
+                       None, null_l.cast("double"), 1))
+        .unionAll(feed(k % 10 == 5, k + MERGE_INSERT_OFFSET,
+                       F.col("o_custkey"), "I", "N",
+                       F.col("o_totalprice") + 0.5, 1))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("change_seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    t = orders.withColumnRenamed("o_orderkey", "t_key").alias("t")
+    s = latest.alias("s")
+    j = t.join(s, F.col("t_key") == F.col("s.o_orderkey"), "full")
+    t_missing = F.col("t_key").isNull()
+    s_missing = F.col("s.op").isNull()
+    action = (
+        F.when(s_missing, "kept")
+        .when(t_missing, "inserted")
+        .otherwise("updated")
+    )
+    return j.filter(
+        ~F.coalesce(F.col("s.op") == "D", F.lit(False))
+        & ~(t_missing & (F.col("s.op") != "I"))
+    ).select(
+        F.coalesce(F.col("t_key"), F.col("s.o_orderkey")).alias("o_orderkey"),
+        F.when(t_missing, F.col("s_custkey"))
+        .otherwise(F.col("t.o_custkey"))
+        .alias("o_custkey"),
+        F.when(s_missing, F.col("t.o_orderstatus"))
+        .otherwise(F.col("new_status"))
+        .alias("o_orderstatus"),
+        (
+            F.round(
+                F.when(s_missing, F.col("t.o_totalprice")).otherwise(
+                    F.col("new_price")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("o_totalprice"),
+        action.alias("merge_action"),
+    )

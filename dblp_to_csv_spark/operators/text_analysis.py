@@ -942,3 +942,158 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         (F.round(F.regr_r2(lc, lr), 6) + F.lit(0.0)).alias("fit_r2"),
     )
+
+
+# --- BPE merge TRAINING loop (iterated argmax + corpus re-segmentation) ----
+
+BPE_ROUNDS = 4  # merge rules learned; each is one count + one rewrite pass
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled BPE training rounds. Vocabulary state is a delimited symbol
+    string ('|a||b||c|', each symbol wrapped in its own pipes) so the merge
+    rewrite is a plain left-to-right non-overlapping string replace of
+    '|l||r|' with '|lr|' — IDENTICAL semantics in DuckDB replace() and
+    Spark replace(), including the 'aaaa'→[aa,aa] consecutive-repeat case
+    (each symbol owns its delimiters, so one match never consumes the next
+    match's boundary)."""
+    ctes = [
+        "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+        f"SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word)",
+        "v0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS symstr,"
+        " freq FROM w0)",
+    ]
+    selects = []
+    for i in range(1, BPE_ROUNDS + 1):
+        prev = f"v{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+                SELECT sym[u.i] AS ml, sym[u.i + 1] AS mr,
+                       CAST(SUM(freq) AS BIGINT) AS c
+                FROM (SELECT string_split(trim(symstr, '|'), '||') AS sym,
+                             freq FROM {prev}) s,
+                     UNNEST(generate_series(1, len(sym) - 1)) AS u(i)
+                GROUP BY ml, mr
+            )"""
+        )
+        ctes.append(
+            f"r{i} AS (SELECT ml, mr, c FROM p{i}"
+            f" ORDER BY c DESC, ml, mr LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT replace(symstr, '|' || ml || '||' || mr || '|',"
+            f" '|' || ml || mr || '|') AS symstr, freq FROM {prev}, r{i})"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS merge_round, ml AS merge_left,"
+            f" mr AS merge_right, c AS pair_count FROM r{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY merge_round"
+    )
+
+
+@register(
+    "bpe_train_merges",
+    tags=("text", "ml", "iterative"),
+    oracle=_bpe_train_oracle(),
+)
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), the full inner loop
+    iterated BPE_ROUNDS times: count adjacent symbol pairs weighted by word
+    frequency, take the argmax as the next merge rule (count desc, then
+    pair lexicographic — a total order both engines share), re-segment the
+    vocabulary by applying the merge, repeat. Emits the learned merge table
+    (merge_round, merge_left, merge_right, pair_count) — the artifact a
+    tokenizer ships. Consecutive repeats merge left-to-right
+    non-overlapping ('aaaa' + rule (a,a) → [aa][aa]): the vocabulary state
+    is a pipe-wrapped symbol string and the rewrite is a literal
+    replace('|l||r|' → '|lr|'), which has exactly those semantics in both
+    engines (each symbol carries its own delimiters, so a match never
+    consumes its neighbor's boundary — see tests/test_bpe_training.py).
+
+    Scale shape: the ONLY corpus-sized pass is the initial word-frequency
+    aggregate (map-side-combinable explode+groupBy); every round after
+    runs on the VOCABULARY (distinct words — millions of rows when the
+    corpus is billions of documents), each round = one pair-count
+    aggregate over a near-alphabet²-bounded key space plus one in-row
+    rewrite with the 1-row rule attached by broadcast crossJoin. R rounds
+    = R vocab-sized jobs, no driver loop over data, no UDF. The vocabulary
+    and each learned rule parquet-checkpoint per round (the CC/k-core
+    discipline): without it, the lazily-chained rounds would re-run the
+    corpus tokenize+aggregate once per round per union branch."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base = checkpoint_base(spark, checkpoint_dir, "_bpe_")
+
+    def _ckpt(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v = _ckpt(
+        w0.select(
+            F.regexp_replace("word", "(.)", "|$1|").alias("symstr"), "freq"
+        ),
+        "v0",
+    )
+    rules = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        sym = F.split(F.expr("btrim(symstr, '|')"), r"\|\|")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(sym) - 1),
+            lambda i: F.struct(
+                F.element_at(sym, i).alias("ml"),
+                F.element_at(sym, i + 1).alias("mr"),
+            ),
+        )
+        pc = (
+            # guard size >= 2: sequence(1, 0) would generate a DESCENDING
+            # range (the char-entropy bug class), not an empty one
+            v.filter(F.size(sym) >= 2)
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.ml").alias("ml"), F.col("p.mr").alias("mr"))
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        rule = _ckpt(pc.orderBy(F.desc("c"), "ml", "mr").limit(1), f"rule{rnd}")
+        rules.append(
+            rule.select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                F.col("ml").alias("merge_left"),
+                F.col("mr").alias("merge_right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if rnd < BPE_ROUNDS:  # the last vocabulary state has no consumer
+            v = _ckpt(
+                v.crossJoin(F.broadcast(rule)).select(
+                    F.replace(
+                        F.col("symstr"),
+                        F.concat(
+                            F.lit("|"), F.col("ml"), F.lit("||"),
+                            F.col("mr"), F.lit("|"),
+                        ),
+                        F.concat(
+                            F.lit("|"), F.col("ml"), F.col("mr"), F.lit("|")
+                        ),
+                    ).alias("symstr"),
+                    "freq",
+                ),
+                f"v{rnd}",
+            )
+    out = rules[0]
+    for r_ in rules[1:]:
+        out = out.unionAll(r_)
+    return out

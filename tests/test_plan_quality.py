@@ -440,3 +440,46 @@ def test_prefix_filter_is_equijoin(spark):
     plan = _plan(spark, "dedup_jaccard_prefix_filter")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_scan_fused(spark):
+    """embedding_random_projection is a pure in-row projection: the sign
+    matrix constant-folds into the expression — no Exchange, no Join, no
+    Generate, one FileScan."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_epoch_order_single_window_exchange(spark):
+    """training_epoch_order's only exchange is the per-(epoch, shard)
+    window partitioning; shard assignment is an in-row hash, never a join;
+    only doc_id is read from the corpus (payloads never move)."""
+    plan = _plan(spark, "training_epoch_order")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1)
+
+
+def test_merge_upsert_single_key_join(spark):
+    """merge_upsert_orders applies the whole MERGE in ONE full-outer
+    equi-join on the key; latest-wins dedup runs on the (delta-sized)
+    change feed only. No nested-loop fallback anywhere."""
+    plan = _plan(spark, "merge_upsert_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FullOuter") == 1
+
+
+def test_hybrid_rrf_arms_partial_topk(spark):
+    """search_hybrid_rrf: both arm cuts are partial TakeOrderedAndProject
+    (the row_number windows run on ≤ ARM_DEPTH rows after the cut, so the
+    single-partition WindowExec is bounded, not corpus-sized); the only
+    nested-loop joins are the two 1-row broadcasts (BM25 stats + query
+    vector)."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
