@@ -774,3 +774,295 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("projected"),
     )
+
+
+
+# --- Product quantization (PQ-ADC + exact rerank) --------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = embedding dim)
+PQ_K = 8  # codes per subspace codebook
+PQ_RERANK = 100  # ADC candidate depth fed to the exact rerank
+
+
+def _pq_oracle() -> str:
+    """Per-subspace deterministic k-means (the KMEANS_CELLS_CTE recipe with
+    suffixed names over a list_slice'd input), PQ encoding, ADC candidate
+    generation, exact-cosine rerank."""
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings)"
+    ]
+    for m in range(PQ_M):
+        s, e = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        assign = """
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY ROUND(list_dot_product(e.semb, e.semb)
+                               - 2 * list_dot_product(e.semb, {c}.cemb)
+                               + list_dot_product({c}.cemb, {c}.cemb), 6),
+                         {c}.cell
+            )
+        """
+        ctes.append(f"sub{m} AS (SELECT vec_id, emb[{s}:{e}] AS semb FROM emb)")
+        ctes.append(
+            f"""seeds{m} AS (
+                SELECT vec_id AS cell, semb AS cemb FROM sub{m}
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+            )"""
+        )
+        ctes.append(
+            f"""a0x{m} AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, s.cell, {assign.format(c='s')} AS rn
+                    FROM sub{m} e CROSS JOIN seeds{m} s
+                ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""coords{m} AS (
+                SELECT a.cell, u.z[2] AS pos, u.z[1] AS val
+                FROM a0x{m} a JOIN sub{m} s USING (vec_id),
+                     UNNEST(list_zip(s.semb, range(1, len(s.semb) + 1))) AS u(z)
+            )"""
+        )
+        ctes.append(
+            f"""cent{m} AS (
+                SELECT cell, array_agg(v ORDER BY pos) AS cemb FROM (
+                    SELECT cell, pos, ROUND(AVG(val), 6) AS v
+                    FROM coords{m} GROUP BY 1, 2
+                ) GROUP BY cell
+            )"""
+        )
+        ctes.append(
+            f"""a1x{m} AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell, {assign.format(c='c')} AS rn
+                    FROM sub{m} e CROSS JOIN cent{m} c
+                ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""lut{m} AS (
+                SELECT q.vec_id AS query_id, c.cell AS code,
+                       ROUND(list_dot_product(q.semb, q.semb)
+                             - 2 * list_dot_product(q.semb, c.cemb)
+                             + list_dot_product(c.cemb, c.cemb), 6) AS d
+                FROM sub{m} q CROSS JOIN cent{m} c
+                WHERE q.vec_id < {N_QUERIES}
+            )"""
+        )
+    code_cols = ", ".join(f"a1x{m}.cell AS c{m}" for m in range(PQ_M))
+    code_joins = " ".join(
+        f"JOIN a1x{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    ctes.append(
+        f"codes AS (SELECT a1x0.vec_id, {code_cols} FROM a1x0 {code_joins})"
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.code = cd.c{m}"
+        f" AND l{m}.query_id = l0.query_id"
+        for m in range(1, PQ_M)
+    )
+    dist = " + ".join(f"l{m}.d" for m in range(PQ_M))
+    ctes.append(
+        f"""scored AS (
+            SELECT l0.query_id, cd.vec_id AS neighbor_id,
+                   ROUND({dist}, 6) AS approx_dist
+            FROM codes cd JOIN lut0 l0 ON l0.code = cd.c0 {lut_joins}
+            WHERE cd.vec_id <> l0.query_id
+        )"""
+    )
+    ctes.append(
+        f"""cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY approx_dist, neighbor_id
+                       ) AS rn
+                FROM scored
+            ) WHERE rn <= {PQ_RERANK}
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND(list_dot_product(q.emb, n.emb)
+                         / (sqrt(list_dot_product(q.emb, q.emb))
+                            * sqrt(list_dot_product(n.emb, n.emb))), 6)
+                       AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY ROUND(list_dot_product(q.emb, n.emb)
+                                      / (sqrt(list_dot_product(q.emb, q.emb))
+                                         * sqrt(list_dot_product(n.emb, n.emb))),
+                                      6) DESC,
+                                c.neighbor_id
+                   ) AS rank
+            FROM cand c
+            JOIN emb q ON q.vec_id = c.query_id
+            JOIN emb n ON n.vec_id = c.neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
+    )
+
+
+@register(
+    "similarity_topk_pq",
+    tags=("similarity", "topk", "ml"),
+    oracle=_pq_oracle(),
+)
+def similarity_topk_pq(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (Jégou et al. 2011), the full IVFADC-style
+    retrieve shape: PQ_M=8 subspaces each train a PQ_K=8-code codebook with
+    the SAME deterministic k-means as the IVF family (md5-min seeds + one
+    6-dp-rounded Lloyd step), every vector encodes as 8 small codes (~32×
+    smaller than the floats), queries score the WHOLE corpus from
+    per-(query, subspace, code) lookup tables (asymmetric distance — raw
+    corpus floats untouched), and the ADC top-PQ_RERANK candidates rerank
+    by exact cosine for the final top-k. Candidate generation is the
+    compression-side ANN; the rerank restores exactness on the short list
+    (the fixture corpus is i.i.d. random — PQ's literal worst case, no
+    cluster structure to exploit — so the candidate depth carries the
+    recall; see tests/test_similarity_recall.py for the pinned floor and
+    the measured parameter curve).
+
+    Engine-exactness: every LUT entry and assignment distance is 6-dp
+    rounded with id tie-breaks; the ADC sum folds the M terms in fixed
+    subspace order IN-ROW (map lookups chained m=0..7, never a shuffle
+    aggregate whose reassociation could flip a 6-dp boundary).
+
+    Scale shape: ALL M codebooks train in ONE chain partitioned by the
+    subspace id (seeds = per-m md5-min window, assignment = broadcast
+    equi-join on m, Lloyd = one (m, cell, pos) aggregate) — not M serial
+    jobs; codes and LUTs collapse to per-row maps (codes table = corpus
+    ids + 8 ints; LUT table = kilobytes, broadcast). Scoring is an in-row
+    lookup over the encoded corpus at scan speed, the rerank touches only
+    queries × PQ_RERANK raw vectors. At 100 TB, encode at ingest, store
+    codes as a column, and the scan never reads the float column until
+    rerank."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base = checkpoint_base(spark, checkpoint_dir, "_pq_")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    # one long frame (vec_id, m, semb): every subspace trains in the same jobs
+    sub_long = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice("emb", m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("m", "semb"),
+    )
+    w_seed = Window.partitionBy("m").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    seeds = (
+        sub_long.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= PQ_K)
+        .select("m", F.col("vec_id").alias("cell"), F.col("semb").alias("cemb"))
+    )
+
+    def nearest_by_m(points: DataFrame, centers: DataFrame) -> DataFrame:
+        d = points.join(F.broadcast(centers), "m").select(
+            "vec_id",
+            "m",
+            "cell",
+            F.round(_sq_dist(F.col("semb"), F.col("cemb")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cell")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cell")
+        )
+
+    a0 = nearest_by_m(sub_long, seeds)
+    coords = a0.join(sub_long, ["vec_id", "m"]).select(
+        "m", "cell", F.posexplode("semb").alias("pos", "val")
+    )
+    cent = (
+        coords.groupBy("m", "cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .groupBy("m", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cemb")
+        )
+    )
+    cent_path = os.path.join(base, "cent")
+    cent.write.mode("overwrite").parquet(cent_path)
+    cent = spark.read.parquet(cent_path)
+
+    codes = (
+        nearest_by_m(sub_long, cent)
+        .groupBy("vec_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("m", "cell"))).alias(
+                "codes"
+            )
+        )
+    )
+    lut = (
+        sub_long.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.concat_ws(":", "m", "cell").alias("mc"),
+            F.round(_sq_dist(F.col("semb"), F.col("cemb")), 6).alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("mc", "d"))).alias("lut"))
+    )
+    dist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"),
+            F.concat_ws(
+                ":", F.lit(m), F.element_at(F.col("codes"), F.lit(m))
+            ),
+        )
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dist, 6).alias("approx_dist"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    nemb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("nemb"),
+        _norm(F.col("emb")).alias("nnrm"),
+    )
+    qemb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        _norm(F.col("emb")).alias("qn"),
+    )
+    cos = _dot(F.col("qe"), F.col("nemb")) / (F.col("qn") * F.col("nnrm"))
+    reranked = (
+        cand.join(F.broadcast(qemb), "query_id")
+        .join(nemb, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    return _topk(reranked, "query_id", TOP_K)

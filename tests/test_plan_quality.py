@@ -483,3 +483,13 @@ def test_hybrid_rrf_arms_partial_topk(spark):
     assert plan.count("TakeOrderedAndProject") >= 2
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_pq_trains_all_subspaces_in_one_chain(spark):
+    """similarity_topk_pq trains the M codebooks in ONE frame partitioned
+    by subspace id: no per-subspace serial jobs, the only nested-loop join
+    is the broadcast of the per-query LUT maps, and nothing degrades to a
+    cartesian product."""
+    plan = _plan(spark, "similarity_topk_pq")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 8-row LUT attach

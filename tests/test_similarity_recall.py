@@ -206,3 +206,30 @@ def test_knn_graph_consistent_with_bucketed_topk_on_queries(spark):
             # same relative order among common neighbors
             coarse_order = [n for _, n, _ in coarse if n in set(common)]
             assert common == coarse_order, q
+
+
+def test_pq_rerank_recall_and_exactness(spark):
+    """PQ-ADC + exact rerank: the fixture corpus is i.i.d. random — PQ's
+    worst case (no cluster structure; measured ADC-only recall@5 at
+    M=4,K=8 is 0.075, and the (M,K) curve 4,8→16,32 tops out at 0.4) — so
+    the registered query rezanks the ADC top-PQ_RERANK exactly. Measured
+    reranked recall@5 at sf0.01: 0.75 mean. Floor pinned at 0.5; common
+    neighbors must carry the bruteforce-identical cosine (the rerank is
+    exact by construction)."""
+    exact = _topk(spark, "similarity_topk_bruteforce")
+    pq = _topk(spark, "similarity_topk_pq")
+    assert set(pq) == set(exact)
+    recalls = []
+    for q, rows in pq.items():
+        ex_n = {n for _, n, _ in exact[q]}
+        pq_n = {n for _, n, _ in rows}
+        recalls.append(len(ex_n & pq_n) / len(ex_n))
+        # rerank scores are exact cosines: identical on common neighbors
+        ex_sim = {n: s for _, n, s in exact[q]}
+        for _, n, s in rows:
+            if n in ex_sim:
+                assert s == ex_sim[n], (q, n)
+        # approximate top-1 can never beat the exact top-1
+        assert rows[0][2] <= exact[q][0][2] + 1e-9
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(recalls) / len(recalls) >= 0.5
