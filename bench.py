@@ -59,6 +59,18 @@ GRAPH_BENCH = [
     "graph_report",
 ]
 
+# Round-8 session-4: tokenizer-training / retrieval / CDC family — its own
+# series so the curation and graph series stay round-comparable.
+PIPELINE_BENCH = [
+    "bpe_train_merges",
+    "bpe_apply_encode",
+    "search_hybrid_rrf",
+    "similarity_topk_pq",
+    "merge_upsert_orders",
+    "training_epoch_order",
+    "embedding_random_projection",
+]
+
 
 def _time_queries(spark, sf_dir: str, fns: dict) -> dict[str, float]:
     # Two runs per query, report the best: the first run pays one-off JIT
@@ -98,6 +110,9 @@ def main() -> None:
     graph = _time_queries(
         spark, sf_dir, {n: registry[n].fn for n in GRAPH_BENCH if n in registry}
     )
+    pipeline = _time_queries(
+        spark, sf_dir, {n: registry[n].fn for n in PIPELINE_BENCH if n in registry}
+    )
 
     print(
         json.dumps(
@@ -111,6 +126,8 @@ def main() -> None:
                 "curation_queries": curation,
                 "graph_queries_total": round(sum(graph.values()), 3),
                 "graph_queries": graph,
+                "pipeline_queries_total": round(sum(pipeline.values()), 3),
+                "pipeline_queries": pipeline,
             }
         )
     )

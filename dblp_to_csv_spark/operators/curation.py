@@ -1451,3 +1451,91 @@ def pretrain_corpus_report(
             .alias("stage"),
         )
     )
+
+
+# --- Pareto/skyline document selection -------------------------------------
+
+SKYLINE_BUCKETS = 32  # phase-1 local-skyline partitions
+
+
+@register(
+    "skyline_documents",
+    tags=("curation", "window", "selection"),
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+                   ROUND(len(list_distinct({_WORDS})) * 1.0
+                         / GREATEST(len({_WORDS}), 1), 6) AS distinct_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, distinct_ratio
+        FROM m a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m b
+            WHERE b.n_tokens >= a.n_tokens
+              AND b.distinct_ratio >= a.distinct_ratio
+              AND (b.n_tokens > a.n_tokens
+                   OR b.distinct_ratio > a.distinct_ratio)
+        )
+    """,
+)
+def skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO-FRONTIER (skyline) document selection: the documents not
+    dominated on (n_tokens ↑, distinct_token_ratio ↑) — multi-objective
+    curation's primitive ("longest AND most lexically diverse", no scalar
+    weighting needed; Börzsönyi et al. 2001). A document is dominated if
+    another is ≥ on both axes and > on at least one; ties on both axes all
+    survive.
+
+    Scale shape — the two-phase distributed skyline: phase 1 computes a
+    LOCAL skyline inside each of SKYLINE_BUCKETS hash buckets (skyline of
+    a union == skyline of the union of local skylines, for ANY split — so
+    the bucketing needs no semantic meaning, only determinism for the
+    oracle), phase 2 sweeps the tiny survivor union with one value-range
+    window: ordered by x, frame x' > x, a row survives iff its y beats the
+    frame max STRICTLY and equals the max within its own x. The corpus
+    touches one narrow projection + one bucket window; the quadratic NOT
+    EXISTS exists only in the oracle (ground truth), never the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    m = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(w)) * 1.0 / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("distinct_ratio"),
+    )
+
+    def sweep(df: DataFrame, bucket_col=None) -> DataFrame:
+        part = [bucket_col] if bucket_col else []
+        # x' > x frame: window ordered by n_tokens ASC, range (x+1, ∞)
+        w_gt = (
+            Window.partitionBy(*part)
+            .orderBy("n_tokens")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        w_eq = Window.partitionBy(*part, "n_tokens")
+        best_gt = F.max("distinct_ratio").over(w_gt)
+        best_eq = F.max("distinct_ratio").over(w_eq)
+        return df.withColumn("bgt", best_gt).withColumn("beq", best_eq).filter(
+            (F.col("bgt").isNull() | (F.col("distinct_ratio") > F.col("bgt")))
+            & (F.col("distinct_ratio") == F.col("beq"))
+        ).drop("bgt", "beq")
+
+    local = sweep(
+        m.withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(SKYLINE_BUCKETS),
+            ),
+        ),
+        "bucket",
+    ).drop("bucket")
+    return sweep(local).select("doc_id", "n_tokens", "distinct_ratio")

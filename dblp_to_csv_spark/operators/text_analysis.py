@@ -949,9 +949,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 4  # merge rules learned; each is one count + one rewrite pass
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled BPE training rounds. Vocabulary state is a delimited symbol
-    string ('|a||b||c|', each symbol wrapped in its own pipes) so the merge
+def _bpe_ctes() -> str:
+    """Unrolled BPE training rounds as a CTE chain (shared by the train and
+    apply oracles). Vocabulary state is a delimited symbol string
+    ('|a||b||c|', each symbol wrapped in its own pipes) so the merge
     rewrite is a plain left-to-right non-overlapping string replace of
     '|l||r|' with '|lr|' — IDENTICAL semantics in DuckDB replace() and
     Spark replace(), including the 'aaaa'→[aa,aa] consecutive-repeat case
@@ -960,10 +961,10 @@ def _bpe_train_oracle() -> str:
     ctes = [
         "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
         f"SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word)",
-        "v0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS symstr,"
+        "v0 AS (SELECT word,"
+        " regexp_replace(word, '(.)', '|\\1|', 'g') AS symstr,"
         " freq FROM w0)",
     ]
-    selects = []
     for i in range(1, BPE_ROUNDS + 1):
         prev = f"v{i - 1}"
         ctes.append(
@@ -981,18 +982,131 @@ def _bpe_train_oracle() -> str:
             f" ORDER BY c DESC, ml, mr LIMIT 1)"
         )
         ctes.append(
-            f"v{i} AS (SELECT replace(symstr, '|' || ml || '||' || mr || '|',"
+            f"v{i} AS (SELECT word,"
+            f" replace(symstr, '|' || ml || '||' || mr || '|',"
             f" '|' || ml || mr || '|') AS symstr, freq FROM {prev}, r{i})"
         )
-        selects.append(
-            f"SELECT CAST({i} AS BIGINT) AS merge_round, ml AS merge_left,"
-            f" mr AS merge_right, c AS pair_count FROM r{i}"
-        )
+    return ",\n".join(ctes)
+
+
+def _bpe_train_oracle() -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, ml AS merge_left,"
+        f" mr AS merge_right, c AS pair_count FROM r{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    ]
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        "WITH " + _bpe_ctes() + "\n"
         + " UNION ALL ".join(selects)
         + " ORDER BY merge_round"
     )
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""
+        WITH {_bpe_ctes()},
+        pw AS (
+            SELECT word,
+                   CAST(len(string_split(trim(symstr, '|'), '||')) AS BIGINT)
+                       AS n_syms,
+                   CAST(length(word) AS BIGINT) AS n_chars
+            FROM v{BPE_ROUNDS}
+        ),
+        tok AS (
+            SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_chars) AS BIGINT) AS n_char_symbols,
+               CAST(SUM(n_syms) AS BIGINT) AS n_bpe_symbols,
+               ROUND(CAST(SUM(n_syms) AS DOUBLE) / SUM(n_chars), 6) + 0.0
+                   AS compression_ratio
+        FROM tok JOIN pw USING (word)
+        GROUP BY doc_id
+    """
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The BPE training chain shared by `bpe_train_merges` (returns the
+    learned rules) and `bpe_apply_encode` (returns the final re-segmented
+    vocabulary): see bpe_train_merges for the full contract. Returns
+    (rules, vocab_final) where vocab_final = (word, symstr, freq) AFTER
+    all BPE_ROUNDS merges."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base = checkpoint_base(spark, checkpoint_dir, "_bpe_")
+
+    def _ckpt(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v = _ckpt(
+        w0.select(
+            "word",
+            F.regexp_replace("word", "(.)", "|$1|").alias("symstr"),
+            "freq",
+        ),
+        "v0",
+    )
+    rules = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        sym = F.split(F.expr("btrim(symstr, '|')"), r"\|\|")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(sym) - 1),
+            lambda i: F.struct(
+                F.element_at(sym, i).alias("ml"),
+                F.element_at(sym, i + 1).alias("mr"),
+            ),
+        )
+        pc = (
+            # guard size >= 2: sequence(1, 0) would generate a DESCENDING
+            # range (the char-entropy bug class), not an empty one
+            v.filter(F.size(sym) >= 2)
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.ml").alias("ml"), F.col("p.mr").alias("mr"))
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        rule = _ckpt(pc.orderBy(F.desc("c"), "ml", "mr").limit(1), f"rule{rnd}")
+        rules.append(
+            rule.select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                F.col("ml").alias("merge_left"),
+                F.col("mr").alias("merge_right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        v = _ckpt(
+            v.crossJoin(F.broadcast(rule)).select(
+                "word",
+                F.replace(
+                    F.col("symstr"),
+                    F.concat(
+                        F.lit("|"), F.col("ml"), F.lit("||"),
+                        F.col("mr"), F.lit("|"),
+                    ),
+                    F.concat(
+                        F.lit("|"), F.col("ml"), F.col("mr"), F.lit("|")
+                    ),
+                ).alias("symstr"),
+                "freq",
+            ),
+            f"v{rnd}",
+        )
+    out = rules[0]
+    for r_ in rules[1:]:
+        out = out.unionAll(r_)
+    return out, v
 
 
 @register(
@@ -1026,74 +1140,60 @@ def bpe_train_merges(
     and each learned rule parquet-checkpoint per round (the CC/k-core
     discipline): without it, the lazily-chained rounds would re-run the
     corpus tokenize+aggregate once per round per union branch."""
-    import os
-
-    from dblp_to_csv_spark.session import checkpoint_base
-
-    base = checkpoint_base(spark, checkpoint_dir, "_bpe_")
-
-    def _ckpt(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    docs = load_table(spark, sf_dir, "documents")
-    w0 = (
-        docs.select(F.explode(words("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-    v = _ckpt(
-        w0.select(
-            F.regexp_replace("word", "(.)", "|$1|").alias("symstr"), "freq"
-        ),
-        "v0",
-    )
-    rules = []
-    for rnd in range(1, BPE_ROUNDS + 1):
-        sym = F.split(F.expr("btrim(symstr, '|')"), r"\|\|")
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size(sym) - 1),
-            lambda i: F.struct(
-                F.element_at(sym, i).alias("ml"),
-                F.element_at(sym, i + 1).alias("mr"),
-            ),
-        )
-        pc = (
-            # guard size >= 2: sequence(1, 0) would generate a DESCENDING
-            # range (the char-entropy bug class), not an empty one
-            v.filter(F.size(sym) >= 2)
-            .select(F.explode(pairs).alias("p"), "freq")
-            .groupBy(F.col("p.ml").alias("ml"), F.col("p.mr").alias("mr"))
-            .agg(F.sum("freq").cast("long").alias("c"))
-        )
-        rule = _ckpt(pc.orderBy(F.desc("c"), "ml", "mr").limit(1), f"rule{rnd}")
-        rules.append(
-            rule.select(
-                F.lit(rnd).cast("long").alias("merge_round"),
-                F.col("ml").alias("merge_left"),
-                F.col("mr").alias("merge_right"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        if rnd < BPE_ROUNDS:  # the last vocabulary state has no consumer
-            v = _ckpt(
-                v.crossJoin(F.broadcast(rule)).select(
-                    F.replace(
-                        F.col("symstr"),
-                        F.concat(
-                            F.lit("|"), F.col("ml"), F.lit("||"),
-                            F.col("mr"), F.lit("|"),
-                        ),
-                        F.concat(
-                            F.lit("|"), F.col("ml"), F.col("mr"), F.lit("|")
-                        ),
-                    ).alias("symstr"),
-                    "freq",
-                ),
-                f"v{rnd}",
-            )
-    out = rules[0]
-    for r_ in rules[1:]:
-        out = out.unionAll(r_)
+    out, _ = _bpe_train(spark, sf_dir, checkpoint_dir)
     return out
+
+
+@register(
+    "bpe_apply_encode",
+    tags=("text", "ml", "join"),
+    oracle=_bpe_apply_oracle(),
+)
+def bpe_apply_encode(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """APPLY the learned BPE merges back to the corpus (the encode half of
+    the tokenizer loop): every document's token count under the trained
+    segmentation, next to its character-symbol baseline — the compression
+    the BPE_ROUNDS merges actually bought, per document. The encoding
+    itself happens on the VOCABULARY (each distinct word's final symbol
+    string falls out of the training chain); documents just join their
+    words to it — exactly how a production tokenizer applies merges (a
+    word-level memo table), and the proof that train→apply composes
+    engine-side.
+
+    Scale shape: one corpus tokenize-explode joined to the vocab table on
+    the word (broadcast while the vocab fits, shuffle-hash beyond; either
+    way the document TEXT never moves — only (doc_id, word) pairs), then a
+    map-side-combinable per-doc sum."""
+    _, vocab = _bpe_train(spark, sf_dir, checkpoint_dir)
+    n_syms = F.size(F.split(F.expr("btrim(symstr, '|')"), r"\|\|"))
+    per_word = vocab.select(
+        "word",
+        n_syms.cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
+    return (
+        tok.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_char_symbols"),
+            F.sum("n_syms").cast("long").alias("n_bpe_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_char_symbols",
+            "n_bpe_symbols",
+            (
+                F.round(
+                    F.col("n_bpe_symbols") / F.col("n_char_symbols"), 6
+                )
+                + F.lit(0.0)
+            ).alias("compression_ratio"),
+        )
+    )

@@ -111,3 +111,17 @@ def test_pair_counts_nonincreasing(spark):
     counts = [r["pair_count"] for r in rows]
     assert len(counts) == BPE_ROUNDS
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_apply_savings_bounded_by_learned_counts(spark):
+    """Corpus-wide symbols saved by encoding == one merge per applied
+    occurrence, so savings are positive and bounded above by the sum of
+    the learned pair counts (strict equality fails only via self-overlap:
+    'aaa' counts the (a,a) pair twice but merges once)."""
+    from dblp_to_csv_spark.operators.text_analysis import bpe_apply_encode
+
+    rules = bpe_train_merges(spark, SF_SMOKE).collect()
+    enc = bpe_apply_encode(spark, SF_SMOKE).collect()
+    saved = sum(r["n_char_symbols"] - r["n_bpe_symbols"] for r in enc)
+    assert 0 < saved <= sum(r["pair_count"] for r in rules)
+    assert all(0 < r["compression_ratio"] <= 1 for r in enc)

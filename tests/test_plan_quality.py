@@ -493,3 +493,13 @@ def test_pq_trains_all_subspaces_in_one_chain(spark):
     plan = _plan(spark, "similarity_topk_pq")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 8-row LUT attach
+
+
+def test_skyline_two_windows_no_join(spark):
+    """skyline_documents: one narrow projection + the bucketed local sweep
+    + the survivor-only global sweep — window exchanges only, no join, no
+    quadratic dominance anywhere in the plan (that lives in the oracle)."""
+    plan = _plan(spark, "skyline_documents")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") == 1
