@@ -1130,3 +1130,69 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("o_totalprice"),
         action.alias("merge_action"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    tags=("relational", "agg", "cdc"),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) + 0.0 AS total_price,
+               ROUND(SUM(o_totalprice) / COUNT(*), 6) + 0.0 AS avg_price,
+               ROUND(MIN(o_totalprice), 6) + 0.0 AS min_price,
+               ROUND(MAX(o_totalprice), 6) + 0.0 AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL aggregate maintenance (materialized-view refresh): the
+    per-status order summary maintained by MERGING partial-aggregate
+    states — base state ⊕ delta state — instead of rescanning the base.
+    Every statistic is kept in its ALGEBRAIC form (sum, count, min, max);
+    avg derives from merged sum/count at read time — the partial/final
+    split Spark itself uses inside every hash aggregate, lifted to the
+    storage layer. Here the base state (orderkey % 10 ≠ 0) and delta
+    (% 10 = 0) are both computed from the table so the oracle is simply
+    the full-table aggregate; in production the base state is READ from
+    the stored view and only the delta is scanned — refresh cost follows
+    the delta, not the corpus.
+
+    Scale shape: two partial aggregates (map-side combinable) + one merge
+    aggregate over |keys| × 2 rows. Nothing quadratic, nothing rescanned;
+    the merge works for any commutative-monoid statistic (extend with HLL
+    registers / GK summaries for approx-distinct and quantiles — the same
+    sketches the approx_* queries already verify)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_orders"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        (F.round(F.col("s"), 2) + F.lit(0.0)).alias("total_price"),
+        r6(F.col("s") / F.col("n_orders")).alias("avg_price"),
+        r6(F.col("mn")).alias("min_price"),
+        r6(F.col("mx")).alias("max_price"),
+    )

@@ -84,3 +84,15 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Hive-style directory partitioning (partitionBy at write time): the
+    layout that makes BOTH static partition pruning (literal predicates on
+    the partition column prune directories at planning time) and DYNAMIC
+    partition pruning work — a selective dimension filter joined on the
+    partition column turns into a runtime subquery that prunes fact
+    partitions before the scan (asserted on the physical plan in
+    tests/test_partition_pruning.py). At 100 TB this is the difference
+    between scanning a day and scanning a decade."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
