@@ -828,3 +828,137 @@ def training_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
+
+
+# --- Span-corruption example construction (T5-style denoising) -------------
+
+SPAN_MASK_HEX_LT = "2"  # md5(doc:pos) first hex < '2' → ~12.5% token mask rate
+
+
+@register(
+    "augment_span_corrupt",
+    tags=("pipeline", "augmentation", "scalar"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {WORDS_SQL.format(col="text")} AS w FROM documents
+        ),
+        m AS (
+            SELECT doc_id, w,
+                   list_transform(range(1, len(w) + 1),
+                       i -> substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                       || CAST(i AS VARCHAR)), 1, 1)
+                            < '{SPAN_MASK_HEX_LT}') AS msk
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, w, msk,
+                   list_filter(range(1, len(w) + 1),
+                       i -> msk[i] AND (i = 1 OR NOT msk[i - 1])) AS starts
+            FROM m
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(
+                       list_transform(range(1, len(w) + 1),
+                           i -> CASE
+                               WHEN NOT msk[i] THEN w[i]
+                               WHEN COALESCE(list_position(starts, i), 0) > 0
+                               THEN '<extra_id_'
+                                    || CAST(list_position(starts, i) AS VARCHAR)
+                                    || '>'
+                               ELSE NULL END),
+                       x -> x IS NOT NULL), ' ') AS input_text,
+               COALESCE(array_to_string(
+                   flatten(list_transform(starts, s ->
+                       list_prepend(
+                           '<extra_id_'
+                           || CAST(list_position(starts, s) AS VARCHAR) || '>',
+                           w[s:COALESCE(list_min(list_filter(
+                                   range(1, len(w) + 1),
+                                   p -> p > s AND NOT msk[p])),
+                               len(w) + 1) - 1]))), ' '), '') AS target_text,
+               CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked,
+               CAST(len(starts) AS BIGINT) AS n_spans
+        FROM r
+    """,
+)
+def augment_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION example construction (the T5 denoising objective,
+    Raffel et al. 2020 §3.1.4) built entirely in the engine: ~12.5% of
+    tokens mask deterministically (md5(doc_id:pos) — reproducible across
+    runs/retries/engines, the same exactly-once argument as the samplers),
+    adjacent masked tokens coalesce into spans, the input keeps one
+    '<extra_id_k>' sentinel per span, and the target is the concatenation
+    of each sentinel plus its dropped tokens — (input_text, target_text)
+    pairs ready for a seq2seq trainer, plus mask accounting.
+
+    Scale shape: pure in-row array expressions over the tokenized
+    projection (mask vector → run starts → two rebuilds); no shuffle, no
+    UDF, no explode — the whole construction runs at scan speed and
+    composes with pack_concat_chunks / training_epoch_order for the full
+    examples-to-shards pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", words("text").alias("w"))
+    n = F.size("w")
+    pos = F.sequence(F.lit(1), n)
+    mask_at = lambda i: F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id"), i.cast("string"))), 1, 1
+    ) < SPAN_MASK_HEX_LT
+    m = t.select(
+        "doc_id", "w", F.transform(pos, mask_at).alias("msk")
+    )
+    msk = lambda i: F.element_at(F.col("msk"), i)
+    r = m.select(
+        "doc_id",
+        "w",
+        "msk",
+        F.filter(
+            F.sequence(F.lit(1), F.size("w")),
+            lambda i: msk(i) & ((i == 1) | ~msk(i - 1)),
+        ).alias("starts"),
+    )
+    sentinel = lambda i: F.concat(
+        F.lit("<extra_id_"),
+        F.array_position(F.col("starts"), i).cast("string"),
+        F.lit(">"),
+    )
+    input_text = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w")),
+                lambda i: F.when(~msk(i), F.element_at(F.col("w"), i)).when(
+                    F.array_position(F.col("starts"), i) > 0, sentinel(i)
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    span_end = lambda s: F.coalesce(
+        F.array_min(
+            F.filter(
+                F.sequence(F.lit(1), F.size("w")),
+                lambda p: (p > s) & ~msk(p),
+            )
+        ),
+        F.size("w") + 1,
+    )
+    target_text = F.array_join(
+        F.flatten(
+            F.transform(
+                F.col("starts"),
+                lambda s: F.concat(
+                    F.array(sentinel(s)),
+                    F.slice(F.col("w"), s, span_end(s) - s),
+                ),
+            )
+        ),
+        " ",
+    )
+    return r.select(
+        "doc_id",
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+        F.size(F.filter(F.col("msk"), lambda x: x)).cast("long").alias("n_masked"),
+        F.size("starts").cast("long").alias("n_spans"),
+    )

@@ -503,3 +503,12 @@ def test_skyline_two_windows_no_join(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_span_corrupt_is_scan_fused(spark):
+    """augment_span_corrupt builds (input, target) pairs with in-row array
+    expressions only — no Exchange, no Generate, one FileScan."""
+    plan = _plan(spark, "augment_span_corrupt")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert plan.count("FileScan") == 1
