@@ -962,3 +962,132 @@ def augment_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("msk"), lambda x: x)).cast("long").alias("n_masked"),
         F.size("starts").cast("long").alias("n_spans"),
     )
+
+
+# --- Contrastive pair mining (embedding-trainer dataset construction) ------
+
+NEG_PER_ANCHOR = 3
+NEG_POOL_HEX_LT = "4"  # md5(doc_id) first hex < '4' → 25% negative pool
+
+
+def _contrastive_oracle() -> str:
+    from dblp_to_csv_spark.operators.dedup import _CC_ORACLE_CTES
+
+    return f"""
+        {_CC_ORACLE_CTES},
+        positives AS (
+            SELECT p.doc_a AS anchor_id, p.doc_b AS other_id,
+                   CAST(1 AS BIGINT) AS label, j.jaccard AS pair_score
+            FROM pairs p JOIN jac j USING (doc_a, doc_b)
+        ),
+        anchors AS (SELECT DISTINCT doc_a AS anchor_id FROM pairs),
+        pool AS (
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  < '{NEG_POOL_HEX_LT}'
+        ),
+        partners AS (
+            SELECT doc_a AS a, doc_b AS o FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        negcand AS (
+            SELECT an.anchor_id, p.doc_id AS other_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY an.anchor_id
+                       ORDER BY md5(CAST(an.anchor_id AS VARCHAR) || ':'
+                                    || CAST(p.doc_id AS VARCHAR)), p.doc_id
+                   ) AS rn
+            FROM anchors an CROSS JOIN pool p
+            WHERE p.doc_id <> an.anchor_id
+              AND NOT EXISTS (SELECT 1 FROM partners pa
+                              WHERE pa.a = an.anchor_id
+                                AND pa.o = p.doc_id)
+        )
+        SELECT anchor_id, other_id, label, pair_score FROM positives
+        UNION ALL
+        SELECT anchor_id, other_id, CAST(0 AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM negcand WHERE rn <= {NEG_PER_ANCHOR}
+    """
+
+
+
+
+@register(
+    "contrastive_pairs_dataset",
+    tags=("pipeline", "dedup", "ml"),
+    oracle=_contrastive_oracle(),
+)
+def contrastive_pairs_dataset(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """CONTRASTIVE-PAIR dataset construction for embedding finetuning:
+    positives are the verified MinHash near-dup pairs (label 1, with their
+    exact Jaccard as pair_score); negatives are NEG_PER_ANCHOR
+    deterministically-drawn documents per anchor (label 0) from a 25%
+    md5-sampled pool, excluding the anchor itself and any of its near-dup
+    partners — the mined-positives + random-negatives recipe (SimCSE/E5
+    shape) run entirely in the engine, reproducible across runs and
+    retries because every draw is an md5 rank.
+
+    Scale shape: the positive side IS the dedup scale path (banded
+    signatures, checkpointed candidates, verify on candidates only —
+    checkpointed once here, consumed three times); the anchor set is
+    bounded by the duplicate population (broadcast), the negative pool is
+    a hash-sampled narrow projection of the corpus, and the per-anchor
+    cut is a WindowGroupLimit top-k, so negatives cost anchors × pool/16
+    candidate rows — never corpus²."""
+    import os
+
+    from dblp_to_csv_spark.operators.dedup import minhash_lsh_pairs
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base = checkpoint_base(spark, checkpoint_dir, "_contrast_")
+    pairs_path = os.path.join(base, "pairs")
+    minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+
+    positives = pairs.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("other_id"),
+        F.lit(1).cast("long").alias("label"),
+        F.col("jaccard").alias("pair_score"),
+    )
+    anchors = pairs.select(F.col("doc_a").alias("anchor_id")).distinct()
+    pool = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < NEG_POOL_HEX_LT
+        )
+    )
+    partners = pairs.select(
+        F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_o")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("p_a"), F.col("doc_a").alias("p_o"))
+    )
+    cand = (
+        pool.crossJoin(F.broadcast(anchors))
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .join(
+            partners,
+            (F.col("anchor_id") == F.col("p_a"))
+            & (F.col("doc_id") == F.col("p_o")),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("doc_id"))), "doc_id"
+    )
+    negatives = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NEG_PER_ANCHOR)
+        .select(
+            "anchor_id",
+            F.col("doc_id").alias("other_id"),
+            F.lit(0).cast("long").alias("label"),
+            F.lit(None).cast("double").alias("pair_score"),
+        )
+    )
+    return positives.unionAll(negatives)

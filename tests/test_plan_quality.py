@@ -512,3 +512,12 @@ def test_span_corrupt_is_scan_fused(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_contrastive_pairs_anchor_broadcast(spark):
+    """contrastive_pairs_dataset: the anchors×pool fan-out rides a
+    broadcast of the (duplicate-bounded) anchor set; the partner exclusion
+    is an anti-join; the per-anchor cut is a WindowGroupLimit."""
+    plan = _plan(spark, "contrastive_pairs_dataset")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
