@@ -1507,29 +1507,43 @@ def skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("distinct_ratio"),
     )
+    return pareto_skyline_2d(m, "doc_id", "n_tokens", "distinct_ratio")
 
-    def sweep(df: DataFrame, bucket_col=None) -> DataFrame:
+
+def pareto_skyline_2d(
+    df: DataFrame, id_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Two-phase distributed 2-D skyline over (x_col ↑, y_col ↑): rows not
+    dominated (another row ≥ on both and > on one). Phase 1 sweeps each of
+    SKYLINE_BUCKETS md5(id) buckets locally; phase 2 sweeps the survivor
+    union. Correct for ANY split (skyline(∪) = skyline(∪ of local
+    skylines)); equivalence to the brute-force dominance check is
+    property-tested on random point sets in tests/test_skyline.py.
+    ``x_col`` must be integer-valued (the strict-dominance frame is
+    rangeBetween(1, ∞))."""
+
+    def sweep(d: DataFrame, bucket_col: str | None = None) -> DataFrame:
         part = [bucket_col] if bucket_col else []
-        # x' > x frame: window ordered by n_tokens ASC, range (x+1, ∞)
+        # x' > x frame: window ordered by x ASC, range (x+1, ∞)
         w_gt = (
             Window.partitionBy(*part)
-            .orderBy("n_tokens")
+            .orderBy(x_col)
             .rangeBetween(1, Window.unboundedFollowing)
         )
-        w_eq = Window.partitionBy(*part, "n_tokens")
-        best_gt = F.max("distinct_ratio").over(w_gt)
-        best_eq = F.max("distinct_ratio").over(w_eq)
-        return df.withColumn("bgt", best_gt).withColumn("beq", best_eq).filter(
-            (F.col("bgt").isNull() | (F.col("distinct_ratio") > F.col("bgt")))
-            & (F.col("distinct_ratio") == F.col("beq"))
+        w_eq = Window.partitionBy(*part, x_col)
+        best_gt = F.max(y_col).over(w_gt)
+        best_eq = F.max(y_col).over(w_eq)
+        return d.withColumn("bgt", best_gt).withColumn("beq", best_eq).filter(
+            (F.col("bgt").isNull() | (F.col(y_col) > F.col("bgt")))
+            & (F.col(y_col) == F.col("beq"))
         ).drop("bgt", "beq")
 
     local = sweep(
-        m.withColumn(
+        df.withColumn(
             "bucket",
             F.pmod(
                 F.conv(
-                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
                     16,
                     10,
                 ).cast("long"),
@@ -1538,4 +1552,4 @@ def skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "bucket",
     ).drop("bucket")
-    return sweep(local).select("doc_id", "n_tokens", "distinct_ratio")
+    return sweep(local).select(id_col, x_col, y_col)

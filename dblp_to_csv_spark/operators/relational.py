@@ -1092,13 +1092,25 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("o_custkey"), "I", "N",
                        F.col("o_totalprice") + 0.5, 1))
     )
+    return merge_apply(orders, changes)
+
+
+def merge_apply(target: DataFrame, changes: DataFrame) -> DataFrame:
+    """The MERGE INTO core as a library operator: ``target`` has columns
+    (o_orderkey, o_custkey, o_orderstatus, o_totalprice); ``changes`` has
+    (o_orderkey, s_custkey, op ∈ {'U','D','I'}, new_status, new_price,
+    change_seq). Latest-wins on change_seq per key, then one full-outer
+    equi-join applies the actions (matched+D drops, matched+U rewrites,
+    unmatched+I inserts, unmatched U/D no-op, untouched rows tagged
+    'kept'). Semantics are property-tested against a dict-based Python
+    reference on random feeds in tests/test_merge_property.py."""
     w = Window.partitionBy("o_orderkey").orderBy(F.desc("change_seq"))
     latest = (
         changes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    t = orders.withColumnRenamed("o_orderkey", "t_key").alias("t")
+    t = target.withColumnRenamed("o_orderkey", "t_key").alias("t")
     s = latest.alias("s")
     j = t.join(s, F.col("t_key") == F.col("s.o_orderkey"), "full")
     t_missing = F.col("t_key").isNull()
@@ -1195,4 +1207,111 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("s") / F.col("n_orders")).alias("avg_price"),
         r6(F.col("mn")).alias("min_price"),
         r6(F.col("mx")).alias("max_price"),
+    )
+
+
+ORDER_STATUS_DOMAIN = ("O", "F", "P")
+
+
+@register(
+    "constraint_audit_orders",
+    tags=("relational", "agg", "quality"),
+    oracle=f"""
+        WITH dirty AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 2000000, NULL, o_orderstatus, o_totalprice,
+                   o_orderdate
+            FROM orders WHERE o_orderkey % 1000 = 1
+            UNION ALL
+            SELECT o_orderkey + 2000000, o_custkey, 'Z', o_totalprice,
+                   o_orderdate
+            FROM orders WHERE o_orderkey % 1000 = 2
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, -o_totalprice, NULL
+            FROM orders WHERE o_orderkey % 1000 = 3
+        ),
+        a AS (
+            SELECT CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT)
+                       AS null_custkey,
+                   CAST(COUNT(*) FILTER (o_orderstatus NOT IN
+                       ({", ".join(repr(s) for s in ORDER_STATUS_DOMAIN)}))
+                       AS BIGINT) AS bad_status,
+                   CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS dup_orderkey,
+                   CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT)
+                       AS nonpositive_price,
+                   CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT)
+                       AS null_orderdate
+            FROM dirty
+        )
+        SELECT 'null_custkey' AS constraint_name, null_custkey AS n_violations FROM a
+        UNION ALL SELECT 'bad_status', bad_status FROM a
+        UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM a
+        UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM a
+        UNION ALL SELECT 'null_orderdate', null_orderdate FROM a
+    """,
+)
+def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality CONSTRAINT audit (the dbt-test / Deequ
+    shape): not-null, accepted-values, uniqueness, positivity, and
+    completeness checks over orders evaluated in ONE aggregate pass and
+    reported as (constraint_name, n_violations) rows — the contract table
+    a pipeline gates a publish on. Complements `integrity_audit` (which
+    covers the cross-table foreign-key edges).
+
+    Scale shape: every check is a conditional count inside a single
+    partial/final aggregate (the uniqueness check adds the one
+    count-distinct expand); the unpivot to report rows happens on the
+    1-row aggregate result via stack — the corpus is scanned once,
+    shuffled never."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    k = F.col("o_orderkey")
+    dirty = (
+        orders.unionAll(
+            orders.filter(k % 1000 == 1).select(
+                (k + 2_000_000).alias("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate",
+            )
+        )
+        .unionAll(
+            orders.filter(k % 1000 == 2).select(
+                (k + 2_000_000).alias("o_orderkey"), "o_custkey",
+                F.lit("Z").alias("o_orderstatus"),
+                "o_totalprice", "o_orderdate",
+            )
+        )
+        .unionAll(
+            orders.filter(k % 1000 == 3).select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                (-F.col("o_totalprice")).alias("o_totalprice"),
+                F.lit(None).cast("timestamp").alias("o_orderdate"),
+            )
+        )
+    )
+    cnt = lambda c: F.sum(c.cast("int")).cast("long")
+    a = dirty.agg(
+        cnt(F.col("o_custkey").isNull()).alias("null_custkey"),
+        cnt(~F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN)).alias(
+            "bad_status"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("dup_orderkey"),
+        cnt(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        cnt(F.col("o_orderdate").isNull()).alias("null_orderdate"),
+    )
+    return a.select(
+        F.expr(
+            "stack(5, 'null_custkey', null_custkey, 'bad_status', bad_status,"
+            " 'dup_orderkey', dup_orderkey,"
+            " 'nonpositive_price', nonpositive_price,"
+            " 'null_orderdate', null_orderdate)"
+        ).alias("constraint_name", "n_violations")
     )

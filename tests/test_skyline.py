@@ -41,3 +41,28 @@ def test_two_phase_equals_bruteforce(spark):
     for (x1, y1), (x2, y2) in zip(sky, sky[1:]):
         if x2 > x1:
             assert y2 < y1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dblp_to_csv_spark.operators.curation import pareto_skyline_2d
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_skyline_property(spark, pts):
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"] for r in pareto_skyline_2d(df, "id", "x", "y").collect()}
+    assert got == _brute({i: (x, y) for i, x, y in rows})
