@@ -118,6 +118,16 @@ def empty_docs_sf(tmp_path):
         "quality_linear_score",
         "text_logprob_buckets",
         "drift_chi2_source_lang",
+        # session-4 additions: the whole BPE loop, the two-phase skyline,
+        # span corruption, epoch ordering, and contrastive mining must all
+        # degrade to empty frames (empty vocab, empty rule rows broadcast,
+        # empty pair graph) rather than erroring
+        "bpe_train_merges",
+        "bpe_apply_encode",
+        "skyline_documents",
+        "augment_span_corrupt",
+        "training_epoch_order",
+        "contrastive_pairs_dataset",
     ],
 )
 def test_curation_ops_survive_empty_documents(spark, empty_docs_sf, name):
