@@ -684,11 +684,11 @@ CHUNK_TOKENS = 32  # overlapping-chunk width (tokens)
 CHUNK_STRIDE = 24  # stride between chunk starts (25% overlap)
 
 
-@register(
-    "chunk_documents_overlapping",
-    tags=("pipeline", "text"),
-    oracle=f"""
-        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+# Shared chunk-fan-out CTE: `chunks(doc_id, chunk_idx, cw, n_tokens)` with
+# cw the chunk's token LIST — consumed by the chunker oracle (serialized to
+# chunk_text) and by the chunk-granular BM25 oracle (tf over cw).
+_CHUNKS_SQL = f"""
+        t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
         b AS (
             SELECT doc_id, w,
                    CASE WHEN len(w) = 0 THEN 0
@@ -697,18 +697,29 @@ CHUNK_STRIDE = 24  # stride between chunk starts (25% overlap)
                                        * 1.0 / {CHUNK_STRIDE}) AS INT) + 1
                    END AS n_chunks
             FROM t
-        )
-        SELECT doc_id, u.i AS chunk_idx,
-               array_to_string(
+        ),
+        chunks AS (
+            SELECT doc_id, u.i AS chunk_idx,
                    list_slice(w, u.i * {CHUNK_STRIDE} + 1,
-                              u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
-                   AS chunk_text,
-               CAST(LEAST({CHUNK_TOKENS},
-                          len(w) - u.i * {CHUNK_STRIDE}) AS BIGINT)
-                   AS n_tokens
-        FROM b, UNNEST(CASE WHEN n_chunks > 0
-                       THEN generate_series(0, n_chunks - 1)
-                       ELSE [] END) AS u(i)
+                              u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS cw,
+                   CAST(LEAST({CHUNK_TOKENS},
+                              len(w) - u.i * {CHUNK_STRIDE}) AS BIGINT)
+                       AS n_tokens
+            FROM b, UNNEST(CASE WHEN n_chunks > 0
+                           THEN generate_series(0, n_chunks - 1)
+                           ELSE [] END) AS u(i)
+        )
+"""
+
+
+@register(
+    "chunk_documents_overlapping",
+    tags=("pipeline", "text"),
+    oracle=f"""
+        WITH {_CHUNKS_SQL}
+        SELECT doc_id, chunk_idx,
+               array_to_string(cw, ' ') AS chunk_text, n_tokens
+        FROM chunks
     """,
 )
 def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,3 +1102,79 @@ def contrastive_pairs_dataset(
         )
     )
     return positives.unionAll(negatives)
+
+
+# --- Chunk-granular retrieval (the RAG unit) -------------------------------
+
+RAG_TOP = 20
+
+
+def _rag_oracle() -> str:
+    from dblp_to_csv_spark.operators.text_analysis import (
+        BM25_TERMS,
+        _bm25_sql_parts,
+    )
+
+    _, score, matched = _bm25_sql_parts()
+    tf_cols = ", ".join(
+        f"len(list_filter(cw, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    return f"""
+        WITH {_CHUNKS_SQL},
+        tf AS (
+            SELECT doc_id, chunk_idx, n_tokens AS dl, {tf_cols} FROM chunks
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl, {df_cols}
+            FROM tf
+        )
+        SELECT doc_id, chunk_idx,
+               ROUND({score}, 6) + 0.0 AS bm25,
+               CAST({matched} AS BIGINT) AS n_terms_matched
+        FROM tf, stats
+        ORDER BY ROUND({score}, 6) DESC, doc_id, chunk_idx
+        LIMIT {RAG_TOP}
+    """
+
+
+@register(
+    "rag_retrieve_chunks",
+    tags=("pipeline", "text", "search"),
+    oracle=_rag_oracle(),
+)
+def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-granular retrieval — the actual RAG unit (retrieve passages,
+    not documents): BM25 over the overlapping-chunk table, with the corpus
+    statistics (N, avgdl, df) computed at CHUNK granularity, top-RAG_TOP
+    chunks returned with their parent doc_id. Composes the chunker with
+    the shared BM25 scorer (`bm25_score_frame`) — the same definitionally-
+    shared lexical arm as search_bm25 and the hybrid RRF.
+
+    Scale shape: the chunk fan-out is in-row (no shuffle), per-chunk tf is
+    an in-row array filter, chunk-corpus stats are ONE broadcast row, and
+    the cut is TakeOrderedAndProject on the rounded score with
+    (doc_id, chunk_idx) tie-break — identical plan family to search_bm25,
+    at ~n/stride × the row count."""
+    from dblp_to_csv_spark.operators.text_analysis import (
+        bm25_score_frame,
+        term_tf_columns,
+    )
+
+    chunks = chunk_documents_overlapping(spark, sf_dir).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_tokens").alias("dl"),
+        F.split("chunk_text", " ").alias("cw"),
+    )
+    tf = chunks.select(
+        "doc_id", "chunk_idx", "dl", *term_tf_columns("cw")
+    )
+    return (
+        bm25_score_frame(tf, ["doc_id", "chunk_idx"])
+        .orderBy(F.desc("bm25"), "doc_id", "chunk_idx")
+        .limit(RAG_TOP)
+    )

@@ -699,23 +699,24 @@ def _bm25_oracle() -> str:
     """
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BM25-scored corpus (doc_id, bm25 rounded 6-dp, n_terms_matched)
-    shared by search_bm25 and the hybrid-RRF fusion — one definition of the
-    lexical arm, two consumers."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", words("text").alias("w"))
+def term_tf_columns(w_col) -> list:
+    """Per-term tf columns (``tf_<term>``) as in-row array filters over a
+    token-array column — the no-posting-list-explode trick shared by the
+    document and chunk BM25 paths."""
 
     def _tf(term: str):
         # closure per term — a 2-arg lambda with a default would flip
         # F.filter into its (element, index) calling convention
-        return F.size(F.filter("w", lambda x: x == F.lit(term)))
+        return F.size(F.filter(w_col, lambda x: x == F.lit(term)))
 
-    tf = t.select(
-        "doc_id",
-        F.size("w").alias("dl"),
-        *[_tf(t_).alias(f"tf_{t_}") for t_ in BM25_TERMS],
-    )
+    return [_tf(t_).alias(f"tf_{t_}") for t_ in BM25_TERMS]
+
+
+def bm25_score_frame(tf: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Score any tf frame (columns: *id_cols, dl, tf_<term>...) with Okapi
+    BM25 + Lucene idf; corpus stats reduce to ONE broadcast row. Shared by
+    the document path (search_bm25 / hybrid RRF) and the chunk-granular
+    RAG path (rag_retrieve_chunks)."""
     stats = tf.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -739,10 +740,22 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched = matched + (tf_c > 0).cast("int")
     rounded = F.round(score, 6) + F.lit(0.0)
     return scored.select(
-        "doc_id",
+        *id_cols,
         rounded.alias("bm25"),
         matched.cast("long").alias("n_terms_matched"),
     )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25-scored corpus (doc_id, bm25 rounded 6-dp, n_terms_matched)
+    shared by search_bm25 and the hybrid-RRF fusion — one definition of the
+    lexical arm, two consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", words("text").alias("w"))
+    tf = t.select(
+        "doc_id", F.size("w").alias("dl"), *term_tf_columns("w")
+    )
+    return bm25_score_frame(tf, ["doc_id"])
 
 
 @register("search_bm25", tags=("text", "search", "agg"), oracle=_bm25_oracle())
