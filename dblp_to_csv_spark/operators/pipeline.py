@@ -712,6 +712,43 @@ _CHUNKS_SQL = f"""
 """
 
 
+def chunk_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk fan-out as a TOKEN-ARRAY frame (doc_id, chunk_idx, cw,
+    n_tokens) — the Spark twin of the `chunks` CTE in _CHUNKS_SQL. Shared
+    by the serializing chunker below and the chunk-granular BM25 retrieval
+    (review r8 session 4: rag_retrieve_chunks previously re-split the
+    space-joined chunk_text, paying a join+regex per row and silently
+    depending on tokens never containing spaces)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    w = F.col("w")
+    n = F.size(w)
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= CHUNK_TOKENS, F.lit(1))
+        .otherwise(
+            F.ceil((n - CHUNK_TOKENS) * 1.0 / CHUNK_STRIDE).cast("int") + 1
+        )
+    )
+    staged = docs.select("doc_id", "w", n_chunks.alias("n_chunks"))
+    idxs = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        "doc_id", "w", F.explode(idxs).alias("chunk_idx")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(w, F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS).alias(
+            "cw"
+        ),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.size(w) - F.col("chunk_idx") * CHUNK_STRIDE
+        ).cast("long").alias("n_tokens"),
+    )
+
+
 @register(
     "chunk_documents_overlapping",
     tags=("pipeline", "text"),
@@ -736,33 +773,11 @@ def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size is the retrieval-index size by design (~n/stride chunks
     per doc). The final chunk is the natural short tail; a document
     shorter than one chunk yields exactly itself."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("w")
-    )
-    w = F.col("w")
-    n = F.size(w)
-    n_chunks = (
-        F.when(n == 0, F.lit(0))
-        .when(n <= CHUNK_TOKENS, F.lit(1))
-        .otherwise(
-            F.ceil((n - CHUNK_TOKENS) * 1.0 / CHUNK_STRIDE).cast("int") + 1
-        )
-    )
-    staged = docs.select("doc_id", "w", n_chunks.alias("n_chunks"))
-    idxs = F.when(
-        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    return staged.select(
-        "doc_id", "w", F.explode(idxs).alias("chunk_idx")
-    ).select(
+    return chunk_token_frame(spark, sf_dir).select(
         "doc_id",
         "chunk_idx",
-        F.array_join(
-            F.slice(w, F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
-        ).alias("chunk_text"),
-        F.least(
-            F.lit(CHUNK_TOKENS), F.size(w) - F.col("chunk_idx") * CHUNK_STRIDE
-        ).cast("long").alias("n_tokens"),
+        F.array_join("cw", " ").alias("chunk_text"),
+        "n_tokens",
     )
 
 
@@ -868,7 +883,7 @@ SPAN_MASK_HEX_LT = "2"  # md5(doc:pos) first hex < '2' → ~12.5% token mask rat
             FROM m
         )
         SELECT doc_id,
-               array_to_string(
+               COALESCE(array_to_string(
                    list_filter(
                        list_transform(range(1, len(w) + 1),
                            i -> CASE
@@ -878,7 +893,7 @@ SPAN_MASK_HEX_LT = "2"  # md5(doc:pos) first hex < '2' → ~12.5% token mask rat
                                     || CAST(list_position(starts, i) AS VARCHAR)
                                     || '>'
                                ELSE NULL END),
-                       x -> x IS NOT NULL), ' ') AS input_text,
+                       x -> x IS NOT NULL), ' '), '') AS input_text,
                COALESCE(array_to_string(
                    flatten(list_transform(starts, s ->
                        list_prepend(
@@ -911,7 +926,13 @@ def augment_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", words("text").alias("w"))
     n = F.size("w")
-    pos = F.sequence(F.lit(1), n)
+    # empty-token guard: sequence(1, 0) yields the DESCENDING [1, 0] (the
+    # char-entropy bug class) and element_at(msk, 0) then aborts the query
+    # with INVALID_INDEX_OF_ZERO — a doc with no [a-z0-9] chars must yield
+    # an empty example row, matching the oracle's empty range(1, 1)
+    pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     mask_at = lambda i: F.substring(
         F.md5(F.concat_ws(":", F.col("doc_id"), i.cast("string"))), 1, 1
     ) < SPAN_MASK_HEX_LT
@@ -924,7 +945,7 @@ def augment_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "msk",
         F.filter(
-            F.sequence(F.lit(1), F.size("w")),
+            pos,
             lambda i: msk(i) & ((i == 1) | ~msk(i - 1)),
         ).alias("starts"),
     )
@@ -936,7 +957,7 @@ def augment_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_text = F.array_join(
         F.filter(
             F.transform(
-                F.sequence(F.lit(1), F.size("w")),
+                pos,
                 lambda i: F.when(~msk(i), F.element_at(F.col("w"), i)).when(
                     F.array_position(F.col("starts"), i) > 0, sentinel(i)
                 ),
@@ -948,7 +969,7 @@ def augment_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_end = lambda s: F.coalesce(
         F.array_min(
             F.filter(
-                F.sequence(F.lit(1), F.size("w")),
+                pos,
                 lambda p: (p > s) & ~msk(p),
             )
         ),
@@ -1164,14 +1185,12 @@ def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         term_tf_columns,
     )
 
-    chunks = chunk_documents_overlapping(spark, sf_dir).select(
+    chunks = chunk_token_frame(spark, sf_dir)
+    tf = chunks.select(
         "doc_id",
         "chunk_idx",
         F.col("n_tokens").alias("dl"),
-        F.split("chunk_text", " ").alias("cw"),
-    )
-    tf = chunks.select(
-        "doc_id", "chunk_idx", "dl", *term_tf_columns("cw")
+        *term_tf_columns("cw"),
     )
     return (
         bm25_score_frame(tf, ["doc_id", "chunk_idx"])

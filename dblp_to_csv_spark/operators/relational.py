@@ -1020,7 +1020,10 @@ _MERGE_CHANGES_SQL = f"""
     latest AS (
         SELECT * FROM changes
         QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY o_orderkey ORDER BY change_seq DESC
+            PARTITION BY o_orderkey
+            ORDER BY change_seq DESC, op,
+                     new_status NULLS FIRST, new_price NULLS FIRST,
+                     o_custkey NULLS FIRST
         ) = 1
     )
 """
@@ -1102,9 +1105,21 @@ def merge_apply(target: DataFrame, changes: DataFrame) -> DataFrame:
     change_seq). Latest-wins on change_seq per key, then one full-outer
     equi-join applies the actions (matched+D drops, matched+U rewrites,
     unmatched+I inserts, unmatched U/D no-op, untouched rows tagged
-    'kept'). Semantics are property-tested against a dict-based Python
-    reference on random feeds in tests/test_merge_property.py."""
-    w = Window.partitionBy("o_orderkey").orderBy(F.desc("change_seq"))
+    'kept'). A feed SHOULD carry unique (key, change_seq); when it does
+    not, the winner is still DETERMINISTIC — ties break on
+    (op, new_status, new_price, s_custkey) ascending with nulls first, so
+    two runs (and the DuckDB oracle) always pick the same row; only
+    fully-identical duplicate rows are interchangeable, which is harmless
+    (review r8 session 4). Semantics are property-tested against a
+    dict-based Python reference on random feeds (including seq
+    collisions) in tests/test_merge_property.py."""
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("change_seq"),
+        F.asc("op"),
+        F.asc_nulls_first("new_status"),
+        F.asc_nulls_first("new_price"),
+        F.asc_nulls_first("s_custkey"),
+    )
     latest = (
         changes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1295,7 +1310,9 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cnt = lambda c: F.sum(c.cast("int")).cast("long")
+    # coalesce: SUM over an EMPTY table is NULL on Spark while the oracle's
+    # COUNT(*) FILTER is 0 — an empty audit must report zero violations
+    cnt = lambda c: F.coalesce(F.sum(c.cast("int")), F.lit(0)).cast("long")
     a = dirty.agg(
         cnt(F.col("o_custkey").isNull()).alias("null_custkey"),
         cnt(~F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN)).alias(

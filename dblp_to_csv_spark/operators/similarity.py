@@ -261,20 +261,37 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
 
 
-def _nearest(points: DataFrame, centers: DataFrame, cell_col: str) -> DataFrame:
+def _nearest(
+    points: DataFrame,
+    centers: DataFrame,
+    cell_col: str,
+    part_cols: tuple[str, ...] = (),
+    vec_col: str = "emb",
+) -> DataFrame:
     """Assign every point to its nearest center (rounded squared-L2, ties to
     the smallest cell id) — one broadcast of the k-row center table, one
-    narrow pass over the points, a per-point k-row argmin window."""
-    d = points.crossJoin(F.broadcast(centers)).select(
-        "vec_id",
-        cell_col,
-        F.round(_sq_dist(F.col("emb"), F.col("cemb")), 6).alias("dist2"),
+    narrow pass over the points, a per-point k-row argmin window. The ONE
+    definition of the deterministic-assignment contract (6-dp round,
+    dist-then-cell tie-break, lock-step with the DuckDB assignment CTE) for
+    the whole k-means family: IVF, SemDeDup, and — via ``part_cols=('m',)``
+    — the per-subspace PQ codebooks (review r8 session 4: PQ previously
+    carried its own copy)."""
+    joined = (
+        points.join(F.broadcast(centers), list(part_cols))
+        if part_cols
+        else points.crossJoin(F.broadcast(centers))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist2", cell_col)
+    d = joined.select(
+        "vec_id",
+        *part_cols,
+        cell_col,
+        F.round(_sq_dist(F.col(vec_col), F.col("cemb")), 6).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id", *part_cols).orderBy("dist2", cell_col)
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col(cell_col).alias("cell"))
+        .select("vec_id", *part_cols, F.col(cell_col).alias("cell"))
     )
 
 
@@ -973,17 +990,8 @@ def similarity_topk_pq(
     )
 
     def nearest_by_m(points: DataFrame, centers: DataFrame) -> DataFrame:
-        d = points.join(F.broadcast(centers), "m").select(
-            "vec_id",
-            "m",
-            "cell",
-            F.round(_sq_dist(F.col("semb"), F.col("cemb")), 6).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cell")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cell")
+        return _nearest(
+            points, centers, "cell", part_cols=("m",), vec_col="semb"
         )
 
     a0 = nearest_by_m(sub_long, seeds)

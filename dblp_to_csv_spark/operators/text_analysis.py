@@ -995,9 +995,13 @@ def _bpe_ctes() -> str:
             f" ORDER BY c DESC, ml, mr LIMIT 1)"
         )
         ctes.append(
+            # LEFT JOIN ON TRUE (not a cross join): an empty rule round
+            # must preserve the vocabulary — same guard as the Spark side
             f"v{i} AS (SELECT word,"
-            f" replace(symstr, '|' || ml || '||' || mr || '|',"
-            f" '|' || ml || mr || '|') AS symstr, freq FROM {prev}, r{i})"
+            f" CASE WHEN ml IS NULL THEN symstr"
+            f" ELSE replace(symstr, '|' || ml || '||' || mr || '|',"
+            f" '|' || ml || mr || '|') END AS symstr, freq"
+            f" FROM {prev} LEFT JOIN r{i} ON TRUE)"
         )
     return ",\n".join(ctes)
 
@@ -1099,19 +1103,31 @@ def _bpe_train(
                 F.col("c").alias("pair_count"),
             )
         )
+        # LEFT join on a constant key, not crossJoin: when a round finds no
+        # adjacent pairs (vocabulary fully merged), the 0-row rule frame
+        # must leave the vocabulary UNCHANGED — a crossJoin would silently
+        # empty it and bpe_apply_encode would drop every document
+        # (review r8 session 4)
+        rule1 = rule.select(F.lit(1).alias("jk"), "ml", "mr")
         v = _ckpt(
-            v.crossJoin(F.broadcast(rule)).select(
+            v.withColumn("jk", F.lit(1))
+            .join(F.broadcast(rule1), "jk", "left")
+            .select(
                 "word",
-                F.replace(
-                    F.col("symstr"),
-                    F.concat(
-                        F.lit("|"), F.col("ml"), F.lit("||"),
-                        F.col("mr"), F.lit("|"),
-                    ),
-                    F.concat(
-                        F.lit("|"), F.col("ml"), F.col("mr"), F.lit("|")
-                    ),
-                ).alias("symstr"),
+                F.when(F.col("ml").isNull(), F.col("symstr"))
+                .otherwise(
+                    F.replace(
+                        F.col("symstr"),
+                        F.concat(
+                            F.lit("|"), F.col("ml"), F.lit("||"),
+                            F.col("mr"), F.lit("|"),
+                        ),
+                        F.concat(
+                            F.lit("|"), F.col("ml"), F.col("mr"), F.lit("|")
+                        ),
+                    )
+                )
+                .alias("symstr"),
                 "freq",
             ),
             f"v{rnd}",

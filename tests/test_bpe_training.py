@@ -125,3 +125,37 @@ def test_apply_savings_bounded_by_learned_counts(spark):
     saved = sum(r["n_char_symbols"] - r["n_bpe_symbols"] for r in enc)
     assert 0 < saved <= sum(r["pair_count"] for r in rules)
     assert all(0 < r["compression_ratio"] <= 1 for r in enc)
+
+
+def test_rule_exhaustion_preserves_vocabulary(spark, tmp_path):
+    """A corpus whose vocabulary fully merges before BPE_ROUNDS rounds
+    (single word type 'ab': round 1 merges (a,b), later rounds find no
+    pairs) must emit FEWER rules — not empty the vocabulary (review r8
+    session 4: the crossJoin with a 0-row rule frame silently dropped
+    every word, and bpe_apply_encode then dropped every document)."""
+    import duckdb
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.text_analysis import bpe_apply_encode
+    from dblp_to_csv_spark.registry import all_queries
+
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["ab ab ab", "ab ab"], "lang": ["en"] * 2,
+         "source": ["s"] * 2, "n_chars": [8, 5]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    rules = bpe_train_merges(spark, str(tmp_path)).collect()
+    assert [(r["merge_left"], r["merge_right"], r["pair_count"]) for r in rules] == [
+        ("a", "b", 5)
+    ]
+    enc = {r["doc_id"]: r for r in bpe_apply_encode(spark, str(tmp_path)).collect()}
+    assert len(enc) == 2  # no document vanished
+    assert enc[0]["n_bpe_symbols"] == 3 and enc[0]["n_char_symbols"] == 6
+    # oracles agree on the degenerate corpus too
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(all_queries()["bpe_train_merges"].oracle).df()
+    assert len(want) == 1
+    wa = con.execute(all_queries()["bpe_apply_encode"].oracle).df()
+    assert len(wa) == 2

@@ -238,3 +238,76 @@ def test_profile_frame_handles_dotted_column_names(spark):
     assert rows["meta.lang"]["n_nulls"] == 1
     assert rows["meta.lang"]["n_distinct"] == 1
     assert rows["id"]["n_distinct"] == 2
+
+
+@pytest.fixture()
+def empty_all_sf(tmp_path):
+    """Empty documents + embeddings + orders with full production schemas —
+    the empty-input sweep for the session-4 retrieval/PQ/CDC operators."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_orderstatus": pa.array([], type=pa.string()),
+                "o_totalprice": pa.array([], type=pa.float64()),
+                "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                "o_orderpriority": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rag_retrieve_chunks",
+        "search_hybrid_rrf",
+        "similarity_topk_pq",
+        "embedding_random_projection",
+        "merge_upsert_orders",
+        "incremental_agg_merge",
+    ],
+)
+def test_session4_ops_survive_empty_inputs(spark, empty_all_sf, name):
+    """The retrieval, PQ, projection, and CDC operators must return empty
+    frames on empty inputs — empty codebooks, empty BM25 stats rows, empty
+    change feeds included (review r8 session 4)."""
+    assert _entry(name).fn(spark, empty_all_sf).count() == 0
+
+
+def test_constraint_audit_empty_orders_all_zero(spark, empty_all_sf):
+    """constraint_audit_orders on an empty table reports the fixed 5
+    constraint rows, each with zero violations (counts over empty)."""
+    rows = {
+        r["constraint_name"]: r["n_violations"]
+        for r in _entry("constraint_audit_orders").fn(spark, empty_all_sf).collect()
+    }
+    assert len(rows) == 5 and set(rows.values()) == {0}

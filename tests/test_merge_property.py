@@ -21,13 +21,11 @@ def scenario(draw):
     }
     n = draw(st.integers(0, 12))
     changes = []
-    seen = set()
     for _ in range(n):
         k = draw(KEYS)
-        seq = draw(st.integers(1, 5))
-        if (k, seq) in seen:  # latest-wins needs unique (key, seq)
-            continue
-        seen.add((k, seq))
+        # seq collisions allowed: merge_apply's tie-break must make the
+        # winner deterministic (review r8 session 4)
+        seq = draw(st.integers(1, 3))
         op = draw(st.sampled_from(["U", "D", "I"]))
         changes.append(
             (k, draw(st.integers(0, 99)), op, draw(st.sampled_from("XYZN")),
@@ -39,8 +37,16 @@ def scenario(draw):
 def _reference(target, changes):
     latest = {}
     for k, cust, op, status, price, seq in changes:
-        if k not in latest or seq > latest[k][-1]:
-            latest[k] = (cust, op, status, price, seq)
+        # mirror merge_apply's total order: change_seq DESC, then
+        # (op, new_status, new_price, s_custkey) ASC nulls-first
+        cand = (cust, op, status, price, seq)
+        if k not in latest:
+            latest[k] = cand
+            continue
+        cur = latest[k]
+        key = lambda c: (-c[4], c[1], c[2], c[3], c[0])
+        if key(cand) < key(cur):
+            latest[k] = cand
     out = {}
     for k, (c, s, p) in target.items():
         if k not in latest:

@@ -45,3 +45,27 @@ def test_roundtrip_reconstructs_original(spark):
         assert r["n_spans"] <= r["n_masked"]
         n_with_spans += r["n_spans"] > 0
     assert n_with_spans > len(docs) * 0.5  # the 12.5% rate actually masks
+
+
+def test_no_token_document_yields_empty_example(spark, tmp_path):
+    """A document with no [a-z0-9] characters tokenizes to [] — the
+    sequence(1, 0)-descending / element_at(msk, 0) crash class (review r8
+    session 4, reproduced): must yield an empty example row on BOTH
+    engines, not INVALID_INDEX_OF_ZERO."""
+    import duckdb
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [0], "text": ["!!! ???"], "lang": ["en"],
+         "source": ["s"], "n_chars": [7]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    row = augment_span_corrupt(spark, str(tmp_path)).collect()[0]
+    assert (row["input_text"], row["target_text"], row["n_masked"]) == ("", "", 0)
+    from dblp_to_csv_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(all_queries()["augment_span_corrupt"].oracle).df()
+    assert list(want["input_text"]) == [""] and list(want["n_masked"]) == [0]
