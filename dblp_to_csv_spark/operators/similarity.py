@@ -962,6 +962,43 @@ def similarity_topk_pq(
     queries × PQ_RERANK raw vectors. At 100 TB, encode at ingest, store
     codes as a column, and the scan never reads the float column until
     rerank."""
+    scored = pq_adc_scores(spark, sf_dir, checkpoint_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    w_cand = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    nemb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("nemb"),
+        _norm(F.col("emb")).alias("nnrm"),
+    )
+    qemb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        _norm(F.col("emb")).alias("qn"),
+    )
+    cos = _dot(F.col("qe"), F.col("nemb")) / (F.col("qn") * F.col("nnrm"))
+    reranked = (
+        cand.join(F.broadcast(qemb), "query_id")
+        .join(nemb, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    return _topk(reranked, "query_id", TOP_K)
+
+
+def pq_adc_scores(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """The PQ train/encode/ADC-score chain, exposed so compositions can
+    consume the raw (query_id, neighbor_id, approx_dist) frame — the
+    IVFADC composition test confines these scores to the query's coarse
+    k-means cell (tests/test_similarity_recall.py). See similarity_topk_pq
+    for the full contract."""
     import os
 
     from dblp_to_csv_spark.session import checkpoint_base
@@ -1042,7 +1079,7 @@ def similarity_topk_pq(
             ),
         )
         dist = term if dist is None else dist + term
-    scored = (
+    return (
         codes.crossJoin(F.broadcast(lut))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1051,26 +1088,3 @@ def similarity_topk_pq(
             F.round(dist, 6).alias("approx_dist"),
         )
     )
-    w_cand = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
-    cand = (
-        scored.withColumn("rn", F.row_number().over(w_cand))
-        .filter(F.col("rn") <= PQ_RERANK)
-        .select("query_id", "neighbor_id")
-    )
-    nemb = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("nemb"),
-        _norm(F.col("emb")).alias("nnrm"),
-    )
-    qemb = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        _norm(F.col("emb")).alias("qn"),
-    )
-    cos = _dot(F.col("qe"), F.col("nemb")) / (F.col("qn") * F.col("nnrm"))
-    reranked = (
-        cand.join(F.broadcast(qemb), "query_id")
-        .join(nemb, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
-    )
-    return _topk(reranked, "query_id", TOP_K)

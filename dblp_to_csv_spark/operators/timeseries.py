@@ -656,3 +656,80 @@ def interval_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("overlap_s"),
         )
     )
+
+
+# --- Seasonal decomposition (trend / day-of-week effect / residual) --------
+
+
+@register(
+    "seasonal_decompose_events",
+    tags=("timeseries", "agg"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   AVG(value) AS daily_mean,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                       AS dow
+            FROM events GROUP BY 1, 3
+        ),
+        lvl AS (SELECT AVG(daily_mean) AS g FROM daily),
+        dow_eff AS (
+            SELECT dow, AVG(daily_mean) - g AS eff
+            FROM daily, lvl GROUP BY dow, g
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(d.dow AS BIGINT) AS dow,
+               ROUND(d.daily_mean, 6) + 0.0 AS daily_mean,
+               ROUND(e.eff, 6) + 0.0 AS dow_effect,
+               ROUND(d.daily_mean - g.g - e.eff, 6) + 0.0 AS residual
+        FROM daily d JOIN dow_eff e USING (dow), lvl g
+    """,
+)
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive SEASONAL DECOMPOSITION over the event stream:
+    per-day mean = overall level + day-of-week effect + residual — the
+    seasonal-naive baseline behind anomaly monitors and forecast sanity
+    checks. The weekday index is computed as days-since-epoch mod 7 (NOT
+    each engine's dayofweek(), whose Sunday origin differs between Spark
+    and DuckDB — the label doesn't matter, cross-engine identity does).
+
+    Scale shape: one map-side-combinable (day) aggregate over the corpus;
+    everything after (global level, per-dow effects, the join back) runs
+    on the ~days-sized reduced frame with 1-row/7-row broadcasts — the
+    drift-family discipline: global structure only after reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = (
+        ev.select(
+            day.alias("day"),
+            F.pmod(F.datediff(day, F.lit("1970-01-01").cast("date")), F.lit(7)).alias(
+                "dow"
+            ),
+            "value",
+        )
+        .groupBy("day", "dow")
+        .agg(F.avg("value").alias("daily_mean"))
+    )
+    glob = daily.agg(F.avg("daily_mean").alias("g"))
+    dow_eff = (
+        daily.crossJoin(F.broadcast(glob))
+        .groupBy("dow", "g")
+        .agg((F.avg("daily_mean") - F.first("g")).alias("eff"))
+        .select("dow", "eff")
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)
+    return (
+        daily.join(F.broadcast(dow_eff), "dow")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            # DATE round-trips differently through the two engines' pandas
+            # paths (date vs midnight datetime) — serialize to yyyy-MM-dd
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("long").alias("dow"),
+            r6(F.col("daily_mean")).alias("daily_mean"),
+            r6(F.col("eff")).alias("dow_effect"),
+            r6(F.col("daily_mean") - F.col("g") - F.col("eff")).alias(
+                "residual"
+            ),
+        )
+    )

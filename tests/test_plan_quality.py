@@ -521,3 +521,12 @@ def test_contrastive_pairs_anchor_broadcast(spark):
     plan = _plan(spark, "contrastive_pairs_dataset")
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_seasonal_decompose_reduces_before_joining(spark):
+    """seasonal_decompose_events: ONE corpus-sized (day) aggregate; the
+    level/effect attach-backs are broadcasts over the days-sized frame —
+    no sort-merge join, no corpus re-scan beyond the partial aggregate."""
+    plan = _plan(spark, "seasonal_decompose_events")
+    assert "SortMergeJoin" not in plan
+    assert "partial_avg" in plan

@@ -233,3 +233,72 @@ def test_pq_rerank_recall_and_exactness(spark):
         assert rows[0][2] <= exact[q][0][2] + 1e-9
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivfadc_composition_equals_ivf_when_rerank_covers_cell(spark):
+    """IVFADC = IVF coarse cells × PQ-ADC candidates × exact rerank — the
+    two halves the PQ docstring says compose, composed: confine the ADC
+    score frame to the query's coarse k-means cell, exact-rerank ALL
+    in-cell candidates (at sf0.01 every cell is smaller than PQ_RERANK),
+    and the result must equal similarity_topk_ivf EXACTLY — the rerank
+    over a fully-covered cell IS the in-cell exact ranking."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.similarity import (
+        IVF_CELLS,
+        TOP_K,
+        _as_double,
+        _dot,
+        _norm,
+        _topk,
+        kmeans_cells,
+        pq_adc_scores,
+    )
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    cells = kmeans_cells(emb, k=IVF_CELLS)
+    scores = pq_adc_scores(spark, SF_CORRECTNESS)
+    qcell = cells.select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    ncell = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ncell")
+    )
+    confined = (
+        scores.join(qcell, "query_id")
+        .join(ncell, "neighbor_id")
+        .filter(F.col("qcell") == F.col("ncell"))
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        _norm(F.col("emb")).alias("qn"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("nemb"),
+        _norm(F.col("emb")).alias("nn"),
+    )
+    cos = _dot(F.col("qe"), F.col("nemb")) / (F.col("qn") * F.col("nn"))
+    reranked = (
+        confined.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    got = {
+        tuple(r) for r in _topk(reranked, "query_id", TOP_K).collect()
+    }
+    want = {
+        tuple(r) for r in _topk_frame_rows(spark)
+    }
+    assert got == want
+
+
+def _topk_frame_rows(spark):
+    from dblp_to_csv_spark.registry import all_queries
+
+    return all_queries()["similarity_topk_ivf"].fn(spark, SF_CORRECTNESS).collect()
