@@ -50,11 +50,7 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # it rewrites the literal, so they sort as never-verified (first in the
 # window) instead of riding stale evidence. Remove a name once the driver
 # re-greens the CURRENT implementation.
-_EVIDENCE_RESET: set[str] = {
-    # KNN_SIGN_BITS=5 widening (r7, post-driver commit) changed the result
-    # set; the r7 green row verified the old SIGN_BITS=3 implementation.
-    "similarity_knn_graph_bucketed",
-}
+_EVIDENCE_RESET: set[str] = set()  # r8 re-greened similarity_knn_graph_bucketed under SIGN_BITS=5
 
 _LAST_GREEN_ROUND: dict[str, int] = {
     "advanced_agg_gallery": 5,
@@ -65,11 +61,21 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "argmax_order_per_customer": 5,
     "array_collapse_returnflags": 6,
     "array_functions_gallery": 5,
+    "arrow_quantize_embeddings": 8,
     "asof_join_purchase_last_view": 7,
+    "augment_span_corrupt": 8,
     "bitwise_functions_gallery": 7,
+    "bootstrap_mean_ci": 8,
+    "bpe_apply_encode": 8,
+    "bpe_merge_candidates": 8,
+    "bpe_train_merges": 8,
     "broadcast_join_part_agg": 6,
+    "chunk_documents_overlapping": 8,
     "conditional_agg_orders": 5,
+    "constraint_audit_orders": 8,
+    "contrastive_pairs_dataset": 8,
     "cube_orders_status_priority": 6,
+    "curate_source_cap": 8,
     "date_functions_gallery": 5,
     "decontaminate_against_eval": 5,
     "decontaminate_bloom": 7,
@@ -80,10 +86,13 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_connected_components_star": 7,
     "dedup_containment_capped": 7,
     "dedup_containment_pairs": 7,
+    "dedup_edit_distance_banded": 8,
     "dedup_embedding_cosine": 7,
     "dedup_embedding_cosine_bucketed": 7,
     "dedup_exact_documents": 7,
+    "dedup_graph_pagerank": 8,
     "dedup_intradoc_rewrite": 7,
+    "dedup_jaccard_prefix_filter": 8,
     "dedup_keep_canonical": 6,
     "dedup_latest_order_per_customer": 7,
     "dedup_minhash_lsh": 7,
@@ -93,22 +102,37 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_ngram_jaccard_capped": 7,
     "dedup_semantic_semdedup": 7,
     "dedup_simhash": 7,
+    "dedup_substring_rewrite": 8,
+    "dedup_substring_spans": 8,
     "dict_encode_segments": 6,
     "distinct_customers_per_status": 6,
+    "drift_chi2_by_window": 8,
     "drift_chi2_source_lang": 6,
     "drift_ks_events_value": 6,
     "embedding_label_centroids": 6,
+    "embedding_random_projection": 8,
+    "eval_contamination_report": 8,
     "event_validity_intervals": 7,
+    "ewma_event_values": 8,
+    "forward_fill_event_metric": 8,
     "from_json_events": 6,
     "full_outer_join_customer_activity": 6,
     "funnel_view_cart_purchase": 6,
     "gapfill_hourly_events": 7,
+    "graph_adamic_adar": 8,
+    "graph_clustering_coefficient": 8,
+    "graph_kcore": 8,
+    "graph_triangle_count": 8,
     "higher_order_functions_gallery": 7,
+    "incremental_agg_merge": 8,
+    "integrity_audit": 8,
+    "interval_overlap_join_bucketed": 8,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
     "map_functions_events": 6,
     "market_share_by_year": 6,
     "median_price_by_status": 6,
+    "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
     "multimodal_decode_stub": 5,
     "multimodal_feature_extract": 5,
@@ -124,36 +148,52 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "pipeline_c4_keep": 5,
     "pivot_status_by_priority": 5,
     "posexplode_order_lines": 6,
+    "pretrain_corpus_report": 8,
     "pricing_summary": 6,
     "profile_documents": 7,
     "prune_empty_columns": 6,
     "quality_gopher_rules": 6,
     "quality_linear_score": 7,
     "quartile_labels_by_cutpoint": 5,
+    "rag_retrieve_chunks": 8,
     "range_join_events_binned": 5,
     "rank_functions_suppliers": 5,
     "regexp_functions_gallery": 5,
+    "regression_moments_lineitem": 8,
     "retention_cohorts_weekly": 6,
     "revenue_by_nation": 6,
     "rollup_lineitem_status": 6,
     "salted_agg_event_types": 5,
     "sample_documents_hash": 5,
     "sample_stratified_by_lang": 5,
+    "sample_weighted_priority": 8,
     "scalar_functions_gallery": 6,
+    "search_bm25": 8,
+    "search_hybrid_rrf": 8,
+    "seasonal_decompose_events": 8,
     "segment_edges": 6,
     "semi_join_discounted_orders": 6,
+    "session_window_events": 8,
     "sessionize_events": 7,
     "setop_except_nations": 6,
     "setop_intersect_nations": 6,
+    "setop_multiset_all_nations": 8,
     "setop_union_nations": 6,
+    "similarity_knn_graph_bucketed": 8,
     "similarity_topk_blas": 2,
     "similarity_topk_bruteforce": 7,
     "similarity_topk_ivf": 7,
+    "similarity_topk_ivf_nprobe": 8,
     "similarity_topk_lsh_bucketed": 7,
+    "similarity_topk_lsh_multiprobe": 8,
+    "similarity_topk_pq": 8,
+    "skyline_documents": 8,
     "sliding_window_events": 7,
     "sorted_page_orders": 5,
+    "split_leakage_free": 8,
     "split_train_val_test": 5,
     "sql_exists_subquery": 5,
+    "sql_group_by_all_shorthand": 8,
     "sql_grouping_sets": 5,
     "sql_lateral_topk_nations": 6,
     "sql_parameterized_query": 7,
@@ -166,6 +206,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "stats_agg_lineitem": 5,
     "string_functions_gallery": 5,
     "text_bpe_token_count": 7,
+    "text_char_entropy": 8,
+    "text_feature_hash_embedding": 8,
     "text_fingerprint": 7,
     "text_language_id": 7,
     "text_logprob_buckets": 6,
@@ -175,9 +217,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "text_tfidf_top_terms": 7,
     "text_token_stats": 7,
     "text_unigram_logprob": 7,
+    "text_zipf_slope": 8,
     "theta_join_nation_pairs": 6,
     "token_budget_per_lang": 6,
     "top_orders_by_revenue": 6,
+    "training_epoch_order": 8,
     "try_functions_gallery": 7,
     "tumbling_window_events": 7,
     "type_detect_ladder": 6,
@@ -191,6 +235,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_range_frame": 5,
     "window_running_revenue": 6,
     "window_top_orders_per_customer": 6,
+    "winsorize_event_values": 8,
+    "xml_functions_gallery": 8,
 }
 
 
