@@ -998,7 +998,13 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CDC MERGE / upsert apply ----------------------------------------------
 
-MERGE_INSERT_OFFSET = 1_000_000  # keyspace offset for synthesized inserts
+# Keyspace offset for synthesized insert/dirty keys. Must stay beyond any
+# real o_orderkey at every supported scale factor (TPC-H max key is
+# 6,000,000 x SF, so 10**12 is safe through SF ~166,000): the r8 value of
+# 1,000,000 collided with real keys above SF ~0.17, silently turning
+# synthesized inserts into updates — and the oracle mirrored the same
+# arithmetic, so parity checks could not catch the drift (ADVICE r8).
+MERGE_INSERT_OFFSET = 10**12
 
 _MERGE_CHANGES_SQL = f"""
     changes AS (
@@ -1227,6 +1233,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDER_STATUS_DOMAIN = ("O", "F", "P")
 
+# Same contract as MERGE_INSERT_OFFSET: synthesized dirty rows must get keys
+# no real order can hold at any supported SF, or they stop being unique and
+# the dup_orderkey count drifts (mirrored by the oracle, so invisible to
+# parity — ADVICE r8).
+DIRTY_KEY_OFFSET = 10**12
+
 
 @register(
     "constraint_audit_orders",
@@ -1237,11 +1249,11 @@ ORDER_STATUS_DOMAIN = ("O", "F", "P")
                    o_orderdate
             FROM orders
             UNION ALL
-            SELECT o_orderkey + 2000000, NULL, o_orderstatus, o_totalprice,
-                   o_orderdate
+            SELECT o_orderkey + {DIRTY_KEY_OFFSET}, NULL, o_orderstatus,
+                   o_totalprice, o_orderdate
             FROM orders WHERE o_orderkey % 1000 = 1
             UNION ALL
-            SELECT o_orderkey + 2000000, o_custkey, 'Z', o_totalprice,
+            SELECT o_orderkey + {DIRTY_KEY_OFFSET}, o_custkey, 'Z', o_totalprice,
                    o_orderdate
             FROM orders WHERE o_orderkey % 1000 = 2
             UNION ALL
@@ -1290,14 +1302,14 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = (
         orders.unionAll(
             orders.filter(k % 1000 == 1).select(
-                (k + 2_000_000).alias("o_orderkey"),
+                (k + DIRTY_KEY_OFFSET).alias("o_orderkey"),
                 F.lit(None).cast("long").alias("o_custkey"),
                 "o_orderstatus", "o_totalprice", "o_orderdate",
             )
         )
         .unionAll(
             orders.filter(k % 1000 == 2).select(
-                (k + 2_000_000).alias("o_orderkey"), "o_custkey",
+                (k + DIRTY_KEY_OFFSET).alias("o_orderkey"), "o_custkey",
                 F.lit("Z").alias("o_orderstatus"),
                 "o_totalprice", "o_orderdate",
             )

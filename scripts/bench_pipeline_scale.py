@@ -90,7 +90,6 @@ def main() -> None:
     for n in sizes:
         d = Path(tempfile.mkdtemp(prefix=f"pipescale_{n}_"))
         generate(n, d)
-        vocab = None
         timings = {}
         for name in OPS:
             best = float("inf")
@@ -103,9 +102,15 @@ def main() -> None:
             timings[name] = round(best, 2)
         import duckdb
 
+        from dblp_to_csv_spark.functions.text import WORDS_SQL
+
+        # Reuse the operators' words() tokenization (WORDS_SQL) so the
+        # observed vocabulary matches what bpe_train_merges actually sees —
+        # a bare space split would diverge on any non-[a-z0-9] byte.
         vocab = duckdb.sql(
-            "SELECT COUNT(DISTINCT w) FROM (SELECT unnest(string_split(text, ' ')) w "
-            f"FROM read_parquet('{d}/documents.parquet'))"
+            "SELECT COUNT(DISTINCT w) FROM (SELECT unnest("
+            + WORDS_SQL.format(col="text")
+            + f") w FROM read_parquet('{d}/documents.parquet'))"
         ).fetchone()[0]
         out["sizes"][str(n)] = {"timings_s": timings, "observed_vocab": vocab}
         shutil.rmtree(d, ignore_errors=True)

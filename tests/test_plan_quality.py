@@ -384,7 +384,7 @@ def test_bm25_no_explode_single_stats_broadcast(spark):
     plan = _plan(spark, "search_bm25")
     assert "Generate" not in plan  # no posting-list explode
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats row
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row stats row
     assert "CartesianProduct" not in plan
 
 
@@ -481,7 +481,11 @@ def test_hybrid_rrf_arms_partial_topk(spark):
     vector)."""
     plan = _plan(spark, "search_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") >= 2
-    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # Upper bound, not an exact count: an AQE/broadcast-threshold change may
+    # legally convert a 1-row attach to a BroadcastHashJoin (ADVICE r8) —
+    # the regression being guarded is a corpus-sized nested loop, which the
+    # CartesianProduct assertion plus the bound still catch.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
 
 
@@ -492,7 +496,9 @@ def test_pq_trains_all_subspaces_in_one_chain(spark):
     cartesian product."""
     plan = _plan(spark, "similarity_topk_pq")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 8-row LUT attach
+    # <= 1 (the 8-row LUT attach): exact counts are brittle across AQE /
+    # broadcast-threshold changes that convert the attach to a BHJ.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_skyline_two_windows_no_join(spark):
