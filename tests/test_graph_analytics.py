@@ -97,6 +97,41 @@ def test_adamic_adar_capped_subset_of_exact(spark):
         assert r["aa_score"] <= sc + 1e-9
 
 
+def test_graph_report_equals_standalone_queries(spark):
+    """The one-pass composite must be a pure refactoring of the standalone
+    queries: per part, graph_report's n_triangles / clustering_coeff /
+    coreness / in_core columns equal graph_triangle_count,
+    graph_clustering_coefficient, graph_coreness, and graph_kcore run
+    independently. 36 s of sf0.1 bench time rests on this invariant
+    (VERDICT r8 item 3), so it is pinned, not assumed."""
+    q = all_queries()
+    report = {
+        r["l_partkey"]: r for r in q["graph_report"].fn(spark, SF_SMOKE).collect()
+    }
+    tri = {
+        r["l_partkey"]: r["n_triangles"]
+        for r in q["graph_triangle_count"].fn(spark, SF_SMOKE).collect()
+    }
+    coeff = {
+        r["l_partkey"]: r["clustering_coeff"]
+        for r in q["graph_clustering_coefficient"].fn(spark, SF_SMOKE).collect()
+    }
+    cor = {
+        r["l_partkey"]: r["coreness"]
+        for r in q["graph_coreness"].fn(spark, SF_SMOKE).collect()
+    }
+    kcore = {
+        r["l_partkey"]: r["in_core"]
+        for r in q["graph_kcore"].fn(spark, SF_SMOKE).collect()
+    }
+    assert report and set(report) == set(tri) == set(coeff) == set(cor) == set(kcore)
+    for pk, r in report.items():
+        assert r["n_triangles"] == tri[pk], pk
+        assert abs(r["clustering_coeff"] - coeff[pk]) < 1e-9, pk
+        assert r["coreness"] == cor[pk], pk
+        assert r["in_core"] == kcore[pk], pk
+
+
 def _coreness_fixpoint(edges) -> tuple[dict, int]:
     """Pure-Python h-index iteration to fixpoint: (coreness map, rounds)."""
     adj = defaultdict(set)
