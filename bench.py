@@ -72,6 +72,20 @@ PIPELINE_BENCH = [
 ]
 
 
+def _clear_artifact_cache() -> None:
+    """Reset the graph module's session-scoped materialized-artifact cache.
+
+    The per-query series MUST measure each query cold: with best-of-2
+    timing, a warm cache would make the second run a parquet read of the
+    first run's artifacts (graph_coreness drops from ~17 s to ~0.2 s at
+    sf0.1) and min() would silently report cache-hit latency as query
+    cost. Cross-query artifact sharing is measured separately and
+    transparently by the *_shared series below."""
+    from dblp_to_csv_spark.operators.graph import _ARTIFACT_CACHE
+
+    _ARTIFACT_CACHE.clear()
+
+
 def _time_queries(spark, sf_dir: str, fns: dict) -> dict[str, float]:
     # Two runs per query, report the best: the first run pays one-off JIT
     # compilation and (on this shared VM) noisy-neighbor spikes; a long-lived
@@ -80,10 +94,27 @@ def _time_queries(spark, sf_dir: str, fns: dict) -> dict[str, float]:
     for name, fn in sorted(fns.items()):
         best = float("inf")
         for _ in range(2):
+            _clear_artifact_cache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    return timings
+
+
+def _time_series_shared(spark, sf_dir: str, fns: dict) -> dict[str, float]:
+    """One SINGLE pass over the series with the artifact cache warm across
+    queries — the analytics-session number: the edge list, its symmetrized
+    twin, and the coreness fixpoint each materialize once for the whole
+    series (the materialized-view policy), so later queries pay only their
+    incremental cost. Reported alongside the cold per-query series, never
+    mixed into it."""
+    _clear_artifact_cache()
+    timings: dict[str, float] = {}
+    for name, fn in fns.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
     return timings
 
 
@@ -110,6 +141,9 @@ def main() -> None:
     graph = _time_queries(
         spark, sf_dir, {n: registry[n].fn for n in GRAPH_BENCH if n in registry}
     )
+    graph_shared = _time_series_shared(
+        spark, sf_dir, {n: registry[n].fn for n in GRAPH_BENCH if n in registry}
+    )
     pipeline = _time_queries(
         spark, sf_dir, {n: registry[n].fn for n in PIPELINE_BENCH if n in registry}
     )
@@ -126,6 +160,8 @@ def main() -> None:
                 "curation_queries": curation,
                 "graph_queries_total": round(sum(graph.values()), 3),
                 "graph_queries": graph,
+                "graph_shared_total": round(sum(graph_shared.values()), 3),
+                "graph_shared_queries": graph_shared,
                 "pipeline_queries_total": round(sum(pipeline.values()), 3),
                 "pipeline_queries": pipeline,
             }

@@ -695,13 +695,27 @@ def connected_components_min_label(
     sf_dir: str,
     checkpoint_dir: str | None = None,
     pairs: DataFrame | None = None,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Min-label propagation implementation backing
     ``dedup_connected_components`` (see its docstring for semantics and the
     checkpoint policy). ``pairs`` lets a composite (curate_corpus) feed a
     pre-checkpointed (doc_a, doc_b) frame so the MinHash chain runs once
-    across all its consumers."""
+    across all its consumers.
+
+    Round shape: the label frame is node-sized (paired docs only — orders
+    of magnitude below the corpus), so with ``broadcast_labels`` (default)
+    each round broadcasts it into the edge join and the checkpointed edge
+    list STREAMS, never reshuffles; the only per-round exchange is the
+    (src, component) groupBy. Set ``broadcast_labels=False`` for pair
+    graphs whose node set exceeds broadcast capacity — rounds fall back to
+    shuffle joins. The convergence sum rides the checkpoint write via
+    df.observe (one action per round, the observed_keep_gate pattern)
+    instead of a separate aggregate job over the written files."""
+    from pyspark.sql import Observation
+
     base = checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
+    maybe_bcast = F.broadcast if broadcast_labels else (lambda df: df)
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(base, name)
@@ -717,31 +731,39 @@ def connected_components_min_label(
         ),
         "edges",
     )  # pair-finding runs ONCE
+    obs0 = Observation("cc_0")
     labels = ckpt(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("component", F.col("doc_id")),
+        .withColumn("component", F.col("doc_id"))
+        .observe(obs0, F.sum("component").alias("s")),
         "labels_0",
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    prev_sum = obs0.get["s"]
     rnd = 0
     while True:
         rnd += 1
+        lb = maybe_bcast(labels)
         nbr_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+            edges.join(lb, edges["dst"] == lb["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        obs = Observation(f"cc_{rnd}")
         labels = ckpt(
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left").select(
+            labels.join(
+                maybe_bcast(nbr_min), labels["doc_id"] == nbr_min["src"], "left"
+            )
+            .select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
-            ),
+            )
+            .observe(obs, F.sum("component").alias("s")),
             f"labels_{rnd}",
         )
-        new_sum = labels.agg(F.sum("component")).first()[0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             # the returned frame reads only the final round's files — drop
             # the superseded rounds and the edge list so a shared session

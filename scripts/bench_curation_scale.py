@@ -28,12 +28,29 @@ NEAR_DUP_RATE = 0.10
 NEAR_DUP_EDITS = 3  # words substituted in a near-dup copy
 
 
-def generate(n_docs: int, out_dir: Path, seed: int = 7) -> Path:
+def generate(
+    n_docs: int,
+    out_dir: Path,
+    seed: int = 7,
+    n_sources: int = 50,
+    with_stopwords: bool = False,
+) -> Path:
+    """``n_sources`` lets the pretrain-report decade keep docs-per-source
+    roughly constant across corpus sizes: with the default 50 sources the
+    per-source admission cap (curation.SOURCE_CAP=15) rejects ~90% of a
+    20k corpus before the dedup stages see anything, so the curve would
+    measure the cap window, not the chain. ``with_stopwords`` plants two
+    distinct stopwords per base doc so the corpus passes the Gopher
+    ≥2-distinct-stopwords rule (again: measure the chain, not one gate).
+    Both default OFF to keep the recorded dedup-chain series
+    (BASELINE.md §13) byte-comparable across rounds."""
     rng = np.random.default_rng(seed)
     vocab = np.array(VOCAB)
     n_base = int(n_docs / (1 + EXACT_DUP_RATE + NEAR_DUP_RATE))
     idx = rng.integers(0, len(vocab), size=(n_base, WORDS_PER_DOC))
     texts = [" ".join(vocab[row]) for row in idx]
+    if with_stopwords:
+        texts = [f"the {t} and" for t in texts]
     # exact dups: verbatim copies of random base docs
     for b in rng.integers(0, n_base, size=int(n_base * EXACT_DUP_RATE)):
         texts.append(texts[b])
@@ -48,7 +65,7 @@ def generate(n_docs: int, out_dir: Path, seed: int = 7) -> Path:
             "doc_id": np.arange(len(texts), dtype=np.int64),
             "text": texts,
             "lang": "en",
-            "source": [f"src{i % 50}" for i in range(len(texts))],
+            "source": [f"src{i % n_sources}" for i in range(len(texts))],
             "n_chars": [len(t) for t in texts],
         }
     )
