@@ -354,13 +354,18 @@ def graph_kcore(
     convergence test pins that the budget is generous (2× the observed
     rounds-to-fixpoint).
 
-    Scale shape: the edge list parquet-checkpoints once; each round is two
-    semi-joins of the edge list against the (shrinking) survivor set plus a
-    map-side-combinable degree count — the same per-round join+aggregate
-    silhouette as connected components and PageRank, nothing quadratic.
-    Survivor sets checkpoint per round to cut lineage; superseded rounds
-    are cleaned up by the session checkpoint root."""
+    Scale shape: the edge list materializes once per session (copart_und);
+    each round broadcasts the node-sized survivor set into two semi-joins
+    of the STREAMING edge list (no per-round edge shuffle; at node counts
+    beyond broadcast capacity drop the hints — the joins degrade to
+    shuffles, nothing else changes) plus a map-side-combinable degree
+    count. The survivor count rides the round's checkpoint write via
+    df.observe (one action per round); survivor sets checkpoint per round
+    to cut lineage, superseded rounds are cleaned up by the session
+    checkpoint root."""
     import os
+
+    from pyspark.sql import Observation
 
     from dblp_to_csv_spark.session import checkpoint_base
 
@@ -370,17 +375,20 @@ def graph_kcore(
     n_cur = cur.count()
     for rnd in range(KCORE_ROUNDS):
         nxt = (
-            und.join(cur.withColumnRenamed("node", "u"), "u", "semi")
-            .join(cur.withColumnRenamed("node", "v"), "v", "semi")
+            und.join(F.broadcast(cur.withColumnRenamed("node", "u")), "u", "semi")
+            .join(F.broadcast(cur.withColumnRenamed("node", "v")), "v", "semi")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select(F.col("u").alias("node"))
         )
+        obs = Observation(f"kcore_{rnd}")
         nxt_path = os.path.join(base_dir, f"round_{rnd}")
-        nxt.write.mode("overwrite").parquet(nxt_path)
+        nxt.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(nxt_path)
         nxt = spark.read.parquet(nxt_path)
-        n_nxt = nxt.count()
+        n_nxt = obs.get["n"]
         converged = n_nxt == n_cur
         cur, n_cur = nxt, n_nxt
         if converged:

@@ -779,6 +779,202 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retrieval-quality evaluation: every REVAL_STRIDE-th document becomes a
+# query (its first REVAL_TERMS distinct tokens in document order), gold =
+# the source document itself; metrics are the gold document's BM25 rank,
+# reciprocal rank (MRR per query), and hit@REVAL_HIT_K — the relevance
+# regression a retrieval pipeline gates its index/scorer changes on.
+REVAL_STRIDE = 37
+REVAL_TERMS = 4
+REVAL_HIT_K = 10
+
+
+def _retrieval_eval_oracle() -> str:
+    k1, b = BM25_K1, BM25_B
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {WORDS_SQL.format(col="text")} AS w FROM documents
+        ),
+        post AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t
+            ) GROUP BY doc_id, dl, term
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len(w)) AS avgdl FROM t
+        ),
+        qt AS (
+            SELECT query_id, term FROM (
+                SELECT query_id, term,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY p
+                       ) AS rn
+                FROM (
+                    SELECT doc_id AS query_id, w[u.i + 1] AS term,
+                           MIN(u.i) AS p
+                    FROM t, unnest(range(0, len(w))) AS u(i)
+                    WHERE doc_id % {REVAL_STRIDE} = 0
+                    GROUP BY doc_id, w[u.i + 1]
+                )
+            ) WHERE rn <= {REVAL_TERMS}
+        ),
+        dft AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
+            WHERE term IN (SELECT DISTINCT term FROM qt)
+            GROUP BY term
+        ),
+        scored AS (
+            SELECT qt.query_id, post.doc_id,
+                   ROUND(SUM(
+                       ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                       * post.tf * ({k1} + 1)
+                       / (post.tf
+                          + {k1} * (1 - {b} + {b} * post.dl / stats.avgdl))
+                   ), 6) AS score
+            FROM post
+            JOIN qt USING (term)
+            JOIN dft USING (term), stats
+            GROUP BY qt.query_id, post.doc_id
+        ),
+        gold AS (
+            SELECT query_id, score AS gscore FROM scored
+            WHERE doc_id = query_id
+        ),
+        agg AS (
+            SELECT g.query_id,
+                   CAST(1 + COUNT(CASE WHEN s.score > g.gscore
+                                       OR (s.score = g.gscore
+                                           AND s.doc_id < g.query_id)
+                                  THEN 1 END) AS BIGINT) AS gold_rank,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM scored s JOIN gold g USING (query_id)
+            GROUP BY g.query_id
+        )
+        SELECT query_id, gold_rank,
+               ROUND(1.0 / gold_rank, 6) + 0.0 AS reciprocal_rank,
+               (gold_rank <= {REVAL_HIT_K}) AS hit_at_k,
+               n_candidates
+        FROM agg
+    """
+
+
+@register(
+    "retrieval_eval_bm25",
+    tags=("text", "search", "agg", "eval"),
+    oracle=_retrieval_eval_oracle(),
+)
+def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over DATA-DEPENDENT queries — the
+    missing twin of search_bm25's fixed-term path: every REVAL_STRIDE-th
+    document yields a query (its first REVAL_TERMS distinct tokens in
+    document order), gold is the source document, and the output is the
+    per-query relevance scorecard (gold_rank, reciprocal_rank for MRR,
+    hit@REVAL_HIT_K, candidate-set size) a pipeline gates retriever or
+    index changes on.
+
+    Scale shape — the real inverted-index regime, since per-query terms
+    are not compile-time literals: ONE posting-list build (explode to
+    (doc_id, dl, term, tf) — linear in corpus tokens, the standard index
+    cost), query terms and their df attach by BROADCAST joins (queries
+    are eval-set-sized, always the small side), BM25 contributions reduce
+    per (query, doc) in one partial/final aggregate, and the gold rank is
+    computed WITHOUT ranking: count candidates strictly better than the
+    gold score (rounded 6-dp, doc_id tie-break) — a broadcast join of the
+    query-count gold rows plus one count aggregate, so no per-query
+    corpus-sized window sort ever materializes. Gold self-retrieval is
+    guaranteed a candidate row (a doc always contains its own terms), so
+    every query reports."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    post = (
+        toks.select(
+            "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.size("w")).alias("avgdl"),
+    )
+    first_pos = (
+        toks.filter((F.col("doc_id") % REVAL_STRIDE) == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode("w").alias("pos", "term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.min("pos").alias("p"))
+    )
+    qt = (
+        first_pos.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("p")),
+        )
+        .filter(F.col("rn") <= REVAL_TERMS)
+        .select("query_id", "term")
+    )
+    dft = (
+        post.join(F.broadcast(qt.select("term").distinct()), "term", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    cand = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * F.col("tf") * F.lit(BM25_K1 + 1) / (F.col("tf") + norm)
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    # (query, candidate) scores feed BOTH the gold extraction and the
+    # better-than-gold count — checkpoint once so the posting build and the
+    # scoring aggregate run once, not once per consumer branch (the
+    # pretrain verdict0 / curate pairs discipline; without this the plan
+    # carries 8 Generates — the corpus explode re-evaluated per branch).
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    s_path = os.path.join(
+        checkpoint_base(spark, None, "_reval_"), "scored"
+    )
+    scored.write.mode("overwrite").parquet(s_path)
+    scored = spark.read.parquet(s_path)
+    gold = scored.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("score").alias("gscore")
+    )
+    better = (F.col("score") > F.col("gscore")) | (
+        (F.col("score") == F.col("gscore"))
+        & (F.col("doc_id") < F.col("query_id"))
+    )
+    agg = (
+        scored.join(F.broadcast(gold), "query_id")
+        .groupBy("query_id")
+        .agg(
+            (F.lit(1) + F.sum(better.cast("int"))).cast("long").alias("gold_rank"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        )
+    )
+    return agg.select(
+        "query_id",
+        "gold_rank",
+        (F.round(1.0 / F.col("gold_rank"), 6) + F.lit(0.0)).alias(
+            "reciprocal_rank"
+        ),
+        (F.col("gold_rank") <= REVAL_HIT_K).alias("hit_at_k"),
+        "n_candidates",
+    )
+
+
 # Reciprocal-rank-fusion constants: Cormack et al. 2009's k=60, two arms
 # (BM25 lexical + embedding cosine), fixture query = document/vector 0.
 RRF_K = 60

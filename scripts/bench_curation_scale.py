@@ -34,6 +34,7 @@ def generate(
     seed: int = 7,
     n_sources: int = 50,
     with_stopwords: bool = False,
+    vocab_size: int = len(VOCAB),
 ) -> Path:
     """``n_sources`` lets the pretrain-report decade keep docs-per-source
     roughly constant across corpus sizes: with the default 50 sources the
@@ -42,10 +43,13 @@ def generate(
     measure the cap window, not the chain. ``with_stopwords`` plants two
     distinct stopwords per base doc so the corpus passes the Gopher
     ≥2-distinct-stopwords rule (again: measure the chain, not one gate).
-    Both default OFF to keep the recorded dedup-chain series
+    ``vocab_size`` widens the lexicon: at 220 tokens the eval-holdout
+    n-grams cover the whole n-gram space by ~500k docs, so the
+    contamination stage degenerates to rejecting everything. All default
+    to the original values to keep the recorded dedup-chain series
     (BASELINE.md §13) byte-comparable across rounds."""
     rng = np.random.default_rng(seed)
-    vocab = np.array(VOCAB)
+    vocab = np.array([f"tok{i}" for i in range(vocab_size)])
     n_base = int(n_docs / (1 + EXACT_DUP_RATE + NEAR_DUP_RATE))
     idx = rng.integers(0, len(vocab), size=(n_base, WORDS_PER_DOC))
     texts = [" ".join(vocab[row]) for row in idx]

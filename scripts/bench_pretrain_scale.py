@@ -40,7 +40,10 @@ def main() -> None:
         d = Path(tempfile.mkdtemp(prefix=f"pretrainscale_{n}_"))
         # ~12 docs/source keeps the SOURCE_CAP=15 stage proportional across
         # the decade instead of swallowing the corpus (see generate()).
-        generate(n, d, n_sources=max(50, n // 12), with_stopwords=True)
+        generate(
+            n, d, n_sources=max(50, n // 12), with_stopwords=True,
+            vocab_size=5000,
+        )
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

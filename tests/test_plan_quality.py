@@ -501,6 +501,19 @@ def test_pq_trains_all_subspaces_in_one_chain(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_retrieval_eval_broadcast_postings(spark):
+    """retrieval_eval_bm25: the corpus-sized side is the posting build
+    (ONE intentional Generate); query terms / df / corpus stats / gold
+    scores all attach by broadcast (query-count-sized), and the gold rank
+    is a count — no corpus-sized window sort, no nested-loop fallback
+    beyond the 1-row stats attaches."""
+    plan = _plan(spark, "retrieval_eval_bm25")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row stats attaches
+    assert plan.count("Generate") <= 2  # postings + query-term explode
+    assert "WindowExec" not in plan.replace("WindowGroupLimit", "")
+
+
 def test_skyline_two_windows_no_join(spark):
     """skyline_documents: one narrow projection + the bucketed local sweep
     + the survivor-only global sweep — window exchanges only, no join, no
