@@ -97,6 +97,54 @@ def test_adamic_adar_capped_subset_of_exact(spark):
         assert r["aa_score"] <= sc + 1e-9
 
 
+def test_coreness_shuffle_fallback_equals_broadcast_path(spark):
+    """broadcast_nodes=False (the beyond-broadcast-capacity regime: rounds
+    fall back to shuffle joins) must produce the identical fixpoint — the
+    broadcast hints are a physical-plan choice, never semantics."""
+    from dblp_to_csv_spark.operators.graph import (
+        copart_und,
+        coreness_fixpoint,
+    )
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    und = copart_und(spark, SF_SMOKE)
+    fast = {
+        r["n"]: r["cor"]
+        for r in coreness_fixpoint(
+            spark, und, checkpoint_base(spark, None, "_corb_")
+        ).collect()
+    }
+    slow = {
+        r["n"]: r["cor"]
+        for r in coreness_fixpoint(
+            spark,
+            und,
+            checkpoint_base(spark, None, "_cors_"),
+            broadcast_nodes=False,
+        ).collect()
+    }
+    assert fast == slow and fast
+
+
+def test_cc_shuffle_fallback_equals_broadcast_path(spark):
+    """Same contract for connected components' broadcast_labels flag."""
+    from dblp_to_csv_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    fast = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_min_label(spark, SF_SMOKE).collect()
+    }
+    slow = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_min_label(
+            spark, SF_SMOKE, broadcast_labels=False
+        ).collect()
+    }
+    assert fast == slow and fast
+
+
 def test_graph_report_equals_standalone_queries(spark):
     """The one-pass composite must be a pure refactoring of the standalone
     queries: per part, graph_report's n_triangles / clustering_coeff /
