@@ -196,6 +196,12 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     buckets are distinct so no candidate dedup is needed. Recall
     containment (single-probe ⊆ multi-probe ⊆ brute force, per-query best
     cosine monotone) is pinned in tests/test_similarity_recall.py."""
+    return _multiprobe_scored(spark, sf_dir)
+
+
+def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe top-k frame — shared by the registered query and the
+    recall-evaluation scorecard (similarity_eval_recall)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _as_double("embedding").alias("emb"),
@@ -229,6 +235,107 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(cos, 6).alias("cos_sim"),
     )
     return _topk(scored, "query_id", TOP_K)
+
+
+def _eval_recall_oracle() -> str:
+    rank_expr = """
+        ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
+                     DESC, c.vec_id
+        )
+    """
+    arm = """
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {rank} AS rank
+            FROM {src} q JOIN e c ON q.vec_id != c.vec_id {cond}
+            {where}
+        ) WHERE rank <= {k}
+    """
+    bf = arm.format(rank=rank_expr, src="e", cond="",
+                    where=f"WHERE q.vec_id < {N_QUERIES}", k=TOP_K)
+    sp = arm.format(rank=rank_expr, src="e", cond="AND q.bucket = c.bucket",
+                    where=f"WHERE q.vec_id < {N_QUERIES}", k=TOP_K)
+    mp = arm.format(rank=rank_expr, src="p", cond="AND q.pbucket = c.bucket",
+                    where="", k=TOP_K)
+    return f"""
+        WITH {_EMB_CTE},
+        p AS (
+            SELECT vec_id, emb, nrm, UNNEST({_PROBE_SQL}) AS pbucket
+            FROM e WHERE vec_id < {N_QUERIES}
+        ),
+        bf AS ({bf}), sp AS ({sp}), mp AS ({mp}),
+        agg AS (
+            SELECT bf.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bf,
+                   CAST(SUM(CASE WHEN sp.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS hits_lsh,
+                   CAST(SUM(CASE WHEN mp.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS hits_multiprobe
+            FROM bf
+            LEFT JOIN sp USING (query_id, neighbor_id)
+            LEFT JOIN mp USING (query_id, neighbor_id)
+            GROUP BY bf.query_id
+        )
+        SELECT query_id, hits_lsh, hits_multiprobe,
+               ROUND(hits_lsh * 1.0 / n_bf, 6) + 0.0 AS recall_lsh,
+               ROUND(hits_multiprobe * 1.0 / n_bf, 6) + 0.0
+                   AS recall_multiprobe
+        FROM agg
+    """
+
+
+@register(
+    "similarity_eval_recall",
+    tags=("similarity", "eval", "join"),
+    oracle=_eval_recall_oracle(),
+)
+def similarity_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall scorecard — the evaluation loop an embedding-retrieval
+    pipeline runs when tuning its index knobs (bucket bits, probe count):
+    per query, recall@TOP_K of the single-probe and multi-probe sign-LSH
+    arms against the exact brute-force top-k. The per-query numbers (not
+    just a corpus mean) are the point: a knob change that trades tail
+    queries for the average shows up here and vanishes in an aggregate.
+    Suite-level recall FLOORS for the same arms are pinned in
+    tests/test_similarity_recall.py; this query registers the measurement
+    itself so the driver hash-verifies it end to end.
+
+    Scale shape: all three arms are the registered queries' own plans
+    (broadcast query side, bucket-key equi-joins, WindowGroupLimit top-k);
+    the scorecard joins three (N_QUERIES x TOP_K)-row frames — query-count
+    sized, never corpus-sized."""
+    bf = _scored(spark, sf_dir, bucketed=False)
+    sp = _scored(spark, sf_dir, bucketed=True).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_sp")
+    )
+    mp = _multiprobe_scored(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_mp")
+    )
+    agg = (
+        bf.join(sp, ["query_id", "neighbor_id"], "left")
+        .join(mp, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bf"),
+            F.coalesce(F.sum("in_sp"), F.lit(0)).cast("long").alias("hits_lsh"),
+            F.coalesce(F.sum("in_mp"), F.lit(0))
+            .cast("long")
+            .alias("hits_multiprobe"),
+        )
+    )
+    return agg.select(
+        "query_id",
+        "hits_lsh",
+        "hits_multiprobe",
+        (F.round(F.col("hits_lsh") / F.col("n_bf"), 6) + F.lit(0.0)).alias(
+            "recall_lsh"
+        ),
+        (
+            F.round(F.col("hits_multiprobe") / F.col("n_bf"), 6) + F.lit(0.0)
+        ).alias("recall_multiprobe"),
+    )
 
 
 def _topk(scored: DataFrame, key: str, k: int) -> DataFrame:
