@@ -43,13 +43,23 @@ from dblp_to_csv_spark.sources.tables import load_table
 # series). Input parquet is immutable for a session's lifetime (the driver
 # regenerates testdata only between rounds), so staleness cannot arise
 # within the keyed applicationId; a new session gets a fresh key.
-_ARTIFACT_CACHE: dict[tuple[str, str, str], str] = {}
+_ARTIFACT_CACHE: dict[tuple[str, str, str, str], str] = {}
 
 
-def _cache_key(spark: SparkSession, artifact: str, sf_dir: str) -> tuple[str, str, str]:
+def _cache_key(
+    spark: SparkSession, artifact: str, sf_dir: str, checkpoint_dir: str | None
+) -> tuple[str, str, str, str]:
     import os
 
-    return (spark.sparkContext.applicationId, artifact, os.path.abspath(sf_dir))
+    # checkpoint_dir participates in the key: a caller that pins an explicit
+    # (shared-filesystem) checkpoint location must not be handed an artifact
+    # that an earlier default-dir call materialized in a local temp root.
+    return (
+        spark.sparkContext.applicationId,
+        artifact,
+        os.path.abspath(sf_dir),
+        checkpoint_dir or "",
+    )
 
 
 def copart_edges(
@@ -71,7 +81,7 @@ def copart_edges(
 
     from dblp_to_csv_spark.session import checkpoint_base
 
-    key = _cache_key(spark, "copart_edges", sf_dir)
+    key = _cache_key(spark, "copart_edges", sf_dir, checkpoint_dir)
     if checkpoint and key in _ARTIFACT_CACHE:
         return spark.read.parquet(_ARTIFACT_CACHE[key])
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -102,7 +112,7 @@ def copart_und(
 
     import os
 
-    key = _cache_key(spark, "copart_und", sf_dir)
+    key = _cache_key(spark, "copart_und", sf_dir, checkpoint_dir)
     if key in _ARTIFACT_CACHE:
         return spark.read.parquet(_ARTIFACT_CACHE[key])
     base_dir = checkpoint_base(spark, checkpoint_dir, "_copart_und_")
@@ -744,7 +754,7 @@ def coreness_table(
 
     from dblp_to_csv_spark.session import checkpoint_base
 
-    key = _cache_key(spark, "coreness", sf_dir)
+    key = _cache_key(spark, "coreness", sf_dir, checkpoint_dir)
     if key in _ARTIFACT_CACHE:
         return spark.read.parquet(_ARTIFACT_CACHE[key])
     base_dir = checkpoint_base(spark, checkpoint_dir, "_coreness_")
