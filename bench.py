@@ -69,6 +69,9 @@ PIPELINE_BENCH = [
     "merge_upsert_orders",
     "training_epoch_order",
     "embedding_random_projection",
+    # round-9 additions (series totals compare on the shared prefix)
+    "retrieval_eval_bm25",
+    "similarity_eval_recall",
 ]
 
 
