@@ -671,7 +671,14 @@ def coreness_fixpoint(
     try:
         while rounds_done < CORENESS_ROUNDS:
             sparse = n_changed is not None and n_changed * 4 <= n_nodes
-            batch = 1 if sparse else min(2, CORENESS_ROUNDS - rounds_done)
+            # Always chain a pair: in sparse mode the FIRST round is
+            # delta-restricted (materialized flags), the second runs full —
+            # chaining two delta rounds (second restricted via the first's
+            # in-plan flags) was measured SLOWER than two singles (deeper
+            # nested broadcast builds defeat exchange reuse), while a
+            # delta+full pair costs the same as a full pair (~one round's
+            # scheduling overhead) and halves the materialization count.
+            batch = min(2, CORENESS_ROUNDS - rounds_done)
             merged = cur
             for _ in range(batch):
                 merged = one_round(merged, sparse)
