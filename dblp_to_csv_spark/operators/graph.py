@@ -891,3 +891,242 @@ def graph_report(
         core.cast("long").alias("coreness"),
         (core >= KCORE_K).alias("in_core"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distances (ROADMAP #17 — the traversal family)
+
+BFS_SEEDS = 4  # the BFS_SEEDS smallest node ids seed the search (dist 0)
+BFS_ROUNDS = 8  # round budget; the oracle unrolls exactly this many levels
+
+
+def _bfs_oracle() -> str:
+    """Unrolled level-synchronous BFS as plain CTEs: frontier f{t} expands
+    through `und`, minus everything already in the distance table d{t-1}.
+    Rounds past the last non-empty frontier are no-ops, so the fixed unroll
+    equals the early-exiting Spark loop. Every multiply-referenced CTE is
+    MATERIALIZED (the _kcore_oracle rule)."""
+    steps = []
+    for t in range(1, BFS_ROUNDS + 1):
+        steps.append(f"""
+        n{t} AS MATERIALIZED (
+            SELECT DISTINCT und.v AS node
+            FROM und JOIN f{t - 1} ON und.u = f{t - 1}.node
+            WHERE und.v NOT IN (SELECT node FROM d{t - 1})
+        ),
+        d{t} AS MATERIALIZED (
+            SELECT node, dist FROM d{t - 1}
+            UNION ALL SELECT node, {t} AS dist FROM n{t}
+        ),
+        f{t} AS (SELECT node FROM n{t})""")
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        d0 AS MATERIALIZED (
+            SELECT node, 0 AS dist FROM (
+                SELECT DISTINCT u AS node FROM und ORDER BY u LIMIT {BFS_SEEDS}
+            )
+        ),
+        f0 AS (SELECT node FROM d0),
+        {",".join(steps)}
+        SELECT p.p_partkey AS l_partkey,
+               CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist
+        FROM part p LEFT JOIN d{BFS_ROUNDS} d ON d.node = p.p_partkey
+    """
+
+
+@register("graph_bfs_distances", tags=("graph", "iterative"), oracle=_bfs_oracle())
+def graph_bfs_distances(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Multi-source unweighted BFS over the part co-occurrence graph: the
+    distance from each part to the nearest of the BFS_SEEDS smallest node
+    ids (-1 for parts unreachable from every seed, including parts absent
+    from the graph). The reference (XMLToCSV.py:1-415) exports graphs for
+    neo4j to answer exactly this kind of question; this is the engine
+    answering it natively.
+
+    Contract: the oracle unrolls exactly BFS_ROUNDS frontier expansions;
+    the Spark loop early-exits on an empty frontier, which is semantically
+    free — an empty frontier generates every later frontier empty, so the
+    remaining unrolled rounds are no-ops. test_graph_analytics.py pins the
+    budget at >= 2x the observed rounds-to-empty plus an independent
+    pure-Python BFS.
+
+    Scale shape (level-synchronous frontier BFS — the Pregel/GraphX
+    traversal regime): the symmetrized edge list materializes once per
+    session (copart_und) and is hash-partitioned by u and cached; each
+    round is one broadcast semi-join of the node-sized frontier against
+    the CACHED edges (no per-round edge shuffle or parquet re-read), a
+    node-sized distinct, and a broadcast anti-join against the visited
+    set. Frontiers and the visited set are |V|-sized — broadcastable far
+    beyond this graph; at billions of nodes drop the broadcasts and the
+    joins degrade to shuffles (the honest Pregel cost), nothing else
+    changes. Each round's new-node frame parquet-checkpoints (it is read
+    by every later round's anti-join AND the final union), with the
+    frontier count riding the write via df.observe — one action per
+    round."""
+    import os
+
+    from pyspark.sql import Observation
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_bfs_")
+    und = copart_und(spark, sf_dir, checkpoint_dir)
+    und_u = und.select("u", "v").repartition("u").persist()
+    try:
+        seeds = (
+            und_u.select("u").distinct().orderBy("u").limit(BFS_SEEDS)
+        ).select(F.col("u").alias("node"), F.lit(0).cast("long").alias("dist"))
+        seed_path = os.path.join(base_dir, "round_0")
+        seeds.write.mode("overwrite").parquet(seed_path)
+        levels = [spark.read.parquet(seed_path)]
+        frontier = levels[0].select("node")
+        visited = levels[0].select("node")
+        for rnd in range(1, BFS_ROUNDS + 1):
+            nxt = (
+                und_u.join(
+                    F.broadcast(frontier.withColumnRenamed("node", "u")), "u", "semi"
+                )
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(F.broadcast(visited), "node", "anti")
+                .select("node", F.lit(rnd).cast("long").alias("dist"))
+            )
+            obs = Observation(f"bfs_{rnd}")
+            nxt_path = os.path.join(base_dir, f"round_{rnd}")
+            nxt.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(nxt_path)
+            nxt = spark.read.parquet(nxt_path)
+            if obs.get["n"] == 0:
+                break
+            levels.append(nxt)
+            frontier = nxt.select("node")
+            visited = visited.union(frontier)
+        dist = levels[0]
+        for lv in levels[1:]:
+            dist = dist.union(lv)
+        part = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey")
+        )
+        return part.join(dist, part["l_partkey"] == dist["node"], "left").select(
+            "l_partkey", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist")
+        )
+    finally:
+        und_u.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous label propagation (community detection)
+
+LPA_ROUNDS = 4  # fixed-round contract — the oracle unrolls exactly these
+
+
+def _lpa_round_sql(t: int) -> str:
+    """One synchronous LPA round as a CTE: every node adopts the most
+    frequent label among its neighbors, ties to the smallest label. The
+    count subquery nests under the ROW_NUMBER so both engines rank the
+    same aggregated frame."""
+    return f"""
+        l{t} AS MATERIALIZED (
+            SELECT u AS n, label FROM (
+                SELECT u, label, ROW_NUMBER() OVER (
+                    PARTITION BY u ORDER BY c DESC, label
+                ) AS rn
+                FROM (
+                    SELECT und.u, l.label, COUNT(*) AS c
+                    FROM und JOIN l{t - 1} l ON l.n = und.v
+                    GROUP BY und.u, l.label
+                )
+            ) WHERE rn = 1
+        )"""
+
+
+def _lpa_oracle() -> str:
+    steps = ",".join(_lpa_round_sql(t) for t in range(1, LPA_ROUNDS + 1))
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS MATERIALIZED (
+            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT u AS n, u AS label FROM und
+        ),
+        {steps}
+        SELECT p.p_partkey AS l_partkey,
+               CAST(COALESCE(l.label, -1) AS BIGINT) AS community
+        FROM part p LEFT JOIN l{LPA_ROUNDS} l ON l.n = p.p_partkey
+    """
+
+
+@register(
+    "graph_label_propagation", tags=("graph", "iterative"), oracle=_lpa_oracle()
+)
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the part co-occurrence graph, made fully deterministic:
+    initial label = node id; each round every node adopts the label most
+    frequent among its neighbors, ties broken toward the SMALLEST label;
+    exactly LPA_ROUNDS synchronous rounds (classic async LPA visits nodes
+    in random order and breaks ties randomly — useless under a hash-match
+    contract, so the fixed-round synchronous variant IS the operator, the
+    same move that made PageRank checkable in fixed-point arithmetic).
+    Parts absent from the graph report community -1.
+
+    Scale shape (identical to the coreness round): the symmetrized edge
+    list materializes once per session (copart_und), hash-partitions by u
+    and stays cached; the node-sized (n, label) frame broadcasts into the
+    edge join, so the per-(u, label) count and the per-u rank need no
+    Exchange — a round is one shuffle-free stage over the cached edges.
+    At node counts beyond broadcast capacity the joins degrade to
+    shuffles (the Pregel regime), nothing else changes. Each round
+    parquet-checkpoints (cuts the lineage the next round's broadcast
+    would otherwise replay)."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_lpa_")
+    und = copart_und(spark, sf_dir, checkpoint_dir)
+    und_u = und.select("u", "v").repartition("u").persist()
+    per_node = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    try:
+        lbl = und_u.select(F.col("u").alias("n")).distinct().withColumn(
+            "label", F.col("n")
+        )
+        for rnd in range(1, LPA_ROUNDS + 1):
+            lbl_b = F.broadcast(lbl)
+            nxt = (
+                und_u.join(lbl_b, lbl_b["n"] == und_u["v"])
+                .groupBy("u", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("rn", F.row_number().over(per_node))
+                .filter(F.col("rn") == 1)
+                .select(F.col("u").alias("n"), "label")
+            )
+            path = os.path.join(base_dir, f"round_{rnd}")
+            nxt.write.mode("overwrite").parquet(path)
+            lbl = spark.read.parquet(path)
+        part = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey")
+        )
+        return part.join(lbl, part["l_partkey"] == lbl["n"], "left").select(
+            "l_partkey",
+            F.coalesce("label", F.lit(-1)).cast("long").alias("community"),
+        )
+    finally:
+        und_u.unpersist()

@@ -67,7 +67,12 @@ def test_kcore_matches_python_fixpoint(spark):
 
 
 def test_graph_queries_stay_equijoin(spark):
-    for name in ["graph_clustering_coefficient", "graph_kcore"]:
+    for name in [
+        "graph_clustering_coefficient",
+        "graph_kcore",
+        "graph_bfs_distances",
+        "graph_label_propagation",
+    ]:
         df = all_queries()[name].fn(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
@@ -229,3 +234,69 @@ def test_coreness_matches_python_and_kcore(spark):
         if r["in_core"]
     }
     assert {n for n, c in got.items() if c >= KCORE_K} == core
+
+
+def _adj(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    return adj
+
+
+def _bfs_fixpoint(edges, n_seeds: int) -> tuple[dict, int]:
+    """Independent level-synchronous BFS from the n_seeds smallest node
+    ids. Returns (node -> dist, rounds until the frontier emptied)."""
+    adj = _adj(edges)
+    seeds = sorted(adj)[:n_seeds]
+    dist = {s: 0 for s in seeds}
+    frontier, rounds = set(seeds), 0
+    while frontier:
+        rounds += 1
+        frontier = {v for u in frontier for v in adj[u] if v not in dist}
+        for v in frontier:
+            dist[v] = rounds
+    return dist, rounds
+
+
+def _lpa_fixed_rounds(edges, rounds: int) -> dict:
+    """Independent synchronous LPA: most-frequent neighbor label, ties to
+    the smallest label, exactly ``rounds`` synchronous sweeps."""
+    from collections import Counter
+
+    adj = _adj(edges)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        lbl = {
+            n: min(
+                Counter(lbl[v] for v in adj[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+    return lbl
+
+
+def test_bfs_matches_python_and_budget_has_margin(spark):
+    from dblp_to_csv_spark.operators.graph import BFS_ROUNDS, BFS_SEEDS
+
+    ref, rounds = _bfs_fixpoint(_edges(SF_SMOKE), BFS_SEEDS)
+    # Budget contract: the oracle unrolls BFS_ROUNDS levels; driver
+    # testdata regeneration must not outrun it (the kcore margin rule).
+    assert rounds * 2 <= BFS_ROUNDS, (
+        f"BFS emptied in {rounds} rounds; budget {BFS_ROUNDS} < 2x margin"
+    )
+    rows = all_queries()["graph_bfs_distances"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["dist"] == ref.get(r["l_partkey"], -1), r
+
+
+def test_lpa_matches_python(spark):
+    from dblp_to_csv_spark.operators.graph import LPA_ROUNDS
+
+    ref = _lpa_fixed_rounds(_edges(SF_SMOKE), LPA_ROUNDS)
+    rows = (
+        all_queries()["graph_label_propagation"].fn(spark, SF_SMOKE).collect()
+    )
+    for r in rows:
+        assert r["community"] == ref.get(r["l_partkey"], -1), r
