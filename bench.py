@@ -55,9 +55,17 @@ GRAPH_BENCH = [
     "graph_triangle_count",
     "graph_kcore",
     "graph_coreness",
-    "graph_adamic_adar_capped",
+    "graph_bfs_distances",
+    "graph_label_propagation",
     "graph_report",
 ]
+# graph_adamic_adar_capped left the series in round 9: its r1-r8 absolute
+# hub cap (100) had fallen below the graph's MEDIAN degree, so the 6 s it
+# benched was an 88%-vacuous wedge set (and a 0-row result at sf0.01). The
+# fixed data-derived p90 cap keeps ~82% of the wedge work on this
+# near-uniform-degree graph (~52 s at sf0.1 ≈ 0.8x the exact query) —
+# benching it would re-bench the exact path, not the skew dial. See
+# BASELINE.md §15.5.
 
 # Round-8 session-4: tokenizer-training / retrieval / CDC family — its own
 # series so the curation and graph series stay round-comparable.

@@ -442,7 +442,10 @@ AA_MIN_COMMON = 25  # report pairs sharing at least this many neighbors
     """,
 )
 def graph_adamic_adar(
-    spark: SparkSession, sf_dir: str, deg_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    deg_cap: int | None = None,
+    deg_cap_quantile: float | None = None,
 ) -> DataFrame:
     """Adamic–Adar link prediction over the part co-occurrence graph: score
     every part pair sharing ≥ AA_MIN_COMMON neighbors by
@@ -469,7 +472,24 @@ def graph_adamic_adar(
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     centers = und.join(deg, "u")
-    if deg_cap is not None:
+    if deg_cap_quantile is not None:
+        # Data-derived cap: FLOOR(ROUND(exact percentile, 6)) — the
+        # winsorize discipline (percentile ≡ QUANTILE_CONT; rounding
+        # before FLOOR absorbs interpolation ulps) — attached as a 1-row
+        # broadcast so the cap never touches the driver.
+        capf = deg.agg(
+            F.floor(
+                F.round(F.expr(f"percentile(d, {deg_cap_quantile})"), 6)
+            )
+            .cast("long")
+            .alias("cap")
+        )
+        centers = (
+            centers.join(F.broadcast(capf))
+            .filter(F.col("d") <= F.col("cap"))
+            .drop("cap")
+        )
+    elif deg_cap is not None:
         centers = centers.filter(F.col("d") <= deg_cap)
     a = centers.alias("a")
     b = centers.select("u", "v").alias("b")
@@ -489,7 +509,13 @@ def graph_adamic_adar(
     )
 
 
-AA_DEG_CAP = 100  # hub cap for the capped (scale-path) Adamic-Adar twin
+# Hub cap for the capped (scale-path) Adamic-Adar twin, as a DEGREE
+# QUANTILE: centers above the p-AA_CAP_QUANTILE degree are dropped. An
+# absolute cap (r1-r8: 100) silently went VACUOUS when a testdata
+# regeneration pushed the median degree past it — every center dropped,
+# zero rows, a hash-green row proving nothing. A quantile cap tracks the
+# graph: it always drops exactly the top tail, at any scale factor.
+AA_CAP_QUANTILE = 0.90
 
 
 @register(
@@ -505,10 +531,15 @@ AA_DEG_CAP = 100  # hub cap for the capped (scale-path) Adamic-Adar twin
             SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
         ),
         deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+        cap AS (
+            SELECT CAST(FLOOR(ROUND(
+                QUANTILE_CONT(d, {AA_CAP_QUANTILE}), 6)) AS BIGINT) AS cap
+            FROM deg
+        ),
         ctr AS (
             SELECT und.u, und.v, deg.d
             FROM und JOIN deg ON deg.u = und.u
-            WHERE deg.d <= {AA_DEG_CAP}
+            WHERE deg.d <= (SELECT cap FROM cap)
         ),
         wed AS (
             SELECT a.u AS u, a.d AS d, a.v AS x, b.v AS y
@@ -526,13 +557,27 @@ AA_DEG_CAP = 100  # hub cap for the capped (scale-path) Adamic-Adar twin
 def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-capped Adamic–Adar — the scale twin of ``graph_adamic_adar``
     (the dedup family's exact/capped pattern): centers with degree above
-    AA_DEG_CAP are dropped before the wedge self-join, bounding the
-    per-node fan-out at cap² regardless of the degree distribution. The
-    dropped hubs are precisely the lowest-weight terms (1/ln(deg) is
-    smallest for hubs), so capped scores lower-bound exact scores and the
-    pair ranking is nearly preserved — capped ⊆ exact pairs is pinned in
-    tests/test_graph_analytics.py. Measured 24 s → ~3 s at sf0.1."""
-    return graph_adamic_adar(spark, sf_dir, deg_cap=AA_DEG_CAP)
+    the AA_CAP_QUANTILE degree quantile (the top-decile hubs) are dropped
+    before the wedge self-join, bounding the per-node fan-out at cap²
+    regardless of the degree distribution. The cap is DATA-DERIVED — an
+    exact degree percentile computed as a 1-row broadcast (the winsorize
+    percentile ≡ QUANTILE_CONT discipline), so it stays meaningful at
+    every scale factor where an absolute constant can fall below the
+    median and vacuously drop the whole graph. The dropped hubs are
+    precisely the lowest-weight terms (1/ln(deg) is smallest for hubs),
+    so capped scores lower-bound exact scores and the pair ranking is
+    nearly preserved — capped ⊆ exact pairs AND non-emptiness are pinned
+    in tests/test_graph_analytics.py.
+
+    Honest cost note: on a POWER-LAW graph the top decile owns most of
+    Σdeg² and this cap is the whole game; the co-part test graph has
+    near-UNIFORM degrees (sf0.1: p50 115 / p90 151 / max 222), so the
+    p90 cap keeps ~82% of the wedge work and the capped twin costs
+    ~0.8× the exact query (~52 s at sf0.1) — which is why it is NOT in
+    the graph bench series (benching it here would re-bench the exact
+    path; the old absolute cap's 6 s was measuring an 88%-vacuous wedge
+    set)."""
+    return graph_adamic_adar(spark, sf_dir, deg_cap_quantile=AA_CAP_QUANTILE)
 
 
 # Coreness contract: exactly CORENESS_ROUNDS h-index iterations (same

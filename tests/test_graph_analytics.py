@@ -94,6 +94,10 @@ def test_adamic_adar_capped_subset_of_exact(spark):
         all_queries()["graph_adamic_adar_capped"].fn(spark, SF_CORRECTNESS).collect()
     )
     assert exact, "exact pair set empty — threshold too high for this corpus"
+    # Vacuity guard: the r1-r8 ABSOLUTE cap fell below the median degree on
+    # a testdata regeneration and silently emptied the capped result — the
+    # quantile cap must keep the query proving something.
+    assert capped, "capped pair set empty — cap quantile too aggressive"
     for r in capped:
         key = (r["part_a"], r["part_b"])
         assert key in exact
