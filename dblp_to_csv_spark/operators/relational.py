@@ -253,18 +253,34 @@ def semi_join_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "anti_join_customers_without_orders",
+    "anti_join_customers_no_urgent",
     tags=("join", "anti"),
     oracle="""
         SELECT c.c_custkey, c.c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
     """,
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers that never placed an order."""
+def anti_join_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never placed an URGENT-priority order.
+    The right side is filtered BEFORE the anti-join, so the build side is
+    ~20% of orders and the pushed predicate reaches the scan.
+
+    Replaced ``anti_join_customers_without_orders`` (round 9 vacuity
+    audit): the synthetic generator gives every customer at least one
+    order at sf≤0.01, so the unfiltered anti-join returned 0 rows — a
+    hash-green driver row that proved nothing about anti-join semantics.
+    The priority predicate is scale-proof: a customer's chance of having
+    no urgent order is binomial (~0.8^orders_per_customer), so the result
+    is a stable non-empty fraction of customers at every scale factor."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -542,21 +558,36 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_except_nations",
+    "setop_except_urgent_unfinished",
     tags=("setop",),
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus = 'F'
     """,
 )
-def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set semantics): nation keys with customers but no suppliers.
-    DataFrame.subtract is EXCEPT DISTINCT; exceptAll would be multiset
-    EXCEPT ALL (removes one occurrence per match), a different operator."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+def setop_except_urgent_unfinished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with an urgent order but no
+    finished order. DataFrame.subtract is EXCEPT DISTINCT; exceptAll would
+    be multiset EXCEPT ALL (removes one occurrence per match), a different
+    operator.
+
+    Replaced ``setop_except_nations`` (round 9 vacuity audit): nation-key
+    granularity saturates — all 25 nations have both customers and
+    suppliers at every SF, so the EXCEPT returned 0 rows and its driver
+    hash proved nothing. Customer-key granularity scales with the data and
+    both predicates are independent binomials, so the difference is a
+    stable non-empty fraction at every scale factor."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(finished)
 
 
 @register(

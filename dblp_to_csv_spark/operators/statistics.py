@@ -217,17 +217,17 @@ def quartile_labels_by_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "quality", "broadcast"),
     oracle="""
         WITH med AS (
-            SELECT QUANTILE_CONT(o_totalprice, 0.5) AS m FROM orders
+            SELECT QUANTILE_CONT(value, 0.5) AS m FROM events
         ),
         dev AS (
-            SELECT QUANTILE_CONT(ABS(o_totalprice - med.m), 0.5) AS mad, med.m
-            FROM orders, med GROUP BY med.m
+            SELECT QUANTILE_CONT(ABS(value - med.m), 0.5) AS mad, med.m
+            FROM events, med GROUP BY med.m
         )
-        SELECT o_orderkey, o_totalprice,
-               ROUND((o_totalprice - dev.m) / (1.4826 * NULLIF(dev.mad, 0)), 4)
+        SELECT event_id, value,
+               ROUND((value - dev.m) / (1.4826 * NULLIF(dev.mad, 0)), 4)
                    AS robust_z
-        FROM orders, dev
-        WHERE ABS((o_totalprice - dev.m) / (1.4826 * NULLIF(dev.mad, 0))) > 3
+        FROM events, dev
+        WHERE ABS((value - dev.m) / (1.4826 * NULLIF(dev.mad, 0))) > 3
     """,
 )
 def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,28 +238,31 @@ def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the table; each row's score is a comparison — the data-quality
     gate a pipeline runs before trusting numeric columns.
 
+    Scores ``events.value`` since round 9 (vacuity audit): orders'
+    o_totalprice is a sum of ~4 uniform lineitems, so its robust z never
+    exceeds ~1.4 and the |z|>3 filter returned 0 rows at every SF — a
+    hash-green driver row that proved nothing. events.value is heavy-
+    tailed by generation, yielding a stable non-empty outlier fraction at
+    every scale factor (578 rows at sf0.01).
+
     Degenerate guard: when MAD = 0 (>=half the values identical — e.g. a
     constant column) no robust z exists; NULLIF on BOTH engines makes z NULL
     so the |z|>3 filter returns zero outliers, instead of Spark's NULL
     silently diverging from DuckDB's ±inf."""
-    o = load_table(spark, sf_dir, "orders")
-    med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(F.percentile("value", F.lit(0.5)).alias("m"))
     dev = (
-        o.join(F.broadcast(med))
+        ev.join(F.broadcast(med))
         .agg(
-            F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)).alias(
-                "mad"
-            ),
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad"),
             F.first("m").alias("m"),
         )
     )
-    z = (F.col("o_totalprice") - F.col("m")) / (
-        1.4826 * F.nullif(F.col("mad"), F.lit(0.0))
-    )
+    z = (F.col("value") - F.col("m")) / (1.4826 * F.nullif(F.col("mad"), F.lit(0.0)))
     return (
-        o.join(F.broadcast(dev))
+        ev.join(F.broadcast(dev))
         .filter(F.abs(z) > 3)
-        .select("o_orderkey", "o_totalprice", F.round(z, 4).alias("robust_z"))
+        .select("event_id", "value", F.round(z, 4).alias("robust_z"))
     )
 
 

@@ -51,10 +51,13 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # window) instead of riding stale evidence. Remove a name once the driver
 # re-greens the CURRENT implementation.
 _EVIDENCE_RESET: set[str] = set()  # r8 re-greened similarity_knn_graph_bucketed under SIGN_BITS=5
+# (round-9 vacuity audit: anti_join_customers_no_urgent and
+# setop_except_urgent_unfinished are renames — never-verified by name —
+# and outliers_by_mad was dropped from _LAST_GREEN_ROUND outright, so all
+# three sort to the window head for re-verification.)
 
 _LAST_GREEN_ROUND: dict[str, int] = {
     "advanced_agg_gallery": 5,
-    "anti_join_customers_without_orders": 6,
     "apply_in_pandas_label_stats": 5,
     "approx_distinct_users": 6,
     "approx_percentile_prices": 6,
@@ -141,7 +144,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "ngram_novelty_vs_reference": 7,
     "ntile_order_quartiles": 5,
     "null_safe_join_suppliers": 6,
-    "outliers_by_mad": 5,
     "pack_concat_chunks": 5,
     "pack_sequences_greedy": 5,
     "pandas_udf_vector_norm": 5,
@@ -175,7 +177,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "semi_join_discounted_orders": 6,
     "session_window_events": 8,
     "sessionize_events": 7,
-    "setop_except_nations": 6,
     "setop_intersect_nations": 6,
     "setop_multiset_all_nations": 8,
     "setop_union_nations": 6,

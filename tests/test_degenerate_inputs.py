@@ -17,11 +17,11 @@ def _entry(name):
 
 @pytest.fixture()
 def degenerate_sf(tmp_path):
-    """A sf_dir whose orders all share one o_totalprice (MAD = 0) and whose
+    """A sf_dir whose events all share one value (MAD = 0) and whose
     embeddings table is EMPTY (no query vectors, no corpus)."""
-    pd.DataFrame(
-        {"o_orderkey": [1, 2, 3, 4], "o_totalprice": [100.0] * 4}
-    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"event_id": [1, 2, 3, 4], "value": [100.0] * 4}).to_parquet(
+        tmp_path / "events.parquet"
+    )
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -44,8 +44,8 @@ def test_mad_zero_yields_no_outliers_oracle(degenerate_sf):
     entry = _entry("outliers_by_mad")
     con = duckdb.connect()
     con.execute(
-        "CREATE VIEW orders AS SELECT * FROM "
-        f"read_parquet('{degenerate_sf}/orders.parquet')"
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{degenerate_sf}/events.parquet')"
     )
     assert len(con.execute(entry.oracle).fetchall()) == 0
 
