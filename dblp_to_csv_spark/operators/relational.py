@@ -1375,3 +1375,89 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'null_orderdate', null_orderdate)"
         ).alias("constraint_name", "n_violations")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension build: versioned state history from an event log.
+#
+# The classic warehouse operator the reference has no analogue for: given an
+# append-only event stream, produce the slowly-changing-dimension history of
+# each user's state (here: the event_type they last emitted), one row per
+# state RUN with [valid_from, valid_to) validity and an is_current flag.
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_state",
+    tags=("window", "time", "cdc"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts,
+                   CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, state, ts,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS run_id
+            FROM ordered
+        ),
+        collapsed AS (
+            SELECT user_id, run_id, state,
+                   MIN(ts) AS valid_from, COUNT(*) AS n_events
+            FROM runs GROUP BY user_id, run_id, state
+        )
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+                    AS BIGINT) AS version,
+               state, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                   AS valid_to,
+               (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                   IS NULL) AS is_current,
+               n_events
+        FROM collapsed
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from an append-only event log: collapse each
+    user's event sequence into state RUNS (consecutive identical event_type),
+    then emit one dimension row per run with ``[valid_from, valid_to)``
+    validity, a per-user version number, and ``is_current`` on the open row.
+
+    Shape: lag → change flag → running sum (run id) → per-run aggregate →
+    lead for the closing timestamp. Every window and the aggregate share the
+    SAME partitioning key (user_id), so Catalyst plans ONE shuffle and runs
+    the entire chain inside it — the pattern that survives 100 TB: state
+    history cost is one exchange regardless of how many windows stack.
+    Ties inside a user's sequence break on event_id (ingest order), matching
+    the oracle's ORDER BY ts, event_id exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    run = (
+        ev.select("user_id", F.col("event_type").alias("state"), "ts", chg.alias("chg"))
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run_id", "state")
+        .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return run.select(
+        "user_id",
+        F.row_number().over(wv).cast("long").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -733,3 +733,123 @@ def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    tags=("window", "sequence"),
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS prev_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, next_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6)
+                   AS p_next_given_prev
+        FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type), the behavioral-analytics
+    primitive behind churn models and anomalous-flow detection.
+
+    lead() over the user sequence pairs each event with its successor, then
+    one hash aggregate counts (prev, next) pairs; the row-normalizing window
+    runs on the tiny |types|² matrix. The event table is touched once and
+    shuffles once (user_id for the sequence window); the pair aggregate's
+    map-side combine collapses each partition to ≤|types|² rows, so the
+    second exchange carries kilobytes at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 6).alias(
+            "p_next_given_prev"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of the hourly mean-value series.
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 6
+
+
+@register(
+    "acf_event_values",
+    tags=("window", "time", "stats"),
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lags AS (SELECT UNNEST(generate_series(1, {ACF_MAX_LAG})) AS lag),
+        joined AS (
+            SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+            FROM hourly a
+            CROSS JOIN lags l
+            JOIN hourly b
+              ON b.event_type = a.event_type
+             AND b.h = a.h + (l.lag * INTERVAL 1 HOUR)
+        )
+        SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CORR(x, y), 6) AS acf
+        FROM joined
+        GROUP BY event_type, lag
+    """,
+)
+def acf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..ACF_MAX_LAG) of each event type's
+    hourly mean-value series — the stationarity/seasonality diagnostic that
+    decides window sizes for the forecasting and drift operators.
+
+    The hourly aggregate shrinks the corpus to |types| × |hours| rows FIRST;
+    the lagged self-join then runs on that tiny series (equi-join on
+    type + shifted hour — no window over a variable lag, which Spark cannot
+    express). At 100 TB the only full-data pass is the first aggregate;
+    everything after is metadata-sized, so both join sides broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    shifted = hourly.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("h") + F.col("lag") * F.expr("INTERVAL 1 HOUR")).alias("h_next"),
+        F.col("v").alias("x"),
+    )
+    joined = shifted.join(
+        hourly.select(
+            "event_type", F.col("h").alias("h_next"), F.col("v").alias("y")
+        ),
+        ["event_type", "h_next"],
+    )
+    return joined.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.corr("x", "y"), 6).alias("acf"),
+    )
