@@ -60,3 +60,24 @@ FINGERPRINT_SQL = f"md5({NORMALIZED_SQL})"
 
 # English-ish stopwords used by the language-ID heuristic and quality score.
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def bigrams(word_arr: Column) -> Column:
+    """Adjacent word pairs ('a b') zipped in-row — no window, no self-join;
+    documents shorter than 2 words yield []."""
+    size = F.size(word_arr)
+    make = F.transform(
+        F.sequence(F.lit(1), size - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(word_arr, i), F.element_at(word_arr, i + 1)
+        ),
+    )
+    return F.when(size >= 2, make).otherwise(F.array().cast("array<string>"))
+
+
+BIGRAMS_SQL = (
+    "CASE WHEN len({words}) >= 2 THEN "
+    "list_transform(generate_series(1, len({words}) - 1), "
+    "i -> {words}[i] || ' ' || {words}[i+1]) "
+    "ELSE [] END"
+)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.text import STOPWORDS, WORDS_SQL, words
+from dblp_to_csv_spark.functions.text import STOPWORDS, WORDS_SQL, bigrams, words
 from dblp_to_csv_spark.operators.dedup import _CC_ORACLE_CTES
 from dblp_to_csv_spark.operators.dedup import connected_components_min_label
 from dblp_to_csv_spark.operators.text_analysis import text_unigram_logprob
@@ -1553,3 +1553,117 @@ def pareto_skyline_2d(
         "bucket",
     ).drop("bucket")
     return sweep(local).select(id_col, x_col, y_col)
+
+
+# --------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Hashed-n-gram bag models of a TARGET distribution
+# (here: the English slice, standing in for "looks like the eval domain")
+# and the RAW corpus; each document scores log w = Σ_features
+# (log p_target(bucket) - log p_raw(bucket)). Resampling then keeps docs
+# with Gumbel-perturbed top-k log-weights — the deterministic md5 variant
+# of that draw is exactly sample_weighted_priority's construction, so this
+# operator reports the weights (the model), not a second sampler.
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 64
+DSIR_SMOOTH = 0.5
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    tags=("curation", "lm", "selection"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_WORDS} AS w FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(f), 1, 8))::BIGINT % {DSIR_BUCKETS}
+                       AS b
+            FROM (
+                SELECT doc_id, lang,
+                       UNNEST(list_concat(
+                           w,
+                           CASE WHEN len(w) >= 2 THEN
+                               list_transform(generate_series(1, len(w)-1),
+                                              i -> w[i] || ' ' || w[i+1])
+                           ELSE [] END)) AS f
+                FROM t
+            )
+        ),
+        buckets AS (
+            SELECT b,
+                   COUNT(*) AS r_cnt,
+                   COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS t_cnt
+            FROM feats GROUP BY b
+        ),
+        totals AS (
+            SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM buckets
+        )
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(SUM(
+                   ln((t_cnt + {DSIR_SMOOTH})
+                      / (t_tot + {DSIR_SMOOTH} * {DSIR_BUCKETS}))
+                 - ln((r_cnt + {DSIR_SMOOTH})
+                      / (r_tot + {DSIR_SMOOTH} * {DSIR_BUCKETS}))
+               ), 6) AS log_weight
+        FROM feats
+        JOIN buckets USING (b)
+        CROSS JOIN totals
+        GROUP BY doc_id, lang
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights: hashed unigram+bigram features (md5 →
+    64 buckets — engine-portable, same slice trick as SimHash), add-k
+    bag-of-buckets models for the target (lang='en') and raw corpora,
+    per-doc log w = Σ_f [log p_target(b(f)) − log p_raw(b(f))].
+
+    One explode over the corpus builds the feature stream; BOTH models come
+    from a single hash aggregate over it (conditional count for the target
+    side — the target is a slice of the same scan, not a second pass); the
+    64-row bucket model and the 1-row totals broadcast back onto the
+    stream. At 100 TB: two corpus-keyed shuffles (bucket counts collapse
+    map-side to ≤64 rows/partition; the final per-doc sum shuffles on
+    doc_id), everything else broadcast. Positive log_weight → doc looks
+    more target-like than corpus-like; feed into weighted sampling
+    (sample_weighted_priority) for the resampling step."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", words("text").alias("w"))
+    feats = t.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("w"), bigrams(F.col("w")))).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    buckets = feats.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("t_cnt"),
+    )
+    totals = buckets.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    model = F.broadcast(buckets.crossJoin(F.broadcast(totals)))
+    contrib = F.log(
+        (F.col("t_cnt") + DSIR_SMOOTH)
+        / (F.col("t_tot") + DSIR_SMOOTH * DSIR_BUCKETS)
+    ) - F.log(
+        (F.col("r_cnt") + DSIR_SMOOTH)
+        / (F.col("r_tot") + DSIR_SMOOTH * DSIR_BUCKETS)
+    )
+    return (
+        feats.join(model, "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum(contrib), 6).alias("log_weight"),
+        )
+    )

@@ -13,6 +13,7 @@ from dblp_to_csv_spark.functions.text import (
     SHINGLES_SQL,
     STOPWORDS,
     WORDS_SQL,
+    bigrams,
     fingerprint,
     shingles,
     words,
@@ -1421,4 +1422,92 @@ def bpe_apply_encode(
                 + F.lit(0.0)
             ).alias("compression_ratio"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model cross-entropy (KenLM-style perplexity filtering,
+# one order down): train add-k bigram counts ON the corpus, score each
+# document's per-bigram cross-entropy. The CCNet/Gopher pipelines gate
+# admission on exactly this signal (they use a pretrained 5-gram model; the
+# operator shape — count tables joined back to the token stream — is
+# identical, only the model order and provenance differ).
+# --------------------------------------------------------------------------
+LM_ADD_K = 0.5
+
+_BIGRAMS_SQL = (
+    "list_transform(generate_series(1, len({w}) - 1), "
+    "i -> {w}[i] || ' ' || {w}[i+1])"
+)
+
+
+@register(
+    "lm_bigram_cross_entropy",
+    tags=("text", "lm", "join"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        vocab AS (
+            SELECT COUNT(DISTINCT word) AS v
+            FROM (SELECT UNNEST(w) AS word FROM t)
+        ),
+        bg AS (
+            SELECT doc_id, UNNEST({_BIGRAMS_SQL.format(w="w")}) AS bg
+            FROM t WHERE len(w) >= 2
+        ),
+        bgc AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),
+        prevc AS (
+            SELECT split_part(bg, ' ', 1) AS prev, COUNT(*) AS c1
+            FROM bg GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-log2((c12 + {LM_ADD_K})
+                               / (c1 + {LM_ADD_K} * v))), 6) AS cross_entropy
+        FROM bg
+        JOIN bgc USING (bg)
+        JOIN prevc ON prevc.prev = split_part(bg.bg, ' ', 1)
+        CROSS JOIN vocab
+        GROUP BY doc_id
+    """,
+)
+def lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy under an add-k-smoothed bigram LM
+    trained on the corpus itself: H(doc) = avg over the doc's bigrams of
+    -log2 (c(w1 w2)+k)/(c(w1 ·)+k·V). High H → gibberish/boilerplate;
+    low H → fluent text — the perplexity admission gate of CCNet/Gopher.
+
+    Bigrams come from the words array in-row (zip-adjacent transform — no
+    window, no self-join); the bigram and prev-context count tables are one
+    hash aggregate each over the exploded stream, then join back on the
+    bigram key. At 100 TB: the exploded stream shuffles twice on high-
+    cardinality keys (bg for counts+join, doc_id for the final avg) with
+    map-side combine collapsing the count sides; the vocab size is a 1-row
+    broadcast. Skewed bigrams ("of the") are exactly what AQE skew-split
+    handles; a frequency cap on the count table is the documented dial if
+    the top-bigram partition ever dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", words("text").alias("w"))
+    bg = t.select("doc_id", F.explode(bigrams(F.col("w"))).alias("bg"))
+    vocab = (
+        t.select(F.explode("w").alias("word"))
+        .agg(F.count_distinct("word").alias("v"))
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    prevc = (
+        bg.select(F.split("bg", " ").getItem(0).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        bg.join(bgc, "bg")
+        .withColumn("prev", F.split("bg", " ").getItem(0))
+        .join(prevc, "prev")
+        .crossJoin(F.broadcast(vocab))
+    )
+    neg_log2_p = -F.log2(
+        (F.col("c12") + LM_ADD_K) / (F.col("c1") + LM_ADD_K * F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(neg_log2_p), 6).alias("cross_entropy"),
     )
