@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.text import WORDS_SQL, words
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -534,4 +535,194 @@ def regression_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(y, x), 3).alias("slope"),
         F.round(F.regr_intercept(y, x), 2).alias("intercept"),
         (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): d×w counter matrix,
+# est(x) = min_j cells[j][h_j(x)]. Unlike the engine-native HLL/GK sketches
+# (approx_distinct_users / approx_percentile_prices, rows-only by design),
+# the CM construction is pure arithmetic over a portable hash, so the WHOLE
+# sketch — build, point queries, overestimate — gets a DuckDB oracle twin.
+# --------------------------------------------------------------------------
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 256  # counters per row
+CM_TOPK = 20  # report the top-k true-frequency words
+
+# Portable per-(row, word) hash: md5 of the salted word, first 8 hex chars
+# as an int, mod width — the SimHash/MinHash slice trick with a row salt.
+_CM_HASH_SQL = (
+    "('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 8))::BIGINT"
+    f" % {CM_WIDTH}"
+)
+
+
+@register(
+    "sketch_countmin_words",
+    tags=("sketch", "approx", "text"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST({{words}}) AS word FROM documents
+        ),
+        freq AS (SELECT word, COUNT(*) AS true_count FROM tok GROUP BY word),
+        rows_ AS (SELECT UNNEST(generate_series(0, {CM_DEPTH - 1})) AS j),
+        cells AS (
+            SELECT j, {_CM_HASH_SQL} AS col, COUNT(*) AS c
+            FROM tok CROSS JOIN rows_
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT word, true_count FROM freq
+            ORDER BY true_count DESC, word LIMIT {CM_TOPK}
+        )
+        SELECT word, true_count,
+               MIN(c) AS est_count,
+               MIN(c) - true_count AS overestimate
+        FROM (
+            SELECT top.word, top.true_count, cells.c
+            FROM top CROSS JOIN rows_ AS r
+            JOIN cells ON cells.j = r.j
+                      AND cells.col = ('0x' || substr(
+                              md5(CAST(r.j AS VARCHAR) || ':' || top.word),
+                              1, 8))::BIGINT % {CM_WIDTH}
+        )
+        GROUP BY word, true_count
+    """.format(words=WORDS_SQL.format(col="text")),
+)
+def sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream: build the 4×256 counter
+    matrix in one hash aggregate, then answer point queries (the top-20
+    true-frequency words) as min over the 4 hashed cells. Output carries the
+    true count and the overestimate so the CM guarantee (est ≥ true,
+    est ≤ true + εN w.h.p.) is visible in the result itself.
+
+    Build = explode words × 4 row salts → groupBy (j, col) count: map-side
+    combine collapses every partition to ≤1024 cells, so the shuffle moves
+    kilobytes regardless of corpus size — the reason CM beats exact counting
+    at 100 TB when only heavy hitters matter. The 1024-cell sketch and the
+    top-k list both broadcast; nothing about the query side touches the
+    corpus again. Portable md5-slice hashing keeps the sketch bit-identical
+    across engines (full DuckDB oracle, unlike the native HLL/GK sketches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words("text")).alias("word"))
+    rows = spark.range(CM_DEPTH).select(F.col("id").alias("j"))
+    salted = tok.crossJoin(F.broadcast(rows))
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j").cast("string"), "word")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+    cells = salted.select("j", col.alias("col")).groupBy("j", "col").agg(
+        F.count("*").alias("c")
+    )
+    top = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "word")
+        .limit(CM_TOPK)
+    )
+    probes = top.crossJoin(F.broadcast(rows)).select(
+        "word", "true_count", "j", col.alias("col")
+    )
+    est = probes.join(F.broadcast(cells), ["j", "col"]).groupBy(
+        "word", "true_count"
+    ).agg(F.min("c").alias("est_count"))
+    return est.select(
+        "word",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch's two-sample t-test (unequal variances): the A/B-experiment readout.
+# --------------------------------------------------------------------------
+_AB_GROUP_A = "purchase"
+_AB_GROUP_B = "click"
+
+
+@register(
+    "ab_test_welch",
+    tags=("stats", "agg"),
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   AVG(value) AS m,
+                   VAR_SAMP(value) AS s2
+            FROM events
+            WHERE event_type IN ('{_AB_GROUP_A}', '{_AB_GROUP_B}')
+            GROUP BY event_type
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN event_type = '{_AB_GROUP_A}' THEN n END) AS n_a,
+                MAX(CASE WHEN event_type = '{_AB_GROUP_A}' THEN m END) AS m_a,
+                MAX(CASE WHEN event_type = '{_AB_GROUP_A}' THEN s2 END) AS s2_a,
+                MAX(CASE WHEN event_type = '{_AB_GROUP_B}' THEN n END) AS n_b,
+                MAX(CASE WHEN event_type = '{_AB_GROUP_B}' THEN m END) AS m_b,
+                MAX(CASE WHEN event_type = '{_AB_GROUP_B}' THEN s2 END) AS s2_b
+            FROM g
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, ROUND(m_a, 6) AS mean_a,
+               CAST(n_b AS BIGINT) AS n_b, ROUND(m_b, 6) AS mean_b,
+               ROUND(m_a - m_b, 6) AS mean_diff,
+               ROUND((m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b), 6)
+                   AS t_stat,
+               ROUND(
+                   POW(s2_a / n_a + s2_b / n_b, 2)
+                   / (POW(s2_a / n_a, 2) / (n_a - 1)
+                      + POW(s2_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+        FROM w
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic comparing `value`
+    between two event types (the A/B readout over an event log), with the
+    Welch–Satterthwaite effective degrees of freedom.
+
+    One conditional hash aggregate computes both arms' (n, mean, s²) in a
+    single corpus pass — partial aggregation collapses map-side, the final
+    arithmetic runs on a 1-row frame. The filter on the two arms reaches
+    the parquet scan (PushedFilters: In(event_type)); at 100 TB this is a
+    pruned single-scan job with a kilobyte shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_AB_GROUP_A, _AB_GROUP_B)
+    )
+    arm = lambda t, c: F.max(F.when(F.col("event_type") == t, c))
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    w = g.agg(
+        arm(_AB_GROUP_A, F.col("n")).alias("n_a"),
+        arm(_AB_GROUP_A, F.col("m")).alias("m_a"),
+        arm(_AB_GROUP_A, F.col("s2")).alias("s2_a"),
+        arm(_AB_GROUP_B, F.col("n")).alias("n_b"),
+        arm(_AB_GROUP_B, F.col("m")).alias("m_b"),
+        arm(_AB_GROUP_B, F.col("s2")).alias("s2_b"),
+    )
+    se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("m_a", 6).alias("mean_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("s2_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("s2_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
     )
