@@ -549,3 +549,39 @@ def test_seasonal_decompose_reduces_before_joining(spark):
     plan = _plan(spark, "seasonal_decompose_events")
     assert "SortMergeJoin" not in plan
     assert "partial_avg" in plan
+
+
+def test_scd2_single_exchange_for_window_chain(spark):
+    """The SCD2 build stacks two windows + an aggregate, all keyed on
+    user_id: Catalyst must plan ONE shuffle for the whole chain."""
+    plan = _plan(spark, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_test_welch_pushes_arm_filter(spark):
+    plan = _plan(spark, "ab_test_welch")
+    assert "PushedFilters: [In(event_type" in plan
+
+
+def test_countmin_sketch_broadcast_query_side(spark):
+    """The CM query side (probes x cells) must broadcast — the corpus is
+    touched only by the build and true-count aggregates."""
+    plan = _plan(spark, "sketch_countmin_words")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_bigram_no_allpairs_and_pruned_scan(spark):
+    plan = _plan(spark, "lm_bigram_cross_entropy")
+    assert "CartesianProduct" not in plan
+    m = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert m and all("source" not in g and "lang" not in g for g in m)
+
+
+def test_dsir_model_broadcast_onto_feature_stream(spark):
+    """The 64-row bucket model joins back by broadcast; the only exchanges
+    are the bucket-count and per-doc aggregates."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

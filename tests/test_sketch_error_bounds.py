@@ -82,3 +82,28 @@ def test_gk_percentiles_within_rank_error(spark):
                 lo_rank,
                 hi_rank,
             )
+
+
+def test_countmin_never_underestimates(spark):
+    """The count-min guarantee: est(x) >= true(x) for every point query,
+    and est(x) <= true(x) + N/w in expectation-ish (checked loosely at 4x
+    the expected bound so hash luck can't flake the suite)."""
+    from dblp_to_csv_spark.operators.statistics import CM_WIDTH
+    from dblp_to_csv_spark.registry import all_queries
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = (
+        all_queries()["sketch_countmin_words"]
+        .fn(spark, SF_CORRECTNESS)
+        .collect()
+    )
+    assert rows, "sketch produced no probe rows"
+    total_tokens = sum(r.true_count for r in rows)  # lower bound on N
+    for r in rows:
+        assert r.est_count >= r.true_count, r
+        assert r.overestimate == r.est_count - r.true_count
+    # loose upper bound: the min over 4 rows rarely exceeds 4 * N / w
+    # (true N >= sum of top-20 counts; use a generous multiple of that)
+    n_floor = total_tokens
+    for r in rows:
+        assert r.overestimate <= max(64, 16 * n_floor // CM_WIDTH), r
