@@ -726,3 +726,201 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002; the
+# bottom-k theta sketch): keep the k smallest hash values of the key set;
+# D ≈ (k−1)/v_k. Engine-portable md5 hashing makes the whole estimator —
+# and its set-operation algebra — DuckDB-oracle-checkable, the property the
+# native HLL sketch (approx_distinct_users) can't give.
+# --------------------------------------------------------------------------
+KMV_K = 64
+
+# md5-slice → uniform double in (0, 1]: first 8 hex chars as a 32-bit int,
+# +1 so 0 is excluded (v_k = 0 would blow up the estimator).
+_KMV_HASH_SQL = (
+    "((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT + 1)"
+    " / 4294967296.0)"
+)
+
+
+def _kmv_hash() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+
+
+@register(
+    "sketch_kmv_distinct",
+    tags=("sketch", "approx"),
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS v FROM events
+        ),
+        ranked AS (
+            SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                       AS rn
+            FROM hashed
+        ),
+        sk AS (
+            SELECT event_type, MAX(v) AS vk, COUNT(*) AS k_used
+            FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, COUNT(*) AS n_vals
+            FROM hashed GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_vals AS BIGINT) AS exact_distinct,
+               ROUND(CASE WHEN k_used < {KMV_K} THEN k_used
+                          ELSE ({KMV_K} - 1) / vk END, 4) AS kmv_estimate,
+               ROUND(ABS(CASE WHEN k_used < {KMV_K} THEN k_used
+                              ELSE ({KMV_K} - 1) / vk END - n_vals)
+                     / n_vals, 4) AS rel_error
+        FROM sk JOIN exact USING (event_type)
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type: hash each key to (0,1],
+    keep the k smallest, estimate D = (k−1)/v_k (exact when fewer than k
+    keys exist). The output carries the exact count and the realized
+    relative error, so the sketch's accuracy is part of the verified result.
+
+    Scale shape: distinct → hash → rank-filter. Spark executes the rank
+    filter as WindowGroupLimit (per-partition partial top-k BEFORE the
+    exchange — plan-gated), so each partition forwards ≤k hash values per
+    group: the sketch property (tiny mergeable state) is realized in the
+    physical plan, not just the math. The estimator's ±1/√k error is what
+    you trade for never shuffling the key set at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select("event_type", "user_id").distinct().select(
+        "event_type", _kmv_hash().alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)  # constant bound → WindowGroupLimit
+        .groupBy("event_type")
+        .agg(F.max("v").alias("vk"), F.count("*").alias("k_used"))
+    )
+    exact = hashed.groupBy("event_type").agg(F.count("*").alias("n_vals"))
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        (KMV_K - 1) / F.col("vk")
+    )
+    return sketch.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_vals").cast("long").alias("exact_distinct"),
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_vals")) / F.col("n_vals"), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
+# KMV set algebra: two sketches union by re-ranking the merged value sets;
+# the Jaccard of the pair is the fraction of the union-sketch's k values
+# present in both sides (Beyer et al. 2007) — intersection size follows.
+_KMV_SET_A = "view"
+_KMV_SET_B = "purchase"
+
+
+@register(
+    "sketch_kmv_set_ops",
+    tags=("sketch", "approx", "setop"),
+    oracle=f"""
+        WITH hashed AS (
+            SELECT user_id, {_KMV_HASH_SQL} AS v,
+                   BOOL_OR(event_type = '{_KMV_SET_A}') AS in_a,
+                   BOOL_OR(event_type = '{_KMV_SET_B}') AS in_b
+            FROM events
+            WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}')
+            GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT v, in_a, in_b,
+                   ROW_NUMBER() OVER (ORDER BY v, in_a, in_b) AS rn,
+                   COUNT(*) OVER () AS n_vals
+            FROM hashed
+        ),
+        sketch AS (SELECT * FROM ranked WHERE rn <= LEAST(n_vals, {KMV_K})),
+        agg AS (
+            SELECT MAX(v) AS vk, CAST(COUNT(*) AS BIGINT) AS k_used,
+                   SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) * 1.0
+                       / COUNT(*) AS jacc,
+                   MAX(n_vals) AS n_union
+            FROM sketch
+        ),
+        exact AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+                   CAST(COUNT(*) FILTER (in_a AND in_b) AS BIGINT)
+                       AS exact_intersection
+            FROM hashed
+        )
+        SELECT k_used,
+               ROUND(CASE WHEN n_union <= {KMV_K} THEN n_union
+                          ELSE ({KMV_K} - 1) / vk END, 4) AS est_union,
+               ROUND(jacc, 4) AS est_jaccard,
+               ROUND(jacc * CASE WHEN n_union <= {KMV_K} THEN n_union
+                                 ELSE ({KMV_K} - 1) / vk END, 4)
+                   AS est_intersection,
+               exact_union, exact_intersection
+        FROM agg CROSS JOIN exact
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra over two user sets (viewers vs purchasers):
+    the union sketch is the k smallest hashes of the merged key set, the
+    Jaccard estimate is the fraction of those k values belonging to both
+    sides, and |A∩B| ≈ Ĵ · |A∪B|̂ — the theta-sketch intersection recipe,
+    fully oracle-checked next to the exact counts.
+
+    One pruned scan (In filter pushed), one per-user aggregate carrying two
+    membership bits, one global bottom-k. The bottom-k is orderBy + limit —
+    Spark plans TakeOrderedAndProject (each partition forwards its local
+    bottom-k, the exchange carries ≤k·partitions rows), NOT a single-
+    partition global window. This is how cross-segment overlap/reach is
+    answered at 100 TB — sketches merge; exact COUNT DISTINCT intersections
+    don't."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B)
+    )
+    hashed = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == _KMV_SET_A).alias("in_a"),
+        F.max(F.col("event_type") == _KMV_SET_B).alias("in_b"),
+    ).select(_kmv_hash().alias("v"), "in_a", "in_b")
+    # Global bottom-k without a global window: TakeOrderedAndProject.
+    # Secondary sort keys pin the cut when two keys hash-collide on v.
+    sketch = hashed.orderBy("v", "in_a", "in_b").limit(KMV_K)
+    agg = sketch.agg(
+        F.max("v").alias("vk"),
+        F.count("*").cast("long").alias("k_used"),
+        (
+            F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+            * 1.0
+            / F.count("*")
+        ).alias("jacc"),
+    )
+    exact = hashed.agg(
+        F.count("*").cast("long").alias("exact_union"),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1))
+        .cast("long")
+        .alias("exact_intersection"),
+    )
+    agg = agg.crossJoin(
+        F.broadcast(exact.select(F.col("exact_union").alias("n_union")))
+    )
+    est_u = F.when(F.col("n_union") <= KMV_K, F.col("n_union")).otherwise(
+        (KMV_K - 1) / F.col("vk")
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "k_used",
+        F.round(est_u, 4).alias("est_union"),
+        F.round("jacc", 4).alias("est_jaccard"),
+        F.round(F.col("jacc") * est_u, 4).alias("est_intersection"),
+        "exact_union",
+        "exact_intersection",
+    )

@@ -585,3 +585,14 @@ def test_dsir_model_broadcast_onto_feature_stream(spark):
     plan = _plan(spark, "dsir_importance_weights")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_sketch_partial_topk_shapes(spark):
+    """KMV sketches must realize the bottom-k as partial per-partition
+    work: WindowGroupLimit for the per-group sketch, TakeOrderedAndProject
+    for the global one — never a single-partition global window."""
+    plan = _plan(spark, "sketch_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    plan2 = _plan(spark, "sketch_kmv_set_ops")
+    assert "TakeOrderedAndProject" in plan2
+    assert "Window" not in plan2  # no global-window fallback

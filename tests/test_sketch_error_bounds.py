@@ -107,3 +107,26 @@ def test_countmin_never_underestimates(spark):
     n_floor = total_tokens
     for r in rows:
         assert r.overestimate <= max(64, 16 * n_floor // CM_WIDTH), r
+
+
+def test_kmv_estimates_within_relative_error(spark):
+    """KMV with k=64 has std error 1/sqrt(k-2) ~ 12.7%; gate at 4 sigma so
+    hash luck can't flake, and pin the exact-when-small branch."""
+    from dblp_to_csv_spark.registry import all_queries
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = all_queries()["sketch_kmv_distinct"].fn(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        if r.exact_distinct < 64:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            assert r.rel_error <= 0.51, r
+
+    ops = all_queries()["sketch_kmv_set_ops"].fn(spark, SF_CORRECTNESS).collect()[0]
+    assert ops.k_used >= 1
+    assert abs(ops.est_union - ops.exact_union) / ops.exact_union <= 0.51
+    # intersection compounds union + Jaccard error; loose sanity envelope
+    assert abs(ops.est_intersection - ops.exact_intersection) <= max(
+        32, 0.75 * ops.exact_union
+    )
