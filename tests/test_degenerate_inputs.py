@@ -128,6 +128,12 @@ def empty_docs_sf(tmp_path):
         "augment_span_corrupt",
         "training_epoch_order",
         "contrastive_pairs_dataset",
+        # round-9 additions: corpus-trained LM scoring, DSIR models, and
+        # the count-min probe set must all degrade to empty (empty count
+        # tables, empty bucket models, empty top-k) rather than erroring
+        "lm_bigram_cross_entropy",
+        "dsir_importance_weights",
+        "sketch_countmin_words",
     ],
 )
 def test_curation_ops_survive_empty_documents(spark, empty_docs_sf, name):
@@ -311,3 +317,34 @@ def test_constraint_audit_empty_orders_all_zero(spark, empty_all_sf):
         for r in _entry("constraint_audit_orders").fn(spark, empty_all_sf).collect()
     }
     assert len(rows) == 5 and set(rows.values()) == {0}
+
+
+def test_scd2_and_transitions_on_minimal_log(spark, empty_docs_sf):
+    """A 2-event single-user, single-type log: SCD2 collapses to ONE open
+    version; the transition matrix is the single self-loop with p=1."""
+    rows = _entry("scd2_user_state").fn(spark, empty_docs_sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.version, r.state, r.is_current, r.n_events) == (1, "view", True, 2)
+    assert r.valid_to is None
+
+    tm = _entry("event_transition_matrix").fn(spark, empty_docs_sf).collect()
+    assert len(tm) == 1
+    assert (tm[0].prev_type, tm[0].next_type, tm[0].n) == ("view", "view", 1)
+    assert tm[0].p_next_given_prev == 1.0
+
+
+def test_welch_with_both_arms_absent(spark, empty_docs_sf):
+    """No purchase/click rows at all: the 1-row readout must come back with
+    NULL statistics (no division error), mirroring the oracle's shape."""
+    rows = _entry("ab_test_welch").fn(spark, empty_docs_sf).collect()
+    assert len(rows) == 1
+    assert rows[0].t_stat is None and rows[0].n_a is None
+
+
+def test_acf_single_pair_yields_null_corr(spark, empty_docs_sf):
+    """Two hourly points -> lag-1 has ONE pair: corr of a single point is
+    undefined and must surface as NULL, not NaN or an error."""
+    rows = _entry("acf_event_values").fn(spark, empty_docs_sf).collect()
+    by_lag = {r.lag: r for r in rows}
+    assert by_lag[1].n_pairs == 1 and by_lag[1].acf is None
