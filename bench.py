@@ -80,6 +80,10 @@ PIPELINE_BENCH = [
     # round-9 additions (series totals compare on the shared prefix)
     "retrieval_eval_bm25",
     "similarity_eval_recall",
+    # round-9 session 2: corpus-trained LM scoring + DSIR selection —
+    # the two new corpus-scale admission signals
+    "lm_bigram_cross_entropy",
+    "dsir_importance_weights",
 ]
 
 
