@@ -924,3 +924,97 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersection",
     )
+
+
+# --------------------------------------------------------------------------
+# AQP: approximate aggregates from a deterministic uniform sample, with the
+# realized error next to the exact answer. The BlinkDB/quickstats pattern —
+# answer COUNT/SUM/median from a 1/16 hash sample and scale up — made
+# engine-portable by the md5-prefix draw (same rows on every engine/run),
+# so the "approximate" path is itself hash-verifiable.
+# --------------------------------------------------------------------------
+AQP_HEX_DIGIT = "0"  # md5 first hex char == '0' → exactly-1/16 expected rate
+AQP_SCALE = 16
+
+
+@register(
+    "aqp_sample_estimates",
+    tags=("approx", "sampling", "agg"),
+    oracle=f"""
+        WITH sampled AS (
+            SELECT o_orderstatus, o_totalprice,
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       = '{AQP_HEX_DIGIT}' AS in_sample
+            FROM orders
+        ),
+        est AS (
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (in_sample) * {AQP_SCALE} AS est_count,
+                   SUM(o_totalprice) FILTER (in_sample) * {AQP_SCALE}
+                       AS est_sum,
+                   quantile_cont(o_totalprice, 0.5) FILTER (in_sample)
+                       AS sample_p50,
+                   COUNT(*) AS exact_count,
+                   SUM(o_totalprice) AS exact_sum,
+                   quantile_cont(o_totalprice, 0.5) AS exact_p50
+            FROM sampled GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(est_count AS BIGINT) AS est_count,
+               ROUND(ABS(est_count - exact_count) * 1.0 / exact_count, 4)
+                   AS count_rel_err,
+               ROUND(exact_sum, 2) AS exact_sum,
+               ROUND(est_sum, 2) AS est_sum,
+               ROUND(ABS(est_sum - exact_sum) / exact_sum, 4) AS sum_rel_err,
+               ROUND(exact_p50, 4) AS exact_p50,
+               ROUND(sample_p50, 4) AS sample_p50
+        FROM est
+    """,
+)
+def aqp_sample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based approximate query processing: per-status COUNT, SUM,
+    and median answered from the deterministic 1/16 md5 sample (scaled up),
+    reported NEXT TO the exact answers and realized errors — the dashboard
+    pattern where a 6% scan answers in 1/16th the IO and the error column
+    says whether that was good enough.
+
+    Both the sample and exact aggregates come from ONE scan and ONE
+    conditional hash aggregate (FILTER-style conditional aggregation — the
+    sample is a flag, not a second read). At 100 TB the production shape
+    drops the exact columns and the scan reads 1/16 of the row groups when
+    the sample flag is materialized as a partition/layout key at ingest;
+    here both sides are kept so the error is part of the verified output.
+    The md5 draw makes the sample identical across engines, so even the
+    approximate numbers hash-match the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    in_s = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+        == AQP_HEX_DIGIT
+    )
+    price_s = F.when(in_s, F.col("o_totalprice"))
+    est = orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(in_s, 1)).alias("s_count"),
+        F.sum(price_s).alias("s_sum"),
+        F.percentile(price_s, 0.5).alias("sample_p50_raw"),
+        F.count("*").alias("exact_count"),
+        F.sum("o_totalprice").alias("exact_sum_raw"),
+        F.percentile(F.col("o_totalprice"), 0.5).alias("exact_p50_raw"),
+    )
+    est_count = F.col("s_count") * AQP_SCALE
+    est_sum = F.col("s_sum") * AQP_SCALE
+    return est.select(
+        "o_orderstatus",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        est_count.cast("long").alias("est_count"),
+        F.round(
+            F.abs(est_count - F.col("exact_count")) * 1.0 / F.col("exact_count"), 4
+        ).alias("count_rel_err"),
+        F.round("exact_sum_raw", 2).alias("exact_sum"),
+        F.round(est_sum, 2).alias("est_sum"),
+        F.round(F.abs(est_sum - F.col("exact_sum_raw")) / F.col("exact_sum_raw"), 4).alias(
+            "sum_rel_err"
+        ),
+        F.round("exact_p50_raw", 4).alias("exact_p50"),
+        F.round("sample_p50_raw", 4).alias("sample_p50"),
+    )

@@ -596,3 +596,11 @@ def test_kmv_sketch_partial_topk_shapes(spark):
     plan2 = _plan(spark, "sketch_kmv_set_ops")
     assert "TakeOrderedAndProject" in plan2
     assert "Window" not in plan2  # no global-window fallback
+
+
+def test_aqp_single_scan_conditional_agg(spark):
+    """Sample and exact aggregates must come from ONE scan (the sample is
+    a conditional-aggregation flag, not a second read or a self-join)."""
+    plan = _plan(spark, "aqp_sample_estimates")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
