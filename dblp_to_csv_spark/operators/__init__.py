@@ -16,3 +16,4 @@ import dblp_to_csv_spark.operators.pipeline  # noqa: F401
 import dblp_to_csv_spark.operators.curation  # noqa: F401
 import dblp_to_csv_spark.operators.drift  # noqa: F401
 import dblp_to_csv_spark.operators.graph  # noqa: F401
+import dblp_to_csv_spark.operators.association  # noqa: F401

@@ -1434,6 +1434,13 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties inside a user's sequence break on event_id (ingest order), matching
     the oracle's ORDER BY ts, event_id exactly."""
     ev = load_table(spark, sf_dir, "events")
+    return scd2_runs(ev)
+
+
+def scd2_runs(ev: DataFrame) -> DataFrame:
+    """The SCD2 run-collapse chain shared by `scd2_user_state` and the
+    point-in-time join: lag → change flag → running run id → per-run
+    aggregate → lead, all on the user_id partitioning (one exchange)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
@@ -1460,4 +1467,93 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
         "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join: fact rows looked up against a versioned dimension.
+# --------------------------------------------------------------------------
+_PIT_FACT = "purchase"
+
+
+@register(
+    "scd2_point_in_time_join",
+    tags=("join", "time", "cdc"),
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts,
+                   CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WHERE event_type <> '{_PIT_FACT}'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, state, ts,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS run_id
+            FROM ordered
+        ),
+        collapsed AS (
+            SELECT user_id, run_id, state, MIN(ts) AS valid_from
+            FROM runs GROUP BY user_id, run_id, state
+        ),
+        dim AS (
+            SELECT user_id, state, valid_from,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY valid_from) AS BIGINT) AS version,
+                   LEAD(valid_from) OVER (PARTITION BY user_id
+                        ORDER BY valid_from) AS valid_to
+            FROM collapsed
+        ),
+        facts AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = '{_PIT_FACT}'
+        )
+        SELECT f.event_id, f.user_id, f.ts, f.value,
+               d.state AS state_at, d.version AS state_version,
+               d.valid_from AS state_since
+        FROM facts f
+        LEFT JOIN dim d
+          ON d.user_id = f.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against a Type-2 slowly-changing
+    dimension: every `{_PIT_FACT}` fact row is joined to the state the user
+    was in WHEN it happened — the canonical warehouse/feature-store
+    temporal-correctness join (no leakage of future state into a training
+    example). The dimension is the SCD2 run history built from the
+    non-`{_PIT_FACT}` events (shared `scd2_runs` chain); facts that precede
+    a user's first state survive the left join with NULL state.
+
+    Plan shape: an equi-join on user_id with the validity interval as a
+    RESIDUAL predicate — NOT a range/interval explode. Because SCD2
+    intervals partition each user's timeline, every fact matches at most
+    one dimension row, so the join never amplifies. Both sides shuffle once
+    on user_id (the dimension chain already runs inside that exchange);
+    at 100 TB this is a co-partitioned fact-dim merge where the dimension
+    side is versions, not events — orders of magnitude smaller."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_runs(ev.filter(F.col("event_type") != _PIT_FACT)).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("state").alias("state_at"),
+        F.col("version").alias("state_version"),
+        F.col("valid_from").alias("state_since"),
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == _PIT_FACT).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (facts.user_id == dim.d_user_id)
+        & (facts.ts >= dim.state_since)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to))
+    )
+    return facts.join(dim, cond, "left").select(
+        "event_id", "user_id", "ts", "value",
+        "state_at", "state_version", "state_since",
     )

@@ -1018,3 +1018,407 @@ def aqp_sample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_p50_raw", 4).alias("exact_p50"),
         F.round("sample_p50_raw", 4).alias("sample_p50"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: the profiling/visualization primitive.
+# --------------------------------------------------------------------------
+HIST_BINS = 16
+
+
+@register(
+    "histogram_equiwidth_prices",
+    tags=("stats", "agg", "profiling"),
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(l_extendedprice) AS lo,
+                   MAX(l_extendedprice) AS hi,
+                   COUNT(*) AS total
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT LEAST(CAST(FLOOR((l_extendedprice - bounds.lo)
+                          / ((bounds.hi - bounds.lo) / {HIST_BINS})) AS BIGINT),
+                         {HIST_BINS - 1}) AS bin
+            FROM lineitem, bounds
+        )
+        SELECT bin,
+               ROUND(bounds.lo + bin * ((bounds.hi - bounds.lo) / {HIST_BINS}), 6)
+                   AS bin_lo,
+               ROUND(bounds.lo + (bin + 1) * ((bounds.hi - bounds.lo) / {HIST_BINS}), 6)
+                   AS bin_hi,
+               COUNT(*) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(bounds.total AS DOUBLE), 6)
+                   AS frac
+        FROM binned, bounds
+        GROUP BY bin, bounds.lo, bounds.hi, bounds.total
+    """,
+)
+def histogram_equiwidth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice in {HIST_BINS} bins — the
+    profiling primitive behind every distribution dashboard and the
+    optimizer-statistics shape (Spark's own CBO column histograms are built
+    exactly like this).
+
+    Two passes over the column, both trivially parallel: a (min, max, count)
+    bounds aggregate that collapses to ONE row (broadcast to every task),
+    then a bin-assignment projection feeding a {HIST_BINS}-group hash
+    aggregate — partial aggregation collapses each partition to ≤{HIST_BINS}
+    rows, so the shuffle moves kilobytes at any corpus size. Bin arithmetic
+    is the same IEEE expression on both engines (floor((x−lo)/width) with
+    the top edge clamped into the last bin), so the histogram hash-matches
+    the oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").alias("total"),
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("long"),
+            F.lit(HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "total",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi", "total")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: the forensic data-quality screen.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "benford_digit_audit",
+    tags=("stats", "agg", "quality"),
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(FLOOR(o_totalprice
+                       / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit
+            FROM orders
+            WHERE o_totalprice > 0
+        ),
+        counted AS (
+            SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+        ),
+        total AS (SELECT SUM(n) AS total_n FROM counted),
+        scored AS (
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / CAST(total.total_n AS DOUBLE)
+                       AS observed_p,
+                   LOG10(1.0 + 1.0 / digit) AS expected_p,
+                   total.total_n AS total_n
+            FROM counted, total
+        ),
+        chi AS (
+            SELECT SUM(
+                POWER(n - total_n * expected_p, 2) / (total_n * expected_p)
+            ) AS chi2 FROM scored
+        )
+        SELECT digit,
+               CAST(n AS BIGINT) AS n,
+               ROUND(observed_p, 6) AS observed_p,
+               ROUND(expected_p, 6) AS expected_p,
+               ROUND(chi.chi2, 4) AS chi2_total
+        FROM scored, chi
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals: the
+    forensic screen for fabricated or truncated numeric columns (naturally
+    occurring multi-scale amounts follow P(d) = log10(1+1/d); injected or
+    clamped data does not). Emits the observed vs expected digit
+    distribution plus the Pearson chi-square statistic against Benford.
+
+    One scan: the first digit is pure arithmetic
+    (floor(x / 10^floor(log10 x)) — both engines' log10 is exact on powers
+    of ten, so the digit never straddles an ulp), the digit histogram is a
+    9-group hash aggregate with map-side collapse, and the chi-square folds
+    the 9-row table through a 1-row broadcast. At 100 TB this is the
+    cheapest audit in the book: kilobytes of shuffle, no joins against the
+    fact table."""
+    digits = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counted = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counted.agg(F.sum("n").alias("total_n"))
+    scored = counted.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total_n").cast("double")).alias(
+            "observed_p"
+        ),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")).alias("expected_p"),
+        "total_n",
+    )
+    chi = scored.agg(
+        F.sum(
+            F.pow(F.col("n") - F.col("total_n") * F.col("expected_p"), 2)
+            / (F.col("total_n") * F.col("expected_p"))
+        ).alias("chi2")
+    )
+    return scored.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round("observed_p", 6).alias("observed_p"),
+        F.round("expected_p", 6).alias("expected_p"),
+        F.round("chi2", 4).alias("chi2_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U: the nonparametric A/B readout (rank-sum, tie-corrected).
+# --------------------------------------------------------------------------
+_MW_GROUP_A = "purchase"
+_MW_GROUP_B = "click"
+
+
+@register(
+    "ab_test_mann_whitney",
+    tags=("stats", "agg", "window"),
+    oracle=f"""
+        WITH arms AS (
+            SELECT value, event_type FROM events
+            WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
+        ),
+        grp AS (
+            SELECT value,
+                   COUNT(*) FILTER (event_type = '{_MW_GROUP_A}') AS na,
+                   COUNT(*) FILTER (event_type = '{_MW_GROUP_B}') AS nb
+            FROM arms GROUP BY value
+        ),
+        ranked AS (
+            SELECT na, nb, na + nb AS t,
+                   COALESCE(SUM(na + nb) OVER (
+                       ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM grp
+        ),
+        agg AS (
+            SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+                   CAST(SUM(nb) AS BIGINT) AS n_b,
+                   CAST(SUM(na) + SUM(nb) AS BIGINT) AS n,
+                   CAST(SUM(na * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term,
+                   CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tie_groups
+            FROM ranked
+        )
+        SELECT n_a, n_b, tie_groups,
+               ROUND((r2a - n_a * (n_a + 1)) / 2.0, 2) AS u_a,
+               ROUND(CAST(n_a * n_b AS DOUBLE) / 2.0, 2) AS mean_u,
+               ROUND(
+                   ((r2a - n_a * (n_a + 1)) / 2.0
+                    - CAST(n_a * n_b AS DOUBLE) / 2.0)
+                   / SQRT((CAST(n_a * n_b AS DOUBLE) / 12.0)
+                          * (CAST(n + 1 AS DOUBLE)
+                             - CAST(tie_term AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE))), 6) AS z
+        FROM agg
+    """,
+)
+def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between two
+    event arms — the nonparametric twin of `ab_test_welch` for skewed or
+    outlier-heavy metrics, with the tie-corrected normal approximation.
+
+    The classic formulation needs a GLOBAL rank of every observation — a
+    total sort. This implementation uses the identity that rank sums only
+    depend on the grouped value histogram: aggregate both arms' counts per
+    distinct value (one hash aggregate over the corpus), then a cumulative
+    window over the VALUE DOMAIN (thousands of groups, not billions of
+    rows) yields every group's average rank. Doubling the rank
+    (2·cum_before + t + 1) keeps the whole computation in BIGINT, so the
+    final U/z doubles are bit-identical to the oracle. At 100 TB the only
+    corpus-sized operation is the per-value count; the single-partition
+    window runs over the bounded distinct-value table — the same
+    grouped-domain pattern the drift and quantile operators use."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B)
+    )
+    grp = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == _MW_GROUP_A, 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == _MW_GROUP_B, 1)).alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)
+        ).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        (F.sum("na") + F.sum("nb")).cast("long").alias("n"),
+        F.sum(
+            F.col("na") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).cast("long").alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("tie_groups"),
+    )
+    u_a = (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    mean_u = (F.col("n_a") * F.col("n_b")).cast("double") / 2.0
+    sigma2 = ((F.col("n_a") * F.col("n_b")).cast("double") / 12.0) * (
+        (F.col("n") + 1).cast("double")
+        - F.col("tie_term").cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "tie_groups",
+        F.round(u_a, 2).alias("u_a"),
+        F.round(mean_u, 2).alias("mean_u"),
+        F.round((u_a - mean_u) / F.sqrt(sigma2), 6).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation: scoring against broadcast tercile cutpoints.
+# --------------------------------------------------------------------------
+_RFM_T1 = 0.33333333
+_RFM_T2 = 0.66666667
+
+
+@register(
+    "orders_rfm_segments",
+    tags=("agg", "segmentation", "warehouse"),
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        ref AS (SELECT MAX(last_order) AS ref_date FROM base),
+        rfm AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_order, ref.ref_date) AS BIGINT)
+                       AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency, monetary
+            FROM base, ref
+        ),
+        cut AS (
+            SELECT
+                quantile_cont(recency_days, CAST({_RFM_T1} AS DOUBLE)) AS r1,
+                quantile_cont(recency_days, CAST({_RFM_T2} AS DOUBLE)) AS r2,
+                quantile_cont(frequency, CAST({_RFM_T1} AS DOUBLE)) AS f1,
+                quantile_cont(frequency, CAST({_RFM_T2} AS DOUBLE)) AS f2,
+                quantile_cont(monetary, CAST({_RFM_T1} AS DOUBLE)) AS m1,
+                quantile_cont(monetary, CAST({_RFM_T2} AS DOUBLE)) AS m2
+            FROM rfm
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   CASE WHEN recency_days <= cut.r1 THEN 3
+                        WHEN recency_days <= cut.r2 THEN 2 ELSE 1 END AS r_score,
+                   CASE WHEN frequency >= cut.f2 THEN 3
+                        WHEN frequency >= cut.f1 THEN 2 ELSE 1 END AS f_score,
+                   CASE WHEN monetary >= cut.m2 THEN 3
+                        WHEN monetary >= cut.m1 THEN 2 ELSE 1 END AS m_score
+            FROM rfm, cut
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    warehouse-classic scoring that feeds churn and campaign models. Each
+    customer's three measures are scored 1-3 against GLOBAL tercile
+    cutpoints and concatenated into the familiar '333'…'111' segment label
+    (recency inverted: recent = high score).
+
+    The naive formulation is three global NTILE windows — three
+    single-partition sorts over every customer. This one computes the six
+    cutpoints in ONE 1-row percentile aggregate and broadcasts them back as
+    a scoring projection: per-customer aggregate (one shuffle on custkey),
+    then map-side-only comparisons — the `quartile_labels_by_cutpoint`
+    discipline applied to a composite segmentation. Monetary is rounded to
+    cents BEFORE cutpoints and comparisons on both engines, so sum-order
+    ulp drift can never flip a boundary customer's score."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    ref = base.agg(F.max("last_order").alias("ref_date"))
+    rfm = base.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+    cut = rfm.agg(
+        F.percentile("recency_days", _RFM_T1).alias("r1"),
+        F.percentile("recency_days", _RFM_T2).alias("r2"),
+        F.percentile("frequency", _RFM_T1).alias("f1"),
+        F.percentile("frequency", _RFM_T2).alias("f2"),
+        F.percentile("monetary", _RFM_T1).alias("m1"),
+        F.percentile("monetary", _RFM_T2).alias("m2"),
+    )
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("r1"), 3)
+        .when(F.col("recency_days") <= F.col("r2"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") >= F.col("f2"), 3)
+        .when(F.col("frequency") >= F.col("f1"), 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("monetary") >= F.col("m2"), 3)
+        .when(F.col("monetary") >= F.col("m1"), 2)
+        .otherwise(1)
+    )
+    return rfm.crossJoin(F.broadcast(cut)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat(
+            r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+        ).alias("segment"),
+    )

@@ -853,3 +853,147 @@ def acf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.round(F.corr("x", "y"), 6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection over the hourly series.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "changepoint_cusum_events",
+    tags=("window", "time", "stats"),
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        centered AS (
+            SELECT event_type, h, v,
+                   v - AVG(v) OVER (PARTITION BY event_type) AS dev
+            FROM hourly
+        ),
+        cusum AS (
+            SELECT event_type, h,
+                   ROUND(ABS(SUM(dev) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )), 6) AS abs_s
+            FROM centered
+        ),
+        ranked AS (
+            SELECT event_type, h, abs_s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY abs_s DESC, h
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+            FROM cusum
+        )
+        SELECT event_type, h AS change_hour, abs_s AS max_abs_cusum,
+               CAST(n_hours AS BIGINT) AS n_hours
+        FROM ranked WHERE rn = 1
+    """,
+)
+def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the hour where the
+    cumulative sum of deviations from the series mean peaks in magnitude —
+    the classic single-change-point estimator behind pipeline drift alarms
+    (a level shift at time τ makes |S_t| a tent peaking at τ).
+
+    The corpus collapses to the |types|×|hours| hourly series FIRST; the
+    mean-centering, running sum, and argmax windows all run on that reduced
+    frame, partitioned by event_type (never a corpus-sized window). The
+    cumulative sum is evaluated in the same h-order on both engines, and
+    |S| is rounded BEFORE the argmax so a last-ulp aggregation difference
+    can never flip which hour wins (ties break on the earlier hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    wtype = Window.partitionBy("event_type")
+    centered = hourly.select(
+        "event_type", "h", (F.col("v") - F.avg("v").over(wtype)).alias("dev")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = centered.select(
+        "event_type",
+        "h",
+        F.round(F.abs(F.sum("dev").over(wcum)), 6).alias("abs_s"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(F.desc("abs_s"), "h")
+    return (
+        cusum.select(
+            "event_type",
+            "h",
+            "abs_s",
+            F.row_number().over(wrank).alias("rn"),
+            F.count("*").over(wtype).cast("long").alias("n_hours"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.col("abs_s").alias("max_abs_cusum"),
+            "n_hours",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling exact median over the hourly series (order statistics as window
+# aggregates — the robust smoother percentile frames enable).
+# --------------------------------------------------------------------------
+ROLL_MEDIAN_WINDOW = 5
+
+
+@register(
+    "rolling_median_hourly",
+    tags=("window", "time", "stats"),
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, h,
+               ROUND(v, 6) AS v,
+               ROUND(quantile_cont(v, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {ROLL_MEDIAN_WINDOW - 1} PRECEDING
+                            AND CURRENT ROW
+               ), 6) AS med{ROLL_MEDIAN_WINDOW}
+        FROM hourly
+    """,
+)
+def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (trailing {ROLL_MEDIAN_WINDOW}-row frame) of each
+    event type's hourly mean series — the robust smoother that shrugs off
+    the spikes a rolling mean chases (the standard pre-filter for the
+    outlier/changepoint monitors). Exercises order statistics as WINDOW
+    aggregates (percentile over a row frame), a distinct capability from
+    the grouped percentiles elsewhere in the registry.
+
+    The corpus collapses to the hourly series first, so the percentile
+    frame holds ≤{ROLL_MEDIAN_WINDOW} values over a |types|×|hours| frame —
+    the sort inside each frame is constant-size. Both engines interpolate
+    the even-count median identically (linear, same IEEE doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(ROLL_MEDIAN_WINDOW - 1), Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "h",
+        F.round("v", 6).alias("v"),
+        F.round(F.percentile("v", 0.5).over(w), 6).alias(
+            f"med{ROLL_MEDIAN_WINDOW}"
+        ),
+    )

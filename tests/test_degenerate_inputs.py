@@ -288,6 +288,24 @@ def empty_all_sf(tmp_path):
         ),
         tmp_path / "orders.parquet",
     )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "l_partkey": pa.array([], type=pa.int64()),
+                "l_suppkey": pa.array([], type=pa.int64()),
+                "l_linenumber": pa.array([], type=pa.int32()),
+                "l_quantity": pa.array([], type=pa.float64()),
+                "l_extendedprice": pa.array([], type=pa.float64()),
+                "l_discount": pa.array([], type=pa.float64()),
+                "l_tax": pa.array([], type=pa.float64()),
+                "l_returnflag": pa.array([], type=pa.string()),
+                "l_linestatus": pa.array([], type=pa.string()),
+                "l_shipdate": pa.array([], type=pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
     return str(tmp_path)
 
 
@@ -348,3 +366,60 @@ def test_acf_single_pair_yields_null_corr(spark, empty_docs_sf):
     rows = _entry("acf_event_values").fn(spark, empty_docs_sf).collect()
     by_lag = {r.lag: r for r in rows}
     assert by_lag[1].n_pairs == 1 and by_lag[1].acf is None
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-9 session-3 additions: empty baskets (null quantile cutoff),
+        # empty price column (null bounds), empty digit stream — all must
+        # degrade to empty frames rather than erroring on null arithmetic
+        "cooccurrence_parts_pmi",
+        "histogram_equiwidth_prices",
+        "benford_digit_audit",
+    ],
+)
+def test_association_stats_survive_empty_tables(spark, empty_all_sf, name):
+    assert _entry(name).fn(spark, empty_all_sf).count() == 0
+
+
+def test_mann_whitney_with_both_arms_absent(spark, empty_docs_sf):
+    """No purchase/click rows: the 1-row readout surfaces NULL statistics
+    (null sums propagate through the exact-integer rank arithmetic) rather
+    than a division error — same contract as ab_test_welch."""
+    rows = _entry("ab_test_mann_whitney").fn(spark, empty_docs_sf).collect()
+    assert len(rows) == 1
+    assert rows[0].n_a is None and rows[0].z is None
+
+
+def test_scd2_pit_join_minimal_log(spark, tmp_path):
+    """One user: a purchase BEFORE any state row must survive the left join
+    with NULL state; a purchase after a state change must pick the run in
+    effect AT ITS TIMESTAMP (not the latest one)."""
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",  # purchase before any state -> NULL
+                    "2024-01-01 01:00:00",  # view state begins (v1)
+                    "2024-01-01 02:00:00",  # purchase during 'view'
+                    "2024-01-01 03:00:00",  # click state begins (v2)
+                    "2024-01-01 04:00:00",  # purchase during 'click'
+                ]
+            ),
+            "user_id": [7, 7, 7, 7, 7],
+            "event_type": ["purchase", "view", "purchase", "click", "purchase"],
+            "value": [1.0, 0.0, 2.0, 0.0, 3.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    rows = {
+        r.event_id: r
+        for r in _entry("scd2_point_in_time_join").fn(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 3
+    assert rows[1].state_at is None and rows[1].state_version is None
+    assert (rows[3].state_at, rows[3].state_version) == ("view", 1)
+    assert (rows[5].state_at, rows[5].state_version) == ("click", 2)

@@ -604,3 +604,52 @@ def test_aqp_single_scan_conditional_agg(spark):
     plan = _plan(spark, "aqp_sample_estimates")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan
+
+
+def test_cooccurrence_prunes_before_pair_join(spark):
+    """Market-basket PMI: the item-frequency table and quantile cutoff
+    attach by broadcast, and the per-basket pair expansion is an EQUI-join
+    on the basket key — never a cartesian."""
+    plan = _plan(spark, "cooccurrence_parts_pmi")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_histogram_single_column_scans(spark):
+    """Equi-width histogram: both passes (bounds, binning) read ONLY the
+    measured column, and the bounds attach by broadcast (no sort-merge)."""
+    plan = _plan(spark, "histogram_equiwidth_prices")
+    assert "SortMergeJoin" not in plan
+    for g in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "l_extendedprice" in g and "l_orderkey" not in g
+
+
+def test_benford_pushes_filter_and_prunes(spark):
+    plan = _plan(spark, "benford_digit_audit")
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    assert "SortMergeJoin" not in plan
+    for g in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert g.count("o_") == 1  # only the measured column
+
+
+def test_mann_whitney_single_scan_grouped_domain(spark):
+    """Rank-sum via the grouped value histogram: one corpus scan with the
+    arm filter pushed down; the only window runs over the distinct-value
+    domain (post-aggregate), not the row stream."""
+    plan = _plan(spark, "ab_test_mann_whitney")
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters: [In(event_type" in plan
+
+
+def test_scd2_pit_join_is_residual_equijoin(spark):
+    """The PIT lookup must plan as an equi-join on user_id with the
+    validity interval as a residual predicate — a BroadcastNestedLoopJoin
+    here would mean the non-equi conjuncts swallowed the equi key."""
+    plan = _plan(spark, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[user_id.*LeftOuter",
+        plan,
+    ), plan
