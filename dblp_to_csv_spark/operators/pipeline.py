@@ -1197,3 +1197,133 @@ def rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id", "chunk_idx")
         .limit(RAG_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram training-pair construction with word2vec frequency subsampling.
+# --------------------------------------------------------------------------
+SKIPGRAM_WINDOW = 2
+SUBSAMPLE_T = 0.001
+
+
+@register(
+    "skipgram_pairs_subsampled",
+    tags=("text", "training", "join"),
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {{words}} AS ws FROM documents),
+        tok0 AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS pos
+            FROM d
+        ),
+        tok AS (SELECT doc_id, pos, ws[pos] AS word FROM tok0),
+        freq AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        total AS (SELECT COUNT(*) AS total FROM tok),
+        kept AS (
+            SELECT doc_id, pos, word,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx
+            FROM tok JOIN freq USING (word), total
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(pos AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+                   / 4294967296.0
+                 < SQRT(CAST({SUBSAMPLE_T} AS DOUBLE) * total.total / freq.cnt)
+        ),
+        offs AS (SELECT UNNEST([{", ".join(str(i) for i in range(1, SKIPGRAM_WINDOW + 1))}]) AS d),
+        adj AS (
+            SELECT a.word AS w_a, b.word AS w_b
+            FROM kept a
+            CROSS JOIN offs o
+            JOIN kept b ON b.doc_id = a.doc_id AND b.idx = a.idx + o.d
+        ),
+        pairs AS (
+            SELECT w_a AS center, w_b AS context FROM adj
+            UNION ALL
+            SELECT w_b AS center, w_a AS context FROM adj
+        )
+        SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY center, context
+    """.format(words=_WORDS),
+)
+def skipgram_pairs_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair counts with word2vec
+    frequency subsampling (Mikolov et al. 2013): each token occurrence
+    survives with P = sqrt(t / f(w)) under a DETERMINISTIC md5 draw keyed on
+    (doc, position, word) — identical across engines, runs, and task
+    retries, the exactly-once property rand() cannot give. Survivors are
+    re-indexed per document (the compaction that widens effective context
+    past dropped stopwords — the word2vec behavior) and paired with
+    neighbors at offsets 1..{SKIPGRAM_WINDOW} in BOTH directions, then
+    collapsed to the (center, context, n) co-occurrence table that SGNS and
+    GloVe consume.
+
+    At 100 TB: the frequency table is the corpus vocabulary — broadcast
+    onto the token stream; the corpus total comes from SUMMING the
+    vocabulary table (no second corpus pass); the neighbor join is an
+    EQUI-join on (doc, idx+d) against a 2-row broadcast offset frame — the
+    ACF shifted-join shape, never a per-document quadratic window; pair
+    counts collapse map-side to ≤|vocab|² rows. The subsampled survivor
+    stream feeds BOTH sides of the neighbor join, so it is
+    parquet-checkpointed once: two corpus scans total (vocab build, pair
+    build) regardless of window size."""
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    freq = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"),
+                        "word",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            u < F.sqrt(F.lit(SUBSAMPLE_T) * F.col("total") / F.col("cnt"))
+        )
+        .select(
+            "doc_id",
+            "word",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("idx"),
+        )
+    )
+    kept_dir = session_checkpoint_dir("_sg_kept_")
+    kept.write.mode("overwrite").parquet(kept_dir)
+    kept = spark.read.parquet(kept_dir)
+    offs = spark.range(1, SKIPGRAM_WINDOW + 1).select(F.col("id").alias("d"))
+    shifted = kept.crossJoin(F.broadcast(offs)).select(
+        "doc_id",
+        (F.col("idx") + F.col("d")).alias("idx"),
+        F.col("word").alias("w_a"),
+    )
+    adj = shifted.join(
+        kept.select("doc_id", "idx", F.col("word").alias("w_b")),
+        ["doc_id", "idx"],
+    )
+    pairs = adj.select(
+        F.col("w_a").alias("center"), F.col("w_b").alias("context")
+    ).unionAll(
+        adj.select(F.col("w_b").alias("center"), F.col("w_a").alias("context"))
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").alias("n_pairs")
+    )

@@ -1373,13 +1373,25 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     then map-side-only comparisons — the `quartile_labels_by_cutpoint`
     discipline applied to a composite segmentation. Monetary is rounded to
     cents BEFORE cutpoints and comparisons on both engines, so sum-order
-    ulp drift can never flip a boundary customer's score."""
+    ulp drift can never flip a boundary customer's score.
+
+    The per-customer base aggregate feeds THREE consumers (reference date,
+    cutpoints, final scoring); it is parquet-checkpointed once so the
+    corpus is scanned exactly once and the rereads touch only the
+    customers-sized frame (same rationale as the MinHash candidate
+    checkpoint — cache()/localCheckpoint leak storage blocks with no
+    unpersist hook in a registered query)."""
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
+    base_dir = session_checkpoint_dir("_rfm_base_")
+    base.write.mode("overwrite").parquet(base_dir)
+    base = spark.read.parquet(base_dir)
     ref = base.agg(F.max("last_order").alias("ref_date"))
     rfm = base.crossJoin(F.broadcast(ref)).select(
         "o_custkey",

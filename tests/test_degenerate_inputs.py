@@ -423,3 +423,28 @@ def test_scd2_pit_join_minimal_log(spark, tmp_path):
     assert rows[1].state_at is None and rows[1].state_version is None
     assert (rows[3].state_at, rows[3].state_version) == ("view", 1)
     assert (rows[5].state_at, rows[5].state_version) == ("click", 2)
+
+
+def test_cusum_and_rolling_median_minimal_series(spark, empty_docs_sf):
+    """Two hourly points, one type: CUSUM peaks at the first hour with
+    |S1| = |v1 - mean| = 0.5; the rolling median warms up from the single
+    value to the two-point interpolated median."""
+    cp = _entry("changepoint_cusum_events").fn(spark, empty_docs_sf).collect()
+    assert len(cp) == 1
+    assert cp[0].event_type == "view" and cp[0].n_hours == 2
+    assert cp[0].max_abs_cusum == 0.5
+
+    rm = (
+        _entry("rolling_median_hourly")
+        .fn(spark, empty_docs_sf)
+        .orderBy("h")
+        .collect()
+    )
+    assert [r.med5 for r in rm] == [1.0, 1.5]
+
+
+def test_rfm_and_skipgram_survive_empty_tables(spark, empty_all_sf):
+    """Empty orders: every RFM cutpoint is NULL and zero customers score.
+    Empty documents: no tokens survive subsampling, zero pairs emit."""
+    assert _entry("orders_rfm_segments").fn(spark, empty_all_sf).count() == 0
+    assert _entry("skipgram_pairs_subsampled").fn(spark, empty_all_sf).count() == 0

@@ -653,3 +653,35 @@ def test_scd2_pit_join_is_residual_equijoin(spark):
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[user_id.*LeftOuter",
         plan,
     ), plan
+
+
+def test_changepoint_and_rolling_median_reduce_first(spark):
+    """Both hourly-series diagnostics: ONE corpus scan, no joins — every
+    window (centering, cumsum, argmax, percentile frame) runs on the
+    reduced |types|x|hours| frame, partitioned by event_type."""
+    for name in ["changepoint_cusum_events", "rolling_median_hourly"]:
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_rfm_scores_from_checkpointed_base(spark):
+    """RFM: the per-customer base is parquet-checkpointed, so the returned
+    plan must NOT rescan raw orders (o_totalprice never appears — the
+    checkpoint carries the rounded `monetary`); cutpoints and the reference
+    date attach as 1-row broadcasts, never a sort-merge join."""
+    plan = _plan(spark, "orders_rfm_segments")
+    assert "o_totalprice" not in plan
+    assert "_rfm_base_" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skipgram_pairs_from_checkpointed_survivors(spark):
+    """Skip-gram: the returned pair-build plan reads ONLY the checkpointed
+    survivor stream (no `text` tokenize rescan) and the neighbor join is an
+    equi-join on (doc_id, idx) — never a cartesian."""
+    plan = _plan(spark, "skipgram_pairs_subsampled")
+    assert "_sg_kept_" in plan
+    for g in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "text" not in g
+    assert "CartesianProduct" not in plan
