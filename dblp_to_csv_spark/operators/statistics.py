@@ -1434,3 +1434,86 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
         ).alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto revenue classification: the inventory-analytics classic.
+# --------------------------------------------------------------------------
+_ABC_A = 0.8
+_ABC_B = 0.95
+
+
+@register(
+    "parts_abc_pareto",
+    tags=("agg", "window", "warehouse"),
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+                        AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, rev_cents,
+                   SUM(rev_cents) OVER (
+                       ORDER BY rev_cents DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_cents,
+                   SUM(rev_cents) OVER () AS total_cents
+            FROM rev
+        )
+        SELECT l_partkey,
+               ROUND(rev_cents / 100.0, 2) AS revenue,
+               ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+                   AS cum_share,
+               CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                         <= {_ABC_A} THEN 'A'
+                    WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                         <= {_ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by discounted revenue: rank
+    parts by revenue, take the cumulative share, and label the first 80%
+    of revenue 'A', the next 15% 'B', the tail 'C' — the inventory /
+    catalog-curation classic ("which 20% of parts carry 80% of revenue").
+
+    Revenue converts to integer CENTS immediately after the per-part
+    aggregate, so the cumulative sum, total, and every share comparison is
+    integer-exact — no cross-engine float-accumulation drift anywhere near
+    a class boundary. The corpus-sized work is the one partkey hash
+    aggregate; the cumulative window runs over the PARTS domain (a
+    dimension, not the fact table) with a deterministic (revenue DESC,
+    partkey) order — the grouped-domain window pattern shared with the
+    rank-sum and drift operators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    wcum = (
+        Window.orderBy(F.desc("rev_cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).alias("cum_cents"),
+        F.sum("rev_cents").over(wall).alias("total_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents").cast("double")
+    return ranked.select(
+        "l_partkey",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= _ABC_A, "A")
+        .when(share <= _ABC_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

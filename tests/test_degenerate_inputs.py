@@ -448,3 +448,7 @@ def test_rfm_and_skipgram_survive_empty_tables(spark, empty_all_sf):
     Empty documents: no tokens survive subsampling, zero pairs emit."""
     assert _entry("orders_rfm_segments").fn(spark, empty_all_sf).count() == 0
     assert _entry("skipgram_pairs_subsampled").fn(spark, empty_all_sf).count() == 0
+
+
+def test_abc_pareto_empty_lineitem(spark, empty_all_sf):
+    assert _entry("parts_abc_pareto").fn(spark, empty_all_sf).count() == 0

@@ -685,3 +685,13 @@ def test_skipgram_pairs_from_checkpointed_survivors(spark):
     for g in re.findall(r"ReadSchema: ([^\n]*)", plan):
         assert "text" not in g
     assert "CartesianProduct" not in plan
+
+
+def test_abc_pareto_reduces_to_parts_domain(spark):
+    """ABC: one pruned fact scan into the partkey aggregate; the cumulative
+    windows run on the parts DIMENSION domain after reduction."""
+    plan = _plan(spark, "parts_abc_pareto")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial/final split
+    for g in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "l_orderkey" not in g and "l_quantity" not in g
