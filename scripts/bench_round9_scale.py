@@ -13,6 +13,9 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from dblp_to_csv_spark.registry import all_queries
 from dblp_to_csv_spark.session import get_spark
