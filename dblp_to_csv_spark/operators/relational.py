@@ -1390,7 +1390,7 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "time", "cdc"),
     oracle="""
         WITH ordered AS (
-            SELECT user_id, event_type AS state, ts,
+            SELECT user_id, event_id, event_type AS state, ts,
                    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
                         THEN 1 ELSE 0 END AS chg
             FROM events
@@ -1398,7 +1398,7 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         runs AS (
             SELECT user_id, state, ts,
-                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS run_id
             FROM ordered
@@ -1446,12 +1446,18 @@ def scd2_runs(ev: DataFrame) -> DataFrame:
         ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
     ).otherwise(0)
     run = (
-        ev.select("user_id", F.col("event_type").alias("state"), "ts", chg.alias("chg"))
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            chg.alias("chg"),
+        )
         .withColumn(
             "run_id",
             F.sum("chg").over(
                 Window.partitionBy("user_id")
-                .orderBy("ts")
+                .orderBy("ts", "event_id")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
@@ -1481,7 +1487,7 @@ _PIT_FACT = "purchase"
     tags=("join", "time", "cdc"),
     oracle=f"""
         WITH ordered AS (
-            SELECT user_id, event_type AS state, ts,
+            SELECT user_id, event_id, event_type AS state, ts,
                    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
                         THEN 1 ELSE 0 END AS chg
             FROM events
@@ -1490,7 +1496,7 @@ _PIT_FACT = "purchase"
         ),
         runs AS (
             SELECT user_id, state, ts,
-                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS run_id
             FROM ordered

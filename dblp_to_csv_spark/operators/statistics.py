@@ -1037,9 +1037,10 @@ HIST_BINS = 16
             FROM lineitem
         ),
         binned AS (
-            SELECT LEAST(CAST(FLOOR((l_extendedprice - bounds.lo)
+            SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+                        ELSE LEAST(CAST(FLOOR((l_extendedprice - bounds.lo)
                           / ((bounds.hi - bounds.lo) / {HIST_BINS})) AS BIGINT),
-                         {HIST_BINS - 1}) AS bin
+                         {HIST_BINS - 1}) END AS bin
             FROM lineitem, bounds
         )
         SELECT bin,
@@ -1067,7 +1068,9 @@ def histogram_equiwidth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so the shuffle moves kilobytes at any corpus size. Bin arithmetic
     is the same IEEE expression on both engines (floor((x−lo)/width) with
     the top edge clamped into the last bin), so the histogram hash-matches
-    the oracle exactly."""
+    the oracle exactly. A constant column (hi == lo → width 0) maps every
+    row to bin 0 on both engines instead of dividing by zero (Spark ANSI
+    would raise; the guard is a CASE branch, so the division never runs)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     bounds = li.agg(
         F.min("l_extendedprice").alias("lo"),
@@ -1076,10 +1079,16 @@ def histogram_equiwidth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / HIST_BINS
     binned = li.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("long"),
-            F.lit(HIST_BINS - 1).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo")) / width
+                ).cast("long"),
+                F.lit(HIST_BINS - 1).cast("long"),
+            )
+        )
+        .alias("bin"),
         "lo",
         "hi",
         "total",
@@ -1229,18 +1238,26 @@ _MW_GROUP_B = "click"
                    CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS tie_groups
             FROM ranked
+        ),
+        stats AS (
+            SELECT n_a, n_b, n, tie_groups,
+                   (r2a - n_a * (n_a + 1)) / 2.0 AS u_a,
+                   CAST(n_a * n_b AS DOUBLE) / 2.0 AS mean_u,
+                   CASE WHEN n > 1 THEN
+                       (CAST(n_a * n_b AS DOUBLE) / 12.0)
+                       * (CAST(n + 1 AS DOUBLE)
+                          - CAST(tie_term AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE))
+                   END AS sigma2
+            FROM agg
         )
         SELECT n_a, n_b, tie_groups,
-               ROUND((r2a - n_a * (n_a + 1)) / 2.0, 2) AS u_a,
-               ROUND(CAST(n_a * n_b AS DOUBLE) / 2.0, 2) AS mean_u,
-               ROUND(
-                   ((r2a - n_a * (n_a + 1)) / 2.0
-                    - CAST(n_a * n_b AS DOUBLE) / 2.0)
-                   / SQRT((CAST(n_a * n_b AS DOUBLE) / 12.0)
-                          * (CAST(n + 1 AS DOUBLE)
-                             - CAST(tie_term AS DOUBLE)
-                               / CAST(n * (n - 1) AS DOUBLE))), 6) AS z
-        FROM agg
+               ROUND(u_a, 2) AS u_a,
+               ROUND(mean_u, 2) AS mean_u,
+               CASE WHEN sigma2 > 0
+                    THEN ROUND((u_a - mean_u) / SQRT(sigma2), 6)
+               END AS z
+        FROM stats
     """,
 )
 def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,10 +1308,17 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u_a = (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
     mean_u = (F.col("n_a") * F.col("n_b")).cast("double") / 2.0
-    sigma2 = ((F.col("n_a") * F.col("n_b")).cast("double") / 12.0) * (
-        (F.col("n") + 1).cast("double")
-        - F.col("tie_term").cast("double")
-        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    # guards (mirrored in the oracle's CASE branches): n <= 1 would divide
+    # by zero in the tie correction, and an all-tied pool makes sigma2
+    # exactly 0 — both must surface as NULL z, not an ANSI arithmetic error
+    sigma2 = F.when(
+        F.col("n") > 1,
+        ((F.col("n_a") * F.col("n_b")).cast("double") / 12.0)
+        * (
+            (F.col("n") + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ),
     )
     return agg.select(
         "n_a",
@@ -1302,7 +1326,9 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_groups",
         F.round(u_a, 2).alias("u_a"),
         F.round(mean_u, 2).alias("mean_u"),
-        F.round((u_a - mean_u) / F.sqrt(sigma2), 6).alias("z"),
+        F.when(
+            sigma2 > 0, F.round((u_a - mean_u) / F.sqrt(sigma2), 6)
+        ).alias("z"),
     )
 
 

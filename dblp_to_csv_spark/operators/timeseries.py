@@ -794,6 +794,23 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The per-type hourly mean series shared by the ACF, CUSUM-changepoint, and
+# rolling-median diagnostics: the ONE corpus-sized reduction they all start
+# from (reviewed r9 session 3 — previously triplicated).
+# --------------------------------------------------------------------------
+HOURLY_SERIES_SQL = (
+    "SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def hourly_series(ev: DataFrame) -> DataFrame:
+    return ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.avg("value").alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
 # Autocorrelation function of the hourly mean-value series.
 # --------------------------------------------------------------------------
 ACF_MAX_LAG = 6
@@ -803,10 +820,7 @@ ACF_MAX_LAG = 6
     "acf_event_values",
     tags=("window", "time", "stats"),
     oracle=f"""
-        WITH hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
-            FROM events GROUP BY 1, 2
-        ),
+        WITH hourly AS ({HOURLY_SERIES_SQL}),
         lags AS (SELECT UNNEST(generate_series(1, {ACF_MAX_LAG})) AS lag),
         joined AS (
             SELECT a.event_type, l.lag, a.v AS x, b.v AS y
@@ -833,9 +847,7 @@ def acf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     express). At 100 TB the only full-data pass is the first aggregate;
     everything after is metadata-sized, so both join sides broadcast."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.avg("value").alias("v"))
+    hourly = hourly_series(ev)
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     shifted = hourly.crossJoin(F.broadcast(lags)).select(
         "event_type",
@@ -863,11 +875,8 @@ def acf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "changepoint_cusum_events",
     tags=("window", "time", "stats"),
-    oracle="""
-        WITH hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
-            FROM events GROUP BY 1, 2
-        ),
+    oracle=f"""
+        WITH hourly AS ({HOURLY_SERIES_SQL}),
         centered AS (
             SELECT event_type, h, v,
                    v - AVG(v) OVER (PARTITION BY event_type) AS dev
@@ -907,9 +916,7 @@ def changepoint_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     |S| is rounded BEFORE the argmax so a last-ulp aggregation difference
     can never flip which hour wins (ties break on the earlier hour)."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.avg("value").alias("v"))
+    hourly = hourly_series(ev)
     wtype = Window.partitionBy("event_type")
     centered = hourly.select(
         "event_type", "h", (F.col("v") - F.avg("v").over(wtype)).alias("dev")
@@ -954,10 +961,7 @@ ROLL_MEDIAN_WINDOW = 5
     "rolling_median_hourly",
     tags=("window", "time", "stats"),
     oracle=f"""
-        WITH hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
-            FROM events GROUP BY 1, 2
-        )
+        WITH hourly AS ({HOURLY_SERIES_SQL})
         SELECT event_type, h,
                ROUND(v, 6) AS v,
                ROUND(quantile_cont(v, 0.5) OVER (
@@ -981,9 +985,7 @@ def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort inside each frame is constant-size. Both engines interpolate
     the even-count median identically (linear, same IEEE doubles)."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.avg("value").alias("v"))
+    hourly = hourly_series(ev)
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")

@@ -50,7 +50,12 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # it rewrites the literal, so they sort as never-verified (first in the
 # window) instead of riding stale evidence. Remove a name once the driver
 # re-greens the CURRENT implementation.
-_EVIDENCE_RESET: set[str] = set()  # r8 re-greened similarity_knn_graph_bucketed under SIGN_BITS=5
+_EVIDENCE_RESET: set[str] = {
+    # r9 session-3 review: run_id running sum gained the event_id tiebreak
+    # (deterministic for duplicate (user_id, ts)); same results on current
+    # data, but the implementation changed after the r8 green row.
+    "scd2_user_state",
+}
 # (round-9 vacuity audit: anti_join_customers_no_urgent and
 # setop_except_urgent_unfinished are renames — never-verified by name —
 # and outliers_by_mad was dropped from _LAST_GREEN_ROUND outright, so all

@@ -452,3 +452,90 @@ def test_rfm_and_skipgram_survive_empty_tables(spark, empty_all_sf):
 
 def test_abc_pareto_empty_lineitem(spark, empty_all_sf):
     assert _entry("parts_abc_pareto").fn(spark, empty_all_sf).count() == 0
+
+
+def test_histogram_constant_column_single_bin(spark, tmp_path):
+    """All prices equal (width = 0): both engines must put every row in
+    bin 0 with frac 1.0 instead of dividing by zero (Spark ANSI would
+    raise; review r9 session 3)."""
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2],
+            "l_partkey": [1, 2],
+            "l_suppkey": [1, 1],
+            "l_linenumber": [1, 1],
+            "l_quantity": [1.0, 2.0],
+            "l_extendedprice": [100.0, 100.0],
+            "l_discount": [0.0, 0.0],
+            "l_tax": [0.0, 0.0],
+            "l_returnflag": ["N", "N"],
+            "l_linestatus": ["O", "O"],
+            "l_shipdate": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    entry = _entry("histogram_equiwidth_prices")
+    rows = entry.fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert (rows[0].bin, rows[0].n, rows[0].frac) == (0, 2, 1.0)
+    assert rows[0].bin_lo == 100.0 and rows[0].bin_hi == 100.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = con.execute(entry.oracle).fetchall()
+    assert len(want) == 1 and want[0][0] == 0 and want[0][3] == 2
+
+
+def test_mann_whitney_all_tied_null_z(spark, tmp_path):
+    """Both arms present but every value identical: sigma2 == 0 exactly, so
+    z must come back NULL on both engines, not an ANSI divide-by-zero
+    (review r9 session 3)."""
+    rows = [("purchase", 5.0)] * 4 + [("click", 5.0)] * 3
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)),
+            "user_id": [1] * len(rows),
+            "event_type": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    entry = _entry("ab_test_mann_whitney")
+    got = entry.fn(spark, str(tmp_path)).collect()[0]
+    assert (got.n_a, got.n_b, got.tie_groups) == (4, 3, 1)
+    assert got.u_a == 6.0 and got.mean_u == 6.0 and got.z is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(entry.oracle).fetchall()[0]
+    assert want[-1] is None  # z
+
+
+def test_scd2_runs_tiebreak_on_event_id(spark, tmp_path):
+    """Duplicate (user_id, ts) with different event types: run assignment
+    must follow event_id order deterministically (the run_id running sum
+    previously ordered by ts alone — review r9 session 3)."""
+    ev = pd.DataFrame(
+        {
+            "event_id": [2, 1, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 01:00:00"]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["click", "view", "click"],
+            "value": [0.0, 0.0, 0.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    rows = sorted(
+        _entry("scd2_user_state").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.version,
+    )
+    # event_id order: view(1) then click(2) then click(3) -> runs view, click
+    assert [(r.version, r.state, r.n_events) for r in rows] == [
+        (1, "view", 1),
+        (2, "click", 2),
+    ]

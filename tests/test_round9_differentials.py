@@ -13,6 +13,7 @@ import pandas as pd
 import pytest
 
 from dblp_to_csv_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
 
 
 def _entry(name):
@@ -138,7 +139,7 @@ def test_abc_classes_partition_and_order(spark):
     every A-part's revenue ≥ every C-part's revenue."""
     rows = (
         _entry("parts_abc_pareto")
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, SF_SMOKE)
         .orderBy("cum_share")
         .collect()
     )
