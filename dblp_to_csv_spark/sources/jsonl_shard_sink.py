@@ -1,0 +1,153 @@
+"""``jsonl-shards`` — a Spark 4 Python Data Source SINK: deterministic,
+atomically-published JSONL shard export (the writer half of the extension
+surface; the reader half is the ``dblp-xml`` envelope source).
+
+    spark.dataSource.register(JsonlShardDataSource)
+    (df.write.format("jsonl-shards")
+       .option("path", "/corpus/out")
+       .option("compress", "gzip")        # optional
+       .mode("overwrite" | "append")
+       .save())
+
+Why a custom sink instead of ``df.write.json``: training-data consumers
+(dataloader manifests, WebDataset-style shard lists) need (a) stable shard
+names derived from the partition id, (b) a machine-readable manifest with
+per-shard row counts, and (c) all-or-nothing publication. This sink
+implements the classic two-phase commit the built-in file sinks use
+internally, but surfaces it through the PUBLIC Python API:
+
+* each task streams its Arrow batches to ``_tmp-<uuid>`` in the target
+  directory (task-local, no coordination, retry-safe — an abandoned temp
+  from a failed attempt is never referenced and is swept on commit);
+* the task's commit message carries (tmp name, final shard name, rows);
+* the DRIVER commit renames every temp to ``shard-NNNNN.jsonl[.gz]`` and
+  writes ``_MANIFEST.json`` LAST — a reader that requires the manifest sees
+  either the complete dataset or nothing;
+* abort deletes the temps.
+
+At 100 TB the data plane is unchanged (task-local sequential writes, one
+file per partition — exactly how the parquet committer scales); only the
+O(#shards) rename/manifest step runs on the driver, the same contract as
+Spark's file-commit protocol v1. NOTE: ``path`` uses plain ``os`` I/O, so
+on a multi-node cluster it must be a shared filesystem mount (NFS/Lustre/
+fuse-mounted object store); a pure object-store deployment would swap the
+opener/rename for the store's multipart+finalize API — the two-phase
+protocol is unchanged.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    tmp_name: str
+    rows: int
+
+
+class JsonlShardWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl-shards: option 'path' is required")
+        compress = (options.get("compress") or "none").lower()
+        if compress not in ("none", "gzip"):
+            raise ValueError(
+                f"jsonl-shards: unsupported compress '{compress}' (none|gzip)"
+            )
+        self.compress = compress
+        self.overwrite = overwrite
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator: Iterator) -> _ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name = f"_tmp-{uuid.uuid4().hex}"
+        tmp_path = os.path.join(self.path, tmp_name)
+        opener = gzip.open if self.compress == "gzip" else open
+        rows = 0
+        with opener(tmp_path, "wt", encoding="utf-8") as f:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(json.dumps(rec, ensure_ascii=False, default=str))
+                    f.write("\n")
+                    rows += 1
+        return _ShardCommit(tmp_name=tmp_name, rows=rows)
+
+    # -- driver side ------------------------------------------------------
+    def _shard_name(self, i: int) -> str:
+        ext = ".jsonl.gz" if self.compress == "gzip" else ".jsonl"
+        return f"shard-{i:05d}{ext}"
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        keep = {m.tmp_name for m in messages if m is not None}
+        prior: list[dict] = []
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name not in keep and not name.startswith("_tmp-"):
+                    os.remove(os.path.join(self.path, name))
+        else:
+            # append: keep existing shards, continue the numbering, and
+            # carry their manifest entries into the rewritten manifest
+            manifest_path = os.path.join(self.path, MANIFEST_NAME)
+            if os.path.exists(manifest_path):
+                with open(manifest_path, encoding="utf-8") as f:
+                    prior = json.load(f).get("shards", [])
+        shards = list(prior)
+        for i, m in enumerate(
+            (m for m in messages if m is not None), start=len(prior)
+        ):
+            final = self._shard_name(i)
+            os.replace(
+                os.path.join(self.path, m.tmp_name), os.path.join(self.path, final)
+            )
+            shards.append({"shard": final, "rows": m.rows})
+        # sweep temps abandoned by failed/retried attempts
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp-"):
+                os.remove(os.path.join(self.path, name))
+        manifest = {
+            "format": "jsonl-shards/v1",
+            "compress": self.compress,
+            "n_shards": len(shards),
+            "n_rows": sum(s["rows"] for s in shards),
+            "shards": shards,
+        }
+        tmp_manifest = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        # the manifest lands LAST, atomically: readers keyed on it see the
+        # complete dataset or nothing
+        os.replace(tmp_manifest, os.path.join(self.path, MANIFEST_NAME))
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
+
+class JsonlShardDataSource(DataSource):
+    """Register with ``spark.dataSource.register(JsonlShardDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl-shards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, overwrite)

@@ -1,0 +1,124 @@
+"""The ``jsonl-shards`` Python Data Source sink: roundtrip fidelity,
+manifest/commit atomicity contract, overwrite vs append semantics, gzip,
+and option validation. Also covers the plain ORC built-in roundtrip (the
+one columnar alternative format shipped inside Spark — engine completeness
+for SURVEY §2.4 I/O)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+
+from dblp_to_csv_spark.sources.jsonl import read_jsonl_documents
+from dblp_to_csv_spark.sources.jsonl_shard_sink import (
+    MANIFEST_NAME,
+    JsonlShardDataSource,
+)
+from dblp_to_csv_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(JsonlShardDataSource)
+    return spark
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_shard_sink_roundtrip_and_manifest(registered, tmp_path):
+    out = str(tmp_path / "corpus")
+    docs = _docs(registered).repartition(4)
+    docs.write.format("jsonl-shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.jsonl")))
+    assert len(shards) == 4
+    assert [os.path.basename(s) for s in shards] == [
+        f"shard-{i:05d}.jsonl" for i in range(4)
+    ]
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["n_shards"] == 4
+    assert manifest["n_rows"] == docs.count()
+    assert sum(s["rows"] for s in manifest["shards"]) == manifest["n_rows"]
+    assert not glob.glob(os.path.join(out, "_tmp-*"))
+
+    back = read_jsonl_documents(registered, out, quarantine_corrupt=False)
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.select(*docs.columns).collect()}
+    assert a == b
+
+
+def test_shard_sink_overwrite_replaces(registered, tmp_path):
+    out = str(tmp_path / "corpus")
+    docs = _docs(registered)
+    docs.repartition(4).write.format("jsonl-shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+    docs.limit(10).repartition(1).write.format("jsonl-shards").option(
+        "path", out
+    ).mode("overwrite").save()
+    shards = glob.glob(os.path.join(out, "shard-*.jsonl"))
+    assert len(shards) == 1
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["n_shards"] == 1 and manifest["n_rows"] == 10
+
+
+def test_shard_sink_append_extends_numbering(registered, tmp_path):
+    out = str(tmp_path / "corpus")
+    docs = _docs(registered)
+    docs.limit(5).repartition(1).write.format("jsonl-shards").option(
+        "path", out
+    ).mode("append").save()
+    docs.limit(7).repartition(2).write.format("jsonl-shards").option(
+        "path", out
+    ).mode("append").save()
+    names = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "shard-*"))
+    )
+    assert names == ["shard-00000.jsonl", "shard-00001.jsonl", "shard-00002.jsonl"]
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["n_shards"] == 3 and manifest["n_rows"] == 12
+
+
+def test_shard_sink_gzip(registered, tmp_path):
+    out = str(tmp_path / "gz")
+    _docs(registered).limit(20).repartition(1).write.format(
+        "jsonl-shards"
+    ).option("path", out).option("compress", "gzip").mode("overwrite").save()
+    [shard] = glob.glob(os.path.join(out, "shard-*.jsonl.gz"))
+    with gzip.open(shard, "rt", encoding="utf-8") as f:
+        lines = [json.loads(line) for line in f]
+    assert len(lines) == 20 and {"doc_id", "text"} <= set(lines[0])
+
+
+def test_shard_sink_rejects_bad_options(registered, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    df = _docs(registered).limit(1)
+    with pytest.raises((PySparkException, Py4JJavaError, Exception)):
+        df.write.format("jsonl-shards").option("path", str(tmp_path)).option(
+            "compress", "lz9"
+        ).mode("overwrite").save()
+    with pytest.raises((PySparkException, Py4JJavaError, Exception)):
+        df.write.format("jsonl-shards").mode("overwrite").save()
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """Engine I/O completeness: the built-in ORC columnar format round-trips
+    the lineitem slice with schema and values intact."""
+    out = str(tmp_path / "orc")
+    li = load_table(spark, SF, "lineitem").limit(100)
+    li.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == li.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
