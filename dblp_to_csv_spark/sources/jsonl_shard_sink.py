@@ -47,6 +47,7 @@ from typing import Iterator, List, Optional
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -142,6 +143,61 @@ class JsonlShardWriter(DataSourceArrowWriter):
                     pass
 
 
+class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming twin: each microbatch publishes its own
+    ``batch-BBBBBB-shard-NNNNN.jsonl[.gz]`` set and merges the manifest.
+    Exactly-once comes from batchId IDEMPOTENCE, the structured-streaming
+    sink contract: a batch replayed after checkpoint recovery renames onto
+    the SAME final names and replaces its own manifest entry — never
+    duplicates rows."""
+
+    def __init__(self, options: dict):
+        self._w = JsonlShardWriter(options, overwrite=False)
+        self.path = self._w.path
+
+    # executor side — same temp-file protocol as the batch writer
+    def write(self, iterator: Iterator) -> _ShardCommit:
+        return self._w.write(iterator)
+
+    def _final_name(self, batch_id: int, i: int) -> str:
+        ext = ".jsonl.gz" if self._w.compress == "gzip" else ".jsonl"
+        return f"batch-{batch_id:06d}-shard-{i:05d}{ext}"
+
+    def commit(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        entries = []
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = self._final_name(batchId, i)
+            os.replace(
+                os.path.join(self.path, m.tmp_name), os.path.join(self.path, final)
+            )
+            entries.append({"shard": final, "rows": m.rows})
+        manifest_path = os.path.join(self.path, MANIFEST_NAME)
+        batches: dict = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as f:
+                batches = json.load(f).get("batches", {})
+        batches[str(batchId)] = entries  # replay REPLACES the batch entry
+        shards = [s for b in sorted(batches, key=int) for s in batches[b]]
+        manifest = {
+            "format": "jsonl-shards-stream/v1",
+            "compress": self._w.compress,
+            "n_shards": len(shards),
+            "n_rows": sum(s["rows"] for s in shards),
+            "batches": batches,
+        }
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, manifest_path)
+
+    def abort(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        self._w.abort(messages)
+
+
 class JsonlShardDataSource(DataSource):
     """Register with ``spark.dataSource.register(JsonlShardDataSource)``."""
 
@@ -151,3 +207,6 @@ class JsonlShardDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
         return JsonlShardWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlShardStreamWriter:
+        return JsonlShardStreamWriter(self.options)

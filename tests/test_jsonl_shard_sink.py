@@ -122,3 +122,58 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
     back = spark.read.orc(out)
     assert back.schema == li.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+
+def test_shard_sink_streaming_batches_and_manifest(registered, tmp_path):
+    """Streaming twin: two source files at maxFilesPerTrigger=1 under
+    availableNow become two committed batches, each with its own shard set;
+    the merged manifest carries per-batch entries and the total row count."""
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = _docs(registered)
+    # single parquet FILES (the file-stream source does not recurse into
+    # the directory layout df.write.parquet produces)
+    docs.limit(6).toPandas().to_parquet(src / "a.parquet")
+    docs.limit(10).toPandas().to_parquet(src / "b.parquet")
+    out = str(tmp_path / "stream_out")
+    os.makedirs(out, exist_ok=True)
+
+    stream = (
+        registered.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.format("jsonl-shards")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["format"] == "jsonl-shards-stream/v1"
+    assert manifest["n_rows"] == 16
+    assert set(manifest["batches"]) == {"0", "1"}
+    names = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "batch-*"))
+    )
+    assert names == [
+        "batch-000000-shard-00000.jsonl",
+        "batch-000001-shard-00000.jsonl",
+    ]
+    # restart on the same checkpoint: nothing new to process, nothing changes
+    q2 = (
+        registered.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.format("jsonl-shards")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    manifest2 = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest2["n_rows"] == 16 and set(manifest2["batches"]) == {"0", "1"}
