@@ -84,6 +84,10 @@ PIPELINE_BENCH = [
     # the two new corpus-scale admission signals
     "lm_bigram_cross_entropy",
     "dsir_importance_weights",
+    # round-9 session 3: the two heaviest of the new batch — apriori-pruned
+    # basket pair mining and skip-gram pair construction
+    "cooccurrence_parts_pmi",
+    "skipgram_pairs_subsampled",
 ]
 
 
