@@ -1195,3 +1195,101 @@ def pq_adc_scores(
             F.round(dist, 6).alias("approx_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination: embedding-level eval-set leakage screening.
+# --------------------------------------------------------------------------
+DECON_EVAL_LABEL = 0
+DECON_SEM_QUANTILE = 0.99
+
+
+@register(
+    "decontaminate_semantic",
+    tags=("decontamination", "similarity", "embedding"),
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ),
+        ev AS (SELECT * FROM e WHERE label = {DECON_EVAL_LABEL}),
+        tr AS (SELECT * FROM e WHERE label <> {DECON_EVAL_LABEL}),
+        scored AS (
+            SELECT tr.vec_id, ev.vec_id AS eval_id,
+                   ROUND(list_dot_product(tr.emb, ev.emb)
+                         / (tr.nrm * ev.nrm), 6) AS cos
+            FROM tr CROSS JOIN ev
+        ),
+        best AS (
+            SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos
+            FROM (
+                SELECT vec_id, eval_id, cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY cos DESC, eval_id
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        cut AS (
+            SELECT quantile_cont(max_cos, {DECON_SEM_QUANTILE}) AS tau
+            FROM best
+        )
+        SELECT vec_id, nearest_eval_id, max_cos,
+               max_cos >= cut.tau AS contaminated
+        FROM best, cut
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination against the eval set (the third
+    decontamination mode beside the n-gram broadcast-set and Bloom
+    prefilters): every training vector reports its maximum cosine to ANY
+    eval vector and the nearest eval id; vectors in the top
+    {1 - DECON_SEM_QUANTILE:.0%} of eval-similarity are flagged — the
+    screen that catches paraphrased or re-embedded eval leakage n-gram
+    overlap misses (Phi/Llama-class pipelines run exactly this check).
+
+    Scale shape: the EVAL side is small by definition (a benchmark), so it
+    broadcasts onto one streaming pass over the training vectors; the
+    per-vector argmax is a WindowGroupLimit-friendly top-1 window keyed by
+    the training id (per-partition group size = |eval|, a constant). The
+    flag threshold is a DATA-DERIVED quantile of the max-cosine
+    distribution (1-row broadcast), so the report stays non-vacuous under
+    any testdata regeneration — an absolute cosine cutoff would go silent
+    the way the r9 Adamic-Adar cap audit found."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
+    ev = emb.filter(F.col("label") == DECON_EVAL_LABEL).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("emb").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    tr = emb.filter(F.col("label") != DECON_EVAL_LABEL)
+    cos = F.round(
+        _dot(F.col("emb"), F.col("e_emb")) / (F.col("nrm") * F.col("e_nrm")), 6
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eval_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "eval_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cos").alias("max_cos"),
+        )
+    )
+    cut = best.agg(
+        F.expr(f"percentile(max_cos, {DECON_SEM_QUANTILE})").alias("tau")
+    )
+    return best.crossJoin(F.broadcast(cut)).select(
+        "vec_id",
+        "nearest_eval_id",
+        "max_cos",
+        (F.col("max_cos") >= F.col("tau")).alias("contaminated"),
+    )

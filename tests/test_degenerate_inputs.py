@@ -539,3 +539,7 @@ def test_scd2_runs_tiebreak_on_event_id(spark, tmp_path):
         (1, "view", 1),
         (2, "click", 2),
     ]
+
+
+def test_semantic_decon_empty_embeddings(spark, empty_all_sf):
+    assert _entry("decontaminate_semantic").fn(spark, empty_all_sf).count() == 0

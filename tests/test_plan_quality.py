@@ -695,3 +695,13 @@ def test_abc_pareto_reduces_to_parts_domain(spark):
     assert plan.count("HashAggregate") >= 2  # partial/final split
     for g in re.findall(r"ReadSchema: ([^\n]*)", plan):
         assert "l_orderkey" not in g and "l_quantity" not in g
+
+
+def test_semantic_decon_broadcasts_eval_and_partial_top1(spark):
+    """Eval side must broadcast (BNLJ cross is the intended shape — the
+    benchmark is small by definition); the per-vector argmax must realize
+    as a WindowGroupLimit partial top-1, never a corpus-wide sort."""
+    plan = _plan(spark, "decontaminate_semantic")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast eval x train stream
