@@ -76,3 +76,95 @@ def test_pmi_oracle_matches_first_principles(rows):
     }
     con.close()
     assert got == _python_pmi(rows)
+
+
+def _python_hist(prices: list[float], bins: int = 16):
+    if not prices:
+        return {}
+    lo, hi = min(prices), max(prices)
+    total = len(prices)
+    out: dict[int, int] = {}
+    for x in prices:
+        if hi == lo:
+            b = 0
+        else:
+            b = min(int(math.floor((x - lo) / ((hi - lo) / bins))), bins - 1)
+        out[b] = out.get(b, 0) + 1
+    width = (hi - lo) / bins
+    return {
+        b: (round(lo + b * width, 6), round(lo + (b + 1) * width, 6), n,
+            round(n / total, 6))
+        for b, n in out.items()
+    }
+
+
+prices_strategy = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(prices_strategy)
+def test_histogram_oracle_matches_first_principles(prices):
+    lineitem = pd.DataFrame(
+        {"l_extendedprice": pd.Series(prices, dtype="float64")}
+    )
+    con = duckdb.connect()
+    con.register("lineitem", lineitem)
+    oracle = all_queries()["histogram_equiwidth_prices"].oracle
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(oracle).fetchall()
+    }
+    con.close()
+    assert got == _python_hist(prices)
+
+
+def _python_abc(rows: list[tuple[int, float, float]]):
+    sums: dict[int, float] = {}
+    for part, price, disc in rows:
+        sums[part] = sums.get(part, 0.0) + price * (1 - disc)
+    # HALF-AWAY rounding (Spark round / DuckDB ROUND), not Python's
+    # banker's round() — the same divergence the r8 Arrow-quantizer fix hit
+    cents = {p: int(math.floor(s * 100 + 0.5)) for p, s in sums.items()}
+    total = sum(cents.values())
+    out = {}
+    cum = 0
+    for p in sorted(cents, key=lambda p: (-cents[p], p)):
+        cum += cents[p]
+        share = cum / total
+        cls = "A" if share <= 0.8 else ("B" if share <= 0.95 else "C")
+        out[p] = (round(cents[p] / 100.0, 2), round(share, 6), cls)
+    return out
+
+
+abc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10),
+        st.floats(min_value=0.01, max_value=1e4, allow_nan=False),
+        st.sampled_from([0.0, 0.05, 0.1]),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(abc_rows)
+def test_abc_oracle_matches_first_principles(rows):
+    lineitem = pd.DataFrame(
+        {
+            "l_partkey": [p for p, _, _ in rows],
+            "l_extendedprice": [x for _, x, _ in rows],
+            "l_discount": [d for _, _, d in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", lineitem)
+    oracle = all_queries()["parts_abc_pareto"].oracle
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(oracle).fetchall()}
+    con.close()
+    assert got == _python_abc(rows)
