@@ -72,9 +72,9 @@ def cooccurrence_parts_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring: which parts are ordered together more often than chance.
 
     Shape: distinct (basket, item) → item-frequency table → apriori prune
-    (items below the {ITEM_FREQ_QUANTILE:.0%} frequency quantile never enter
+    (items below the 25% frequency quantile never enter
     the pair join) → per-basket self-join with ``item_a < item_b`` → pair
-    support with an absolute floor of {PAIR_MIN_SUPPORT} → PMI
+    support with an absolute floor of PAIR_MIN_SUPPORT=2 → PMI
     ``ln(pair_n·N / (n_a·n_b))`` from integer-exact BIGINT products so the
     doubles agree bit-for-bit with the oracle.
 

@@ -1252,7 +1252,7 @@ def skipgram_pairs_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries, the exactly-once property rand() cannot give. Survivors are
     re-indexed per document (the compaction that widens effective context
     past dropped stopwords — the word2vec behavior) and paired with
-    neighbors at offsets 1..{SKIPGRAM_WINDOW} in BOTH directions, then
+    neighbors at offsets 1..SKIPGRAM_WINDOW=2 in BOTH directions, then
     collapsed to the (center, context, n) co-occurrence table that SGNS and
     GloVe consume.
 

@@ -1409,13 +1409,13 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM runs GROUP BY user_id, run_id, state
         )
         SELECT user_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
-                    AS BIGINT) AS version,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY valid_from, run_id) AS BIGINT) AS version,
                state, valid_from,
-               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-                   AS valid_to,
-               (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-                   IS NULL) AS is_current,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, run_id) AS valid_to,
+               (LEAD(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, run_id) IS NULL) AS is_current,
                n_events
         FROM collapsed
     """,
@@ -1464,7 +1464,9 @@ def scd2_runs(ev: DataFrame) -> DataFrame:
         .groupBy("user_id", "run_id", "state")
         .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    # run_id tiebreaks duplicate valid_from (two runs can share a timestamp
+    # when a state flips inside one ts — review r9 session 3)
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
     return run.select(
         "user_id",
         F.row_number().over(wv).cast("long").alias("version"),
@@ -1508,9 +1510,9 @@ _PIT_FACT = "purchase"
         dim AS (
             SELECT user_id, state, valid_from,
                    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                        ORDER BY valid_from) AS BIGINT) AS version,
+                        ORDER BY valid_from, run_id) AS BIGINT) AS version,
                    LEAD(valid_from) OVER (PARTITION BY user_id
-                        ORDER BY valid_from) AS valid_to
+                        ORDER BY valid_from, run_id) AS valid_to
             FROM collapsed
         ),
         facts AS (
@@ -1529,11 +1531,11 @@ _PIT_FACT = "purchase"
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (PIT) lookup against a Type-2 slowly-changing
-    dimension: every `{_PIT_FACT}` fact row is joined to the state the user
+    dimension: every `purchase` fact row is joined to the state the user
     was in WHEN it happened — the canonical warehouse/feature-store
     temporal-correctness join (no leakage of future state into a training
     example). The dimension is the SCD2 run history built from the
-    non-`{_PIT_FACT}` events (shared `scd2_runs` chain); facts that precede
+    non-`purchase` events (shared `scd2_runs` chain); facts that precede
     a user's first state survive the left join with NULL state.
 
     Plan shape: an equi-join on user_id with the validity interval as a

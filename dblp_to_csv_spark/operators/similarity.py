@@ -1245,8 +1245,8 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination against the eval set (the third
     decontamination mode beside the n-gram broadcast-set and Bloom
     prefilters): every training vector reports its maximum cosine to ANY
-    eval vector and the nearest eval id; vectors in the top
-    {1 - DECON_SEM_QUANTILE:.0%} of eval-similarity are flagged — the
+    eval vector and the nearest eval id; vectors in the top 1%
+    (1 − DECON_SEM_QUANTILE) of eval-similarity are flagged — the
     screen that catches paraphrased or re-embedded eval leakage n-gram
     overlap misses (Phi/Llama-class pipelines run exactly this check).
 
@@ -1284,6 +1284,14 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("max_cos"),
         )
     )
+    # `best` feeds both the tau percentile and the final report; checkpoint
+    # it so the broadcast-scoring pass over the training corpus runs ONCE
+    # (the rfm/skipgram reuse discipline)
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
+    best_dir = session_checkpoint_dir("_semdecon_best_")
+    best.write.mode("overwrite").parquet(best_dir)
+    best = spark.read.parquet(best_dir)
     cut = best.agg(
         F.expr(f"percentile(max_cos, {DECON_SEM_QUANTILE})").alias("tau")
     )

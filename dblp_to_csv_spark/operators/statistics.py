@@ -1056,15 +1056,15 @@ HIST_BINS = 16
     """,
 )
 def histogram_equiwidth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram of l_extendedprice in {HIST_BINS} bins — the
+    """Equi-width histogram of l_extendedprice in HIST_BINS=16 bins — the
     profiling primitive behind every distribution dashboard and the
     optimizer-statistics shape (Spark's own CBO column histograms are built
     exactly like this).
 
     Two passes over the column, both trivially parallel: a (min, max, count)
     bounds aggregate that collapses to ONE row (broadcast to every task),
-    then a bin-assignment projection feeding a {HIST_BINS}-group hash
-    aggregate — partial aggregation collapses each partition to ≤{HIST_BINS}
+    then a bin-assignment projection feeding a 16-group hash
+    aggregate — partial aggregation collapses each partition to ≤16
     rows, so the shuffle moves kilobytes at any corpus size. Bin arithmetic
     is the same IEEE expression on both engines (floor((x−lo)/width) with
     the top edge clamped into the last bin), so the histogram hash-matches

@@ -12,6 +12,15 @@ name and hashes values order-insensitively, so
 * float aggregates are rounded identically on both sides (sums of ~1e5 doubles
   agree to ~1e-9 relative between engines; rounding makes the hash stable);
 * DuckDB integer sums are cast to BIGINT to match Spark's LongType.
+
+Known theoretical edge (hypothesis-surfaced, r9): at an EXACT half boundary
+of the display rounding (e.g. a dyadic value like 0.0703125 rounded to 6 dp)
+Spark's round (BigDecimal of the shortest decimal repr) and DuckDB's ROUND
+(scaled-double) can land one step apart. Real aggregate outputs hit such
+boundaries with probability ~0 (9 rounds x 200 queries, zero occurrences);
+where a computation MAKES boundary values likely (cents arithmetic), the
+operator converts to integers BEFORE rounding (parts_abc_pareto) so the
+edge cannot arise.
 """
 
 from __future__ import annotations

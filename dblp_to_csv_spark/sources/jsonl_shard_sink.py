@@ -94,12 +94,21 @@ class JsonlShardWriter(DataSourceArrowWriter):
         return f"shard-{i:05d}{ext}"
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        # an optimized-empty plan runs 0 tasks, so no task ran makedirs
+        os.makedirs(self.path, exist_ok=True)
         keep = {m.tmp_name for m in messages if m is not None}
         prior: list[dict] = []
         if self.overwrite:
+            # FILES only: a colocated subdirectory (checkpoint, _temporary)
+            # is not ours to delete — and must not abort the commit
             for name in os.listdir(self.path):
-                if name not in keep and not name.startswith("_tmp-"):
-                    os.remove(os.path.join(self.path, name))
+                full = os.path.join(self.path, name)
+                if (
+                    name not in keep
+                    and not name.startswith("_tmp-")
+                    and os.path.isfile(full)
+                ):
+                    os.remove(full)
         else:
             # append: keep existing shards, continue the numbering, and
             # carry their manifest entries into the rewritten manifest
@@ -118,8 +127,9 @@ class JsonlShardWriter(DataSourceArrowWriter):
             shards.append({"shard": final, "rows": m.rows})
         # sweep temps abandoned by failed/retried attempts
         for name in os.listdir(self.path):
-            if name.startswith("_tmp-"):
-                os.remove(os.path.join(self.path, name))
+            full = os.path.join(self.path, name)
+            if name.startswith("_tmp-") and os.path.isfile(full):
+                os.remove(full)
         manifest = {
             "format": "jsonl-shards/v1",
             "compress": self.compress,
@@ -149,11 +159,15 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
     Exactly-once comes from batchId IDEMPOTENCE, the structured-streaming
     sink contract: a batch replayed after checkpoint recovery renames onto
     the SAME final names and replaces its own manifest entry — never
-    duplicates rows."""
+    duplicates rows. Under ``outputMode("complete")`` Spark passes
+    ``overwrite=True``: each microbatch is a full snapshot, so commit
+    REPLACES all prior batches' shards and manifest entries instead of
+    accumulating them."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
         self._w = JsonlShardWriter(options, overwrite=False)
         self.path = self._w.path
+        self.overwrite = overwrite
 
     # executor side — same temp-file protocol as the batch writer
     def write(self, iterator: Iterator) -> _ShardCommit:
@@ -166,6 +180,7 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
     def commit(
         self, messages: List[Optional[WriterCommitMessage]], batchId: int
     ) -> None:
+        os.makedirs(self.path, exist_ok=True)
         entries = []
         for i, m in enumerate(m for m in messages if m is not None):
             final = self._final_name(batchId, i)
@@ -175,9 +190,20 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
             entries.append({"shard": final, "rows": m.rows})
         manifest_path = os.path.join(self.path, MANIFEST_NAME)
         batches: dict = {}
-        if os.path.exists(manifest_path):
+        if not self.overwrite and os.path.exists(manifest_path):
             with open(manifest_path, encoding="utf-8") as f:
                 batches = json.load(f).get("batches", {})
+        if self.overwrite:
+            # complete mode: this batch IS the dataset — drop prior shards
+            committed = {e["shard"] for e in entries}
+            for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
+                if (
+                    name.startswith("batch-")
+                    and name not in committed
+                    and os.path.isfile(full)
+                ):
+                    os.remove(full)
         batches[str(batchId)] = entries  # replay REPLACES the batch entry
         shards = [s for b in sorted(batches, key=int) for s in batches[b]]
         manifest = {
@@ -191,6 +217,12 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, manifest_path)
+        # sweep temps abandoned by failed/retried task attempts — every
+        # committed temp was renamed above, so anything left is an orphan
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.startswith("_tmp-") and os.path.isfile(full):
+                os.remove(full)
 
     def abort(
         self, messages: List[Optional[WriterCommitMessage]], batchId: int
@@ -209,4 +241,4 @@ class JsonlShardDataSource(DataSource):
         return JsonlShardWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlShardStreamWriter:
-        return JsonlShardStreamWriter(self.options)
+        return JsonlShardStreamWriter(self.options, overwrite)

@@ -101,15 +101,12 @@ def test_shard_sink_gzip(registered, tmp_path):
 
 
 def test_shard_sink_rejects_bad_options(registered, tmp_path):
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PySparkException
-
     df = _docs(registered).limit(1)
-    with pytest.raises((PySparkException, Py4JJavaError, Exception)):
+    with pytest.raises(Exception, match="unsupported compress"):
         df.write.format("jsonl-shards").option("path", str(tmp_path)).option(
             "compress", "lz9"
         ).mode("overwrite").save()
-    with pytest.raises((PySparkException, Py4JJavaError, Exception)):
+    with pytest.raises(Exception, match="'path' is required"):
         df.write.format("jsonl-shards").mode("overwrite").save()
 
 
@@ -177,3 +174,52 @@ def test_shard_sink_streaming_batches_and_manifest(registered, tmp_path):
     q2.awaitTermination(120)
     manifest2 = json.load(open(os.path.join(out, MANIFEST_NAME)))
     assert manifest2["n_rows"] == 16 and set(manifest2["batches"]) == {"0", "1"}
+
+
+def test_shard_sink_streaming_complete_mode_replaces(registered, tmp_path):
+    """outputMode('complete') (overwrite=True): each microbatch is a full
+    snapshot, so the manifest and shard set must hold ONLY the latest
+    batch — never the accumulated history (review r9 session 3)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = _docs(registered)
+    docs.limit(6).toPandas().to_parquet(src / "a.parquet")
+    docs.limit(10).toPandas().to_parquet(src / "b.parquet")
+    out = str(tmp_path / "complete_out")
+
+    agg = (
+        registered.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .groupBy("lang")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("jsonl-shards")
+        .outputMode("complete")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    # only the LAST batch's snapshot survives
+    assert set(manifest["batches"]) == {"1"}
+    rows = []
+    for p in glob.glob(os.path.join(out, "batch-*")):
+        assert os.path.basename(p).startswith("batch-000001-")
+        with open(p, encoding="utf-8") as f:
+            rows += [json.loads(line) for line in f]
+    # snapshot equals the batch aggregate over BOTH files (cumulative state)
+    want = {
+        (r["lang"], r["count"])
+        for r in docs.limit(6)
+        .unionAll(docs.limit(10))
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .to_dict("records")
+    }
+    assert {(r["lang"], r["count"]) for r in rows} == want

@@ -697,11 +697,11 @@ def test_abc_pareto_reduces_to_parts_domain(spark):
         assert "l_orderkey" not in g and "l_quantity" not in g
 
 
-def test_semantic_decon_broadcasts_eval_and_partial_top1(spark):
-    """Eval side must broadcast (BNLJ cross is the intended shape — the
-    benchmark is small by definition); the per-vector argmax must realize
-    as a WindowGroupLimit partial top-1, never a corpus-wide sort."""
+def test_semantic_decon_scores_once_from_checkpoint(spark):
+    """The broadcast-eval scoring pass over the training corpus runs ONCE
+    (eagerly, into the checkpoint); the returned plan must read only the
+    checkpointed per-vector argmax — no embeddings rescan, no cartesian."""
     plan = _plan(spark, "decontaminate_semantic")
     assert "CartesianProduct" not in plan
-    assert "WindowGroupLimit" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # broadcast eval x train stream
+    assert "_semdecon_best_" in plan
+    assert "embeddings" not in plan  # corpus scored during the checkpoint
