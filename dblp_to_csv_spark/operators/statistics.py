@@ -1543,3 +1543,80 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted exact percentiles: order statistics over a weighted multiset.
+# --------------------------------------------------------------------------
+_WPCT_QS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "weighted_percentiles_price",
+    tags=("stats", "agg", "window"),
+    oracle=f"""
+        WITH w AS (
+            SELECT l_extendedprice AS p, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+        ),
+        ord AS (
+            SELECT p, q,
+                   SUM(q) OVER (
+                       ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw
+            FROM w
+        ),
+        tot AS (SELECT SUM(q) AS tw FROM w),
+        qs AS (SELECT UNNEST([{", ".join(str(q) for q in _WPCT_QS)}]) AS pq),
+        pos AS (
+            SELECT qs.pq, qs.pq * (tot.tw - 1) AS pos FROM qs, tot
+        ),
+        lo AS (
+            SELECT pos.pq, pos.pos, MIN(ord.p) AS plo
+            FROM pos JOIN ord ON ord.cw >= FLOOR(pos.pos) + 1
+            GROUP BY pos.pq, pos.pos
+        ),
+        hi AS (
+            SELECT pos.pq, pos.pos, MIN(ord.p) AS phi
+            FROM pos JOIN ord ON ord.cw >= CEIL(pos.pos) + 1
+            GROUP BY pos.pq, pos.pos
+        )
+        SELECT lo.pq AS quantile,
+               ROUND(lo.plo + (lo.pos - FLOOR(lo.pos)) * (hi.phi - lo.plo), 6)
+                   AS wpct
+        FROM lo JOIN hi ON lo.pq = hi.pq
+    """,
+)
+def weighted_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact percentiles (p25/p50/p75) of l_extendedprice with
+    l_quantity as the frequency weight — order statistics over the
+    quantity-expanded multiset ("the median UNIT shipped cost X", not "the
+    median line item"). Uses Spark's built-in frequency-weighted
+    ``percentile(col, p, freq)``; the oracle reconstructs the identical
+    expanded-multiset interpolation from cumulative weights, proving the
+    semantics rather than mirroring the engine.
+
+    Spark side: ONE partial/final aggregate over the scan — no expansion,
+    no sort of the corpus (the aggregation buffer holds value→weight
+    counts). At 100 TB this is the only sane formulation: exploding a
+    weighted multiset to take a median is the anti-pattern this operator
+    exists to replace."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    agg = li.agg(
+        F.percentile(
+            F.col("p"), F.array(*[F.lit(q) for q in _WPCT_QS]), F.col("q")
+        ).alias("pcts")
+    )
+    qs = F.array(*[F.lit(q) for q in _WPCT_QS])
+    return agg.select(
+        F.explode(F.arrays_zip(qs.alias("quantile"), F.col("pcts").alias("wpct"))).alias(
+            "z"
+        )
+    ).select(
+        F.col("z.quantile").alias("quantile"),
+        F.round(F.col("z.wpct"), 6).alias("wpct"),
+    )

@@ -999,3 +999,89 @@ def rolling_median_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"med{ROLL_MEDIAN_WINDOW}"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion LAG: how long the view→purchase step takes.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    tags=("time", "funnel", "stats"),
+    oracle="""
+        WITH steps AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        lagged AS (
+            SELECT t_view,
+                   CASE WHEN t_view IS NOT NULL AND t_purchase > t_view
+                        THEN date_diff('microsecond', t_view, t_purchase)
+                   END AS lag_us
+            FROM steps
+        ),
+        agg AS (
+            SELECT CAST(COUNT(t_view) AS BIGINT) AS n_entered,
+                   CAST(COUNT(lag_us) AS BIGINT) AS n_converted,
+                   quantile_cont(lag_us, 0.5) AS p50_us,
+                   quantile_cont(lag_us, 0.9) AS p90_us,
+                   AVG(lag_us) AS mean_us
+            FROM lagged
+        )
+        SELECT n_entered, n_converted,
+               ROUND(CAST(n_converted AS DOUBLE)
+                     / CAST(n_entered AS DOUBLE), 6) AS conversion_rate,
+               ROUND(p50_us / 1e6, 3) AS p50_sec,
+               ROUND(p90_us / 1e6, 3) AS p90_sec,
+               ROUND(mean_us / 1e6, 3) AS mean_sec
+        FROM agg
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING: for users whose first purchase follows their first
+    view, the view→purchase lag distribution (exact p50/p90/mean seconds)
+    plus the conversion rate — the product-analytics readout that prices a
+    funnel change ("conversions got faster" vs "more conversions").
+    Complements `funnel_view_cart_purchase`, which counts stage reach.
+
+    One user_id-keyed conditional-MIN aggregate reduces the corpus to a
+    per-user step table; lags are exact MICROSECOND integers (identical
+    epoch arithmetic both engines), so the interpolated percentiles match
+    to the last bit before display rounding. No windows over the event
+    stream, no self-joins — the funnel discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lag_us = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_purchase") > F.col("t_view")),
+        F.unix_micros("t_purchase") - F.unix_micros("t_view"),
+    )
+    # entered-count and lag statistics from ONE aggregate over the per-user
+    # step table (aggregates skip the NULL lags of non-converters on both
+    # engines) — a single corpus scan, no re-aggregation join
+    agg = steps.select("t_view", lag_us.alias("lag_us")).agg(
+        F.count("t_view").cast("long").alias("n_entered"),
+        F.count("lag_us").cast("long").alias("n_converted"),
+        F.percentile("lag_us", 0.5).alias("p50_us"),
+        F.percentile("lag_us", 0.9).alias("p90_us"),
+        F.avg("lag_us").alias("mean_us"),
+    )
+    return agg.select(
+        "n_entered",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_entered").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+        F.round(F.col("p50_us") / 1e6, 3).alias("p50_sec"),
+        F.round(F.col("p90_us") / 1e6, 3).alias("p90_sec"),
+        F.round(F.col("mean_us") / 1e6, 3).alias("mean_sec"),
+    )

@@ -543,3 +543,19 @@ def test_scd2_runs_tiebreak_on_event_id(spark, tmp_path):
 
 def test_semantic_decon_empty_embeddings(spark, empty_all_sf):
     assert _entry("decontaminate_semantic").fn(spark, empty_all_sf).count() == 0
+
+
+def test_funnel_timing_no_conversions(spark, empty_docs_sf):
+    """Views but zero purchases: 1-row readout with n_converted = 0,
+    conversion_rate 0.0, NULL percentiles — never a division error."""
+    rows = _entry("funnel_time_to_convert").fn(spark, empty_docs_sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_entered, r.n_converted, r.conversion_rate) == (1, 0, 0.0)
+    assert r.p50_sec is None and r.mean_sec is None
+
+
+def test_weighted_percentiles_empty_lineitem(spark, empty_all_sf):
+    assert (
+        _entry("weighted_percentiles_price").fn(spark, empty_all_sf).count() == 0
+    )

@@ -705,3 +705,24 @@ def test_semantic_decon_scores_once_from_checkpoint(spark):
     assert "CartesianProduct" not in plan
     assert "_semdecon_best_" in plan
     assert "embeddings" not in plan  # corpus scored during the checkpoint
+
+
+def test_funnel_timing_single_scan_no_selfjoin(spark):
+    """Funnel lag: one corpus scan into the user-keyed conditional-MIN
+    aggregate; percentiles run on the reduced lag column — no self-joins,
+    no window over the event stream."""
+    plan = _plan(spark, "funnel_time_to_convert")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_weighted_percentiles_no_multiset_expansion(spark):
+    """Weighted percentiles: ONE partial/final aggregate over the scan —
+    the weighted multiset is never expanded (no explode of the corpus)."""
+    plan = _plan(spark, "weighted_percentiles_price")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_percentile" in plan  # map-side combine of the buffers
+    # the only Generate is the 3-row unpack of the 1-row result — the
+    # CORPUS is never exploded (no Generate below the partial aggregate)
+    below_agg = plan.split("partial_percentile", 1)[1]
+    assert "Generate" not in below_agg
