@@ -1553,7 +1553,7 @@ _WPCT_QS = (0.25, 0.5, 0.75)
 
 @register(
     "weighted_percentiles_price",
-    tags=("stats", "agg", "window"),
+    tags=("stats", "agg"),
     oracle=f"""
         WITH w AS (
             SELECT l_extendedprice AS p, CAST(l_quantity AS BIGINT) AS q

@@ -1078,7 +1078,10 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_entered",
         "n_converted",
         F.round(
-            F.col("n_converted").cast("double") / F.col("n_entered").cast("double"),
+            F.try_divide(
+                F.col("n_converted").cast("double"),
+                F.col("n_entered").cast("double"),
+            ),
             6,
         ).alias("conversion_rate"),
         F.round(F.col("p50_us") / 1e6, 3).alias("p50_sec"),

@@ -559,3 +559,27 @@ def test_weighted_percentiles_empty_lineitem(spark, empty_all_sf):
     assert (
         _entry("weighted_percentiles_price").fn(spark, empty_all_sf).count() == 0
     )
+
+
+def test_funnel_timing_zero_entrants(spark, empty_all_sf):
+    """Events exist but NO user ever viewed (purchase-only log): n_entered
+    is 0 and conversion_rate must surface as NULL via try_divide, not an
+    ANSI divide-by-zero (review r9 session 3)."""
+    import os
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "user_id": [1],
+            "event_type": ["purchase"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    ev.to_parquet(os.path.join(empty_all_sf, "events.parquet"))
+    rows = _entry("funnel_time_to_convert").fn(spark, empty_all_sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_entered, r.n_converted) == (0, 0)
+    assert r.conversion_rate is None and r.p50_sec is None
