@@ -46,6 +46,8 @@ CURATION_BENCH = [
     "dedup_substring_rewrite",
     # round-8 session-3: the flagship end-to-end admission composite
     "pretrain_corpus_report",
+    # round-9 session-3: the embedding-level decon mode
+    "decontaminate_semantic",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and
