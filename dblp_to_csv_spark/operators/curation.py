@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.text import STOPWORDS, WORDS_SQL, bigrams, words
+from dblp_to_csv_spark.functions.text import (
+    BIGRAMS_SQL,
+    STOPWORDS,
+    WORDS_SQL,
+    bigrams,
+    words,
+)
 from dblp_to_csv_spark.operators.dedup import _CC_ORACLE_CTES
 from dblp_to_csv_spark.operators.dedup import connected_components_min_label
 from dblp_to_csv_spark.operators.text_analysis import text_unigram_logprob
@@ -1584,11 +1590,7 @@ _DSIR_TARGET_LANG = "en"
             FROM (
                 SELECT doc_id, lang,
                        UNNEST(list_concat(
-                           w,
-                           CASE WHEN len(w) >= 2 THEN
-                               list_transform(generate_series(1, len(w)-1),
-                                              i -> w[i] || ' ' || w[i+1])
-                           ELSE [] END)) AS f
+                           w, {BIGRAMS_SQL.format(words="w")})) AS f
                 FROM t
             )
         ),

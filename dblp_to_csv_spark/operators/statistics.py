@@ -673,12 +673,15 @@ _AB_GROUP_B = "click"
         SELECT CAST(n_a AS BIGINT) AS n_a, ROUND(m_a, 6) AS mean_a,
                CAST(n_b AS BIGINT) AS n_b, ROUND(m_b, 6) AS mean_b,
                ROUND(m_a - m_b, 6) AS mean_diff,
-               ROUND((m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b), 6)
-                   AS t_stat,
-               ROUND(
-                   POW(s2_a / n_a + s2_b / n_b, 2)
-                   / (POW(s2_a / n_a, 2) / (n_a - 1)
-                      + POW(s2_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+               ROUND(CASE WHEN s2_a / n_a + s2_b / n_b > 0
+                          THEN (m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b)
+                     END, 6) AS t_stat,
+               ROUND(CASE WHEN POW(s2_a / n_a, 2) / (n_a - 1)
+                               + POW(s2_b / n_b, 2) / (n_b - 1) > 0
+                          THEN POW(s2_a / n_a + s2_b / n_b, 2)
+                               / (POW(s2_a / n_a, 2) / (n_a - 1)
+                                  + POW(s2_b / n_b, 2) / (n_b - 1))
+                     END, 4) AS welch_df
         FROM w
     """,
 )
@@ -710,21 +713,26 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm(_AB_GROUP_B, F.col("s2")).alias("s2_b"),
     )
     se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    # Degenerate arms (zero sample variance in BOTH arms, n>=2 each) make
+    # se2 = 0: under ANSI mode a bare division would throw DIVIDE_BY_ZERO,
+    # so guard both the t statistic and the Welch-Satterthwaite denominator
+    # — NULL, mirroring the oracle's CASE WHEN (same class of fix as
+    # ab_test_mann_whitney's sigma2 > 0 guard).
+    df_denom = F.pow(F.col("s2_a") / F.col("n_a"), 2) / (F.col("n_a") - 1) + F.pow(
+        F.col("s2_b") / F.col("n_b"), 2
+    ) / (F.col("n_b") - 1)
     return w.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.round("m_a", 6).alias("mean_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round("m_b", 6).alias("mean_b"),
         F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
-        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(F.col("s2_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
-                + F.pow(F.col("s2_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
-            ),
-            4,
-        ).alias("welch_df"),
+            F.when(se2 > 0, (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)), 6
+        ).alias("t_stat"),
+        F.round(F.when(df_denom > 0, F.pow(se2, 2) / df_denom), 4).alias(
+            "welch_df"
+        ),
     )
 
 
@@ -797,9 +805,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical plan, not just the math. The estimator's ±1/√k error is what
     you trade for never shuffling the key set at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
-    hashed = ev.select("event_type", "user_id").distinct().select(
-        "event_type", _kmv_hash().alias("v")
-    )
+    # Distinct AFTER hashing (matching the oracle's DISTINCT event_type, v):
+    # KMV counts distinct HASH values, so two keys colliding in the 32-bit
+    # hash must collapse to one v on both engines — distincting raw user_ids
+    # first would keep both rows and skew exact_distinct/vk on a collision
+    # (probability ~n²/2³³ per event_type, nonzero at larger SFs).
+    hashed = ev.select("event_type", _kmv_hash().alias("v")).distinct()
     w = Window.partitionBy("event_type").orderBy("v")
     sketch = (
         hashed.withColumn("rn", F.row_number().over(w))

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.text import (
+    BIGRAMS_SQL,
     FINGERPRINT_SQL,
     SHINGLES_SQL,
     STOPWORDS,
@@ -1435,10 +1436,9 @@ def bpe_apply_encode(
 # --------------------------------------------------------------------------
 LM_ADD_K = 0.5
 
-_BIGRAMS_SQL = (
-    "list_transform(generate_series(1, len({w}) - 1), "
-    "i -> {w}[i] || ' ' || {w}[i+1])"
-)
+# bigram list SQL shared with the Column-side twin (functions/text.py) —
+# the guarded CASE len>=2 form; UNNEST of [] yields no rows, so the WHERE
+# below stays as a scan-level filter, not a correctness guard.
 
 
 @register(
@@ -1451,7 +1451,7 @@ _BIGRAMS_SQL = (
             FROM (SELECT UNNEST(w) AS word FROM t)
         ),
         bg AS (
-            SELECT doc_id, UNNEST({_BIGRAMS_SQL.format(w="w")}) AS bg
+            SELECT doc_id, UNNEST({BIGRAMS_SQL.format(words="w")}) AS bg
             FROM t WHERE len(w) >= 2
         ),
         bgc AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),

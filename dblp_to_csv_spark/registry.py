@@ -59,43 +59,49 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # it rewrites the literal, so they sort as never-verified (first in the
 # window) instead of riding stale evidence. Remove a name once the driver
 # re-greens the CURRENT implementation.
-_EVIDENCE_RESET: set[str] = {
-    # r9 session-3 review: run_id running sum gained the event_id tiebreak
-    # (deterministic for duplicate (user_id, ts)); same results on current
-    # data, but the implementation changed after the r8 green row.
-    "scd2_user_state",
-}
+_EVIDENCE_RESET: set[str] = set()
+# (r10: scd2_user_state removed — the r9 driver window re-greened the
+# current tiebreak implementation, VERDICT r9 "What's wrong" #1.)
 # (round-9 vacuity audit: anti_join_customers_no_urgent and
 # setop_except_urgent_unfinished are renames — never-verified by name —
 # and outliers_by_mad was dropped from _LAST_GREEN_ROUND outright, so all
 # three sort to the window head for re-verification.)
 
 _LAST_GREEN_ROUND: dict[str, int] = {
-    "advanced_agg_gallery": 5,
+    "ab_test_mann_whitney": 9,
+    "ab_test_welch": 9,
+    "acf_event_values": 9,
+    "advanced_agg_gallery": 9,
+    "anti_join_customers_no_urgent": 9,
     "apply_in_pandas_label_stats": 5,
     "approx_distinct_users": 6,
     "approx_percentile_prices": 6,
-    "argmax_order_per_customer": 5,
+    "aqp_sample_estimates": 9,
+    "argmax_order_per_customer": 9,
     "array_collapse_returnflags": 6,
-    "array_functions_gallery": 5,
+    "array_functions_gallery": 9,
     "arrow_quantize_embeddings": 8,
     "asof_join_purchase_last_view": 7,
     "augment_span_corrupt": 8,
+    "benford_digit_audit": 9,
     "bitwise_functions_gallery": 7,
     "bootstrap_mean_ci": 8,
     "bpe_apply_encode": 8,
     "bpe_merge_candidates": 8,
     "bpe_train_merges": 8,
     "broadcast_join_part_agg": 6,
+    "changepoint_cusum_events": 9,
     "chunk_documents_overlapping": 8,
-    "conditional_agg_orders": 5,
+    "conditional_agg_orders": 9,
     "constraint_audit_orders": 8,
     "contrastive_pairs_dataset": 8,
+    "cooccurrence_parts_pmi": 9,
     "cube_orders_status_priority": 6,
     "curate_source_cap": 8,
-    "date_functions_gallery": 5,
+    "date_functions_gallery": 9,
     "decontaminate_against_eval": 5,
     "decontaminate_bloom": 7,
+    "decontaminate_semantic": 9,
     "dedup_chunk_exact": 6,
     "dedup_chunk_rewrite": 7,
     "dedup_cluster_stats": 6,
@@ -126,43 +132,56 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_chi2_by_window": 8,
     "drift_chi2_source_lang": 6,
     "drift_ks_events_value": 6,
+    "dsir_importance_weights": 9,
     "embedding_label_centroids": 6,
     "embedding_random_projection": 8,
     "eval_contamination_report": 8,
+    "event_transition_matrix": 9,
     "event_validity_intervals": 7,
     "ewma_event_values": 8,
     "forward_fill_event_metric": 8,
     "from_json_events": 6,
     "full_outer_join_customer_activity": 6,
+    "funnel_time_to_convert": 9,
     "funnel_view_cart_purchase": 6,
     "gapfill_hourly_events": 7,
     "graph_adamic_adar": 8,
+    "graph_adamic_adar_capped": 9,
+    "graph_bfs_distances": 9,
     "graph_clustering_coefficient": 8,
+    "graph_coreness": 9,
     "graph_kcore": 8,
+    "graph_label_propagation": 9,
+    "graph_report": 9,
     "graph_triangle_count": 8,
     "higher_order_functions_gallery": 7,
+    "histogram_equiwidth_prices": 9,
     "incremental_agg_merge": 8,
     "integrity_audit": 8,
     "interval_overlap_join_bucketed": 8,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
+    "lm_bigram_cross_entropy": 9,
     "map_functions_events": 6,
     "market_share_by_year": 6,
     "median_price_by_status": 6,
     "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
     "multimodal_decode_stub": 5,
-    "multimodal_feature_extract": 5,
-    "multimodal_frame_sample": 5,
+    "multimodal_feature_extract": 9,
+    "multimodal_frame_sample": 9,
     "multimodal_metadata": 7,
     "ngram_novelty_vs_reference": 7,
     "ntile_order_quartiles": 5,
     "null_safe_join_suppliers": 6,
+    "orders_rfm_segments": 9,
+    "outliers_by_mad": 9,
     "pack_concat_chunks": 5,
     "pack_sequences_greedy": 5,
-    "pandas_udf_vector_norm": 5,
+    "pandas_udf_vector_norm": 9,
+    "parts_abc_pareto": 9,
     "pipeline_c4_keep": 5,
-    "pivot_status_by_priority": 5,
+    "pivot_status_by_priority": 9,
     "posexplode_order_lines": 6,
     "pretrain_corpus_report": 8,
     "pricing_summary": 6,
@@ -172,18 +191,22 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "quality_linear_score": 7,
     "quartile_labels_by_cutpoint": 5,
     "rag_retrieve_chunks": 8,
-    "range_join_events_binned": 5,
+    "range_join_events_binned": 9,
     "rank_functions_suppliers": 5,
-    "regexp_functions_gallery": 5,
+    "regexp_functions_gallery": 9,
     "regression_moments_lineitem": 8,
     "retention_cohorts_weekly": 6,
+    "retrieval_eval_bm25": 9,
     "revenue_by_nation": 6,
+    "rolling_median_hourly": 9,
     "rollup_lineitem_status": 6,
     "salted_agg_event_types": 5,
     "sample_documents_hash": 5,
     "sample_stratified_by_lang": 5,
     "sample_weighted_priority": 8,
     "scalar_functions_gallery": 6,
+    "scd2_point_in_time_join": 9,
+    "scd2_user_state": 9,
     "search_bm25": 8,
     "search_hybrid_rrf": 8,
     "seasonal_decompose_events": 8,
@@ -191,9 +214,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "semi_join_discounted_orders": 6,
     "session_window_events": 8,
     "sessionize_events": 7,
+    "setop_except_urgent_unfinished": 9,
     "setop_intersect_nations": 6,
     "setop_multiset_all_nations": 8,
     "setop_union_nations": 6,
+    "similarity_eval_recall": 9,
     "similarity_knn_graph_bucketed": 8,
     "similarity_topk_blas": 2,
     "similarity_topk_bruteforce": 7,
@@ -202,24 +227,28 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "similarity_topk_lsh_bucketed": 7,
     "similarity_topk_lsh_multiprobe": 8,
     "similarity_topk_pq": 8,
+    "sketch_countmin_words": 9,
+    "sketch_kmv_distinct": 9,
+    "sketch_kmv_set_ops": 9,
+    "skipgram_pairs_subsampled": 9,
     "skyline_documents": 8,
     "sliding_window_events": 7,
     "sorted_page_orders": 5,
     "split_leakage_free": 8,
     "split_train_val_test": 5,
-    "sql_exists_subquery": 5,
+    "sql_exists_subquery": 9,
     "sql_group_by_all_shorthand": 8,
-    "sql_grouping_sets": 5,
+    "sql_grouping_sets": 9,
     "sql_lateral_topk_nations": 6,
     "sql_parameterized_query": 7,
     "sql_pipe_syntax_pricing": 7,
     "sql_recursive_cte_months": 6,
-    "sql_scalar_subquery": 5,
+    "sql_scalar_subquery": 9,
     "sql_udf_scalar_nested": 7,
     "sql_udf_table_valued": 7,
     "sql_variant_events": 6,
     "stats_agg_lineitem": 5,
-    "string_functions_gallery": 5,
+    "string_functions_gallery": 9,
     "text_bpe_token_count": 7,
     "text_char_entropy": 8,
     "text_feature_hash_embedding": 8,
@@ -245,9 +274,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "udtf_ngrams_polymorphic": 7,
     "udtf_tokenize_documents": 5,
     "union_by_name_schema_evolution": 6,
-    "unpivot_order_status_counts": 5,
+    "unpivot_order_status_counts": 9,
+    "weighted_percentiles_price": 9,
     "window_lag_event_delta": 6,
-    "window_range_frame": 5,
+    "window_range_frame": 9,
     "window_running_revenue": 6,
     "window_top_orders_per_customer": 6,
     "winsorize_event_values": 8,

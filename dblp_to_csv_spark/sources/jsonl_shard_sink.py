@@ -28,11 +28,22 @@ internally, but surfaces it through the PUBLIC Python API:
 At 100 TB the data plane is unchanged (task-local sequential writes, one
 file per partition — exactly how the parquet committer scales); only the
 O(#shards) rename/manifest step runs on the driver, the same contract as
-Spark's file-commit protocol v1. NOTE: ``path`` uses plain ``os`` I/O, so
-on a multi-node cluster it must be a shared filesystem mount (NFS/Lustre/
-fuse-mounted object store); a pure object-store deployment would swap the
-opener/rename for the store's multipart+finalize API — the two-phase
-protocol is unchanged.
+Spark's file-commit protocol v1. ``path`` uses plain ``os`` I/O, so on a
+multi-node cluster it must be a shared filesystem mount (NFS/Lustre/
+fuse-mounted object store).
+
+The publication step is abstracted behind a commit protocol
+(``option("commit-protocol", "rename" | "put")``):
+
+* ``rename`` (default, POSIX): atomic ``os.replace`` per shard, manifest
+  written to a temp and renamed into place — the classic v1 committer.
+* ``put`` (object-store shape): stores without atomic rename publish a
+  shard by finalizing a fresh upload at the FINAL key (emulated here as
+  copy-then-delete; a real store uses multipart complete) and publish the
+  manifest as one single-shot PUT, which object stores make atomic at
+  object granularity. The two-phase structure — data first, manifest
+  LAST — is identical, so readers keyed on the manifest still see the
+  complete dataset or nothing.
 """
 
 from __future__ import annotations
@@ -40,6 +51,8 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import re
+import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
@@ -52,6 +65,47 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST_NAME = "_MANIFEST.json"
+
+
+class RenameCommitProtocol:
+    """POSIX publication: atomic rename for shards and the manifest."""
+
+    name = "rename"
+
+    def publish(self, tmp_path: str, final_path: str) -> None:
+        os.replace(tmp_path, final_path)
+
+    def write_manifest(self, manifest_path: str, payload: str) -> None:
+        tmp = os.path.join(
+            os.path.dirname(manifest_path), f"_tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.replace(tmp, manifest_path)
+
+
+class PutCommitProtocol:
+    """Object-store publication: no rename anywhere. A shard is published
+    by writing the bytes at the FINAL key (multipart finalize in a real
+    store; emulated as copy + delete-temp here) and the manifest by one
+    single-shot PUT — atomic at object granularity, which is exactly the
+    guarantee object stores do provide. A reader that requires the
+    manifest still observes all-or-nothing publication; a reader listing
+    raw keys may see a partially-copied shard, the documented object-store
+    caveat that the manifest contract exists to absorb."""
+
+    name = "put"
+
+    def publish(self, tmp_path: str, final_path: str) -> None:
+        shutil.copyfile(tmp_path, final_path)
+        os.remove(tmp_path)
+
+    def write_manifest(self, manifest_path: str, payload: str) -> None:
+        with open(manifest_path, "w", encoding="utf-8") as f:
+            f.write(payload)
+
+
+_PROTOCOLS = {p.name: p for p in (RenameCommitProtocol(), PutCommitProtocol())}
 
 
 @dataclass
@@ -72,6 +126,13 @@ class JsonlShardWriter(DataSourceArrowWriter):
             )
         self.compress = compress
         self.overwrite = overwrite
+        proto = (options.get("commit-protocol") or "rename").lower()
+        if proto not in _PROTOCOLS:
+            raise ValueError(
+                f"jsonl-shards: unsupported commit-protocol '{proto}' "
+                f"({'|'.join(sorted(_PROTOCOLS))})"
+            )
+        self.protocol = _PROTOCOLS[proto]
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator: Iterator) -> _ShardCommit:
@@ -116,12 +177,24 @@ class JsonlShardWriter(DataSourceArrowWriter):
             if os.path.exists(manifest_path):
                 with open(manifest_path, encoding="utf-8") as f:
                     prior = json.load(f).get("shards", [])
+        # Numbering continues from what is ON DISK, not just the manifest:
+        # a prior commit that crashed after renaming shards but before the
+        # manifest landed (or whose manifest was removed) leaves shard-NNNNN
+        # files the manifest doesn't account for — numbering from
+        # len(prior) alone would os.replace() onto them, silently
+        # destroying committed data.
+        on_disk = [
+            int(mt.group(1))
+            for name in os.listdir(self.path)
+            if (mt := re.match(r"shard-(\d{5})\.jsonl(\.gz)?$", name))
+        ]
+        start = max(len(prior), max(on_disk) + 1 if on_disk else 0)
         shards = list(prior)
         for i, m in enumerate(
-            (m for m in messages if m is not None), start=len(prior)
+            (m for m in messages if m is not None), start=start
         ):
             final = self._shard_name(i)
-            os.replace(
+            self.protocol.publish(
                 os.path.join(self.path, m.tmp_name), os.path.join(self.path, final)
             )
             shards.append({"shard": final, "rows": m.rows})
@@ -137,12 +210,13 @@ class JsonlShardWriter(DataSourceArrowWriter):
             "n_rows": sum(s["rows"] for s in shards),
             "shards": shards,
         }
-        tmp_manifest = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
-        with open(tmp_manifest, "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        # the manifest lands LAST, atomically: readers keyed on it see the
-        # complete dataset or nothing
-        os.replace(tmp_manifest, os.path.join(self.path, MANIFEST_NAME))
+        # the manifest lands LAST, atomically (rename on POSIX, single-shot
+        # PUT on object stores): readers keyed on it see the complete
+        # dataset or nothing
+        self.protocol.write_manifest(
+            os.path.join(self.path, MANIFEST_NAME),
+            json.dumps(manifest, indent=2, sort_keys=True),
+        )
 
     def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         for m in messages:
@@ -168,6 +242,7 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
         self._w = JsonlShardWriter(options, overwrite=False)
         self.path = self._w.path
         self.overwrite = overwrite
+        self.protocol = self._w.protocol
 
     # executor side — same temp-file protocol as the batch writer
     def write(self, iterator: Iterator) -> _ShardCommit:
@@ -184,7 +259,7 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
         entries = []
         for i, m in enumerate(m for m in messages if m is not None):
             final = self._final_name(batchId, i)
-            os.replace(
+            self.protocol.publish(
                 os.path.join(self.path, m.tmp_name), os.path.join(self.path, final)
             )
             entries.append({"shard": final, "rows": m.rows})
@@ -213,10 +288,9 @@ class JsonlShardStreamWriter(DataSourceStreamArrowWriter):
             "n_rows": sum(s["rows"] for s in shards),
             "batches": batches,
         }
-        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, manifest_path)
+        self.protocol.write_manifest(
+            manifest_path, json.dumps(manifest, indent=2, sort_keys=True)
+        )
         # sweep temps abandoned by failed/retried task attempts — every
         # committed temp was renamed above, so anything left is an orphan
         for name in os.listdir(self.path):

@@ -45,8 +45,23 @@ def read_evidence_reset(src: str) -> set[str]:
     return set(re.findall(r'"([^"]+)"', m.group(1)))
 
 
+def registered_names() -> set[str]:
+    """Live query names — old CORRECTNESS files may carry rows for queries
+    since renamed or retired; their evidence must not be resurrected."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from dblp_to_csv_spark.registry import all_queries
+
+    return set(all_queries())
+
+
 def main() -> None:
     last = compute_last_green()
+    live = registered_names()
+    for name in sorted(set(last) - live):
+        del last[name]
+        print(f"dropped (no longer registered): {name}")
     src = REGISTRY.read_text()
     reset = read_evidence_reset(src)
     for name in reset & last.keys():

@@ -513,6 +513,36 @@ def test_mann_whitney_all_tied_null_z(spark, tmp_path):
     assert want[-1] is None  # z
 
 
+def test_welch_all_tied_null_t(spark, tmp_path):
+    """Both arms present, n>=2 each, but every value identical: both sample
+    variances are exactly 0, so se2 == 0 and the Welch-Satterthwaite
+    denominator == 0 — t_stat and welch_df must come back NULL on both
+    engines, not an ANSI DIVIDE_BY_ZERO (advisor r9; same class as
+    test_mann_whitney_all_tied_null_z)."""
+    rows = [("purchase", 5.0)] * 4 + [("click", 5.0)] * 3
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)),
+            "user_id": [1] * len(rows),
+            "event_type": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    entry = _entry("ab_test_welch")
+    got = entry.fn(spark, str(tmp_path)).collect()[0]
+    assert (got.n_a, got.n_b) == (4, 3)
+    assert got.mean_a == 5.0 and got.mean_b == 5.0 and got.mean_diff == 0.0
+    assert got.t_stat is None and got.welch_df is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(entry.oracle).df().iloc[0]
+    assert pd.isna(want["t_stat"]) and pd.isna(want["welch_df"])
+
+
 def test_scd2_runs_tiebreak_on_event_id(spark, tmp_path):
     """Duplicate (user_id, ts) with different event types: run assignment
     must follow event_id order deterministically (the run_id running sum

@@ -223,3 +223,84 @@ def test_shard_sink_streaming_complete_mode_replaces(registered, tmp_path):
         .to_dict("records")
     }
     assert {(r["lang"], r["count"]) for r in rows} == want
+
+
+def test_shard_sink_append_skips_orphaned_shards(registered, tmp_path):
+    """Crash recovery: a prior commit that renamed its shards but died
+    before the manifest landed leaves shard files the manifest doesn't
+    know about. Append must number PAST what is on disk — not os.replace()
+    onto committed data (advisor r9)."""
+    out = str(tmp_path / "corpus")
+    docs = _docs(registered)
+    docs.limit(5).repartition(1).write.format("jsonl-shards").option(
+        "path", out
+    ).mode("append").save()
+    first = open(os.path.join(out, "shard-00000.jsonl"), "rb").read()
+    # simulate the crash window: shard present, manifest gone
+    os.remove(os.path.join(out, MANIFEST_NAME))
+    docs.limit(7).repartition(1).write.format("jsonl-shards").option(
+        "path", out
+    ).mode("append").save()
+    names = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "shard-*"))
+    )
+    assert names == ["shard-00000.jsonl", "shard-00001.jsonl"]
+    assert open(os.path.join(out, "shard-00000.jsonl"), "rb").read() == first
+    # the rewritten manifest accounts for the NEW commit only (the orphan
+    # predates any manifest), but the orphan's bytes survive untouched
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["n_rows"] == 7
+    assert manifest["shards"][0]["shard"] == "shard-00001.jsonl"
+
+
+def test_shard_sink_put_protocol_roundtrip(registered, tmp_path):
+    """commit-protocol=put publishes through the object-store path (copy +
+    single-shot manifest PUT) and produces the identical dataset."""
+    out = str(tmp_path / "put")
+    docs = _docs(registered)
+    docs.repartition(3).write.format("jsonl-shards").option("path", out).option(
+        "commit-protocol", "put"
+    ).mode("overwrite").save()
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.jsonl")))
+    assert len(shards) == 3
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["n_rows"] == docs.count()
+    assert not glob.glob(os.path.join(out, "_tmp-*"))
+    back = read_jsonl_documents(registered, out, quarantine_corrupt=False)
+    assert back.count() == docs.count()
+
+
+def test_shard_sink_put_protocol_never_renames(tmp_path, monkeypatch):
+    """Unit-level (no Spark): drive the writer directly with the put
+    protocol while os.replace/os.rename are rigged to raise — proving the
+    object-store path needs no atomic rename anywhere in commit."""
+    import pyarrow as pa
+
+    from dblp_to_csv_spark.sources import jsonl_shard_sink as mod
+
+    out = tmp_path / "store"
+    w = mod.JsonlShardWriter(
+        {"path": str(out), "commit-protocol": "put"}, overwrite=True
+    )
+    batch = pa.RecordBatch.from_pylist([{"a": 1}, {"a": 2}])
+    msg = w.write(iter([batch]))
+
+    def no_rename(*a, **k):
+        raise AssertionError("rename is not available on this store")
+
+    monkeypatch.setattr(mod.os, "replace", no_rename)
+    monkeypatch.setattr(mod.os, "rename", no_rename)
+    w.commit([msg])
+    manifest = json.load(open(out / MANIFEST_NAME))
+    assert manifest["n_rows"] == 2 and manifest["n_shards"] == 1
+    lines = open(out / "shard-00000.jsonl").read().splitlines()
+    assert [json.loads(l)["a"] for l in lines] == [1, 2]
+    assert not list(out.glob("_tmp-*"))
+
+
+def test_shard_sink_rejects_bad_protocol(registered, tmp_path):
+    df = _docs(registered).limit(1)
+    with pytest.raises(Exception, match="unsupported commit-protocol"):
+        df.write.format("jsonl-shards").option("path", str(tmp_path)).option(
+            "commit-protocol", "teleport"
+        ).mode("overwrite").save()
