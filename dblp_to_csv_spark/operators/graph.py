@@ -678,7 +678,38 @@ def coreness_fixpoint(
         cor = und_u.groupBy("u").agg(F.count(F.lit(1)).alias("cor")).select(
             F.col("u").alias("n"), "cor"
         )
-    per_node = Window.partitionBy("u").orderBy(F.desc("c"))
+    # Cap the degree seed at the degree-sequence h-index H = max{h :
+    # #{u : deg(u) >= h} >= h}: a k-core has >= k+1 nodes of degree >= k,
+    # so kmax <= H and min(deg, H) stays a pointwise upper bound on
+    # coreness — the monotone iteration reaches the SAME fixpoint (the
+    # 64-round degree-seeded oracle meets it from above) in <= the rounds.
+    # On a skewed graph this collapses hub start values from max-degree to
+    # ~kmax; on the near-uniform test graph it trims only the top tail —
+    # either way it costs one tiny aggregate over the node-sized seed and
+    # a 1-row collect (metadata-sized). The distinct-degree window frame is
+    # |distinct degrees|, fine unpartitioned.
+    cum_all = Window.orderBy(F.desc("cor")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    h_row = (
+        cor.groupBy("cor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(cum_all))
+        .agg(F.max(F.least(F.col("cum"), F.col("cor"))).alias("h"))
+        .collect()[0]
+    )
+    if h_row["h"] is not None:
+        cor = cor.select(
+            "n", F.least(F.col("cor"), F.lit(int(h_row["h"]))).alias("cor")
+        )
+    # Cumulative neighbor count per distinct cor value, descending: cum(c)
+    # = #neighbors with cor >= c, so h = max over distinct c of
+    # min(cum(c), c) — identical to max_i min(i, c_i) over the sorted list
+    # but the sort runs on |distinct neighbor cors| rows per node instead
+    # of deg(u) rows (the values concentrate as the fixpoint approaches).
+    per_node_cum = Window.partitionBy("u").orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
 
     def one_round(state: DataFrame, sparse: bool) -> DataFrame:
         """(n, cor, changed) -> next (n, cor, changed)."""
@@ -697,10 +728,11 @@ def coreness_fixpoint(
         prev_b = maybe_bcast(prev)
         nxt = (
             active_edges.join(prev_b, prev_b["n"] == active_edges["v"])
-            .select("u", F.col("cor").alias("c"))
-            .withColumn("rnk", F.row_number().over(per_node))
+            .groupBy("u", F.col("cor").alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(per_node_cum))
             .groupBy("u")
-            .agg(F.max(F.least(F.col("rnk"), F.col("c"))).alias("new_cor"))
+            .agg(F.max(F.least(F.col("cum"), F.col("c"))).alias("new_cor"))
         )
         return prev.join(maybe_bcast(nxt), prev["n"] == nxt["u"], "left").select(
             "n",
@@ -723,6 +755,8 @@ def coreness_fixpoint(
             # nested broadcast builds defeat exchange reuse), while a
             # delta+full pair costs the same as a full pair (~one round's
             # scheduling overhead) and halves the materialization count.
+            # (r10: a chain of 3 re-measured ~1.6x SLOWER than pairs in the
+            # same noise window — the regression already bites at depth 3.)
             batch = min(2, CORENESS_ROUNDS - rounds_done)
             merged = cur
             for _ in range(batch):

@@ -1307,7 +1307,14 @@ def _bpe_train(
         # empty it and bpe_apply_encode would drop every document
         # (review r8 session 4)
         rule1 = rule.select(F.lit(1).alias("jk"), "ml", "mr")
-        v = _ckpt(
+        # No per-round vocab checkpoint: each round adds ONE broadcast join
+        # (a 1-row checkpointed rule read) plus an in-row replace to the
+        # lineage, so replaying from v0 is 4 narrow stages over the word
+        # frame — cheaper than 4 extra parquet write+read job pairs, and
+        # fewer jobs means less exposure to scheduler noise (the r9 bench
+        # swung 4.5–14 s for identical code; quiet-window r10 probe). The
+        # final vocabulary is anchored once below for bpe_apply_encode.
+        v = (
             v.withColumn("jk", F.lit(1))
             .join(F.broadcast(rule1), "jk", "left")
             .select(
@@ -1327,9 +1334,9 @@ def _bpe_train(
                 )
                 .alias("symstr"),
                 "freq",
-            ),
-            f"v{rnd}",
+            )
         )
+    v = _ckpt(v, f"v{BPE_ROUNDS}")
     out = rules[0]
     for r_ in rules[1:]:
         out = out.unionAll(r_)
