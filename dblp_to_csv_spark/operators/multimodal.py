@@ -2,12 +2,14 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas functions via mapInPandas.
 
-The container has no image/audio libraries, so the decode step is a STUB — a
-clearly-marked deterministic fake behind the same mapInPandas plumbing a real
-decoder would use (swap ``_fake_decode`` for PIL/ffmpeg and nothing else
-changes: schema, batching, partitioning are the real thing). The test data
-has no binary table either, so payloads are synthesized from documents.text
-via encode() — an opaque byte column as far as the plan is concerned.
+The container has no image/audio libraries, so the decode step is a REAL
+pure-Python BMP parser (public dependency-free format — header, strides,
+bottom-up rows) behind the same mapInPandas plumbing a PIL/ffmpeg decoder
+would use (swap ``bmp_decode``'s body and nothing else changes: schema,
+batching, partitioning stay). The test data has no binary table either, so
+payloads are synthesized from documents.text — first as raw bytes via
+encode(), then as spec-complete BMP files via ``bmp_encode_gray`` — opaque
+byte columns as far as the plan is concerned.
 
 Scale notes: payload columns ride in parquet binary columns; decode is a
 narrow mapInPandas (no shuffle), so it scales with input splits;
@@ -28,11 +30,6 @@ from pyspark.sql import functions as F
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
-DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, format string, width int, height int, ok boolean"
-)
-
-
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct — the ingest
     shape for multimodal rows: (key, payload binary, meta struct)."""
@@ -48,40 +45,113 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """STUB decoder. A real implementation would be e.g.::
-
-        from PIL import Image
-        img = Image.open(io.BytesIO(payload)); return img.format, *img.size
-
-    No imaging library ships in this environment, so derive deterministic
-    fake dimensions from the payload bytes. Raise NotImplementedError for
-    payloads a real decoder would reject (empty)."""
-    if not payload:
-        raise NotImplementedError("decode of empty payload (no real decoder available)")
-    return "FAKE", (payload[0] % 64) + 1, (payload[-1] % 64) + 1
+# --------------------------------------------------------------------------
+# Real image decode without external deps: BMP (Windows bitmap) is a public,
+# dependency-free format — 14-byte file header, 40-byte BITMAPINFOHEADER,
+# uncompressed 24-bit BGR pixel rows padded to 4-byte strides, stored
+# bottom-up (top-down when height is negative). The encoder below exists to
+# synthesize deterministic fixtures from documents.text; the DECODER is a
+# real parser (magic, header fields, stride, row order) — swap it for PIL
+# and only the function body changes, never the Spark plumbing.
+# --------------------------------------------------------------------------
+BMP_WIDTH = 16  # grid width for synthesized grayscale fixtures
 
 
-def decode_payloads(df: DataFrame) -> DataFrame:
+def bmp_encode_gray(data: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Pack ``data`` as a grayscale 24-bit BMP (pixel BGR = byte,byte,byte):
+    w = min(len, width), h = ceil(len/w), grid padded with 0 bytes, rows
+    stored BOTTOM-UP with 4-byte stride padding — a spec-complete file any
+    image viewer opens. Empty data has no valid BMP; raises ValueError."""
+    import struct
+
+    n = len(data)
+    if n == 0:
+        raise ValueError("cannot encode an empty payload as BMP")
+    w = min(n, width)
+    h = (n + w - 1) // w
+    stride = (w * 3 + 3) & ~3
+    grid = data.ljust(w * h, b"\0")
+    rows = [grid[r * w : (r + 1) * w] for r in range(h)]
+    px = b"".join(
+        b"".join(bytes((b, b, b)) for b in row).ljust(stride, b"\0")
+        for row in reversed(rows)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + info + px
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL BMP parse: validate magic + header, honor the pixel-data offset,
+    bpp, stride padding, and bottom-up/top-down row order. Returns
+    (width, height, pixel_sum, top_left) where pixel_sum sums the blue
+    channel over all pixels and top_left is the blue channel of the
+    top-left pixel (row-order proof). Raises ValueError on anything
+    malformed — 24-bit uncompressed only, the profile the encoder emits."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP profile (bpp={bpp}, comp={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid dimensions {w}x{h_signed}")
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < data_offset + stride * h:
+        raise ValueError("truncated pixel data")
+    pixel_sum = 0
+    top_left = None
+    for r in range(h):
+        # storage row r is image row r (top-down) or h-1-r (bottom-up)
+        img_row = r if top_down else h - 1 - r
+        off = data_offset + r * stride
+        row = payload[off : off + w * 3 : 3]  # blue channel of each pixel
+        pixel_sum += sum(row)
+        if img_row == 0:
+            top_left = row[0]
+    return w, h, pixel_sum, top_left
+
+
+DECODE_BMP_SCHEMA = (
+    "doc_id long, ok boolean, width int, height int, "
+    "pixel_sum long, top_left int"
+)
+
+
+def decode_bmp_payloads(df: DataFrame) -> DataFrame:
     """Arrow-batched decode via mapInPandas: batches stream through Python
-    without materializing a partition, the real-decoder plumbing."""
+    without materializing a partition — the real-decoder plumbing, running
+    a real decoder. Malformed payloads yield ok=false rows instead of
+    failing the job (the quarantine discipline)."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                }
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px, tl = bmp_decode(bytes(payload))
+                    rows.append((doc_id, True, w, h, px, tl))
+                except ValueError:
+                    rows.append((doc_id, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ok", "width", "height", "pixel_sum", "top_left",
+                ],
             )
-            decoded = pdf["payload"].map(_fake_decode)
-            out["format"] = decoded.map(lambda t: t[0])
-            out["width"] = decoded.map(lambda t: t[1]).astype("int32")
-            out["height"] = decoded.map(lambda t: t[2]).astype("int32")
-            out["ok"] = True
-            yield out
 
-    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+    return df.mapInPandas(decode_batches, DECODE_BMP_SCHEMA)
 
 
 @register(
@@ -108,16 +178,68 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_bmp_payloads(df: DataFrame) -> DataFrame:
+    """Fixture-ingest stage: synthesize a real BMP from each document's
+    bytes (grayscale pixel = byte value, BMP_WIDTH-wide grid) — the
+    binary-producing half of the multimodal path. Empty documents yield an
+    empty payload (no image captured), which the decoder quarantines."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: bmp_encode_gray(bytes(p)) if len(p) else b""
+                    ),
+                }
+            )
+
+    return df.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+
 @register(
-    "multimodal_decode_stub",
+    "multimodal_decode_bmp",
     tags=("multimodal", "pandas-udf"),
-    oracle=None,  # decoder is a stub; plumbing is tested, output is fake
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(SUM(ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT)
+                       AS px
+            FROM d, unnest(range(1, n + 1)) AS t(i)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               n > 0 AS ok,
+               CASE WHEN n > 0
+                    THEN CAST(LEAST(n, {BMP_WIDTH}) AS INT) END AS width,
+               CASE WHEN n > 0
+                    THEN CAST((n + LEAST(n, {BMP_WIDTH}) - 1)
+                              // LEAST(n, {BMP_WIDTH}) AS INT) END AS height,
+               CASE WHEN n > 0 THEN s.px END AS pixel_sum,
+               CASE WHEN n > 0
+                    THEN CAST(ascii(substr(text, 1, 1)) AS INT) END AS top_left
+        FROM d LEFT JOIN s USING (doc_id)
+    """,
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode path end-to-end (stub decoder): binary column →
-    Arrow batches → Python → typed decoded frame."""
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path end-to-end with a REAL decoder (r9
+    verdict item 6, replacing multimodal_decode_stub): documents.text →
+    spec-complete grayscale BMP bytes (encode stage) → binary column →
+    Arrow batches → pure-Python BMP parse (magic, DIB header, 4-byte row
+    strides, bottom-up row order) → typed (width, height, pixel_sum,
+    top_left) frame. Integer-only outputs, so the oracle — which predicts
+    the dimensions and blue-channel sums straight from the ASCII text that
+    seeded the pixels — is hash-exact, including pad-pixel zeros and the
+    row-order proof via top_left. Both stages are narrow mapInPandas over
+    input splits: no shuffle anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_payloads(with_binary_payload(docs))
+    return decode_bmp_payloads(
+        encode_bmp_payloads(with_binary_payload(docs).select("doc_id", "payload"))
+    )
 
 
 # --------------------------------------------------------------------------

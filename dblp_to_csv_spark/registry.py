@@ -167,7 +167,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "median_price_by_status": 6,
     "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
-    "multimodal_decode_stub": 5,
     "multimodal_feature_extract": 9,
     "multimodal_frame_sample": 9,
     "multimodal_metadata": 7,

@@ -240,14 +240,19 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
 
 
 def test_multimodal_decode_plumbing(spark):
+    from dblp_to_csv_spark.operators.multimodal import BMP_WIDTH
     from dblp_to_csv_spark.registry import all_queries
 
-    out = all_queries()["multimodal_decode_stub"].fn(spark, SF_SMOKE).toPandas()
+    out = all_queries()["multimodal_decode_bmp"].fn(spark, SF_SMOKE).toPandas()
     assert len(out) == 500
-    assert list(out.columns) == ["doc_id", "n_bytes", "format", "width", "height", "ok"]
-    assert (out["ok"]).all()
-    assert (out["width"].between(1, 64)).all()
-    assert (out["n_bytes"] > 0).all()
+    assert list(out.columns) == [
+        "doc_id", "ok", "width", "height", "pixel_sum", "top_left",
+    ]
+    ok = out[out["ok"]]
+    assert len(ok) > 0
+    assert (ok["width"].between(1, BMP_WIDTH)).all()
+    assert (ok["height"] >= 1).all()
+    assert (ok["pixel_sum"] > 0).all()
 
 
 def test_multimodal_resize_plumbing(spark):
