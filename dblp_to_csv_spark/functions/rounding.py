@@ -1,0 +1,46 @@
+"""Tie-down rounding: the convention that retires the display-rounding edge
+class (registry.py header; ROADMAP 23; r9 verdict item 8).
+
+The hazard: ``ROUND(x, d)`` can disagree between Spark (BigDecimal HALF_UP
+of the double's shortest decimal repr) and DuckDB (scaled-double rounding)
+ONLY when ``x`` sits EXACTLY on a half-boundary of the rounding scale — and
+a double can sit exactly on a boundary only when x is a dyadic rational.
+Aggregates of money (2-dp sums) and transcendental-valued scores (ln/sqrt/
+exp) cannot produce such values; RATIOS OF SMALL INTEGERS can: Jaccard
+``i/u`` with union 128 and odd intersection is exactly k + 0.5 at 6 dp
+(any reduced denominator with 2-adic valuation > 6 or 5-adic valuation > 6
+does this). Where the output can be kept integral, convert before rounding
+(the ``parts_abc_pareto`` precedent); where the ratio itself is the result,
+use THIS helper on BOTH engines:
+
+    round(x - 5e-13, d) + 0.0
+
+Subtracting 5e-13 (IEEE-identical on both engines) moves an exact tie just
+below the boundary, so both engines deterministically round DOWN; every
+non-tie value is unaffected because the nearest rounding threshold is at
+least ~1e-7 away for 6-dp scales while only exact dyadic ties can approach
+a threshold closer than the nudge. Values and filters stay engine-portable
+with no schema change.
+
+Grep handle: ``round_ties_down`` / ``ROUND_TIES_DOWN_SQL``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TIE_EPS = 5e-13
+
+# SQL twin — format with the expression and scale:
+#   ROUND_TIES_DOWN_SQL.format(expr="i * 1.0 / u", scale=6)
+ROUND_TIES_DOWN_SQL = "(ROUND(({expr}) - 5e-13, {scale}) + 0.0)"
+
+
+def round_ties_down(col: Column, scale: int) -> Column:
+    """``F.round`` with exact half-boundary ties forced DOWN on both
+    engines — use for rounded ratios of small integers (Jaccard,
+    containment, clustering coefficients, per-token ratios)."""
+    # + 0.0 normalizes the -0.0 a nudged exact zero would produce (IEEE
+    # -0.0 + 0.0 = +0.0 on both engines — the repo's existing idiom).
+    return F.round(col - F.lit(TIE_EPS), scale) + F.lit(0.0)

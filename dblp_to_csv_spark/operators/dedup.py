@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.rounding import round_ties_down
 from dblp_to_csv_spark.functions.text import SHINGLES_SQL, WORDS_SQL, shingles, words
 from dblp_to_csv_spark.operators.similarity import (
     _SIGN_BUCKET_SQL,
@@ -79,7 +80,7 @@ _SHINGLE_CTE = f"""
     ),
     jac AS (
         SELECT da AS doc_a, db AS doc_b,
-               ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+               ROUND((i * 1.0 / (ca.n + cb.n - i)) - 5e-13, 6) + 0.0 AS jaccard
         FROM inter
         JOIN c ca ON ca.doc_id = da
         JOIN c cb ON cb.doc_id = db
@@ -119,7 +120,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.round(
+            round_ties_down(
                 F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
             ).alias("jaccard"),
         )
@@ -451,7 +452,7 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            round_ties_down(
                 i_ * 1.0 / (F.size("sha") + F.size("shb") - i_), 6
             ).alias("jaccard"),
         )
@@ -923,7 +924,7 @@ _CAPPED_SHINGLE_CTE = f"""
     ),
     jac AS (
         SELECT da AS doc_a, db AS doc_b,
-               ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+               ROUND((i * 1.0 / (ca.n + cb.n - i)) - 5e-13, 6) + 0.0 AS jaccard
         FROM inter
         JOIN c ca ON ca.doc_id = da
         JOIN c cb ON cb.doc_id = db
@@ -976,7 +977,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            round_ties_down(
                 F.col("i") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 6
             ).alias("jaccard"),
         )
@@ -1572,7 +1573,7 @@ CONTAINMENT_THRESHOLD = 0.8
     oracle=f"""
         WITH {_SHINGLE_CTE}
         SELECT i.da AS doc_a, i.db AS doc_b,
-               ROUND(i.i * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+               ROUND((i.i * 1.0 / LEAST(ca.n, cb.n)) - 5e-13, 6) + 0.0 AS containment
         FROM inter i
         JOIN c ca ON ca.doc_id = i.da
         JOIN c cb ON cb.doc_id = i.db
@@ -1617,7 +1618,7 @@ def _containment_from_shingles(sh: DataFrame) -> DataFrame:
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .filter(cont >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .select("doc_a", "doc_b", round_ties_down(cont, 6).alias("containment"))
     )
 
 
@@ -1643,7 +1644,7 @@ def _containment_from_shingles(sh: DataFrame) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT i.da AS doc_a, i.db AS doc_b,
-               ROUND(i.i * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+               ROUND((i.i * 1.0 / LEAST(ca.n, cb.n)) - 5e-13, 6) + 0.0 AS containment
         FROM inter i
         JOIN c ca ON ca.doc_id = i.da
         JOIN c cb ON cb.doc_id = i.db
@@ -1741,7 +1742,9 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
-            F.round(i * 1.0 / (F.col("na") + F.col("nb") - i), 6).alias("jaccard"),
+            round_ties_down(i * 1.0 / (F.col("na") + F.col("nb") - i), 6).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

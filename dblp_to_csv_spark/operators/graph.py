@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.rounding import round_ties_down
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -253,10 +254,10 @@ def triangle_counts(
         SELECT p.p_partkey AS l_partkey,
                CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
                COALESCE(c.n_triangles, 0) AS n_triangles,
-               ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
-                          THEN 2.0 * COALESCE(c.n_triangles, 0)
-                               / (d.deg * (d.deg - 1))
-                          ELSE 0 END, 6) AS clustering_coeff
+               CASE WHEN COALESCE(d.deg, 0) >= 2
+                    THEN ROUND((2.0 * COALESCE(c.n_triangles, 0)
+                                / (d.deg * (d.deg - 1))) - 5e-13, 6) + 0.0
+                    ELSE 0 END AS clustering_coeff
         FROM part p
         LEFT JOIN deg d ON d.node = p.p_partkey
         LEFT JOIN cnt c ON c.node = p.p_partkey
@@ -288,7 +289,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.coalesce(F.col("deg"), F.lit(0))
     t = F.coalesce(F.col("n_triangles"), F.lit(0))
     coeff = F.when(
-        d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)
+        d >= 2, round_ties_down(2.0 * t / (d * (d - 1)), 6)
     ).otherwise(F.lit(0.0))
     return joined.select(
         "l_partkey",
@@ -897,10 +898,10 @@ def _graph_report_oracle() -> str:
         SELECT p.p_partkey AS l_partkey,
                COALESCE(d.deg, 0) AS degree,
                COALESCE(c.n_triangles, 0) AS n_triangles,
-               ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
-                          THEN 2.0 * COALESCE(c.n_triangles, 0)
-                               / (d.deg * (d.deg - 1))
-                          ELSE 0 END, 6) AS clustering_coeff,
+               CASE WHEN COALESCE(d.deg, 0) >= 2
+                    THEN ROUND((2.0 * COALESCE(c.n_triangles, 0)
+                                / (d.deg * (d.deg - 1))) - 5e-13, 6) + 0.0
+                    ELSE 0 END AS clustering_coeff,
                CAST(COALESCE({prev}.cor, 0) AS BIGINT) AS coreness,
                (COALESCE({prev}.cor, 0) >= {KCORE_K}) AS in_core
         FROM part p
@@ -960,7 +961,7 @@ def graph_report(
     t = F.coalesce(F.col("n_triangles"), F.lit(0))
     core = F.coalesce(F.col("cor"), F.lit(0))
     coeff = F.when(
-        d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)
+        d >= 2, round_ties_down(2.0 * t / (d * (d - 1)), 6)
     ).otherwise(F.lit(0.0))
     return joined.select(
         "l_partkey",

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.rounding import round_ties_down
 from dblp_to_csv_spark.functions.text import (
     BIGRAMS_SQL,
     FINGERPRINT_SQL,
@@ -34,8 +35,9 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
         SELECT doc_id,
                CAST(len(w) AS BIGINT) AS n_tokens,
                n_chars,
-               ROUND(len(list_filter(w, x -> len(x) >= 5)) * 1.0
-                     / GREATEST(len(w), 1), 6) AS long_token_ratio,
+               ROUND((len(list_filter(w, x -> len(x) >= 5)) * 1.0
+                      / GREATEST(len(w), 1)) - 5e-13, 6) + 0.0
+                   AS long_token_ratio,
                CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens
         FROM t
     """,
@@ -52,7 +54,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         "n_chars",
-        F.round(
+        round_ties_down(
             F.size(F.filter(w, lambda x: F.length(x) >= 5))
             * 1.0
             / F.greatest(F.size(w), F.lit(1)),
@@ -76,8 +78,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
         )
         SELECT doc_id,
-               ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
-               ROUND(n_punct * 1.0 / GREATEST(n_chars_raw, 1), 6) AS punct_ratio,
+               ROUND((n_stop * 1.0 / GREATEST(n_tokens, 1)) - 5e-13, 6)
+                   + 0.0 AS stopword_ratio,
+               ROUND((n_punct * 1.0 / GREATEST(n_chars_raw, 1)) - 5e-13, 6)
+                   + 0.0 AS punct_ratio,
                CASE WHEN n_tokens >= 20
                      AND n_punct * 1.0 / GREATEST(n_chars_raw, 1) < 0.1
                     THEN 'keep' ELSE 'drop' END AS verdict
@@ -98,8 +102,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_ratio = n_punct * 1.0 / F.greatest(n_chars_raw, F.lit(1))
     return docs.select(
         "doc_id",
-        F.round(n_stop * 1.0 / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        round_ties_down(n_stop * 1.0 / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        round_ties_down(punct_ratio, 6).alias("punct_ratio"),
         F.when((n_tokens >= 20) & (punct_ratio < 0.1), "keep")
         .otherwise("drop")
         .alias("verdict"),
@@ -303,10 +309,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (SELECT doc_id, {WORDS_SQL.format(col="text")} AS w FROM documents),
         s AS (SELECT doc_id, w, {SHINGLES_SQL.format(words="w")} AS sh FROM t)
         SELECT doc_id,
-               ROUND((len(w) - len(list_distinct(w))) * 1.0
-                     / GREATEST(len(w), 1), 6) AS dup_token_ratio,
-               ROUND((len(sh) - len(list_distinct(sh))) * 1.0
-                     / GREATEST(len(sh), 1), 6) AS dup_3gram_ratio
+               ROUND(((len(w) - len(list_distinct(w))) * 1.0
+                      / GREATEST(len(w), 1)) - 5e-13, 6) + 0.0
+                   AS dup_token_ratio,
+               ROUND(((len(sh) - len(list_distinct(sh))) * 1.0
+                      / GREATEST(len(sh), 1)) - 5e-13, 6) + 0.0
+                   AS dup_3gram_ratio
         FROM s
     """,
 )
@@ -326,7 +334,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t.select("doc_id", "w", shingles(F.col("w")).alias("sh"))
     w, sh = F.col("w"), F.col("sh")
-    dup = lambda c: F.round(
+    dup = lambda c: round_ties_down(
         (F.size(c) - F.size(F.array_distinct(c)))
         * 1.0
         / F.greatest(F.size(c), F.lit(1)),

