@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.text import (
@@ -1326,4 +1326,103 @@ def skipgram_pairs_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("center", "context").agg(
         F.count("*").alias("n_pairs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment — Thaler & Ravishankar
+# 1998, the consistent-placement idiom behind distributed object stores and
+# shard routers. Each key goes to argmax over nodes of h(key, node); when a
+# node leaves, ONLY its keys move (minimal disruption), unlike mod-N where
+# (N-1)/N of all keys reshuffle. For a growing 100 TB corpus this is how
+# shard placement stays stable across capacity changes: assignment is an
+# in-row argmax over an N-sized literal array — one narrow projection, no
+# join, no shuffle until the final N-row aggregate.
+# --------------------------------------------------------------------------
+RENDEZVOUS_NODES = [f"node-{i}" for i in range(8)]
+
+
+def rendezvous_pick(key: Column, nodes: list[str]) -> Column:
+    """argmax_n md5(key ':' n) as an in-row array_max over
+    struct(hash, node) — lexicographic struct comparison picks the max
+    hash (ties, probability ~2^-128, break toward the max node name;
+    the oracle mirrors with ORDER BY hv DESC, node DESC)."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.md5(F.concat(key.cast("string"), F.lit(":" + n))).alias(
+                        "hv"
+                    ),
+                    F.lit(n).alias("node"),
+                )
+                for n in nodes
+            ]
+        )
+    )["node"]
+
+
+@register(
+    "shard_rendezvous_assign",
+    tags=("pipeline", "sharding", "scalar"),
+    oracle=f"""
+        WITH nodes AS (
+            SELECT unnest([{", ".join(repr(n) for n in RENDEZVOUS_NODES)}])
+                AS node
+        ),
+        h AS (
+            SELECT d.doc_id, n.node,
+                   md5(CAST(d.doc_id AS VARCHAR) || ':' || n.node) AS hv
+            FROM documents d CROSS JOIN nodes n
+        ),
+        a8 AS (
+            SELECT doc_id, node FROM (
+                SELECT doc_id, node,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, node DESC) AS rn
+                FROM h
+            ) WHERE rn = 1
+        ),
+        a7 AS (
+            SELECT doc_id, node FROM (
+                SELECT doc_id, node,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, node DESC) AS rn
+                FROM h WHERE node != '{RENDEZVOUS_NODES[-1]}'
+            ) WHERE rn = 1
+        )
+        SELECT a8.node,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN a7.node != a8.node THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_on_drain
+        FROM a8 JOIN a7 USING (doc_id)
+        GROUP BY a8.node
+    """,
+)
+def shard_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard placement over the document corpus, with the
+    minimal-disruption property REPORTED AS DATA: per shard node, how many
+    docs it owns under the full 8-node ring and how many of those would
+    move if the last node drained (re-running the argmax over the
+    surviving 7). Rendezvous guarantees moves happen ONLY off the drained
+    node — pinned in tests — versus mod-N hashing where a capacity change
+    reshuffles (N-1)/N of the corpus.
+
+    Scale shape: both assignments are in-row expressions over a literal
+    node array (the window in the oracle is DuckDB's argmax spelling, not
+    a plan requirement); the only shuffle is the final 8-row aggregate.
+    The md5 ranking is the engine-portable determinism idiom the sampling
+    family already uses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.col("doc_id")
+    assigned = docs.select(
+        "doc_id",
+        rendezvous_pick(key, RENDEZVOUS_NODES).alias("node"),
+        rendezvous_pick(key, RENDEZVOUS_NODES[:-1]).alias("node_drained"),
+    )
+    return assigned.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("node_drained") != F.col("node"), 1).otherwise(0)
+        ).alias("n_moved_on_drain"),
     )
