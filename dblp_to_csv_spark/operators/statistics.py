@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.rounding import round_ties_down
 from dblp_to_csv_spark.functions.text import WORDS_SQL, words
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
@@ -784,11 +785,12 @@ def _kmv_hash() -> F.Column:
         )
         SELECT event_type,
                CAST(n_vals AS BIGINT) AS exact_distinct,
-               ROUND(CASE WHEN k_used < {KMV_K} THEN k_used
-                          ELSE ({KMV_K} - 1) / vk END, 4) AS kmv_estimate,
-               ROUND(ABS(CASE WHEN k_used < {KMV_K} THEN k_used
-                              ELSE ({KMV_K} - 1) / vk END - n_vals)
-                     / n_vals, 4) AS rel_error
+               ROUND((CASE WHEN k_used < {KMV_K} THEN k_used
+                           ELSE ({KMV_K} - 1) / vk END) - 5e-13, 4) + 0.0
+                   AS kmv_estimate,
+               ROUND((ABS(CASE WHEN k_used < {KMV_K} THEN k_used
+                               ELSE ({KMV_K} - 1) / vk END - n_vals)
+                      / n_vals) - 5e-13, 4) + 0.0 AS rel_error
         FROM sk JOIN exact USING (event_type)
     """,
 )
@@ -825,10 +827,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "event_type").select(
         "event_type",
         F.col("n_vals").cast("long").alias("exact_distinct"),
-        F.round(est, 4).alias("kmv_estimate"),
-        F.round(F.abs(est - F.col("n_vals")) / F.col("n_vals"), 4).alias(
-            "rel_error"
-        ),
+        round_ties_down(est, 4).alias("kmv_estimate"),
+        round_ties_down(
+            F.abs(est - F.col("n_vals")) / F.col("n_vals"), 4
+        ).alias("rel_error"),
     )
 
 
@@ -872,12 +874,13 @@ _KMV_SET_B = "purchase"
             FROM hashed
         )
         SELECT k_used,
-               ROUND(CASE WHEN n_union <= {KMV_K} THEN n_union
-                          ELSE ({KMV_K} - 1) / vk END, 4) AS est_union,
-               ROUND(jacc, 4) AS est_jaccard,
-               ROUND(jacc * CASE WHEN n_union <= {KMV_K} THEN n_union
-                                 ELSE ({KMV_K} - 1) / vk END, 4)
-                   AS est_intersection,
+               ROUND((CASE WHEN n_union <= {KMV_K} THEN n_union
+                           ELSE ({KMV_K} - 1) / vk END) - 5e-13, 4) + 0.0
+                   AS est_union,
+               ROUND((jacc) - 5e-13, 4) + 0.0 AS est_jaccard,
+               ROUND((jacc * CASE WHEN n_union <= {KMV_K} THEN n_union
+                                  ELSE ({KMV_K} - 1) / vk END) - 5e-13, 4)
+                   + 0.0 AS est_intersection,
                exact_union, exact_intersection
         FROM agg CROSS JOIN exact
     """,
@@ -927,11 +930,15 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_u = F.when(F.col("n_union") <= KMV_K, F.col("n_union")).otherwise(
         (KMV_K - 1) / F.col("vk")
     )
+    # tie-down rounding (functions/rounding.py): jacc = m/64 is dyadic, so
+    # ROUND(m/64, 4) sits EXACTLY on a half boundary for m = 2, 6, 10, ...
+    # — the one rounding site in the sketch family that is boundary-LIKELY
+    # rather than merely boundary-capable.
     return agg.crossJoin(F.broadcast(exact)).select(
         "k_used",
-        F.round(est_u, 4).alias("est_union"),
-        F.round("jacc", 4).alias("est_jaccard"),
-        F.round(F.col("jacc") * est_u, 4).alias("est_intersection"),
+        round_ties_down(est_u, 4).alias("est_union"),
+        round_ties_down(F.col("jacc"), 4).alias("est_jaccard"),
+        round_ties_down(F.col("jacc") * est_u, 4).alias("est_intersection"),
         "exact_union",
         "exact_intersection",
     )

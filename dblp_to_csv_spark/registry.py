@@ -86,6 +86,7 @@ _EVIDENCE_RESET: set[str] = {
     # the expressions after their r9 greens.
     "ab_test_welch",
     "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
     # r10: einsum rewrite of the pandas UDF body after its r9 green.
     "pandas_udf_vector_norm",
     # r10: DSIR/LM oracles now share BIGRAMS_SQL (guarded CASE form).
@@ -243,7 +244,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "similarity_topk_lsh_multiprobe": 8,
     "similarity_topk_pq": 8,
     "sketch_countmin_words": 9,
-    "sketch_kmv_set_ops": 9,
     "skipgram_pairs_subsampled": 9,
     "skyline_documents": 8,
     "sliding_window_events": 7,
