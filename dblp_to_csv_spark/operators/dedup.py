@@ -1215,6 +1215,14 @@ def _dot(a, b) -> F.Column:
     )
 
 
+def _norm(a) -> F.Column:
+    """L2 norm, NULL for an all-zero vector (Spark ANSI double division by
+    zero THROWS where DuckDB NULLs — the ab_test_welch class; a NULL norm
+    NULLs the cosine on Spark exactly as x/0 does on DuckDB)."""
+    d = _dot(a, a)
+    return F.when(d > 0, F.sqrt(d))
+
+
 @register(
     "dedup_embedding_cosine",
     tags=("dedup", "similarity", "join"),
@@ -1240,7 +1248,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
     a = emb.alias("a")
     b = emb.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -1348,7 +1356,7 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         _as_double("embedding").alias("emb"),
         _sign_bucket(F.col("embedding")).alias("bucket"),
     )
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
     a = emb.alias("a")
     b = emb.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -1432,7 +1440,7 @@ def dedup_semantic_semdedup(
     cells_dir = os.path.join(base_dir, "cells")
     kmeans_cells(emb, k=k).write.mode("overwrite").parquet(cells_dir)
     assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
-        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        "nrm", _norm(F.col("emb"))
     )
     a = assigned.alias("a")
     c = assigned.alias("c")

@@ -42,7 +42,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+    """L2 norm, NULL for an all-zero vector: cosine against a zero vector
+    is undefined, and under Spark 4 ANSI a 0.0 denominator THROWS
+    DIVIDE_BY_ZERO while DuckDB returns NULL (the ab_test_welch class,
+    advisor r9). A NULL norm makes every downstream cos division NULL on
+    Spark — exactly what the oracles' x/0 already yields on DuckDB."""
+    d = _dot(a, a)
+    return F.when(d > 0, F.sqrt(d))
 
 
 def _sign_bucket(emb: Column, bits: int = SIGN_BITS) -> Column:

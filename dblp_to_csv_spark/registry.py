@@ -89,6 +89,22 @@ _EVIDENCE_RESET: set[str] = {
     "sketch_kmv_set_ops",
     # r10: einsum rewrite of the pandas UDF body after its r9 green.
     "pandas_udf_vector_norm",
+    # r10: zero-vector norm guard (NULL, matching DuckDB's x/0) added to
+    # every cosine consumer — value-preserving for nonzero vectors by
+    # branch identity, but the expression changed after the green rows.
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh_bucketed",
+    "similarity_topk_lsh_multiprobe",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_nprobe",
+    "similarity_knn_graph_bucketed",
+    "similarity_topk_pq",
+    "similarity_eval_recall",
+    "decontaminate_semantic",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_semantic_semdedup",
+    "search_hybrid_rrf",
     # r10: DSIR/LM oracles now share BIGRAMS_SQL (guarded CASE form).
     "dsir_importance_weights",
     "lm_bigram_cross_entropy",
@@ -131,21 +147,17 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "date_functions_gallery": 9,
     "decontaminate_against_eval": 5,
     "decontaminate_bloom": 7,
-    "decontaminate_semantic": 9,
     "dedup_chunk_exact": 6,
     "dedup_chunk_rewrite": 7,
     "dedup_cluster_stats": 6,
     "dedup_connected_components": 7,
     "dedup_connected_components_star": 7,
     "dedup_edit_distance_banded": 8,
-    "dedup_embedding_cosine": 7,
-    "dedup_embedding_cosine_bucketed": 7,
     "dedup_exact_documents": 7,
     "dedup_graph_pagerank": 8,
     "dedup_intradoc_rewrite": 7,
     "dedup_keep_canonical": 6,
     "dedup_latest_order_per_customer": 7,
-    "dedup_semantic_semdedup": 7,
     "dedup_simhash": 7,
     "dedup_substring_rewrite": 8,
     "dedup_substring_spans": 8,
@@ -224,7 +236,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "scd2_point_in_time_join": 9,
     "scd2_user_state": 9,
     "search_bm25": 8,
-    "search_hybrid_rrf": 8,
     "seasonal_decompose_events": 8,
     "segment_edges": 6,
     "semi_join_discounted_orders": 6,
@@ -234,15 +245,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "setop_intersect_nations": 6,
     "setop_multiset_all_nations": 8,
     "setop_union_nations": 6,
-    "similarity_eval_recall": 9,
-    "similarity_knn_graph_bucketed": 8,
     "similarity_topk_blas": 2,
-    "similarity_topk_bruteforce": 7,
-    "similarity_topk_ivf": 7,
-    "similarity_topk_ivf_nprobe": 8,
-    "similarity_topk_lsh_bucketed": 7,
-    "similarity_topk_lsh_multiprobe": 8,
-    "similarity_topk_pq": 8,
     "sketch_countmin_words": 9,
     "skipgram_pairs_subsampled": 9,
     "skyline_documents": 8,

@@ -613,3 +613,33 @@ def test_funnel_timing_zero_entrants(spark, empty_all_sf):
     r = rows[0]
     assert (r.n_entered, r.n_converted) == (0, 0)
     assert r.conversion_rate is None and r.p50_sec is None
+
+
+def test_zero_embedding_cosine_null_not_crash(spark, tmp_path):
+    """An all-zero embedding (real pipelines emit them for OOV/empty docs)
+    has zero norm: cosine against it is undefined. Spark 4 ANSI double
+    division by zero THROWS where DuckDB returns NULL (the ab_test_welch
+    class, advisor r9) — the guarded norm must make the pair NULL/filtered
+    on both engines instead of failing the job."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    emb = [list(map(float, rng.normal(size=8))) for _ in range(4)]
+    emb.append([0.0] * 8)  # the degenerate vector
+    pd.DataFrame(
+        {
+            "vec_id": list(range(5)),
+            "embedding": [np.array(e, dtype=np.float32) for e in emb],
+            "label": [0, 0, 1, 1, 1],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    entry = _entry("dedup_embedding_cosine")
+    got = entry.fn(spark, str(tmp_path)).toPandas()  # must not raise
+    assert not (set(got.get("vec_a", [])) | set(got.get("vec_b", []))) & {4}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(entry.oracle).df()
+    assert len(got) == len(want)
