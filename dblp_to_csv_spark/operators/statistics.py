@@ -861,10 +861,12 @@ _KMV_SET_B = "purchase"
         ),
         sketch AS (SELECT * FROM ranked WHERE rn <= LEAST(n_vals, {KMV_K})),
         agg AS (
+            -- n_union comes from the EXACT count below (0 on an empty
+            -- corpus), not MAX(n_vals) over the sketch (NULL on empty) —
+            -- mirroring the Spark side's exact-count broadcast
             SELECT MAX(v) AS vk, CAST(COUNT(*) AS BIGINT) AS k_used,
                    SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) * 1.0
-                       / COUNT(*) AS jacc,
-                   MAX(n_vals) AS n_union
+                       / COUNT(*) AS jacc
             FROM sketch
         ),
         exact AS (
@@ -874,11 +876,12 @@ _KMV_SET_B = "purchase"
             FROM hashed
         )
         SELECT k_used,
-               ROUND((CASE WHEN n_union <= {KMV_K} THEN n_union
+               ROUND((CASE WHEN exact_union <= {KMV_K} THEN exact_union
                            ELSE ({KMV_K} - 1) / vk END) - 5e-13, 4) + 0.0
                    AS est_union,
                ROUND((jacc) - 5e-13, 4) + 0.0 AS est_jaccard,
-               ROUND((jacc * CASE WHEN n_union <= {KMV_K} THEN n_union
+               ROUND((jacc * CASE WHEN exact_union <= {KMV_K}
+                                  THEN exact_union
                                   ELSE ({KMV_K} - 1) / vk END) - 5e-13, 4)
                    + 0.0 AS est_intersection,
                exact_union, exact_intersection
