@@ -726,3 +726,33 @@ def test_weighted_percentiles_no_multiset_expansion(spark):
     # CORPUS is never exploded (no Generate below the partial aggregate)
     below_agg = plan.split("partial_percentile", 1)[1]
     assert "Generate" not in below_agg
+
+
+def test_rendezvous_assign_single_exchange(spark):
+    """Rendezvous shard assignment is an in-row argmax over the node list:
+    exactly one hashpartitioning exchange (the final 8-row aggregate), no
+    join operator, no Python anywhere."""
+    plan = _plan(spark, "shard_rendezvous_assign")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bmp_decode_is_shuffle_free_arrow_pipeline(spark):
+    """Both multimodal BMP stages are narrow mapInPandas over input splits:
+    no Exchange of any kind, no row-at-a-time Python — the Arrow batch
+    operators are the only Python in the plan."""
+    plan = _plan(spark, "multimodal_decode_bmp")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+
+
+def test_jaccard_tie_nudge_stays_in_codegen(spark):
+    """The r10 tie-down rounding is a scalar subtract inside the projection
+    — it must not introduce Python or change the join structure of the
+    exact-Jaccard plan (shuffle joins on shingle/doc keys only)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
