@@ -434,7 +434,12 @@ def _pois_weight_sql(u: str) -> str:
             FROM base, UNNEST(generate_series(0, {BOOTSTRAP_B - 1})) AS g(b)
         ),
         means AS (
-            SELECT b, ROUND(SUM(w * value) / SUM(w), 4) AS m
+            -- a tiny corpus can draw all-zero Poisson weights for a
+            -- resample: SUM(w) = 0 would throw under Spark ANSI, so the
+            -- resample contributes NULL (skipped by the quantile) on BOTH
+            -- engines (r10 tiny-corpus sweep)
+            SELECT b, CASE WHEN SUM(w) > 0
+                           THEN ROUND(SUM(w * value) / SUM(w), 4) END AS m
             FROM draws GROUP BY b
         )
         SELECT CAST({BOOTSTRAP_B} AS BIGINT) AS n_resamples,
@@ -491,7 +496,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     ).select(b, w.alias("w"), "value")
     means = draws.groupBy("b").agg(
-        F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4).alias("m")
+        F.round(
+            F.when(
+                F.sum("w") > 0,
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"),
+            ),
+            4,
+        ).alias("m")
     )
     full = ev.agg(F.round(F.avg("value"), 4).alias("mean_full"))
     return means.agg(

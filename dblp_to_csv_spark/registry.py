@@ -108,6 +108,9 @@ _EVIDENCE_RESET: set[str] = {
     # r10: DSIR/LM oracles now share BIGRAMS_SQL (guarded CASE form).
     "dsir_importance_weights",
     "lm_bigram_cross_entropy",
+    # r10 tiny-corpus sweep: all-zero-weight resample guard added after
+    # the r8 green row.
+    "bootstrap_mean_ci",
 }
 # (r10: scd2_user_state removed — the r9 driver window re-greened the
 # current tiebreak implementation, VERDICT r9 "What's wrong" #1.)
@@ -133,7 +136,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "augment_span_corrupt": 8,
     "benford_digit_audit": 9,
     "bitwise_functions_gallery": 7,
-    "bootstrap_mean_ci": 8,
     "bpe_merge_candidates": 8,
     "broadcast_join_part_agg": 6,
     "changepoint_cusum_events": 9,
