@@ -652,6 +652,101 @@ def sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Two-pass heavy hitters: Misra-Gries candidate generation (Misra & Gries
+# 1982; mergeable-summaries form of Agarwal et al., PODS'12) + exact
+# recount. THE way to answer "which keys exceed phi of the stream" at
+# 100 TB when the distinct-key space is too large to groupBy wholesale:
+# pass 1 never shuffles (a narrow per-partition counter summary bounded at
+# k entries), pass 2 shuffles ONLY rows matching the tiny candidate set.
+# The MG guarantee makes the final answer exact, not approximate: any key
+# with global frequency >= phi*n is phi-frequent in at least one partition
+# (pigeonhole), survives that partition's MG(k) with k+1 > 1/phi, and the
+# exact recount then filters the superset down to precisely the keys the
+# oracle's full GROUP BY finds — independent of partitioning.
+# --------------------------------------------------------------------------
+HH_PHI = 0.004  # report words carrying >= 0.4% of all token occurrences
+HH_K = int(1 / HH_PHI) + 1  # counter budget: k+1 > 1/phi
+
+
+def mg_partition_summaries(tok: DataFrame, k: int = HH_K) -> DataFrame:
+    """Per-partition Misra-Gries(k) summaries via mapInPandas, built by the
+    MERGE rule rather than the per-token loop so each Arrow batch is
+    processed vectorized: batch value_counts is an exact summary; merging
+    adds counters, subtracts the (k+1)-th largest value, and drops the
+    non-positive — the standard mergeable-summary step, preserving
+    count_est(x) >= count_true(x) - n_p/(k+1) per partition."""
+    import pandas as pd
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["word"].value_counts(), fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = (counters - cut)[lambda s: s > 0]
+        # list-of-str construction: an EMPTY partition's Series carries a
+        # RangeIndex (int64) that Arrow would reject against the string
+        # schema
+        yield pd.DataFrame(
+            {
+                "word": [str(w) for w in counters.index],
+                "lb": [int(v) for v in counters.values],
+            }
+        )
+
+    return tok.mapInPandas(mg, "word string, lb long")
+
+
+@register(
+    "heavy_hitters_words",
+    tags=("sketch", "text", "agg"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST({WORDS_SQL.format(col="text")}) AS word
+            FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS total FROM tok)
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND((COUNT(*) * 1.0 / total) - 5e-13, 6) + 0.0 AS share
+        FROM tok CROSS JOIN n
+        GROUP BY word, total
+        HAVING COUNT(*) >= CEIL({HH_PHI} * total)
+    """,
+)
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-frequent words by MG-candidates + recount: pass 1 reduces
+    each partition to a <= {HH_K}-entry counter summary inside the scan (no
+    shuffle, vectorized Arrow batches); pass 2 semi-joins the corpus
+    against the broadcast candidate set and aggregates only those rows.
+    The oracle is the full GROUP BY ... HAVING — the two-pass plan must
+    reproduce it exactly, which is precisely the MG no-false-negative
+    guarantee. Integer threshold (CEIL) and tie-down share rounding keep
+    the comparison engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words("text")).alias("word"))
+    cand = mg_partition_summaries(tok).select("word").distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    recount = (
+        tok.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(HH_PHI) * F.col("total")))
+        .select(
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            round_ties_down(F.col("cnt") * 1.0 / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Welch's two-sample t-test (unequal variances): the A/B-experiment readout.
 # --------------------------------------------------------------------------
