@@ -185,20 +185,29 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "argmax"),
     oracle="""
         SELECT o_custkey,
-               arg_max(o_orderkey, o_totalprice) AS best_orderkey,
-               ROUND(MAX(o_totalprice), 2) AS best_price
-        FROM orders
-        GROUP BY o_custkey
+               -(m.k) AS best_orderkey,
+               ROUND(m.p, 2) AS best_price
+        FROM (
+            SELECT o_custkey,
+                   max({'p': o_totalprice, 'k': -o_orderkey}) AS m
+            FROM orders GROUP BY o_custkey
+        )
     """,
 )
 def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmax aggregate (max_by ≡ arg_max): each customer's highest-value
-    order in a single hash aggregate — no window, no self-join. (totalprice
-    is tie-free within a customer in this data; with ties you'd max a
-    (price, key) struct for determinism.)"""
+    order in a single hash aggregate — no window, no self-join. The
+    ordering key is the (price, -orderkey) struct, so price ties resolve
+    to the LOWEST orderkey deterministically on both engines (the r10
+    tied-values sweep caught bare max_by/arg_max picking different rows);
+    the oracle spells the same total order as max-of-struct because
+    DuckDB's arg_max does not take composite ordering keys."""
     o = load_table(spark, sf_dir, "orders")
+    tie_total_order = F.struct(
+        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("k")
+    )
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+        F.max_by("o_orderkey", tie_total_order).alias("best_orderkey"),
         F.round(F.max("o_totalprice"), 2).alias("best_price"),
     )
 

@@ -32,12 +32,21 @@ def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final aggregation of the co-moments — no second scan, no
     collect. Rounded to absorb engine summation-order ulps; ``+ 0.0``
     normalizes IEEE negative zero (DuckDB's ROUND yields -0.0 for tiny
-    negative values, Spark's yields +0.0 — the r4 hash mismatch)."""
+    negative values, Spark's yields +0.0 — the r4 hash mismatch).
+
+    corr is spelled covar/(stddev·stddev) through try_divide: Spark 4
+    ANSI's native ``corr`` THROWS DIVIDE_BY_ZERO on a zero-variance group
+    (probe-confirmed; DuckDB's CORR returns NULL) — the r10 tied-values
+    sweep's catch. Same single scan, same value to 4 dp."""
     li = load_table(spark, sf_dir, "lineitem")
+    corr = F.try_divide(
+        F.covar_samp("l_quantity", "l_extendedprice"),
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("qty_price_corr"),
+        (F.round(corr, 4) + F.lit(0.0)).alias("qty_price_corr"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias("disc_tax_covar"),
     )
 

@@ -111,6 +111,10 @@ _EVIDENCE_RESET: set[str] = {
     # r10 tiny-corpus sweep: all-zero-weight resample guard added after
     # the r8 green row.
     "bootstrap_mean_ci",
+    # r10 tied-values sweep: deterministic (price, -orderkey) argmax
+    # ordering / try_divide corr spelling after their green rows.
+    "argmax_order_per_customer",
+    "stats_agg_lineitem",
 }
 # (r10: scd2_user_state removed — the r9 driver window re-greened the
 # current tiebreak implementation, VERDICT r9 "What's wrong" #1.)
@@ -128,7 +132,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "approx_distinct_users": 6,
     "approx_percentile_prices": 6,
     "aqp_sample_estimates": 9,
-    "argmax_order_per_customer": 9,
     "array_collapse_returnflags": 6,
     "array_functions_gallery": 9,
     "arrow_quantize_embeddings": 8,
@@ -266,7 +269,6 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sql_udf_scalar_nested": 7,
     "sql_udf_table_valued": 7,
     "sql_variant_events": 6,
-    "stats_agg_lineitem": 5,
     "string_functions_gallery": 9,
     "text_bpe_token_count": 7,
     "text_char_entropy": 8,
