@@ -140,9 +140,11 @@ def decode_bmp_payloads(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, px, tl = bmp_decode(bytes(payload))
+                    w, h, px, tl = bmp_decode(
+                        b"" if payload is None else bytes(payload)
+                    )
                     rows.append((doc_id, True, w, h, px, tl))
-                except ValueError:
+                except ValueError:  # NULL/malformed rows quarantine
                     rows.append((doc_id, False, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -190,7 +192,11 @@ def encode_bmp_payloads(df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": pdf["payload"].map(
-                        lambda p: bmp_encode_gray(bytes(p)) if len(p) else b""
+                        # NULL text -> NULL payload: quarantine as empty
+                        # (a dirty row must not kill the Python worker)
+                        lambda p: bmp_encode_gray(bytes(p))
+                        if p is not None and len(p)
+                        else b""
                     ),
                 }
             )
@@ -265,7 +271,7 @@ def sample_frames(df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
+                payload = b"" if payload is None else bytes(payload)
                 if not payload:
                     # zero frames for an empty payload — matches the oracle's
                     # LEAST(n, length)=0 semantics; raising would fail the
@@ -329,7 +335,9 @@ def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = pdf["payload"].map(
-                lambda p: bytes(p)[:target_bytes].ljust(target_bytes, b"\0")
+                lambda p: (b"" if p is None else bytes(p))[
+                    :target_bytes
+                ].ljust(target_bytes, b"\0")
             )
             yield pd.DataFrame(
                 {
@@ -370,6 +378,8 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # dirty row: no features, no crash
+                    continue
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(arr >> 3, minlength=N_FEATURE_BINS)
                 for b in np.nonzero(hist)[0]:

@@ -813,10 +813,16 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-comparable (map column order is engine-specific)."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # NULL is not a legal map key in Spark (NULL_MAP_KEY crash), and the
+    # lookups below only probe literal types — collect_list skips NULL
+    # elements, so NULL-typed entries stay out of the map while users with
+    # ONLY NULL-typed events still get a row (empty map → 0 counts),
+    # matching the oracle's GROUP BY + FILTER semantics.
+    entry = F.when(
+        F.col("event_type").isNotNull(), F.struct("event_type", "n")
+    )
     maps = per_type.groupBy("user_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("event_type", "n"))
-        ).alias("counts")
+        F.map_from_entries(F.collect_list(entry)).alias("counts")
     )
     return maps.select(
         "user_id",

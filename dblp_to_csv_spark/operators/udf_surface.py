@@ -31,10 +31,12 @@ def _l2_norm_udf():
         batch is stacked into ONE (batch, dim) float64 matrix and reduced
         with a single einsum — no per-row Python anywhere (the previous
         emb.map ran a Python lambda per element; r9 verdict item 3)."""
-        if len(emb) == 0:  # np.stack rejects an empty batch
-            return pd.Series([], dtype="float64")
-        m = np.stack(emb.to_numpy())
-        return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
+        out = pd.Series(np.nan, index=emb.index, dtype="float64")
+        valid = emb.notna()
+        if valid.any():  # np.stack rejects empty/ragged-with-None batches
+            m = np.stack(emb[valid].to_numpy())
+            out[valid] = np.sqrt(np.einsum("ij,ij->i", m, m))
+        return out
 
     return _l2_norm
 
@@ -125,14 +127,20 @@ def apply_in_pandas_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         # float32 values are exactly representable in float64, so min/max
-        # (no summation) compare bit-exact against the oracle — no rounding
-        first = pdf["embedding"].map(lambda v: float(v[0]))
+        # (no summation) compare bit-exact against the oracle — no rounding.
+        # NULL/empty embeddings and a NULL label group must not kill the
+        # worker (r10 all-NULL probe): they degrade to NaN entries, which
+        # pandas min/max skip, mirroring SQL MIN/MAX over NULLs.
+        first = pdf["embedding"].map(
+            lambda v: float(v[0]) if v is not None and len(v) else float("nan")
+        )
+        lbl = pdf["label"].iloc[0]
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
+                "label": [int(lbl) if pd.notna(lbl) else None],
                 "n_vectors": [len(pdf)],
-                "min_first": [first.min()],
-                "max_first": [first.max()],
+                "min_first": [None if pd.isna(first.min()) else first.min()],
+                "max_first": [None if pd.isna(first.max()) else first.max()],
             }
         )
 
@@ -285,7 +293,13 @@ def arrow_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf = b.to_pandas()
             qs, scales = [], []
             for v in pdf["embedding"]:
-                e = np.asarray(v, dtype=np.float64)
+                # a NULL embedding row must not kill the Python worker:
+                # quantize it as the empty vector (codes '', floor scale)
+                e = (
+                    np.array([], dtype=np.float64)
+                    if v is None
+                    else np.asarray(v, dtype=np.float64)
+                )
                 sc = max(float(np.max(np.abs(e))), 1e-12) if e.size else 1e-12
                 codes = np.floor(127.0 * e / sc + 0.5).astype(np.int32)
                 qs.append("|".join(str(c) for c in codes))

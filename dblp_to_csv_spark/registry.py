@@ -115,6 +115,13 @@ _EVIDENCE_RESET: set[str] = {
     # ordering / try_divide corr spelling after their green rows.
     "argmax_order_per_customer",
     "stats_agg_lineitem",
+    # r10 all-NULL probe: per-row quarantine guards added to the Python
+    # batch paths and the NULL-map-key build after their green rows.
+    "map_functions_events",
+    "apply_in_pandas_label_stats",
+    "arrow_quantize_embeddings",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
 }
 # (r10: scd2_user_state removed — the r9 driver window re-greened the
 # current tiebreak implementation, VERDICT r9 "What's wrong" #1.)
@@ -128,13 +135,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "acf_event_values": 9,
     "advanced_agg_gallery": 9,
     "anti_join_customers_no_urgent": 9,
-    "apply_in_pandas_label_stats": 5,
     "approx_distinct_users": 6,
     "approx_percentile_prices": 6,
     "aqp_sample_estimates": 9,
     "array_collapse_returnflags": 6,
     "array_functions_gallery": 9,
-    "arrow_quantize_embeddings": 8,
     "asof_join_purchase_last_view": 7,
     "augment_span_corrupt": 8,
     "benford_digit_audit": 9,
@@ -197,13 +202,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "interval_overlap_join_bucketed": 8,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
-    "map_functions_events": 6,
     "market_share_by_year": 6,
     "median_price_by_status": 6,
     "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
-    "multimodal_feature_extract": 9,
-    "multimodal_frame_sample": 9,
     "multimodal_metadata": 7,
     "ngram_novelty_vs_reference": 7,
     "ntile_order_quartiles": 5,

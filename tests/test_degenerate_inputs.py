@@ -643,3 +643,63 @@ def test_zero_embedding_cosine_null_not_crash(spark, tmp_path):
     )
     want = con.execute(entry.oracle).df()
     assert len(got) == len(want)
+
+
+def test_null_rows_never_kill_python_workers(spark, tmp_path):
+    """Dirty corpora carry NULL text / NULL embeddings / NULL event types
+    (OOV docs, failed feature extraction, schema drift). The Arrow-batched
+    Python paths and the map build must degrade per-row (quarantine, NaN,
+    skipped entry) — never kill the job (r10 all-NULL probe)."""
+    import numpy as np
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["hello", None],
+            "lang": ["en", None],
+            "source": ["s", None],
+            "n_chars": [5, None],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [np.array([3.0, 4.0], dtype=np.float32), None],
+            "label": [0, None],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "user_id": [1, 1, 2],
+            "event_type": ["click", None, None],
+            "value": [1.0, None, None],
+            "props": ["{}", None, None],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    sf = str(tmp_path)
+
+    bmp = _entry("multimodal_decode_bmp").fn(spark, sf).toPandas().set_index("doc_id")
+    assert bool(bmp.loc[1, "ok"]) and not bool(bmp.loc[2, "ok"])
+
+    frames = _entry("multimodal_frame_sample").fn(spark, sf).toPandas()
+    assert set(frames["doc_id"]) == {1}  # NULL doc contributes no frames
+
+    feats = _entry("multimodal_feature_extract").fn(spark, sf).toPandas()
+    assert set(feats["doc_id"]) == {1}
+
+    norms = (
+        _entry("pandas_udf_vector_norm").fn(spark, sf).toPandas().set_index("vec_id")
+    )
+    assert norms.loc[1, "l2_norm"] == 5.0
+    assert pd.isna(norms.loc[2, "l2_norm"])
+
+    quant = (
+        _entry("arrow_quantize_embeddings").fn(spark, sf).toPandas().set_index("vec_id")
+    )
+    assert quant.loc[2, "q_codes"] == ""  # NULL vector -> empty code string
+
+    maps = _entry("map_functions_events").fn(spark, sf).toPandas().set_index("user_id")
+    assert maps.loc[1, "clicks"] == 1
+    assert maps.loc[2, "clicks"] == 0  # only-NULL-typed user keeps a row
