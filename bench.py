@@ -93,6 +93,12 @@ PIPELINE_BENCH = [
     # basket pair mining and skip-gram pair construction
     "cooccurrence_parts_pmi",
     "skipgram_pairs_subsampled",
+    # round-10 additions: MG heavy hitters (narrow summary + candidate
+    # recount), rendezvous sharding (in-row argmax), BMP codec pipeline
+    # (two mapInPandas stages)
+    "heavy_hitters_words",
+    "shard_rendezvous_assign",
+    "multimodal_decode_bmp",
 ]
 
 
