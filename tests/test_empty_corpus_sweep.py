@@ -10,16 +10,11 @@ zero-valued counts. One parametrized gate retires the whole class."""
 
 from __future__ import annotations
 
-import math
-
-import duckdb
-import pandas as pd
 import pytest
 
 from dblp_to_csv_spark.registry import all_queries
 from dblp_to_csv_spark.sources.tables import TABLES
-
-REAL_SF = "/root/testdata/sf0.001"
+from tests.sweep_util import REAL_SF, assert_matches_oracle, duck_for
 
 ALL_QUERIES = sorted(all_queries().items())
 
@@ -40,24 +35,9 @@ def empty_sf(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(empty_sf):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{empty_sf}/{t}.parquet')"
-        )
+    con = duck_for(empty_sf)
     yield con
     con.close()
-
-
-def _values_agree(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if pd.isna(a) or pd.isna(b):
-        return False
-    if isinstance(a, float) or isinstance(b, float):
-        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-    return str(a) == str(b)
 
 
 # Documented engine divergence (not a bug in either repo query): ANSI SQL
@@ -83,19 +63,4 @@ def test_query_survives_empty_corpus(spark, duck, empty_sf, name, entry):
         assert len(got) == 0, f"{name}: Spark now emits rows on empty input"
         assert len(want) == 1, f"{name}: DuckDB grand-total row disappeared"
         return
-    assert len(got) == len(want), (
-        f"{name}: {len(got)} Spark rows vs {len(want)} oracle rows on an "
-        f"empty corpus"
-    )
-    assert sorted(got.columns) == sorted(want.columns)
-    if len(got) == 0:
-        return
-    g = got[sorted(got.columns)].sort_values(
-        by=sorted(got.columns), kind="mergesort", key=lambda s: s.astype(str)
-    )
-    w = want[sorted(want.columns)].sort_values(
-        by=sorted(want.columns), kind="mergesort", key=lambda s: s.astype(str)
-    )
-    for c in g.columns:
-        for a, b in zip(g[c].tolist(), w[c].tolist()):
-            assert _values_agree(a, b), f"{name}.{c}: {a!r} != {b!r}"
+    assert_matches_oracle(name, got, want, "an empty corpus")

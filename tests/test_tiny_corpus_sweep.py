@@ -9,16 +9,12 @@ weight resample where the oracle returned NULL."""
 
 from __future__ import annotations
 
-import math
-
-import duckdb
-import pandas as pd
 import pytest
 
 from dblp_to_csv_spark.registry import all_queries
 from dblp_to_csv_spark.sources.tables import TABLES
+from tests.sweep_util import REAL_SF, assert_matches_oracle, duck_for
 
-REAL_SF = "/root/testdata/sf0.001"
 ALL_QUERIES = sorted(all_queries().items())
 
 
@@ -35,26 +31,9 @@ def tiny_sf(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(tiny_sf):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{tiny_sf}/{t}.parquet')"
-        )
+    con = duck_for(tiny_sf)
     yield con
     con.close()
-
-
-def _values_agree(a, b) -> bool:
-    # NaN and NULL both mean "undefined here" across the engine boundary
-    # (pandas reads SQL NULL as NaN in float columns anyway)
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if pd.isna(a) or pd.isna(b):
-        return False
-    if isinstance(a, float) or isinstance(b, float):
-        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-    return str(a) == str(b)
 
 
 @pytest.mark.parametrize("name,entry", ALL_QUERIES, ids=[n for n, _ in ALL_QUERIES])
@@ -63,19 +42,4 @@ def test_query_survives_tiny_corpus(spark, duck, tiny_sf, name, entry):
     if entry.oracle is None:
         return
     want = duck.execute(entry.oracle).df()
-    assert len(got) == len(want), (
-        f"{name}: {len(got)} Spark rows vs {len(want)} oracle rows on a "
-        f"3-row corpus"
-    )
-    assert sorted(got.columns) == sorted(want.columns)
-    if len(got) == 0:
-        return
-    g = got[sorted(got.columns)].sort_values(
-        by=sorted(got.columns), kind="mergesort", key=lambda s: s.astype(str)
-    )
-    w = want[sorted(want.columns)].sort_values(
-        by=sorted(want.columns), kind="mergesort", key=lambda s: s.astype(str)
-    )
-    for c in g.columns:
-        for a, b in zip(g[c].tolist(), w[c].tolist()):
-            assert _values_agree(a, b), f"{name}.{c}: {a!r} != {b!r}"
+    assert_matches_oracle(name, got, want, "a 3-row corpus")
