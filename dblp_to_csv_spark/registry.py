@@ -56,73 +56,21 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # ascending last-green round. Queries with no DuckDB oracle sort last so
 # the driver window never burns slots on rows-only ``err: no_oracle`` rows
 # (VERDICT r6 items 1 and 5).
-# Queries whose implementation changed AFTER their last green driver row.
-# scripts/refresh_driver_verified.py drops these from _LAST_GREEN_ROUND when
-# it rewrites the literal, so they sort as never-verified (first in the
-# window) instead of riding stale evidence. Remove a name once the driver
-# re-greens the CURRENT implementation.
-_EVIDENCE_RESET: set[str] = {
-    # r10 tie-down rounding conversion (functions/rounding.py): same values
-    # on all non-boundary inputs, but the rounding expression changed after
-    # these queries' last green rows.
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_minhash_lsh_df_capped",
-    "dedup_jaccard_prefix_filter",
-    "dedup_containment_pairs",
-    "dedup_containment_capped",
-    "graph_clustering_coefficient",
-    "graph_report",
-    "text_token_stats",
-    "text_quality_score",
-    "text_repetition_score",
-    # r10: BPE vocab checkpoint cadence changed (identical results, fewer
-    # jobs) after the r8 green rows.
-    "bpe_train_merges",
-    "bpe_apply_encode",
-    # r10 advisor fixes: zero-variance guard / distinct-after-hash change
-    # the expressions after their r9 greens.
-    "ab_test_welch",
-    "sketch_kmv_distinct",
-    "sketch_kmv_set_ops",
-    # r10: einsum rewrite of the pandas UDF body after its r9 green.
-    "pandas_udf_vector_norm",
-    # r10: zero-vector norm guard (NULL, matching DuckDB's x/0) added to
-    # every cosine consumer — value-preserving for nonzero vectors by
-    # branch identity, but the expression changed after the green rows.
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh_bucketed",
-    "similarity_topk_lsh_multiprobe",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_nprobe",
-    "similarity_knn_graph_bucketed",
-    "similarity_topk_pq",
-    "similarity_eval_recall",
-    "decontaminate_semantic",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_semantic_semdedup",
-    "search_hybrid_rrf",
-    # r10: DSIR/LM oracles now share BIGRAMS_SQL (guarded CASE form).
-    "dsir_importance_weights",
-    "lm_bigram_cross_entropy",
-    # r10 tiny-corpus sweep: all-zero-weight resample guard added after
-    # the r8 green row.
-    "bootstrap_mean_ci",
-    # r10 tied-values sweep: deterministic (price, -orderkey) argmax
-    # ordering / try_divide corr spelling after their green rows.
-    "argmax_order_per_customer",
-    "stats_agg_lineitem",
-    # r10 all-NULL probe: per-row quarantine guards added to the Python
-    # batch paths and the NULL-map-key build after their green rows.
-    "map_functions_events",
-    "apply_in_pandas_label_stats",
-    "arrow_quantize_embeddings",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
+# Queries whose implementation changed AFTER their last green driver row,
+# mapped to the round in whose session the reset was declared. The driver
+# runs AFTER the session closes, so a green row in CORRECTNESS_r{declared}
+# (or later) is evidence on the NEW implementation and clears the reset;
+# greens from earlier rounds are evidence on the old code and are dropped
+# by scripts/refresh_driver_verified.py so the name sorts as never-verified
+# (first in the driver window). The script clears re-greened names
+# automatically; tests/test_registry_evidence.py fails if a name outlives
+# its declared round without re-greening (VERDICT r10 item 8).
+# Entry format: one line per name — `"query_name": <declared round>,  # why`.
+_EVIDENCE_RESET: dict[str, int] = {
 }
+# (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
+# cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
+# in CORRECTNESS_r10 and was cleared by refresh_driver_verified.py.)
 # (r10: scd2_user_state removed — the r9 driver window re-greened the
 # current tiebreak implementation, VERDICT r9 "What's wrong" #1.)
 # (round-9 vacuity audit: anti_join_customers_no_urgent and
@@ -132,19 +80,26 @@ _EVIDENCE_RESET: set[str] = {
 
 _LAST_GREEN_ROUND: dict[str, int] = {
     "ab_test_mann_whitney": 9,
+    "ab_test_welch": 10,
     "acf_event_values": 9,
     "advanced_agg_gallery": 9,
     "anti_join_customers_no_urgent": 9,
+    "apply_in_pandas_label_stats": 10,
     "approx_distinct_users": 6,
     "approx_percentile_prices": 6,
     "aqp_sample_estimates": 9,
+    "argmax_order_per_customer": 10,
     "array_collapse_returnflags": 6,
     "array_functions_gallery": 9,
+    "arrow_quantize_embeddings": 10,
     "asof_join_purchase_last_view": 7,
     "augment_span_corrupt": 8,
     "benford_digit_audit": 9,
     "bitwise_functions_gallery": 7,
+    "bootstrap_mean_ci": 10,
+    "bpe_apply_encode": 10,
     "bpe_merge_candidates": 8,
+    "bpe_train_merges": 10,
     "broadcast_join_part_agg": 6,
     "changepoint_cusum_events": 9,
     "chunk_documents_overlapping": 8,
@@ -157,17 +112,29 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "date_functions_gallery": 9,
     "decontaminate_against_eval": 5,
     "decontaminate_bloom": 7,
+    "decontaminate_semantic": 10,
     "dedup_chunk_exact": 6,
     "dedup_chunk_rewrite": 7,
     "dedup_cluster_stats": 6,
     "dedup_connected_components": 7,
     "dedup_connected_components_star": 7,
+    "dedup_containment_capped": 10,
+    "dedup_containment_pairs": 10,
     "dedup_edit_distance_banded": 8,
+    "dedup_embedding_cosine": 10,
+    "dedup_embedding_cosine_bucketed": 10,
     "dedup_exact_documents": 7,
     "dedup_graph_pagerank": 8,
     "dedup_intradoc_rewrite": 7,
+    "dedup_jaccard_prefix_filter": 10,
     "dedup_keep_canonical": 6,
     "dedup_latest_order_per_customer": 7,
+    "dedup_minhash_lsh": 10,
+    "dedup_minhash_lsh_capped": 10,
+    "dedup_minhash_lsh_df_capped": 10,
+    "dedup_ngram_jaccard": 10,
+    "dedup_ngram_jaccard_capped": 10,
+    "dedup_semantic_semdedup": 10,
     "dedup_simhash": 7,
     "dedup_substring_rewrite": 8,
     "dedup_substring_spans": 8,
@@ -176,6 +143,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_chi2_by_window": 8,
     "drift_chi2_source_lang": 6,
     "drift_ks_events_value": 6,
+    "dsir_importance_weights": 10,
     "embedding_label_centroids": 6,
     "embedding_random_projection": 8,
     "eval_contamination_report": 8,
@@ -191,10 +159,13 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "graph_adamic_adar": 8,
     "graph_adamic_adar_capped": 9,
     "graph_bfs_distances": 9,
+    "graph_clustering_coefficient": 10,
     "graph_coreness": 9,
     "graph_kcore": 8,
     "graph_label_propagation": 9,
+    "graph_report": 10,
     "graph_triangle_count": 8,
+    "heavy_hitters_words": 10,
     "higher_order_functions_gallery": 7,
     "histogram_equiwidth_prices": 9,
     "incremental_agg_merge": 8,
@@ -202,18 +173,24 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "interval_overlap_join_bucketed": 8,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
+    "lm_bigram_cross_entropy": 10,
+    "map_functions_events": 10,
     "market_share_by_year": 6,
     "median_price_by_status": 6,
     "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
+    "multimodal_decode_bmp": 10,
+    "multimodal_feature_extract": 10,
+    "multimodal_frame_sample": 10,
     "multimodal_metadata": 7,
     "ngram_novelty_vs_reference": 7,
-    "ntile_order_quartiles": 5,
+    "ntile_order_quartiles": 10,
     "null_safe_join_suppliers": 6,
     "orders_rfm_segments": 9,
     "outliers_by_mad": 9,
     "pack_concat_chunks": 5,
     "pack_sequences_greedy": 5,
+    "pandas_udf_vector_norm": 10,
     "parts_abc_pareto": 9,
     "pipeline_c4_keep": 5,
     "pivot_status_by_priority": 9,
@@ -227,7 +204,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "quartile_labels_by_cutpoint": 5,
     "rag_retrieve_chunks": 8,
     "range_join_events_binned": 9,
-    "rank_functions_suppliers": 5,
+    "rank_functions_suppliers": 10,
     "regexp_functions_gallery": 9,
     "regression_moments_lineitem": 8,
     "retention_cohorts_weekly": 6,
@@ -235,7 +212,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "revenue_by_nation": 6,
     "rolling_median_hourly": 9,
     "rollup_lineitem_status": 6,
-    "salted_agg_event_types": 5,
+    "salted_agg_event_types": 10,
     "sample_documents_hash": 5,
     "sample_stratified_by_lang": 5,
     "sample_weighted_priority": 8,
@@ -243,6 +220,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "scd2_point_in_time_join": 9,
     "scd2_user_state": 9,
     "search_bm25": 8,
+    "search_hybrid_rrf": 10,
     "seasonal_decompose_events": 8,
     "segment_edges": 6,
     "semi_join_discounted_orders": 6,
@@ -252,12 +230,23 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "setop_intersect_nations": 6,
     "setop_multiset_all_nations": 8,
     "setop_union_nations": 6,
+    "shard_rendezvous_assign": 10,
+    "similarity_eval_recall": 10,
+    "similarity_knn_graph_bucketed": 10,
     "similarity_topk_blas": 2,
+    "similarity_topk_bruteforce": 10,
+    "similarity_topk_ivf": 10,
+    "similarity_topk_ivf_nprobe": 10,
+    "similarity_topk_lsh_bucketed": 10,
+    "similarity_topk_lsh_multiprobe": 10,
+    "similarity_topk_pq": 10,
     "sketch_countmin_words": 9,
+    "sketch_kmv_distinct": 10,
+    "sketch_kmv_set_ops": 10,
     "skipgram_pairs_subsampled": 9,
     "skyline_documents": 8,
     "sliding_window_events": 7,
-    "sorted_page_orders": 5,
+    "sorted_page_orders": 10,
     "split_leakage_free": 8,
     "split_train_val_test": 5,
     "sql_exists_subquery": 9,
@@ -271,6 +260,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sql_udf_scalar_nested": 7,
     "sql_udf_table_valued": 7,
     "sql_variant_events": 6,
+    "stats_agg_lineitem": 10,
     "string_functions_gallery": 9,
     "text_bpe_token_count": 7,
     "text_char_entropy": 8,
@@ -278,8 +268,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "text_fingerprint": 7,
     "text_language_id": 7,
     "text_logprob_buckets": 6,
+    "text_quality_score": 10,
     "text_redact_pii": 7,
+    "text_repetition_score": 10,
     "text_tfidf_top_terms": 7,
+    "text_token_stats": 10,
     "text_unigram_logprob": 7,
     "text_zipf_slope": 8,
     "theta_join_nation_pairs": 6,
@@ -292,7 +285,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "type_unification_lattice": 6,
     "udaf_geomean_order_price": 6,
     "udtf_ngrams_polymorphic": 7,
-    "udtf_tokenize_documents": 5,
+    "udtf_tokenize_documents": 10,
     "union_by_name_schema_evolution": 6,
     "unpivot_order_status_counts": 9,
     "weighted_percentiles_price": 9,

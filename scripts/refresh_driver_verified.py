@@ -10,6 +10,14 @@ A query counts as green in a round when its row has ``hash_match: true``, or
 — for declared no-oracle (rows-only) queries — a non-null ``spark_rows`` with
 ``err: no_oracle``. The script rewrites the dict literal in place and prints
 the resulting stale/fresh split.
+
+``_EVIDENCE_RESET`` handling (VERDICT r10 item 8): the reset table maps a
+query name to the round in whose session the reset was declared. Because the
+driver runs AFTER the session closes, a green row in round >= declared round
+is evidence on the NEW implementation — the script then removes the name
+from the reset literal (its one-line entry, comment included) and keeps the
+green. A green strictly older than the declared round is evidence on the old
+code and is dropped, so the name sorts as never-verified (window head).
 """
 
 from __future__ import annotations
@@ -36,13 +44,36 @@ def compute_last_green() -> dict[str, int]:
     return last
 
 
-def read_evidence_reset(src: str) -> set[str]:
-    """Names in registry._EVIDENCE_RESET: implementation changed after the
-    last green row, so the entry must be dropped (sorts as never-verified)."""
-    m = re.search(r"_EVIDENCE_RESET: set\[str\] = \{(.*?)\}", src, flags=re.DOTALL)
+RESET_RE = re.compile(
+    r"_EVIDENCE_RESET: dict\[str, int\] = \{\n(.*?)\n?\}", flags=re.DOTALL
+)
+
+
+def read_evidence_reset(src: str) -> dict[str, int]:
+    """Names in registry._EVIDENCE_RESET mapped to their declared round."""
+    m = RESET_RE.search(src)
     if not m:
-        return set()
-    return set(re.findall(r'"([^"]+)"', m.group(1)))
+        return {}
+    return {
+        name: int(rnd)
+        for name, rnd in re.findall(r'"([^"]+)"\s*:\s*(\d+)', m.group(1))
+    }
+
+
+def drop_reset_lines(src: str, cleared: set[str]) -> str:
+    """Remove the one-line entries for cleared names from the reset literal,
+    preserving every other line (entries keep their trailing `# why`)."""
+    m = RESET_RE.search(src)
+    if not m or not cleared:
+        return src
+    kept = [
+        line
+        for line in m.group(1).splitlines()
+        if not any(f'"{name}"' in line for name in cleared)
+    ]
+    body = ("\n".join(kept) + "\n") if kept else ""
+    new_literal = "_EVIDENCE_RESET: dict[str, int] = {\n" + body + "}"
+    return src[: m.start()] + new_literal + src[m.end() :]
 
 
 def registered_names() -> set[str]:
@@ -64,9 +95,23 @@ def main() -> None:
         print(f"dropped (no longer registered): {name}")
     src = REGISTRY.read_text()
     reset = read_evidence_reset(src)
-    for name in reset & last.keys():
-        del last[name]
-        print(f"evidence reset: {name} (sorts as never-verified)")
+    cleared: set[str] = set()
+    for name, declared in sorted(reset.items()):
+        if last.get(name, -1) >= declared:
+            cleared.add(name)
+            print(
+                f"reset cleared: {name} (declared r{declared}, "
+                f"re-greened r{last[name]} on the new implementation)"
+            )
+        elif name in last:
+            del last[name]
+            print(
+                f"evidence reset: {name} (green r-old < declared "
+                f"r{declared}; sorts as never-verified)"
+            )
+        else:
+            print(f"evidence reset: {name} (never green; window head)")
+    src = drop_reset_lines(src, cleared)
     body = "\n".join(f'    "{k}": {v},' for k, v in sorted(last.items()))
     new_src, n = re.subn(
         r"_LAST_GREEN_ROUND: dict\[str, int\] = \{\n.*?\n\}\n",
