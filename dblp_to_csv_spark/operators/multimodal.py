@@ -67,15 +67,19 @@ def bmp_encode_gray(data: bytes, width: int = BMP_WIDTH) -> bytes:
     n = len(data)
     if n == 0:
         raise ValueError("cannot encode an empty payload as BMP")
+    import numpy as np
+
     w = min(n, width)
     h = (n + w - 1) // w
     stride = (w * 3 + 3) & ~3
-    grid = data.ljust(w * h, b"\0")
-    rows = [grid[r * w : (r + 1) * w] for r in range(h)]
-    px = b"".join(
-        b"".join(bytes((b, b, b)) for b in row).ljust(stride, b"\0")
-        for row in reversed(rows)
-    )
+    grid = np.frombuffer(data.ljust(w * h, b"\0"), dtype=np.uint8).reshape(h, w)
+    # gray byte -> BGR triple, rows bottom-up, each padded to the 4-byte
+    # stride: one vectorized repeat + pad instead of a per-byte generator
+    # (VERDICT r10 item 5 — ~100x on wide images).
+    bgr = np.repeat(grid[::-1], 3, axis=1)
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * 3] = bgr
+    px = padded.tobytes()
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0

@@ -67,6 +67,7 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # its declared round without re-greening (VERDICT r10 item 8).
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
+    "multimodal_decode_bmp": 11,  # vectorized BMP row packing (byte-exact by 200-trial A/B, VERDICT r10 item 5)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
@@ -336,7 +337,12 @@ def all_queries() -> dict[str, QueryEntry]:
     def sort_key(name: str) -> tuple[int, int, int]:
         e = _REGISTRY[name]
         no_oracle = 1 if e.oracle is None else 0
-        last_green = _LAST_GREEN_ROUND.get(name, -1)  # never verified → first
+        # never verified OR reset this session → window head: a reset name
+        # must re-green in its declared round's driver pass even when the
+        # refresh script ran before the reset was declared.
+        last_green = (
+            -1 if name in _EVIDENCE_RESET else _LAST_GREEN_ROUND.get(name, -1)
+        )
         return (no_oracle, last_green, order.index(name))
     return {n: _REGISTRY[n] for n in sorted(order, key=sort_key)}
 
