@@ -394,3 +394,209 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_payload(docs).select("doc_id", "payload").mapInPandas(
         feature_batches, "doc_id long, bin int, n_bytes long"
     )
+
+
+# --------------------------------------------------------------------------
+# Second dependency-free modality (VERDICT r10 item 7): WAV (RIFF/PCM) audio.
+# RIFF is a public chunked container — "RIFF"<size>"WAVE", then chunks of
+# (4-byte id, 4-byte size, payload, pad byte when size is odd). The encoder
+# synthesizes deterministic 16-bit PCM fixtures from documents.text (one
+# frame per byte, sample = (byte-128)*256); the DECODER is a real chunk
+# walker (magic, fmt-before-data ordering, unknown-chunk skip with RIFF word
+# alignment, block-align frame math) — swap its body for soundfile/ffmpeg
+# and the Spark plumbing (schema, batching, partitioning) never changes.
+# All outputs are integer-exact (sum of squares instead of float RMS), so
+# the DuckDB oracle hash-matches bit-for-bit.
+# --------------------------------------------------------------------------
+WAV_SAMPLE_RATE = 8000
+
+
+def wav_encode_pcm16(
+    data: bytes, sample_rate: int = WAV_SAMPLE_RATE, n_channels: int = 1
+) -> bytes:
+    """Pack ``data`` as a spec-complete RIFF/WAVE file: 16-bit little-endian
+    PCM, one frame per input byte with sample (byte-128)*256 replicated
+    across ``n_channels``. Any audio player opens the result. Empty data has
+    no frames; raises ValueError (mirror of bmp_encode_gray)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) == 0:
+        raise ValueError("cannot encode an empty payload as WAV")
+    mono = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    frames = np.repeat(mono, n_channels).astype("<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        16,  # bits per sample
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(frames)) + frames
+    if len(frames) % 2:  # RIFF chunks are word-aligned
+        data_chunk += b"\0"
+    riff_body = b"WAVE" + fmt + data_chunk
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL RIFF/WAVE parse: validate magic, walk the chunk list (word
+    alignment, unknown chunks skipped), require fmt before data, 16-bit
+    uncompressed PCM only. Returns integer-exact
+    (sample_rate, n_channels, n_frames, duration_ms, sum_sq, peak_abs,
+    first_sample) where sum_sq sums sample^2 over all channels (the
+    integer-arithmetic stand-in for RMS energy) and duration_ms is the
+    floor of n_frames*1000/sample_rate. Raises ValueError on anything
+    malformed — the quarantine discipline upstream catches it."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_fields = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size})")
+            fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if fmt_fields is None:
+                raise ValueError("data chunk before fmt chunk")
+            audio_format, n_channels, sample_rate, _, block_align, bits = fmt_fields
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV profile (format={audio_format}, bits={bits})"
+                )
+            if n_channels < 1 or block_align != 2 * n_channels or sample_rate <= 0:
+                raise ValueError("inconsistent fmt fields")
+            n_frames = size // block_align
+            if n_frames == 0:
+                raise ValueError("no audio frames")
+            samples = np.frombuffer(
+                body[: n_frames * block_align], dtype="<i2"
+            ).astype(np.int64)
+            sum_sq = int((samples * samples).sum())
+            peak_abs = int(np.abs(samples).max())
+            first_sample = int(samples[0])
+            duration_ms = n_frames * 1000 // sample_rate
+            return (
+                sample_rate, n_channels, n_frames, duration_ms,
+                sum_sq, peak_abs, first_sample,
+            )
+        pos += 8 + size + (size % 2)  # word alignment
+    raise ValueError("no data chunk")
+
+
+DECODE_WAV_SCHEMA = (
+    "doc_id long, ok boolean, sample_rate int, n_channels int, "
+    "n_frames long, duration_ms long, sum_sq long, peak_abs int, "
+    "first_sample int"
+)
+
+
+def encode_wav_payloads(df: DataFrame, n_channels: int = 1) -> DataFrame:
+    """Fixture-ingest stage: synthesize a real WAV from each document's
+    bytes. Empty/NULL documents yield an empty payload, which the decoder
+    quarantines (same contract as encode_bmp_payloads)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: wav_encode_pcm16(bytes(p), n_channels=n_channels)
+                        if p is not None and len(p)
+                        else b""
+                    ),
+                }
+            )
+
+    return df.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+
+def decode_wav_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode via mapInPandas; malformed payloads yield
+    ok=false rows instead of failing the job."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows.append(
+                        (doc_id, True)
+                        + wav_decode(b"" if payload is None else bytes(payload))
+                    )
+                except ValueError:
+                    rows.append((doc_id, False) + (None,) * 7)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ok", "sample_rate", "n_channels", "n_frames",
+                    "duration_ms", "sum_sq", "peak_abs", "first_sample",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, DECODE_WAV_SCHEMA)
+
+
+@register(
+    "multimodal_decode_wav",
+    tags=("multimodal", "pandas-udf"),
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST((ascii(substr(text, CAST(i AS INT), 1)) - 128)
+                                 * 256 AS BIGINT)
+                            * ((ascii(substr(text, CAST(i AS INT), 1)) - 128)
+                               * 256)) AS BIGINT) AS sum_sq,
+                   CAST(MAX(ABS((ascii(substr(text, CAST(i AS INT), 1)) - 128)
+                                * 256)) AS INT) AS peak_abs
+            FROM d, unnest(range(1, n + 1)) AS t(i)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               n > 0 AS ok,
+               CASE WHEN n > 0 THEN {WAV_SAMPLE_RATE} END AS sample_rate,
+               CASE WHEN n > 0 THEN 1 END AS n_channels,
+               CASE WHEN n > 0 THEN CAST(n AS BIGINT) END AS n_frames,
+               CASE WHEN n > 0
+                    THEN CAST(n * 1000 // {WAV_SAMPLE_RATE} AS BIGINT)
+                    END AS duration_ms,
+               CASE WHEN n > 0 THEN s.sum_sq END AS sum_sq,
+               CASE WHEN n > 0 THEN s.peak_abs END AS peak_abs,
+               CASE WHEN n > 0
+                    THEN CAST((ascii(substr(text, 1, 1)) - 128) * 256 AS INT)
+                    END AS first_sample
+        FROM d LEFT JOIN s USING (doc_id)
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio half of the multimodal family (VERDICT r10 item 7):
+    documents.text → spec-complete 16-bit PCM WAV bytes (encode stage) →
+    binary column → Arrow batches → pure-Python RIFF chunk walk (magic,
+    fmt/data ordering, word alignment, block-align frame math) → typed
+    integer frame (rate, channels, frames, duration, energy, peak, first
+    sample). The oracle predicts every field straight from the ASCII text
+    that seeded the samples, so the whole mapInPandas path is hash-exact.
+    Both stages are narrow mapInPandas over input splits: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_payloads(
+        encode_wav_payloads(with_binary_payload(docs).select("doc_id", "payload"))
+    )
