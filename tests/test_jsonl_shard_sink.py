@@ -304,3 +304,77 @@ def test_shard_sink_rejects_bad_protocol(registered, tmp_path):
         df.write.format("jsonl-shards").option("path", str(tmp_path)).option(
             "commit-protocol", "teleport"
         ).mode("overwrite").save()
+
+
+def test_shard_sink_streaming_put_protocol_idempotent_no_rename(
+    tmp_path, monkeypatch
+):
+    """VERDICT r10 item 6: streaming parity for commit-protocol=put.
+    Unit-level (no Spark): drive JsonlShardStreamWriter directly with
+    os.replace/os.rename rigged to raise — two batches commit through the
+    object-store path, then batch 1 REPLAYS (checkpoint recovery) and must
+    land on the SAME final keys with the manifest entry REPLACED, never
+    duplicated. Proves the streaming writer shares the rename-free
+    publication plumbing, not just the option parsing."""
+    import pyarrow as pa
+
+    from dblp_to_csv_spark.sources import jsonl_shard_sink as mod
+
+    out = tmp_path / "stream_store"
+    w = mod.JsonlShardStreamWriter(
+        {"path": str(out), "commit-protocol": "put"}, overwrite=False
+    )
+
+    def no_rename(*a, **k):
+        raise AssertionError("rename is not available on this store")
+
+    monkeypatch.setattr(mod.os, "replace", no_rename)
+    monkeypatch.setattr(mod.os, "rename", no_rename)
+
+    def commit_batch(batch_id, values):
+        batch = pa.RecordBatch.from_pylist([{"a": v} for v in values])
+        w.commit([w.write(iter([batch]))], batch_id)
+
+    commit_batch(0, [1, 2])
+    commit_batch(1, [3])
+    commit_batch(1, [3])  # replay after checkpoint recovery
+
+    manifest = json.load(open(out / MANIFEST_NAME))
+    assert manifest["format"] == "jsonl-shards-stream/v1"
+    assert set(manifest["batches"]) == {"0", "1"}
+    assert manifest["n_rows"] == 3  # replay replaced, not appended
+    names = sorted(os.path.basename(p) for p in out.glob("batch-*"))
+    assert names == [
+        "batch-000000-shard-00000.jsonl",
+        "batch-000001-shard-00000.jsonl",
+    ]
+    lines = open(out / "batch-000001-shard-00000.jsonl").read().splitlines()
+    assert [json.loads(l)["a"] for l in lines] == [3]
+    assert not list(out.glob("_tmp-*"))  # orphan sweep works without rename
+
+
+def test_shard_sink_streaming_put_protocol_end_to_end(registered, tmp_path):
+    """The same put plumbing under a real availableNow stream: dataset
+    identical to rename mode, no rename-temp residue."""
+    src = tmp_path / "src_put"
+    src.mkdir()
+    docs = _docs(registered)
+    docs.limit(6).toPandas().to_parquet(src / "a.parquet")
+    out = str(tmp_path / "stream_put_out")
+    os.makedirs(out, exist_ok=True)
+    q = (
+        registered.readStream.schema(docs.schema)
+        .parquet(str(src))
+        .writeStream.format("jsonl-shards")
+        .option("path", out)
+        .option("commit-protocol", "put")
+        .option("checkpointLocation", str(tmp_path / "ckpt_put"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert manifest["n_rows"] == 6
+    assert not glob.glob(os.path.join(out, "_tmp-*"))
+    back = read_jsonl_documents(registered, out, quarantine_corrupt=False)
+    assert back.count() == 6
