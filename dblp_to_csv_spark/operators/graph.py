@@ -617,17 +617,125 @@ def write_und_edges(spark: SparkSession, e0: DataFrame, base_dir: str) -> DataFr
     return spark.read.parquet(und_path)
 
 
+# In-core finisher gate (ROADMAP 25 / VERDICT r10 item 3): when the WHOLE
+# symmetrized edge frame fits one task comfortably (8M rows x 16 B = 128 MB
+# plus a |V| x (H+1) counting matrix), the entire h-index fixpoint runs as
+# ONE applyInPandas task in vectorized numpy instead of ~rounds/2 sequential
+# Spark actions whose per-action fixed cost (broadcast build + job setup)
+# dominates at this size. This is the adaptive-execution move applied to
+# iterative state: pick the physical strategy by measured size. Above the
+# gate — the 100 TB regime, where co-occurrence graphs carry billions of
+# edges — the distributed broadcast rounds below remain the path, and the
+# fixpoint is provably identical (test_graph_analytics pins local ==
+# distributed == pure-Python on multiple graphs).
+CORENESS_LOCAL_FINISH_EDGES = 8_000_000
+
+
+def _hindex_fixpoint_numpy(u, v, seed=None):
+    """Vectorized h-index fixpoint over int arrays (u, v) holding BOTH edge
+    directions. Returns (node_ids, coreness) numpy arrays. ``seed`` maps
+    node id -> starting upper bound; defaults to degree capped at the
+    degree-sequence h-index (the same pointwise-upper-bound family the
+    distributed loop seeds from — any seed >= coreness reaches the same
+    fixpoint)."""
+    import numpy as np
+
+    nodes, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(nodes, v)  # und is symmetric: same node set
+    n = len(nodes)
+    if seed is None:
+        cor = np.bincount(u_idx, minlength=n).astype(np.int64)
+        # degree-sequence h-index cap H = max{h : #{deg >= h} >= h}
+        desc = np.sort(cor)[::-1]
+        h_mask = desc >= np.arange(1, n + 1)
+        cap = int(h_mask.sum())
+        np.minimum(cor, cap, out=cor)
+    else:
+        cor = seed.astype(np.int64)
+    while True:
+        c_max = int(cor.max(initial=0))
+        # counts[u, c] = #neighbors of u with cor == c, via one flat bincount
+        key = u_idx * (c_max + 1) + cor[v_idx]
+        counts = np.bincount(key, minlength=n * (c_max + 1)).reshape(
+            n, c_max + 1
+        )
+        # cum[u, c] = #neighbors with cor >= c ; h = max_c min(cum[:, c], c)
+        cum = counts[:, ::-1].cumsum(axis=1)[:, ::-1]
+        new_cor = np.minimum(
+            cum[:, 1:], np.arange(1, c_max + 1, dtype=np.int64)
+        ).max(axis=1, initial=0)
+        if np.array_equal(new_cor, cor):
+            return nodes, cor
+        cor = new_cor
+
+
+def _coreness_local_finish(
+    spark: SparkSession, und: DataFrame, cor: DataFrame | None
+) -> DataFrame:
+    """Run the whole fixpoint as ONE executor-side task: all und rows (and
+    the optional seed frame) cogroup under a constant key into a single
+    applyInPandas call that runs _hindex_fixpoint_numpy. One exchange in,
+    one task, no per-round actions. Only valid under the
+    CORENESS_LOCAL_FINISH_EDGES gate — the caller checks."""
+    import numpy as np
+    import pandas as pd
+
+    def finish(edges_pdf, seed_pdf):
+        if edges_pdf.empty:
+            return pd.DataFrame({"n": [], "cor": []}).astype("int64")
+        u = edges_pdf["u"].to_numpy()
+        v = edges_pdf["v"].to_numpy()
+        seed = None
+        if not seed_pdf.empty:
+            nodes = np.unique(u)
+            s = seed_pdf.set_index("n")["cor"]
+            # nodes absent from the seed frame fall back to their degree
+            deg = np.bincount(
+                np.searchsorted(nodes, u), minlength=len(nodes)
+            ).astype(np.int64)
+            seed = s.reindex(nodes).fillna(pd.Series(deg, index=nodes)).to_numpy()
+        nodes, out = _hindex_fixpoint_numpy(u, v, seed)
+        return pd.DataFrame({"n": nodes, "cor": out})
+
+    seed_df = (
+        cor
+        if cor is not None
+        else spark.createDataFrame([], "n long, cor long")
+    )
+    return (
+        und.select("u", "v")
+        .groupBy(F.lit(0).alias("_g"))
+        .cogroup(seed_df.groupBy(F.lit(0).alias("_g")))
+        .applyInPandas(
+            # grouping on a literal: Spark omits the _g key column from the
+            # cogrouped frames, but drop defensively for version drift
+            lambda e, s: finish(
+                e.drop(columns="_g", errors="ignore"),
+                s.drop(columns="_g", errors="ignore"),
+            ),
+            "n long, cor long",
+        )
+    )
+
+
 def coreness_fixpoint(
     spark: SparkSession,
     und: DataFrame,
     base_dir: str,
     cor: DataFrame | None = None,
     broadcast_nodes: bool = True,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Iterate the neighborhood h-index to its fixpoint over a checkpointed
     ``und`` frame; returns the final (n, cor) frame. ``cor`` lets a caller
     seed with an already-computed degree frame (the composite shares it with
     the clustering coefficient); default seeds from ``und`` degrees.
+
+    ``local_finish_edges`` overrides the CORENESS_LOCAL_FINISH_EDGES gate
+    (0 disables — tests use it to force the distributed rounds): at or
+    below the gate the whole fixpoint collapses into one vectorized
+    executor-side task (_coreness_local_finish); above it the broadcast
+    rounds below are the scale path.
 
     Per-round plan shape (the whole point): ``und`` is cached ONCE,
     hash-repartitioned by ``u`` — the window/group key. With
@@ -672,6 +780,17 @@ def coreness_fixpoint(
     import os
 
     from pyspark.sql import Observation
+
+    gate = (
+        CORENESS_LOCAL_FINISH_EDGES
+        if local_finish_edges is None
+        else local_finish_edges
+    )
+    # In-core collapse (see CORENESS_LOCAL_FINISH_EDGES): the edge frame is
+    # parquet-backed, so count() is a metadata read. Identical fixpoint —
+    # only the physical strategy changes.
+    if gate and und.count() <= gate:
+        return _coreness_local_finish(spark, und, cor)
 
     und_u = und.select("u", "v").repartition("u").persist()
     maybe_bcast = F.broadcast if broadcast_nodes else (lambda df: df)

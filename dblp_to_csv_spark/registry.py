@@ -68,6 +68,8 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
     "multimodal_decode_bmp": 11,  # vectorized BMP row packing (byte-exact by 200-trial A/B, VERDICT r10 item 5)
+    "graph_coreness": 11,  # in-core fixpoint finisher under the 8M-edge gate (same fixpoint, VERDICT r10 item 3)
+    "graph_report": 11,  # consumes the coreness_table artifact the finisher now builds
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

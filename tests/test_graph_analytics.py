@@ -117,10 +117,16 @@ def test_coreness_shuffle_fallback_equals_broadcast_path(spark):
     from dblp_to_csv_spark.session import checkpoint_base
 
     und = copart_und(spark, SF_SMOKE)
+    # local_finish_edges=0 on BOTH: this test pins the two DISTRIBUTED
+    # round shapes against each other (the in-core finisher is pinned
+    # separately below).
     fast = {
         r["n"]: r["cor"]
         for r in coreness_fixpoint(
-            spark, und, checkpoint_base(spark, None, "_corb_")
+            spark,
+            und,
+            checkpoint_base(spark, None, "_corb_"),
+            local_finish_edges=0,
         ).collect()
     }
     slow = {
@@ -130,9 +136,112 @@ def test_coreness_shuffle_fallback_equals_broadcast_path(spark):
             und,
             checkpoint_base(spark, None, "_cors_"),
             broadcast_nodes=False,
+            local_finish_edges=0,
         ).collect()
     }
     assert fast == slow and fast
+
+
+def test_coreness_local_finish_equals_distributed(spark):
+    """The in-core finisher (whole fixpoint in one applyInPandas task) must
+    equal the distributed broadcast rounds — same fixpoint, different
+    physical strategy (ROADMAP 25 / VERDICT r10 item 3)."""
+    from dblp_to_csv_spark.operators.graph import (
+        copart_und,
+        coreness_fixpoint,
+    )
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    und = copart_und(spark, SF_SMOKE)
+    local = {
+        r["n"]: r["cor"]
+        for r in coreness_fixpoint(
+            spark, und, checkpoint_base(spark, None, "_corl_")
+        ).collect()
+    }
+    dist = {
+        r["n"]: r["cor"]
+        for r in coreness_fixpoint(
+            spark,
+            und,
+            checkpoint_base(spark, None, "_cord_"),
+            local_finish_edges=0,
+        ).collect()
+    }
+    assert local == dist and local
+
+
+def test_coreness_local_finish_crafted_graphs(spark):
+    """The numpy kernel against the pure-Python fixpoint on graphs with
+    known structure: star (core 1), clique (core n-1), path (core 1),
+    two cliques bridged (mixed), and a seed-capped start."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.graph import (
+        _hindex_fixpoint_numpy,
+        coreness_fixpoint,
+    )
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    graphs = {
+        "star": [(0, i) for i in range(1, 8)],
+        "clique5": [(i, j) for i in range(5) for j in range(i + 1, 5)],
+        "path": [(i, i + 1) for i in range(9)],
+        "bridged": [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        + [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
+        + [(3, 10)],
+    }
+    for name, pairs in graphs.items():
+        ref, _ = _coreness_fixpoint(pairs)
+        import numpy as np
+
+        u = np.array([p[0] for p in pairs] + [p[1] for p in pairs])
+        v = np.array([p[1] for p in pairs] + [p[0] for p in pairs])
+        nodes, cor = _hindex_fixpoint_numpy(u, v)
+        got = dict(zip(nodes.tolist(), cor.tolist()))
+        assert got == ref, f"{name}: {got} != {ref}"
+        # the full Spark path (gate active -> finisher task) agrees too
+        und = spark.createDataFrame(
+            pd.DataFrame({"u": u, "v": v})
+        )
+        rows = coreness_fixpoint(
+            spark, und, checkpoint_base(spark, None, f"_cg_{name}_")
+        ).collect()
+        assert {r["n"]: r["cor"] for r in rows} == ref, name
+
+
+def test_coreness_local_finish_empty_and_seeded(spark):
+    """Degenerates: an empty edge frame yields an empty frame; an explicit
+    seed frame (any pointwise upper bound) reaches the same fixpoint."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.graph import coreness_fixpoint
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    empty = spark.createDataFrame([], "u long, v long")
+    assert (
+        coreness_fixpoint(
+            spark, empty, checkpoint_base(spark, None, "_ce_")
+        ).count()
+        == 0
+    )
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)] + [(4, 5)]
+    ref, _ = _coreness_fixpoint(pairs)
+    und = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "u": [p[0] for p in pairs] + [p[1] for p in pairs],
+                "v": [p[1] for p in pairs] + [p[0] for p in pairs],
+            }
+        )
+    )
+    seed = spark.createDataFrame(
+        pd.DataFrame({"n": list(ref), "cor": [c + 3 for c in ref.values()]})
+    )
+    rows = coreness_fixpoint(
+        spark, und, checkpoint_base(spark, None, "_cs_"), cor=seed
+    ).collect()
+    assert {r["n"]: r["cor"] for r in rows} == ref
 
 
 def test_cc_shuffle_fallback_equals_broadcast_path(spark):
