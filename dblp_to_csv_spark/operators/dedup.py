@@ -691,12 +691,73 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_min_label(spark, sf_dir)
 
 
+# In-core finisher gate for the component iteration, mirroring
+# graph.CORENESS_LOCAL_FINISH_EDGES (VERDICT r10 item 3's pattern): a pair
+# frame at or below this many rows collapses into ONE applyInPandas task
+# running union-find, replacing O(rounds) sequential label-propagation
+# actions whose per-action fixed cost dominates at this size. Near-dup pair
+# sets are a vanishing fraction of any corpus (sf0.1: 256 pairs from 500k
+# docs), so even the 100 TB regime usually stays under the gate — and when
+# it doesn't, the broadcast min-label rounds below remain the path.
+CC_LOCAL_FINISH_PAIRS = 8_000_000
+
+
+def _union_find_components(pairs_pdf):
+    """Union-find with path compression over a (doc_a, doc_b) pandas frame;
+    returns a (doc_id, component) frame where component is the minimum
+    doc_id of the node's component — the min-label fixpoint's exact
+    contract."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_pdf["doc_a"], pairs_pdf["doc_b"]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final root IS the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    return pd.DataFrame(
+        {"doc_id": nodes, "component": [find(n) for n in nodes]}
+    )
+
+
+def _cc_local_finish(pairs: DataFrame) -> DataFrame:
+    """All pairs cogroup under a constant key into one union-find task —
+    one exchange in, one task out. Caller enforces CC_LOCAL_FINISH_PAIRS."""
+    return (
+        pairs.select("doc_a", "doc_b")
+        .groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(
+            lambda pdf: _union_find_components(
+                pdf.drop(columns="_g", errors="ignore")
+            ),
+            "doc_id long, component long",
+        )
+    )
+
+
 def connected_components_min_label(
     spark: SparkSession,
     sf_dir: str,
     checkpoint_dir: str | None = None,
     pairs: DataFrame | None = None,
     broadcast_labels: bool = True,
+    local_finish_pairs: int | None = None,
 ) -> DataFrame:
     """Min-label propagation implementation backing
     ``dedup_connected_components`` (see its docstring for semantics and the
@@ -712,7 +773,13 @@ def connected_components_min_label(
     graphs whose node set exceeds broadcast capacity — rounds fall back to
     shuffle joins. The convergence sum rides the checkpoint write via
     df.observe (one action per round, the observed_keep_gate pattern)
-    instead of a separate aggregate job over the written files."""
+    instead of a separate aggregate job over the written files.
+
+    ``local_finish_pairs`` overrides the CC_LOCAL_FINISH_PAIRS gate (0
+    disables — tests use it to force the distributed rounds): at or below
+    the gate the whole component computation collapses into one union-find
+    applyInPandas task; above it the min-label rounds are the scale path.
+    Same fixpoint either way (component = min doc_id; pinned by tests)."""
     from pyspark.sql import Observation
 
     base = checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
@@ -725,13 +792,20 @@ def connected_components_min_label(
 
     if pairs is None:
         pairs = minhash_lsh_pairs(spark, sf_dir)
-    pairs = pairs.select("doc_a", "doc_b")
+    # pair-finding runs ONCE: checkpoint the raw pairs, then gate. The
+    # count on the parquet-backed frame is a metadata read.
+    pairs = ckpt(pairs.select("doc_a", "doc_b"), "pairs")
+    gate = (
+        CC_LOCAL_FINISH_PAIRS if local_finish_pairs is None else local_finish_pairs
+    )
+    if gate and pairs.count() <= gate:
+        return _cc_local_finish(pairs)
     edges = ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         ),
         "edges",
-    )  # pair-finding runs ONCE
+    )
     obs0 = Observation("cc_0")
     labels = ckpt(
         edges.select(F.col("src").alias("doc_id"))
@@ -771,7 +845,9 @@ def connected_components_min_label(
             # accumulates one tiny parquet dir per invocation, not O(rounds)
             import shutil
 
-            for name in ["edges"] + [f"labels_{i}" for i in range(rnd)]:
+            for name in ["pairs", "edges"] + [
+                f"labels_{i}" for i in range(rnd)
+            ]:
                 shutil.rmtree(os.path.join(base, name), ignore_errors=True)
             return labels
         prev_sum = new_sum

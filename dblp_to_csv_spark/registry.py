@@ -70,6 +70,11 @@ _EVIDENCE_RESET: dict[str, int] = {
     "multimodal_decode_bmp": 11,  # vectorized BMP row packing (byte-exact by 200-trial A/B, VERDICT r10 item 5)
     "graph_coreness": 11,  # in-core fixpoint finisher under the 8M-edge gate (same fixpoint, VERDICT r10 item 3)
     "graph_report": 11,  # consumes the coreness_table artifact the finisher now builds
+    "dedup_connected_components": 11,  # union-find in-core finisher under the 8M-pair gate (same min-label contract)
+    "dedup_cluster_stats": 11,  # consumes the CC labels the finisher now builds
+    "dedup_keep_canonical": 11,  # consumes the CC labels the finisher now builds
+    "split_leakage_free": 11,  # consumes the CC labels the finisher now builds
+    "pretrain_corpus_report": 11,  # composite's CC stage now takes the finisher path
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

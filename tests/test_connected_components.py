@@ -156,3 +156,40 @@ def test_pagerank_fixed_point_matches_python_reference(spark, tmp_path):
     # clique members outrank the isolated doc, which sits at the floor
     assert got[3] == (3 * PR_SCALE) // (20 * 4)
     assert min(got[0], got[1], got[2]) > got[3]
+
+
+def test_cc_local_finish_equals_distributed_minlabel(spark):
+    """The union-find in-core finisher (default under CC_LOCAL_FINISH_PAIRS)
+    must equal the forced-distributed min-label rounds on the real sf0.001
+    pair graph — same (doc_id -> min component label) contract, different
+    physical strategy."""
+    local = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_min_label(spark, SF_SMOKE).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_min_label(
+            spark, SF_SMOKE, local_finish_pairs=0
+        ).collect()
+    }
+    assert local == dist and local
+
+
+def test_cc_union_find_kernel_min_label_contract():
+    """Driver-free kernel check: path, two components, self-loop, and
+    min-root union ordering."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.dedup import _union_find_components
+
+    pairs = pd.DataFrame(
+        {
+            # path 5-4-3-9 (min 3), pair (20,21) (min 20), self-loop 30
+            "doc_a": [5, 4, 9, 21, 30],
+            "doc_b": [4, 3, 3, 20, 30],
+        }
+    )
+    out = _union_find_components(pairs)
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {5: 3, 4: 3, 3: 3, 9: 3, 21: 20, 20: 20, 30: 30}
