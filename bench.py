@@ -99,6 +99,8 @@ PIPELINE_BENCH = [
     "heavy_hitters_words",
     "shard_rendezvous_assign",
     "multimodal_decode_bmp",
+    # round-11: the audio modality twin
+    "multimodal_decode_wav",
 ]
 
 
