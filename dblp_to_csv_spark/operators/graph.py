@@ -630,6 +630,13 @@ def write_und_edges(spark: SparkSession, e0: DataFrame, base_dir: str) -> DataFr
 # distributed == pure-Python on multiple graphs).
 CORENESS_LOCAL_FINISH_EDGES = 8_000_000
 
+# The finisher's counting-matrix kernel is O(|V| * c_max) MEMORY — cheap at
+# bench scale but a high-degree graph near the edge gate could ask for
+# gigabytes; beyond this many cells (~0.5 GB x2 at int64) each round uses
+# the O(m log m)-time / O(m)-memory sort kernel instead. Module-level so
+# tests can force the sort path.
+_HINDEX_MATRIX_CELL_CAP = 1 << 26
+
 
 def _hindex_fixpoint_numpy(u, v, seed=None):
     """Vectorized h-index fixpoint over int arrays (u, v) holding BOTH edge
@@ -652,18 +659,34 @@ def _hindex_fixpoint_numpy(u, v, seed=None):
         np.minimum(cor, cap, out=cor)
     else:
         cor = seed.astype(np.int64)
+    # group starts for the sort-based kernel: u_idx is NOT presorted, so
+    # precompute a stable edge order by u once (reused every round)
+    edge_order = np.argsort(u_idx, kind="stable")
+    u_sorted = u_idx[edge_order]
+    group_starts = np.flatnonzero(np.r_[True, u_sorted[1:] != u_sorted[:-1]])
+    rank_plus_1 = np.arange(len(u_sorted), dtype=np.int64) - np.repeat(
+        group_starts, np.diff(np.r_[group_starts, len(u_sorted)])
+    ) + 1
     while True:
         c_max = int(cor.max(initial=0))
-        # counts[u, c] = #neighbors of u with cor == c, via one flat bincount
-        key = u_idx * (c_max + 1) + cor[v_idx]
-        counts = np.bincount(key, minlength=n * (c_max + 1)).reshape(
-            n, c_max + 1
-        )
-        # cum[u, c] = #neighbors with cor >= c ; h = max_c min(cum[:, c], c)
-        cum = counts[:, ::-1].cumsum(axis=1)[:, ::-1]
-        new_cor = np.minimum(
-            cum[:, 1:], np.arange(1, c_max + 1, dtype=np.int64)
-        ).max(axis=1, initial=0)
+        if n * (c_max + 1) <= _HINDEX_MATRIX_CELL_CAP:
+            # counts[u, c] = #neighbors of u with cor == c (flat bincount);
+            # cum[u, c] = #neighbors with cor >= c; h = max_c min(cum, c)
+            key = u_idx * (c_max + 1) + cor[v_idx]
+            counts = np.bincount(key, minlength=n * (c_max + 1)).reshape(
+                n, c_max + 1
+            )
+            cum = counts[:, ::-1].cumsum(axis=1)[:, ::-1]
+            new_cor = np.minimum(
+                cum[:, 1:], np.arange(1, c_max + 1, dtype=np.int64)
+            ).max(axis=1, initial=0)
+        else:
+            # per-u neighbor cors sorted descending; h-index via the
+            # classic max over i of min(i, c_i) with reduceat group maxes
+            corv = cor[v_idx][edge_order]
+            order_in_group = np.lexsort((-corv, u_sorted))
+            m_vals = np.minimum(rank_plus_1, corv[order_in_group])
+            new_cor = np.maximum.reduceat(m_vals, group_starts)
         if np.array_equal(new_cor, cor):
             return nodes, cor
         cor = new_cor

@@ -413,3 +413,33 @@ def test_lpa_matches_python(spark):
     )
     for r in rows:
         assert r["community"] == ref.get(r["l_partkey"], -1), r
+
+
+def test_coreness_numpy_sort_kernel_equals_matrix_kernel(monkeypatch):
+    """The O(m)-memory sort kernel (used when the counting matrix would
+    exceed _HINDEX_MATRIX_CELL_CAP) must equal the matrix kernel and the
+    pure-Python fixpoint on randomized graphs."""
+    import random
+
+    import numpy as np
+
+    from dblp_to_csv_spark.operators import graph as G
+
+    rng = random.Random(11)
+    for trial in range(25):
+        n_nodes = rng.randint(2, 40)
+        pairs = {
+            (a, b)
+            for _ in range(rng.randint(1, 120))
+            for a, b in [sorted(rng.sample(range(n_nodes), 2))]
+        }
+        pairs = sorted(pairs)
+        u = np.array([p[0] for p in pairs] + [p[1] for p in pairs])
+        v = np.array([p[1] for p in pairs] + [p[0] for p in pairs])
+        ref, _ = _coreness_fixpoint(pairs)
+        nodes_m, cor_m = G._hindex_fixpoint_numpy(u, v)
+        monkeypatch.setattr(G, "_HINDEX_MATRIX_CELL_CAP", 0)
+        nodes_s, cor_s = G._hindex_fixpoint_numpy(u, v)
+        monkeypatch.undo()
+        assert dict(zip(nodes_m.tolist(), cor_m.tolist())) == ref, trial
+        assert dict(zip(nodes_s.tolist(), cor_s.tolist())) == ref, trial
