@@ -698,8 +698,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # actions whose per-action fixed cost dominates at this size. Near-dup pair
 # sets are a vanishing fraction of any corpus (sf0.1: 256 pairs from 500k
 # docs), so even the 100 TB regime usually stays under the gate — and when
-# it doesn't, the broadcast min-label rounds below remain the path.
-CC_LOCAL_FINISH_PAIRS = 8_000_000
+# it doesn't, the broadcast min-label rounds below remain the path. Sized
+# by measurement, not optimism: the dict-based union-find does ~2M
+# pairs/10 s in one task — the gate sits where one task still beats the
+# per-action fixed cost of the round loop, NOT at the memory ceiling.
+CC_LOCAL_FINISH_PAIRS = 2_000_000
 
 
 def _union_find_components(pairs_pdf):
