@@ -802,7 +802,11 @@ def connected_components_min_label(
         CC_LOCAL_FINISH_PAIRS if local_finish_pairs is None else local_finish_pairs
     )
     if gate and pairs.count() <= gate:
-        return _cc_local_finish(pairs)
+        # materialize like the round loop does: composites consume the
+        # label frame from several downstream stages, and a parquet-backed
+        # result keeps each re-use a metadata-cheap scan instead of
+        # re-running the finisher task per action
+        return ckpt(_cc_local_finish(pairs), "labels_local")
     edges = ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
