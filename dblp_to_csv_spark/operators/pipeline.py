@@ -1426,3 +1426,100 @@ def shard_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("node_drained") != F.col("node"), 1).otherwise(0)
         ).alias("n_moved_on_drain"),
     )
+
+
+LENGTH_BUCKETS = 8  # equi-token-mass bucket count for batch shaping
+
+
+@register(
+    "pack_length_buckets",
+    tags=("pipeline", "window"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        per_len AS (
+            SELECT n_chars, CAST(SUM(n_tokens) AS BIGINT) AS tok,
+                   COUNT(*) AS n_docs
+            FROM t GROUP BY n_chars
+        ),
+        cum AS (
+            SELECT n_chars, tok, n_docs,
+                   CAST(COALESCE(SUM(tok) OVER (
+                       ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before,
+                   CAST(SUM(tok) OVER () AS BIGINT) AS total
+            FROM per_len
+        ),
+        lb AS (
+            SELECT n_chars, tok, n_docs,
+                   CAST(LEAST(cum_before * {LENGTH_BUCKETS} // GREATEST(total, 1),
+                              {LENGTH_BUCKETS} - 1) AS INT) AS bucket
+            FROM cum
+        )
+        SELECT bucket,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tok_sum,
+               CAST(MIN(n_chars) AS INT) AS min_len,
+               CAST(MAX(n_chars) AS INT) AS max_len
+        FROM lb GROUP BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-token-mass length bucketing for batch shaping: documents are
+    split into LENGTH_BUCKETS buckets ordered by length (n_chars) such that
+    each bucket carries ~the same total token mass — the standard dynamic-
+    batching prep that minimizes padding waste when batches are drawn
+    per-bucket. bucket(len) = floor(cum_tokens_before(len) * B / total),
+    computed entirely in integers so both engines agree bit-for-bit; all
+    docs of one length land in one bucket (deterministic, join-free to
+    apply downstream via a broadcast length→bucket map).
+
+    Scale shape: one (n_chars) groupBy over the corpus (map-side
+    combinable), then the cumulative window runs on the DISTINCT-LENGTH
+    frame — |distinct lengths|-sized (bounded by max document length, not
+    corpus rows), the documented metadata-sized-window idiom (same as the
+    coreness degree-h-index frame). The corpus itself never sorts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "n_chars", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    per_len = t.groupBy("n_chars").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # |distinct lengths| rows: unpartitioned window is metadata-sized here
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_len.select(
+        "n_chars",
+        "tok",
+        "n_docs",
+        F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cum_before"),
+    ).crossJoin(
+        F.broadcast(per_len.agg(F.sum("tok").alias("total")))
+    )
+    lb = cum.select(
+        "n_chars",
+        "tok",
+        "n_docs",
+        F.least(
+            F.floor(
+                F.col("cum_before")
+                * LENGTH_BUCKETS
+                / F.greatest(F.col("total"), F.lit(1))
+            ),
+            F.lit(LENGTH_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return lb.groupBy("bucket").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tok_sum"),
+        F.min("n_chars").cast("int").alias("min_len"),
+        F.max("n_chars").cast("int").alias("max_len"),
+    )
