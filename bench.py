@@ -99,8 +99,9 @@ PIPELINE_BENCH = [
     "heavy_hitters_words",
     "shard_rendezvous_assign",
     "multimodal_decode_bmp",
-    # round-11: the audio modality twin
+    # round-11: the audio modality twin + batch-shaping prep
     "multimodal_decode_wav",
+    "pack_length_buckets",
 ]
 
 
