@@ -131,3 +131,22 @@ def test_query_quarantines_empty_docs(spark, tmp_path):
     assert out.loc[1, "first_sample"] == (ord("a") - 128) * 256
     assert bool(out.loc[2, "ok"]) is False
     assert pd.isna(out.loc[2, "n_frames"])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=400),
+        channels=st.integers(min_value=1, max_value=4),
+    )
+    def test_roundtrip_property(data, channels):
+        """Any non-empty payload and channel count round-trips exactly."""
+        assert wav_decode(wav_encode_pcm16(data, n_channels=channels)) == _expected(
+            data, channels
+        )
+
+except ImportError:  # pragma: no cover - hypothesis is baked in, but gate anyway
+    pass
