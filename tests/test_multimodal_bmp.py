@@ -106,3 +106,26 @@ def test_query_quarantines_empty_docs(spark, tmp_path):
     assert out.loc[1, "pixel_sum"] == sum(b"abc")
     assert bool(out.loc[2, "ok"]) is False
     assert pd.isna(out.loc[2, "width"])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=400),
+        width=st.integers(min_value=1, max_value=40),
+    )
+    def test_roundtrip_property(data, width):
+        """Any non-empty payload and grid width round-trips: dims from the
+        ceil-grid formula, pixel_sum = byte sum (pads are 0), top_left =
+        first byte despite bottom-up storage."""
+        w, h, px, tl = bmp_decode(bmp_encode_gray(data, width))
+        assert w == min(len(data), width)
+        assert h == (len(data) + w - 1) // w
+        assert px == sum(data)
+        assert tl == data[0]
+
+except ImportError:  # pragma: no cover - hypothesis is baked in, but gate anyway
+    pass
