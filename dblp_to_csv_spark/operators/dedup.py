@@ -806,7 +806,13 @@ def connected_components_min_label(
         # label frame from several downstream stages, and a parquet-backed
         # result keeps each re-use a metadata-cheap scan instead of
         # re-running the finisher task per action
-        return ckpt(_cc_local_finish(pairs), "labels_local")
+        labels = ckpt(_cc_local_finish(pairs), "labels_local")
+        # the pairs checkpoint is dead once labels_local is materialized —
+        # same one-tiny-dir-per-invocation policy as the round loop
+        import shutil
+
+        shutil.rmtree(os.path.join(base, "pairs"), ignore_errors=True)
+        return labels
     edges = ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))

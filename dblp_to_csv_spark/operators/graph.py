@@ -659,14 +659,30 @@ def _hindex_fixpoint_numpy(u, v, seed=None):
         np.minimum(cor, cap, out=cor)
     else:
         cor = seed.astype(np.int64)
-    # group starts for the sort-based kernel: u_idx is NOT presorted, so
-    # precompute a stable edge order by u once (reused every round)
-    edge_order = np.argsort(u_idx, kind="stable")
-    u_sorted = u_idx[edge_order]
-    group_starts = np.flatnonzero(np.r_[True, u_sorted[1:] != u_sorted[:-1]])
-    rank_plus_1 = np.arange(len(u_sorted), dtype=np.int64) - np.repeat(
-        group_starts, np.diff(np.r_[group_starts, len(u_sorted)])
-    ) + 1
+    # scaffolding for the sort-based kernel (stable edge order by u, group
+    # starts, positional ranks) — built lazily on the FIRST sort round and
+    # reused after: the common case is all-matrix rounds, where an O(m log m)
+    # argsort over the whole edge set would be pure wasted work
+    sort_scaffold = None
+
+    def scaffold():
+        nonlocal sort_scaffold
+        if sort_scaffold is None:
+            edge_order = np.argsort(u_idx, kind="stable")
+            u_sorted = u_idx[edge_order]
+            group_starts = np.flatnonzero(
+                np.r_[True, u_sorted[1:] != u_sorted[:-1]]
+            )
+            rank_plus_1 = (
+                np.arange(len(u_sorted), dtype=np.int64)
+                - np.repeat(
+                    group_starts, np.diff(np.r_[group_starts, len(u_sorted)])
+                )
+                + 1
+            )
+            sort_scaffold = (edge_order, u_sorted, group_starts, rank_plus_1)
+        return sort_scaffold
+
     while True:
         c_max = int(cor.max(initial=0))
         if n * (c_max + 1) <= _HINDEX_MATRIX_CELL_CAP:
@@ -683,6 +699,7 @@ def _hindex_fixpoint_numpy(u, v, seed=None):
         else:
             # per-u neighbor cors sorted descending; h-index via the
             # classic max over i of min(i, c_i) with reduceat group maxes
+            edge_order, u_sorted, group_starts, rank_plus_1 = scaffold()
             corv = cor[v_idx][edge_order]
             order_in_group = np.lexsort((-corv, u_sorted))
             m_vals = np.minimum(rank_plus_1, corv[order_in_group])

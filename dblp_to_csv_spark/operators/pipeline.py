@@ -1506,13 +1506,14 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "tok",
         "n_docs",
+        # `div`, not `/`+floor: double division can round a boundary
+        # quotient up once the token mass exceeds double precision — the
+        # oracle's `//` is exact integer division, so ours must be too
         F.least(
-            F.floor(
-                F.col("cum_before")
-                * LENGTH_BUCKETS
-                / F.greatest(F.col("total"), F.lit(1))
+            F.expr(
+                f"(cum_before * {LENGTH_BUCKETS}) div greatest(total, 1L)"
             ),
-            F.lit(LENGTH_BUCKETS - 1),
+            F.lit(LENGTH_BUCKETS - 1).cast("long"),
         )
         .cast("int")
         .alias("bucket"),

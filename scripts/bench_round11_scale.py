@@ -63,7 +63,9 @@ def main() -> None:
 
             return run
 
-        core_fin = best_of(core(None))
+        # force the finisher explicitly (gate = this dataset's size) so the
+        # columns stay honest even for sf_dirs above the default gates
+        core_fin = best_of(core(n_edges))
         core_dist = best_of(core(0))
 
         pairs_df = minhash_lsh_pairs(spark, sf)
@@ -81,7 +83,7 @@ def main() -> None:
 
             return run
 
-        cc_fin = best_of(cc(None))
+        cc_fin = best_of(cc(max(n_pairs, 1)))
         cc_dist = best_of(cc(0))
         print(f"{sf:<28} {n_edges:>10} {core_fin:>8.2f}s {core_dist:>9.2f}s"
               f" {n_pairs:>7} {cc_fin:>6.2f}s {cc_dist:>7.2f}s")
