@@ -29,6 +29,10 @@ from dblp_to_csv_spark.functions.text import (
     bigrams,
     words,
 )
+from dblp_to_csv_spark.functions.rounding import (
+    ROUND_TIES_DOWN_SQL,
+    round_ties_down,
+)
 from dblp_to_csv_spark.operators.dedup import _CC_ORACLE_CTES
 from dblp_to_csv_spark.operators.dedup import connected_components_min_label
 from dblp_to_csv_spark.operators.text_analysis import text_unigram_logprob
@@ -1668,4 +1672,107 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_feats"),
             F.round(F.sum(contrib), 6).alias("log_weight"),
         )
+    )
+
+
+# Evaluation thresholds for the quality-score PR curve (inclusive >=)
+QPR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "quality_score_pr_curve",
+    tags=("curation", "quality", "ml", "eval"),
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+        s AS (
+            SELECT doc_id, ROUND({_QSCORE_SQL}, 6) AS score FROM t
+        ),
+        m AS ({_gopher_m_sql("t")}),
+        lab AS (SELECT doc_id, {_GOPHER_KEEP_PRED} AS label FROM m),
+        j AS (SELECT score, label FROM s JOIN lab USING (doc_id)),
+        g AS (
+            SELECT th,
+                   CAST(SUM(CASE WHEN score >= th AND label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score >= th AND NOT label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score < th AND label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM unnest([{", ".join(str(t) for t in QPR_THRESHOLDS)}]) AS u(th)
+                 LEFT JOIN j ON TRUE  -- empty corpus still yields 9 rows
+            GROUP BY th
+        )
+        SELECT th AS threshold, tp, fp, fn,
+               CASE WHEN tp + fp > 0 THEN
+                   {ROUND_TIES_DOWN_SQL.format(expr="tp * 1.0 / (tp + fp)", scale=6)}
+               END AS precision,
+               CASE WHEN tp + fn > 0 THEN
+                   {ROUND_TIES_DOWN_SQL.format(expr="tp * 1.0 / (tp + fn)", scale=6)}
+               END AS recall
+        FROM g
+    """.format(stops=_STOP_LIST),
+)
+def quality_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration report for the quality scorer: precision and
+    recall of `quality_linear_score` at nine thresholds against the Gopher
+    rule battery's keep verdict as the (weak) reference label — the eval a
+    pipeline runs before picking a quality-filter cutoff.
+
+    Scale shape: score and label fuse into one corpus scan each (both are
+    in-row expressions), one doc_id equi-join, then ONE conditional
+    aggregate computes all 27 counters (9 thresholds x tp/fp/fn) in a
+    single pass — no row multiplication, no per-threshold jobs; the stack
+    to report rows runs on the 1-row result. Precision/recall are
+    small-integer ratios, so they round through the tie-down convention
+    (functions/rounding.py) on both engines."""
+    scored = quality_linear_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    labels = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    j = scored.join(labels, "doc_id")
+    aggs = []
+    for i, t in enumerate(QPR_THRESHOLDS):
+        pred = F.col("quality_score") >= F.lit(float(t))
+        lab = F.col("label")
+        aggs += [
+            # coalesce: sums over an EMPTY corpus are NULL, the oracle's
+            # threshold-anchored LEFT JOIN counts 0 — emit 0 on both
+            F.coalesce(F.sum((pred & lab).cast("long")), F.lit(0)).alias(
+                f"tp_{i}"
+            ),
+            F.coalesce(F.sum((pred & ~lab).cast("long")), F.lit(0)).alias(
+                f"fp_{i}"
+            ),
+            F.coalesce(F.sum((~pred & lab).cast("long")), F.lit(0)).alias(
+                f"fn_{i}"
+            ),
+        ]
+    one = j.agg(*aggs)
+    stack_args = ", ".join(
+        f"cast({t} as double), tp_{i}, fp_{i}, fn_{i}"
+        for i, t in enumerate(QPR_THRESHOLDS)
+    )
+    rows = one.select(
+        F.expr(
+            f"stack({len(QPR_THRESHOLDS)}, {stack_args}) "
+            "as (threshold, tp, fp, fn)"
+        )
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        round_ties_down(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        round_ties_down(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6),
+    )
+    return rows.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
     )

@@ -274,3 +274,91 @@ def drift_chi2_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nw").cast("long").alias("n_events"),
         F.round(F.sum("contrib"), 6).alias("chi2"),
     )
+
+
+from dblp_to_csv_spark.functions.text import WORDS_SQL
+
+KL_LANG_A = "en"
+KL_LANG_B = "zh"
+KL_ROUND = 6
+_KL_WORDS = WORDS_SQL.format(col="text")
+
+
+@register(
+    "drift_kl_unigram_langs",
+    tags=("drift", "stats", "text"),
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang, unnest({_KL_WORDS}) AS term
+            FROM documents WHERE lang IN ('{KL_LANG_A}', '{KL_LANG_B}')
+        ),
+        cnt AS (
+            SELECT term,
+                   CAST(SUM(CASE WHEN lang = '{KL_LANG_A}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN lang = '{KL_LANG_B}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM tok GROUP BY term
+        ),
+        tot AS (
+            SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM cnt
+        ),
+        p AS (
+            SELECT (ca + 1.0) / (na + v) AS pa, (cb + 1.0) / (nb + v) AS pb
+            FROM cnt, tot
+        )
+        SELECT '{KL_LANG_A}' AS lang_a, '{KL_LANG_B}' AS lang_b,
+               CAST((SELECT v FROM tot) AS BIGINT) AS vocab,
+               ROUND(SUM(pa * ln(pa / pb)), {KL_ROUND}) AS kl_ab,
+               ROUND(SUM(pb * ln(pb / pa)), {KL_ROUND}) AS kl_ba
+        FROM p
+    """,
+)
+def drift_kl_unigram_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution KL divergence between two corpus slices (the
+    between-dataset-versions drift metric KS/chi-square don't cover: WHICH
+    way the token distribution moved, in nats). Add-one smoothing over the
+    shared vocabulary makes both directions finite; ln-valued sums cannot
+    sit on exact rounding boundaries (transcendental — the tie-down
+    convention's safe class), so ROUND(x, 6) agrees across engines.
+
+    Scale shape: one (term, lang-conditional counts) groupBy over the token
+    explode (map-side combinable), then all statistics run on the
+    vocab-sized frame — Heaps-law sublinear in the corpus; a 1-row totals
+    aggregate broadcasts back. No sampling, no collect, no UDFs."""
+    from dblp_to_csv_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(KL_LANG_A, KL_LANG_B)
+    )
+    tok = docs.select("lang", F.explode(words("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == KL_LANG_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == KL_LANG_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = cnt.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("v"))).alias("pa"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))).alias("pb"),
+        "v",
+    )
+    return p.agg(
+        F.lit(KL_LANG_A).alias("lang_a"),
+        F.lit(KL_LANG_B).alias("lang_b"),
+        # empty corpus: max(v) is NULL but the oracle's scalar COUNT(*) is 0
+        F.coalesce(F.max("v"), F.lit(0)).cast("long").alias("vocab"),
+        F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), KL_ROUND).alias(
+            "kl_ab"
+        ),
+        F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), KL_ROUND).alias(
+            "kl_ba"
+        ),
+    )
