@@ -51,6 +51,9 @@ CURATION_BENCH = [
     "pretrain_corpus_report",
     # round-9 session-3: the embedding-level decon mode
     "decontaminate_semantic",
+    # round-11: directional drift + classifier calibration
+    "drift_kl_unigram_langs",
+    "quality_score_pr_curve",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and
