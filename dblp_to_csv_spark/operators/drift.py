@@ -340,12 +340,18 @@ def drift_kl_unigram_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cb"),
     )
-    tot = cnt.agg(
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    p = cnt.crossJoin(F.broadcast(tot)).select(
+    # totals via an unpartitioned window over the VOCAB-SIZED frame (the
+    # metadata-sized-window idiom) instead of a crossJoin against a second
+    # aggregate of cnt — a lazy cnt referenced twice would re-run the
+    # corpus tokenization (plan-gated: exactly one explode)
+    w_all = Window.partitionBy()
+    p = cnt.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+        F.count(F.lit(1)).over(w_all).alias("v"),
+    ).select(
         ((F.col("ca") + 1.0) / (F.col("na") + F.col("v"))).alias("pa"),
         ((F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))).alias("pb"),
         "v",

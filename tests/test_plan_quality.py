@@ -756,3 +756,57 @@ def test_jaccard_tie_nudge_stays_in_codegen(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wav_decode_is_shuffle_free_arrow_pipeline(spark):
+    """The WAV twin holds the same contract as the BMP gate: two narrow
+    mapInPandas stages, no Exchange, no row-at-a-time Python."""
+    plan = _plan(spark, "multimodal_decode_wav")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+
+
+def test_length_buckets_window_runs_on_distinct_lengths(spark):
+    """pack_length_buckets' cumulative window must consume the per-length
+    AGGREGATE (distinct-length-sized), never corpus rows: the plan's window
+    sits above a HashAggregate, and the corpus itself is never globally
+    sorted (the only Sort feeds the metadata-sized window)."""
+    plan = _plan(spark, "pack_length_buckets")
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+    # the window's sort is on the aggregated (n_chars) frame: exactly one
+    # single-partition exchange (the distinct-length frame), and it must
+    # appear after aggregation in the tree, not over the scan
+    win_pos = plan.index("Window")
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert any(p > win_pos for p in agg_positions), (
+        "no aggregate below the window — it would sort corpus rows"
+    )
+
+
+def test_pr_curve_single_pass_no_row_multiplication(spark):
+    """quality_score_pr_curve computes all 27 threshold counters in ONE
+    conditional aggregate: no Generate (explode) anywhere — score and label
+    are in-row expressions — and no Python."""
+    plan = _plan(spark, "quality_score_pr_curve")
+    assert "BatchEvalPython" not in plan
+    # the only Generate is stack() over the 1-row aggregate — NO explode
+    # anywhere (score and label are in-row expressions)
+    assert plan.count("Generate") == 1 and "Generate stack" in plan
+    assert "Generate explode" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kl_drift_aggregates_before_statistics(spark):
+    """drift_kl_unigram_langs: one token explode feeds a term-keyed
+    aggregate; everything after runs on the vocab-sized frame (broadcast
+    totals, final 1-row aggregate) — no second corpus-sized shuffle, no
+    Python."""
+    plan = _plan(spark, "drift_kl_unigram_langs")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Generate explode") == 1  # the single token explode
+    # totals come from a window over the vocab frame, never a second
+    # corpus-sized pass (a lazy double-reference would re-explode)
