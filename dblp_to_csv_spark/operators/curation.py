@@ -509,8 +509,23 @@ def text_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutpoint idiom as quartile_labels_by_cutpoint (no global Window, no
     single-reducer sort; the distribution pass is an aggregate, scale-safe).
     Cutpoints round to 6 decimals on both engines so boundary comparisons
-    agree bit-for-bit."""
-    lp = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_neg_logprob")
+    agree bit-for-bit.
+
+    The score frame CHECKPOINTS before its two consumers (the cutpoint
+    aggregate and the labeling pass): lp is lazy and its lineage tokenizes
+    the corpus with a frequency self-reference — referenced twice it would
+    run the whole chain twice (8 parquet scans / 4 explodes measured in
+    r11; 2 scans / 2 explodes per pass after)."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    base = checkpoint_base(spark, None, "_logprob_")
+    lp_path = os.path.join(base, "lp")
+    text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_neg_logprob"
+    ).write.mode("overwrite").parquet(lp_path)
+    lp = spark.read.parquet(lp_path)
     cuts = lp.agg(
         F.round(
             F.expr(f"percentile(avg_neg_logprob, {_TERTILES[0]}D)"), 6

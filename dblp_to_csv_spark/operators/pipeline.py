@@ -1490,7 +1490,10 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_len = t.groupBy("n_chars").agg(
         F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n_docs")
     )
-    # |distinct lengths| rows: unpartitioned window is metadata-sized here
+    # |distinct lengths| rows: unpartitioned windows are metadata-sized
+    # here — and the TOTAL rides the same frame as a second window instead
+    # of a crossJoin against a re-aggregation of the lazy per_len (which
+    # would re-scan the corpus; plan-gated)
     w = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1499,8 +1502,7 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "n_docs",
         F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cum_before"),
-    ).crossJoin(
-        F.broadcast(per_len.agg(F.sum("tok").alias("total")))
+        F.sum("tok").over(Window.partitionBy()).alias("total"),
     )
     lb = cum.select(
         "n_chars",
