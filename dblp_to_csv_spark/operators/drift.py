@@ -66,13 +66,20 @@ def drift_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == KS_GROUP_A, 1)).alias("ca"),
         F.count(F.when(F.col("event_type") == KS_GROUP_B, 1)).alias("cb"),
     )
-    totals = binned.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # totals ride the same bins-sized frame as unpartitioned windows
+    # instead of a crossJoin against a re-aggregation of the lazy binned
+    # (which re-scanned events — r11 double-eval audit, ROADMAP 30);
     # greatest(n, 1): an empty sample contributes a flat-zero ECDF instead
     # of an ANSI division error; D then reads 1.0 = total drift
-    ecdf = binned.crossJoin(F.broadcast(totals)).select(
+    w_all = Window.partitionBy()
+    ecdf = binned.select(
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    ).select(
         (F.sum("ca").over(w) * 1.0 / F.greatest(F.col("na"), F.lit(1))).alias("fa"),
         (F.sum("cb").over(w) * 1.0 / F.greatest(F.col("nb"), F.lit(1))).alias("fb"),
         "na",

@@ -76,6 +76,7 @@ _EVIDENCE_RESET: dict[str, int] = {
     "split_leakage_free": 11,  # consumes the CC labels the finisher now builds
     "pretrain_corpus_report": 11,  # composite's CC stage now takes the finisher path
     "text_logprob_buckets": 11,  # lp frame checkpoints before its two consumers (was double-evaluated)
+    "drift_ks_events_value": 11,  # totals ride the bins frame as windows (was re-scanning events)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
