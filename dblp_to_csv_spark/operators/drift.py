@@ -119,7 +119,15 @@ def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     OBSERVED cells — zero cells contribute 0 to the sum, so the sparse cell
     frame is the complete computation."""
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    # the cells frame is referenced FIVE times (marginals, total, the main
+    # join, and two dof count actions) — materialize the ≤|sources|×|langs|
+    # rows once (eager localCheckpoint: one job, lineage truncated) so the
+    # corpus groupBy runs once, not five times (r11 double-eval audit)
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
     rows_ = cells.groupBy("source").agg(F.sum("obs").alias("rt"))
     cols_ = cells.groupBy("lang").agg(F.sum("obs").alias("ct"))
     total = cells.agg(F.sum("obs").alias("total"))

@@ -77,6 +77,7 @@ _EVIDENCE_RESET: dict[str, int] = {
     "pretrain_corpus_report": 11,  # composite's CC stage now takes the finisher path
     "text_logprob_buckets": 11,  # lp frame checkpoints before its two consumers (was double-evaluated)
     "drift_ks_events_value": 11,  # totals ride the bins frame as windows (was re-scanning events)
+    "drift_chi2_source_lang": 11,  # cells frame localCheckpoints once (was 5 corpus re-aggregations)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
