@@ -261,9 +261,15 @@ def drift_chi2_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with this query's counts is pinned in tests/test_streaming.py. ≤ |type|
     float terms per window sum, so 6-dp rounding is hash-stable."""
     ev = load_table(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # obs is referenced three times (global mix, window totals, the left
+    # join back) — materialize the hours×|event types| rows once (eager
+    # localCheckpoint) so the corpus groupBy runs once, not three times
+    # (same double-eval class as drift_chi2_source_lang, ROADMAP 30)
+    obs = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     glob = obs.groupBy("event_type").agg(F.sum("n").alias("nt"))
     tot = glob.agg(F.sum("nt").alias("n_total"))
     wtot = obs.groupBy("window_start").agg(F.sum("n").alias("nw"))

@@ -1507,11 +1507,18 @@ def lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select(F.explode("w").alias("word"))
         .agg(F.count_distinct("word").alias("v"))
     )
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    # The bigram count table materializes once (eager localCheckpoint of the
+    # distinct-bigram-sized frame); the prev-context table is then DERIVED
+    # from it — c(w1 ·) = Σ c(w1 w2) over bigrams sharing the prefix, exact
+    # integer arithmetic — instead of a second groupBy over the lazy exploded
+    # stream, which re-tokenized the corpus (r11 double-eval audit,
+    # ROADMAP 30: 4 corpus explodes → 3, and the prevc shuffle now runs over
+    # the vocab-sized count table, not the occurrence stream).
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c12")).localCheckpoint(eager=True)
     prevc = (
-        bg.select(F.split("bg", " ").getItem(0).alias("prev"))
+        bgc.select(F.split("bg", " ").getItem(0).alias("prev"), "c12")
         .groupBy("prev")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.sum("c12").alias("c1"))
     )
     scored = (
         bg.join(bgc, "bg")

@@ -78,6 +78,8 @@ _EVIDENCE_RESET: dict[str, int] = {
     "text_logprob_buckets": 11,  # lp frame checkpoints before its two consumers (was double-evaluated)
     "drift_ks_events_value": 11,  # totals ride the bins frame as windows (was re-scanning events)
     "drift_chi2_source_lang": 11,  # cells frame localCheckpoints once (was 5 corpus re-aggregations)
+    "drift_chi2_by_window": 11,  # obs frame localCheckpoints once (was 3 corpus re-aggregations)
+    "lm_bigram_cross_entropy": 11,  # prevc derived from checkpointed bgc (was 4 corpus explodes)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

@@ -800,6 +800,32 @@ def test_pr_curve_single_pass_no_row_multiplication(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_chi2_by_window_single_corpus_scan(spark):
+    """drift_chi2_by_window: the (window, type) aggregate materializes once
+    (eager localCheckpoint) and all three consumers — global mix, window
+    totals, the left join back — read the checkpointed frame, so the final
+    plan contains NO corpus FileScan at all (the one events scan ran inside
+    the checkpoint job). A lazy obs referenced three times re-scanned events
+    three times (r11 double-eval audit, ROADMAP 30)."""
+    plan = _plan(spark, "drift_chi2_by_window")
+    assert "FileScan" not in plan  # corpus scanned only in the checkpoint job
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_bigram_explodes_once_in_final_plan(spark):
+    """lm_bigram_cross_entropy: the bigram count table checkpoints once and
+    the prev-context table is DERIVED from it (exact integer sums), so the
+    final plan re-explodes the corpus only for the per-occurrence scoring
+    stream plus the vocab count — two Generates, with the count tables
+    reading the checkpoint (was four corpus explodes before the r11
+    double-eval audit)."""
+    plan = _plan(spark, "lm_bigram_cross_entropy")
+    assert plan.count("Generate explode") == 2  # scoring stream + vocab
+    assert "Scan ExistingRDD" in plan  # both count tables read the checkpoint
+    assert "BatchEvalPython" not in plan
+
+
 def test_kl_drift_aggregates_before_statistics(spark):
     """drift_kl_unigram_langs: one token explode feeds a term-keyed
     aggregate; everything after runs on the vocab-sized frame (broadcast
