@@ -55,6 +55,39 @@ BROADCAST_MAX_ROWS = 4_000_000
 def broadcast_if_small(df: DataFrame) -> DataFrame:
     return F.broadcast(df) if df.count() <= BROADCAST_MAX_ROWS else df
 
+# Verification-stage docs_sh materialization gate: below this many input
+# bytes, recomputing the candidate-docs shingle-set aggregate for the second
+# consumer is cheaper than a blocking parquet round-trip of string arrays
+# (interleaved A/B at sf0.1: 6.3 s lazy vs 7.3 s materialized); above it the
+# second corpus scan+explode+collect_set dominates and the round-trip wins —
+# the same measured-crossover shape as CC_LOCAL_FINISH_PAIRS. 256 MiB is a
+# deliberately conservative crossover: sf0.1's documents are ~15 MiB, and a
+# corpus 20x the bench scale already amortizes the write.
+MH_VERIFY_MATERIALIZE_BYTES = 256 << 20
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total bytes of the files backing ``df`` (file:-scheme URIs resolved
+    via os.stat; missing/foreign schemes count as unknown). Returns a huge
+    sentinel when nothing resolves so size-gated optimizations take the
+    scale-safe branch on unknown inputs."""
+    total, seen = 0, 0
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        if uri.startswith("file:") and not uri.startswith("file://"):
+            path = uri[5:]
+        try:
+            total += os.path.getsize(path)
+            seen += 1
+        except OSError:
+            continue
+    return total if seen else 1 << 62
+
+
 # MinHash parameters: K signatures, B bands of R rows (K = B*R).
 MINHASH_K = 12
 MINHASH_R = 3
@@ -443,6 +476,26 @@ def minhash_lsh_pairs(
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
     )
+    # docs_sh is consumed TWICE (the sa/sb sides of the verification join),
+    # and the two consumers shuffle on different keys so no exchange reuse is
+    # possible — a lazy docs_sh re-scans, re-explodes and re-collect_sets the
+    # corpus once per side (r11 double-eval audit, ROADMAP 30). Above the
+    # byte gate, materialize it under the same parquet-checkpoint discipline
+    # as the candidate frame: the frame holds only CANDIDATE documents'
+    # shingle sets — a vanishing fraction of the corpus — so at 100 TB the
+    # round-trip is noise next to a second corpus explode. BELOW the gate
+    # the recompute is cheaper than the blocking array write+read
+    # (interleaved A/B at sf0.1: 6.3 s recompute vs 7.3 s materialized —
+    # the corpus scan is OS-cached at that size), so small inputs keep the
+    # lazy plan: the same measured-crossover reasoning as the CC/coreness
+    # in-core finisher gates. Unknown input size (no resolvable files)
+    # defaults to materializing — the 100 TB-safe side.
+    if materialize_candidates_dir is not None and (
+        _input_bytes(docs) >= MH_VERIFY_MATERIALIZE_BYTES
+    ):
+        docs_sh_dir = session_checkpoint_dir("_mh_docsh_")
+        docs_sh.write.mode("overwrite").parquet(docs_sh_dir)
+        docs_sh = spark.read.parquet(docs_sh_dir)
     sa = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     i_ = F.size(F.array_intersect("sha", "shb"))

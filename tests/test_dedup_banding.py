@@ -102,6 +102,34 @@ def test_minhash_materialized_candidates_parity(spark, tmp_path):
     assert (tmp_path / "cand").exists()
 
 
+def test_minhash_docs_sh_materialization_gate(spark, monkeypatch):
+    """The verification-stage docs_sh frame materializes only above the
+    input-byte gate (r11 double-eval audit: below it, recompute beats the
+    blocking array round-trip — measured at sf0.1). Forcing the gate to 0
+    must flip the physical strategy without changing a single pair, and the
+    bench-scale corpus must sit BELOW the gate so the headline plan stays
+    lazy."""
+    import dblp_to_csv_spark.operators.dedup as D
+    from dblp_to_csv_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    assert 0 < D._input_bytes(docs) < D.MH_VERIFY_MATERIALIZE_BYTES
+
+    lazy = _rows(D.minhash_lsh_pairs(spark, SF_CORRECTNESS))
+    monkeypatch.setattr(D, "MH_VERIFY_MATERIALIZE_BYTES", 0)
+    materialized = _rows(D.minhash_lsh_pairs(spark, SF_CORRECTNESS))
+    assert lazy == materialized
+    assert len(lazy) > 0
+
+    # unknown input size (no backing files) takes the scale-safe branch
+    synth = spark.range(1).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("a b c").alias("text"),
+    )
+    assert D._input_bytes(synth) == 1 << 62
+
+
 def test_embedding_bucketed_subset_of_exact(spark):
     # ground truth via the GEMM twin (parity-gated against the expression
     # path in test_similarity_recall.py) — un-throttles this gate
