@@ -54,6 +54,9 @@ CURATION_BENCH = [
     # round-11: directional drift + classifier calibration
     "drift_kl_unigram_langs",
     "quality_score_pr_curve",
+    # round-11 session 2: information-theoretic drift + governance gate
+    "drift_mutual_information",
+    "privacy_k_anonymity_audit",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and
@@ -105,6 +108,8 @@ PIPELINE_BENCH = [
     # round-11: the audio modality twin + batch-shaping prep
     "multimodal_decode_wav",
     "pack_length_buckets",
+    # round-11 session 2: fixed-size quantile sketch
+    "sketch_bottomk_quantiles",
 ]
 
 

@@ -152,6 +152,100 @@ def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_mutual_information",
+    tags=("drift", "stats", "agg"),
+    oracle="""
+        WITH cells AS (
+            SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT source, SUM(obs) AS rt FROM cells GROUP BY 1),
+        cols_ AS (SELECT lang, SUM(obs) AS ct FROM cells GROUP BY 1),
+        n AS (SELECT SUM(obs) AS total FROM cells),
+        mi AS (
+            SELECT SUM((obs * 1.0 / total)
+                       * ln(obs * 1.0 * total / (rt * ct))) AS mi_nats
+            FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang), n
+        ),
+        h1 AS (
+            SELECT -SUM((rt * 1.0 / total) * ln(rt * 1.0 / total)) AS h_source
+            FROM rows_, n
+        ),
+        h2 AS (
+            SELECT -SUM((ct * 1.0 / total) * ln(ct * 1.0 / total)) AS h_lang
+            FROM cols_, n
+        )
+        SELECT ROUND(mi_nats, 6) AS mi_nats,
+               ROUND(h_source, 6) AS h_source,
+               ROUND(h_lang, 6) AS h_lang,
+               ROUND(CASE WHEN h_source * h_lang > 0
+                          THEN mi_nats / sqrt(h_source * h_lang) END, 6)
+                   AS nmi
+        FROM mi, h1, h2
+        WHERE mi_nats IS NOT NULL
+    """,
+)
+def drift_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) of source × lang — the
+    information-theoretic companion to drift_chi2_source_lang: chi2 answers
+    "is the deviation from independence statistically surprising?", MI
+    answers "how many nats does knowing the source tell you about the
+    language?" — the quantity mixture-balancing actually budgets. NMI =
+    MI/√(H(source)·H(lang)) normalizes to [0,1] for cross-version
+    comparison; single-category marginals (H = 0) yield NULL, mirroring
+    the oracle's CASE.
+
+    Scale shape (the drift-family contract): ONE corpus aggregate builds
+    the contingency cells, eagerly checkpointed because FOUR consumers
+    read it (marginals ×2, total, the MI join); everything after runs on
+    the ≤|sources|×|langs| frame. ln-valued sums are transcendental — the
+    tie-down convention's safe class — so ROUND(x, 6) agrees across
+    engines. Zero cells contribute 0 by L'Hôpital and never appear in the
+    sparse frame; empty corpus → NULL mi → empty result on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rows_ = cells.groupBy("source").agg(F.sum("obs").alias("rt"))
+    cols_ = cells.groupBy("lang").agg(F.sum("obs").alias("ct"))
+    total = cells.agg(F.sum("obs").alias("total"))
+    p = F.col("obs") * 1.0 / F.col("total")
+    mi = (
+        cells.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.sum(
+                p * F.log(F.col("obs") * 1.0 * F.col("total") / (F.col("rt") * F.col("ct")))
+            ).alias("mi_nats")
+        )
+    )
+    pr = F.col("rt") * 1.0 / F.col("total")
+    h1 = rows_.crossJoin(F.broadcast(total)).agg(
+        (-F.sum(pr * F.log(pr))).alias("h_source")
+    )
+    pc = F.col("ct") * 1.0 / F.col("total")
+    h2 = cols_.crossJoin(F.broadcast(total)).agg(
+        (-F.sum(pc * F.log(pc))).alias("h_lang")
+    )
+    hh = F.col("h_source") * F.col("h_lang")
+    return (
+        mi.crossJoin(F.broadcast(h1))
+        .crossJoin(F.broadcast(h2))
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round(
+                F.when(hh > 0, F.col("mi_nats") / F.sqrt(hh)), 6
+            ).alias("nmi"),
+        )
+        .filter(F.col("mi_nats").isNotNull())
+    )
+
+
+@register(
     "embedding_label_centroids",
     tags=("similarity", "stats", "agg"),
     oracle="""

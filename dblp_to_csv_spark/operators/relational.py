@@ -1571,3 +1571,99 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         "state_at", "state_version", "state_since",
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy / data-governance: k-anonymity over quasi-identifier columns —
+# the release gate a pipeline runs before publishing user-adjacent data
+# (Sweeney 2002). A group of rows sharing a quasi-identifier combination
+# smaller than K re-identifies its members; the audit lists the violating
+# combinations, the release suppresses them.
+# --------------------------------------------------------------------------
+K_ANONYMITY = 5
+# quasi-identifiers: nation x market segment x account-balance band (the
+# salary-band case) — the combination that gets sparse enough to re-identify
+_QUASI_SQL = (
+    "c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(c_acctbal / 1000) AS INT) AS acctbal_band"
+)
+_QUASI_GROUP = "c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS INT)"
+
+
+def _quasi_cols():
+    return [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("acctbal_band"),
+    ]
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    tags=("privacy", "quality", "agg"),
+    oracle=f"""
+        SELECT {_QUASI_SQL}, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer
+        GROUP BY {_QUASI_GROUP}
+        HAVING COUNT(*) < {K_ANONYMITY}
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment, account-balance
+    band) quasi-identifier triple: every combination shared by fewer than
+    K_ANONYMITY customers is a re-identification risk and is reported with
+    its group size — the governance gate a pipeline runs before publishing
+    user-adjacent data (Sweeney 2002).
+
+    Scale shape: one hash aggregate over the quasi-identifier key (map-side
+    combined — each task forwards at most |distinct combinations| rows) and
+    a HAVING filter on the aggregated frame. No joins, no windows; the
+    violating set is by definition the sparse tail of the group-size
+    distribution."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(*_quasi_cols())
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") < K_ANONYMITY)
+    )
+
+
+@register(
+    "privacy_k_anonymous_release",
+    tags=("privacy", "quality", "join"),
+    oracle=f"""
+        WITH q AS (SELECT c_custkey, {_QUASI_SQL} FROM customer),
+        ok AS (
+            SELECT c_nationkey, c_mktsegment, acctbal_band
+            FROM q
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= {K_ANONYMITY}
+        )
+        SELECT c_custkey, c_nationkey, c_mktsegment, acctbal_band
+        FROM q JOIN ok USING (c_nationkey, c_mktsegment, acctbal_band)
+    """,
+)
+def privacy_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymous RELEASE: rows whose quasi-identifier group reaches
+    K — suppression of the audit\'s violating tail, published at the
+    granularity of the generalized band (the raw balance never leaves).
+
+    Scale shape: the passing-group table comes from one map-side-combined
+    aggregate and is BROADCAST back onto the corpus scan as an equi-filter
+    — the corpus itself never shuffles (quasi-identifier combinations are
+    few by construction; a quasi-key too high-cardinality to broadcast is
+    already k-anonymity-violating almost everywhere). Plan-gated: scan +
+    broadcast join, no corpus exchange."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), *_quasi_cols()
+    )
+    keys = ["c_nationkey", "c_mktsegment", "acctbal_band"]
+    ok = (
+        c.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= K_ANONYMITY)
+        .drop("n")
+    )
+    return c.join(F.broadcast(ok), keys).select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "acctbal_band"
+    )

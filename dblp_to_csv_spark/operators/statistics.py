@@ -1063,6 +1063,110 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bottom-k quantile sketch: a FIXED-SIZE deterministic uniform sample (the
+# k rows with the smallest md5 of their primary key — the hash-reservoir),
+# quantiles read off the sample next to the exact answers. Complements
+# aqp_sample_estimates (fixed-RATE 1/16 Bernoulli sample, whose size grows
+# with the corpus): bottom-k state is k rows no matter the input — the
+# mergeable-summary property (min of two bottom-k sets is the bottom-k of
+# the union) that makes it a sketch, not a sample.
+# --------------------------------------------------------------------------
+BOTTOMK_K = 256
+_BK_QS = (0.25, 0.5, 0.75, 0.95)
+_BK_QS_SQL = "[" + ", ".join(str(q) for q in _BK_QS) + "]"
+
+
+@register(
+    "sketch_bottomk_quantiles",
+    tags=("sketch", "approx", "percentile"),
+    oracle=f"""
+        WITH h AS (
+            SELECT l_extendedprice AS val,
+                   md5(l_orderkey || '|' || l_linenumber) AS hk
+            FROM lineitem
+        ),
+        samp AS (SELECT val FROM h ORDER BY hk LIMIT {BOTTOMK_K}),
+        e AS (SELECT quantile_cont(val, {_BK_QS_SQL}) AS ests FROM samp),
+        x AS (
+            SELECT quantile_cont(l_extendedprice, {_BK_QS_SQL}) AS exs
+            FROM lineitem
+        )
+        SELECT q,
+               ROUND(est - 5e-13, 4) + 0.0 AS est,
+               ROUND(exact - 5e-13, 4) + 0.0 AS exact,
+               ROUND((CASE WHEN exact <> 0
+                           THEN ABS(est - exact) / exact END) - 5e-13, 4)
+                   + 0.0 AS rel_error
+        FROM (
+            SELECT UNNEST({_BK_QS_SQL}) AS q, UNNEST(ests) AS est,
+                   UNNEST(exs) AS exact
+            FROM e CROSS JOIN x
+        )
+        WHERE exact IS NOT NULL
+    """,
+)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of l_extendedprice from a bottom-k hash sketch (k=256):
+    keep the k rows whose md5(primary key) is smallest — a deterministic
+    uniform sample whose size is INDEPENDENT of the corpus — and read the
+    interpolated quantiles off it, next to the exact quantiles and the
+    realized relative error (the KMV convention: the sketch's accuracy is
+    part of the verified result).
+
+    Scale shape: the bottom-k is orderBy(hash).limit(k) — Spark plans
+    TakeOrderedAndProject (each partition forwards its LOCAL bottom-k, the
+    exchange carries ≤k·partitions rows; plan-gated), never a global sort.
+    Bottom-k states merge by union+re-cut, so the sketch distributes the
+    way HLL/KMV do; the exact side is the verification twin (a full
+    `percentile` aggregate) a production run would drop. md5 row keys make
+    the drawn sample — and therefore every estimate — engine-portable
+    (same rows in the DuckDB oracle). Empty input → empty result on both
+    engines (the exact-side NULL row is filtered)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs_lit = F.array(*[F.lit(q) for q in _BK_QS])
+    hk = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    samp = (
+        li.select(F.col("l_extendedprice").alias("val"), hk.alias("hk"))
+        .orderBy("hk")
+        .limit(BOTTOMK_K)
+    )
+    e = samp.agg(F.percentile("val", qs_lit).alias("ests"))
+    x = li.agg(F.percentile("l_extendedprice", qs_lit).alias("exs"))
+    zipped = (
+        e.crossJoin(F.broadcast(x))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    qs_lit.alias("q"), F.col("ests").alias("est"), F.col("exs").alias("exact")
+                )
+            ).alias("z")
+        )
+        .select("z.q", "z.est", "z.exact")
+        .filter(F.col("exact").isNotNull())
+    )
+    return zipped.select(
+        "q",
+        round_ties_down(F.col("est"), 4).alias("est"),
+        round_ties_down(F.col("exact"), 4).alias("exact"),
+        # CASE guard mirrors the oracle: an all-zero value column (degenerate
+        # sweeps) must yield NULL, not an ANSI division error
+        round_ties_down(
+            F.when(
+                F.col("exact") != 0,
+                F.abs(F.col("est") - F.col("exact")) / F.col("exact"),
+            ),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+# --------------------------------------------------------------------------
 # AQP: approximate aggregates from a deterministic uniform sample, with the
 # realized error next to the exact answer. The BlinkDB/quickstats pattern —
 # answer COUNT/SUM/median from a 1/16 hash sample and scale up — made

@@ -800,6 +800,37 @@ def test_pr_curve_single_pass_no_row_multiplication(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bottomk_sketch_partial_topk(spark):
+    """sketch_bottomk_quantiles: the bottom-k draw must plan as
+    TakeOrderedAndProject (per-partition local bottom-k, ≤k·partitions rows
+    through the exchange) — never a global sort or single-partition window.
+    The exact side is one ordinary aggregate; nothing Python."""
+    plan = _plan(spark, "sketch_bottomk_quantiles")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mutual_information_single_corpus_scan(spark):
+    """drift_mutual_information: the contingency cells materialize once
+    (eager localCheckpoint) and all four consumers read the checkpoint —
+    no corpus FileScan in the final plan (drift-family contract)."""
+    plan = _plan(spark, "drift_mutual_information")
+    assert "FileScan" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_k_anonymous_release_broadcasts_groups(spark):
+    """privacy_k_anonymous_release: the passing-group table broadcasts back
+    onto the corpus scan — the corpus never shuffles (no SortMergeJoin, no
+    corpus-sized exchange on the probe side)."""
+    plan = _plan(spark, "privacy_k_anonymous_release")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_chi2_by_window_single_corpus_scan(spark):
     """drift_chi2_by_window: the (window, type) aggregate materializes once
     (eager localCheckpoint) and all three consumers — global mix, window
