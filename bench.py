@@ -57,6 +57,7 @@ CURATION_BENCH = [
     # round-11 session 2: information-theoretic drift + governance gate
     "drift_mutual_information",
     "privacy_k_anonymity_audit",
+    "embedding_norm_isotropy",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and

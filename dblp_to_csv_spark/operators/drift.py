@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.rounding import round_ties_down
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -388,6 +389,87 @@ def drift_chi2_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("window_start").agg(
         F.max("nw").cast("long").alias("n_events"),
         F.round(F.sum("contrib"), 6).alias("chi2"),
+    )
+
+
+@register(
+    "embedding_norm_isotropy",
+    tags=("similarity", "stats", "agg", "drift"),
+    oracle="""
+        WITH flat AS (
+            SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        ),
+        per_dim AS (
+            SELECT pos, AVG(val) AS m, AVG(val * val) AS m2
+            FROM flat GROUP BY pos
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+                   SUM(m2) AS msq,
+                   SUM(m * m) AS cn2,
+                   SUM(m2 - m * m) AS v1,
+                   SUM(POW(m2 - m * m, 2)) AS v2
+            FROM per_dim
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+        SELECT n_vectors, dims,
+               ROUND(msq - 5e-13, 5) + 0.0 AS mean_sq_norm,
+               ROUND(cn2 - 5e-13, 5) + 0.0 AS centroid_norm_sq,
+               ROUND((CASE WHEN msq > 0 THEN cn2 / msq END) - 5e-13, 5)
+                   + 0.0 AS isotropy_ratio,
+               ROUND((CASE WHEN v2 > 0 THEN v1 * v1 / v2 END) - 5e-13, 5)
+                   + 0.0 AS participation_ratio
+        FROM agg, n WHERE dims > 0
+    """,
+)
+def embedding_norm_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health report: E[‖x‖²], ‖μ‖², the isotropy ratio
+    ‖μ‖²/E[‖x‖²] (→0 for a centered/isotropic space, →1 when the mass
+    collapses onto the mean — the anisotropy failure mode of contrastive
+    encoders), and the participation ratio (Σλ)²/Σλ² of the per-dimension
+    variances — the effective dimensionality a representation actually
+    uses. The checks run on every embedding-model version before its
+    vectors enter dedup/ANN (a collapsed space makes cosine thresholds
+    meaningless).
+
+    Scale shape: posexplode → ONE per-(dim) mean/mean-square aggregate
+    (map-side combined; the key space is the dimensionality), then every
+    statistic folds out of ONE aggregate over the dims-sized frame — no
+    second corpus pass, no covariance matrix (the participation ratio uses
+    only the diagonal). Sums reassociate across engines → 5-dp tie-down
+    rounding, the embedding-family convention."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("pos", "val0")).select(
+        "pos", F.col("val0").cast("double").alias("val")
+    )
+    per_dim = flat.groupBy("pos").agg(
+        F.avg("val").alias("m"), F.avg(F.col("val") * F.col("val")).alias("m2")
+    )
+    var_d = F.col("m2") - F.col("m") * F.col("m")
+    agg = per_dim.agg(
+        F.count("*").cast("long").alias("dims"),
+        F.sum("m2").alias("msq"),
+        F.sum(F.col("m") * F.col("m")).alias("cn2"),
+        F.sum(var_d).alias("v1"),
+        F.sum(F.pow(var_d, 2)).alias("v2"),
+    )
+    n = emb.agg(F.count("*").cast("long").alias("n_vectors"))
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "n_vectors",
+            "dims",
+            round_ties_down(F.col("msq"), 5).alias("mean_sq_norm"),
+            round_ties_down(F.col("cn2"), 5).alias("centroid_norm_sq"),
+            round_ties_down(
+                F.when(F.col("msq") > 0, F.col("cn2") / F.col("msq")), 5
+            ).alias("isotropy_ratio"),
+            round_ties_down(
+                F.when(F.col("v2") > 0, F.col("v1") * F.col("v1") / F.col("v2")), 5
+            ).alias("participation_ratio"),
+        )
+        .filter(F.col("dims") > 0)
     )
 
 
