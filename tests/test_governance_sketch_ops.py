@@ -1,0 +1,95 @@
+"""Invariant gates for the round-11 session-2 operators, beyond oracle
+parity: the mathematical properties that make each operator TRUSTWORTHY
+(mergeability for the sketch, information-theoretic bounds for MI and the
+isotropy report, the partition property for the k-anonymity pair). Oracle
+parity says both engines agree; these say they agree on the right thing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dblp_to_csv_spark.registry import all_queries
+from dblp_to_csv_spark.operators.statistics import BOTTOMK_K
+from dblp_to_csv_spark.operators.relational import K_ANONYMITY
+from tests.conftest import SF_CORRECTNESS
+
+SF = SF_CORRECTNESS
+
+
+def test_bottomk_sketch_is_mergeable():
+    """The property that makes bottom-k a SKETCH: cutting the union of two
+    partial bottom-k states to k rows equals the bottom-k of the whole
+    input, for any split. Verified on the real table with the real hash."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW h AS SELECT md5(l_orderkey || '|' || l_linenumber) AS hk"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    whole = [
+        r[0]
+        for r in con.execute(
+            f"SELECT hk FROM h ORDER BY hk LIMIT {BOTTOMK_K}"
+        ).fetchall()
+    ]
+    # arbitrary 2-way split (hash parity of the last hex digit)
+    parts = []
+    for pred in ("ascii(substr(hk, 32, 1)) % 2 = 0", "ascii(substr(hk, 32, 1)) % 2 = 1"):
+        parts += [
+            r[0]
+            for r in con.execute(
+                f"SELECT hk FROM h WHERE {pred} ORDER BY hk LIMIT {BOTTOMK_K}"
+            ).fetchall()
+        ]
+    merged = sorted(parts)[:BOTTOMK_K]
+    assert merged == whole
+
+
+def test_bottomk_estimates_bounded_by_sample_extremes(spark):
+    """Every quantile estimate must lie inside the sampled value range, and
+    rel_error must be the |est-exact|/exact the columns imply."""
+    df = all_queries()["sketch_bottomk_quantiles"].fn(spark, SF).toPandas()
+    assert list(df["q"]) == [0.25, 0.5, 0.75, 0.95]
+    assert (df["est"].diff().dropna() >= 0).all()  # monotone in q
+    assert (df["exact"].diff().dropna() >= 0).all()
+    recomputed = (df["est"] - df["exact"]).abs() / df["exact"]
+    assert ((recomputed - df["rel_error"]).abs() < 1e-3).all()
+
+
+def test_mutual_information_bounds(spark):
+    """0 ≤ MI ≤ min(H(source), H(lang)); NMI ∈ [0, 1]. The inequality is
+    exact mathematics — rounding gives it 1e-5 of slack."""
+    row = all_queries()["drift_mutual_information"].fn(spark, SF).toPandas().iloc[0]
+    eps = 1e-5
+    assert row.mi_nats >= -eps
+    assert row.mi_nats <= min(row.h_source, row.h_lang) + eps
+    assert -eps <= row.nmi <= 1 + eps
+
+
+def test_isotropy_bounds(spark):
+    """isotropy_ratio = ‖μ‖²/E[‖x‖²] ∈ [0,1] (Jensen); participation ratio
+    ∈ [1, dims] (Cauchy-Schwarz both ways on the variance diagonal)."""
+    row = all_queries()["embedding_norm_isotropy"].fn(spark, SF).toPandas().iloc[0]
+    eps = 1e-5
+    assert -eps <= row.isotropy_ratio <= 1 + eps
+    assert 1 - eps <= row.participation_ratio <= row.dims + eps
+    assert row.mean_sq_norm >= row.centroid_norm_sq - eps
+
+
+def test_k_anonymity_partitions_the_table(spark):
+    """Release rows + members of violating groups = the whole table (the
+    suppression is exactly the audit's complement), and every released
+    group reaches K."""
+    qs = all_queries()
+    audit = qs["privacy_k_anonymity_audit"].fn(spark, SF).toPandas()
+    release = qs["privacy_k_anonymous_release"].fn(spark, SF).toPandas()
+    total = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert (audit["group_size"] < K_ANONYMITY).all()
+    assert len(audit) > 0, "vacuous audit: no violating groups at this SF"
+    assert audit["group_size"].sum() + len(release) == total
+    sizes = release.groupby(
+        ["c_nationkey", "c_mktsegment", "acctbal_band"]
+    ).size()
+    assert (sizes >= K_ANONYMITY).all()
