@@ -15,12 +15,24 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
 def words(text: Column | str) -> Column:
-    """Lower-cased alphanumeric tokens, empties removed."""
+    """Lower-cased alphanumeric tokens, empties removed. NULL text
+    tokenizes as the EMPTY document ([]), not NULL — without the coalesce,
+    a NULL array flows into size()/aggregate() differently on the two
+    engines (Spark propagates NULL, DuckDB's GREATEST/COALESCE guards
+    absorb it mid-expression) and every downstream keep/score predicate
+    diverges on NULL-text rows (unicode-landmine sweep finding; the driver
+    corpora are NULL-free so driver hashes are unchanged)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_RE),
+        lambda x: x != "",
+    )
 
 
-WORDS_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+WORDS_SQL = (
+    "list_filter(string_split_regex(lower(COALESCE({col}, '')), "
+    "'[^a-z0-9]+'), x -> x <> '')"
+)
 
 
 def shingles(word_arr: Column, n: int = 3) -> Column:
@@ -41,13 +53,21 @@ SHINGLES_SQL = (
 )
 
 
+# Explicit ASCII whitespace class instead of \s: Java regex \s includes
+# \x0B (vertical tab) while RE2's does not, so a literal \s+ silently
+# diverges between the Spark implementation and the DuckDB oracle on
+# VT-bearing text (found by the unicode-landmine sweep; the driver corpora
+# are VT-free so behavior there is unchanged).
+WS_RE = "[ \\t\\n\\f\\r\\x0B]+"
+
+
 def normalized_text(text: Column | str) -> Column:
     """Whitespace-collapsed, trimmed, lower-cased text (fingerprint input)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_RE, " "))
 
 
-NORMALIZED_SQL = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+NORMALIZED_SQL = f"trim(regexp_replace(lower({{col}}), '{WS_RE}', ' ', 'g'))"
 
 
 def fingerprint(text: Column | str) -> Column:

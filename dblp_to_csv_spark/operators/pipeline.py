@@ -1436,7 +1436,10 @@ LENGTH_BUCKETS = 8  # equi-token-mass bucket count for batch shaping
     tags=("pipeline", "window"),
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, n_chars,
+            -- COALESCE: a NULL length would form its own group AND sort
+            -- differently between the engines (Spark NULLS FIRST, DuckDB
+            -- NULLS LAST in the cumulative window) — define NULL as 0
+            SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
                    CAST(len({_WORDS}) AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -1485,7 +1488,8 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     coreness degree-h-index frame). The corpus itself never sorts."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
-        "n_chars", F.size(words("text")).cast("long").alias("n_tokens")
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
     )
     per_len = t.groupBy("n_chars").agg(
         F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n_docs")

@@ -149,9 +149,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "scalar"),
     oracle="""
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-                   AS ws_tokens,
-               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               CAST(len(string_split_regex(trim(text),
+                   '[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r\\x0B]'))
                    AS BIGINT) AS bpe_ish_tokens
         FROM documents
     """,
@@ -159,14 +160,20 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (north-star spec): whitespace split and a
     BPE-ish regex lexer (letter runs | digit runs | single punctuation) —
-    the cheap token-budget estimator for LLM data pipelines."""
+    the cheap token-budget estimator for LLM data pipelines. Whitespace is
+    the explicit ASCII class, not \\s — Java's \\s includes \\x0B, RE2's
+    does not (functions/text.py WS_RE; unicode-landmine sweep)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\f\\r\\x0B]+"))
+        .cast("long")
+        .alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+                F.lower(F.col("text")),
+                F.lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r\\x0B]"),
+                F.lit(0),
             )
         )
         .cast("long")
