@@ -68,24 +68,27 @@ MH_VERIFY_MATERIALIZE_BYTES = 256 << 20
 
 def _input_bytes(df: DataFrame) -> int:
     """Total bytes of the files backing ``df`` (file:-scheme URIs resolved
-    via os.stat; missing/foreign schemes count as unknown). Returns a huge
-    sentinel when nothing resolves so size-gated optimizations take the
-    scale-safe branch on unknown inputs."""
-    total, seen = 0, 0
+    via os.stat). Returns a huge sentinel when nothing resolves OR when ANY
+    file fails to resolve (foreign scheme, encoded path, stat error):
+    a partially-resolved total would silently UNDERCOUNT — e.g. an
+    object-store corpus with one local sidecar file — and route a huge
+    input to the scale-unsafe lazy branch, so unknown means unknown."""
+    total = 0
     try:
         files = df.inputFiles()
     except Exception:
-        files = []
+        return 1 << 62
+    if not files:
+        return 1 << 62
     for uri in files:
         path = uri[7:] if uri.startswith("file://") else uri
         if uri.startswith("file:") and not uri.startswith("file://"):
             path = uri[5:]
         try:
             total += os.path.getsize(path)
-            seen += 1
         except OSError:
-            continue
-    return total if seen else 1 << 62
+            return 1 << 62
+    return total
 
 
 # MinHash parameters: K signatures, B bands of R rows (K = B*R).

@@ -163,8 +163,11 @@ def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols_ AS (SELECT lang, SUM(obs) AS ct FROM cells GROUP BY 1),
         n AS (SELECT SUM(obs) AS total FROM cells),
         mi AS (
+            -- divide-before-multiply: rt*ct as integers overflows BIGINT
+            -- around 3e9 rows on the Spark side (ANSI throw), so both
+            -- engines compute the ratio in doubles the same way
             SELECT SUM((obs * 1.0 / total)
-                       * ln(obs * 1.0 * total / (rt * ct))) AS mi_nats
+                       * ln((obs * 1.0 / rt) * (total * 1.0 / ct))) AS mi_nats
             FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang), n
         ),
         h1 AS (
@@ -175,12 +178,15 @@ def drift_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT -SUM((ct * 1.0 / total) * ln(ct * 1.0 / total)) AS h_lang
             FROM cols_, n
         )
-        SELECT ROUND(mi_nats, 6) AS mi_nats,
-               ROUND(h_source, 6) AS h_source,
-               ROUND(h_lang, 6) AS h_lang,
-               ROUND(CASE WHEN h_source * h_lang > 0
-                          THEN mi_nats / sqrt(h_source * h_lang) END, 6)
-                   AS nmi
+        -- tie-down form: a (near-)independent corpus sums mi to a tiny
+        -- negative and an entropy of a single-category marginal is -0.0 —
+        -- ROUND alone diverges on the -0.0 class (r4 hash-mismatch bug)
+        SELECT ROUND(mi_nats - 5e-13, 6) + 0.0 AS mi_nats,
+               ROUND(h_source - 5e-13, 6) + 0.0 AS h_source,
+               ROUND(h_lang - 5e-13, 6) + 0.0 AS h_lang,
+               ROUND((CASE WHEN h_source * h_lang > 0
+                           THEN mi_nats / sqrt(h_source * h_lang) END)
+                     - 5e-13, 6) + 0.0 AS nmi
         FROM mi, h1, h2
         WHERE mi_nats IS NOT NULL
     """,
@@ -212,15 +218,15 @@ def drift_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ = cells.groupBy("lang").agg(F.sum("obs").alias("ct"))
     total = cells.agg(F.sum("obs").alias("total"))
     p = F.col("obs") * 1.0 / F.col("total")
+    # divide-before-multiply (see the oracle note): rt*ct in BIGINT
+    # overflows past ~3e9 corpus rows under ANSI; both engines now take
+    # the identical double path
+    ratio = (F.col("obs") * 1.0 / F.col("rt")) * (F.col("total") * 1.0 / F.col("ct"))
     mi = (
         cells.join(F.broadcast(rows_), "source")
         .join(F.broadcast(cols_), "lang")
         .crossJoin(F.broadcast(total))
-        .agg(
-            F.sum(
-                p * F.log(F.col("obs") * 1.0 * F.col("total") / (F.col("rt") * F.col("ct")))
-            ).alias("mi_nats")
-        )
+        .agg(F.sum(p * F.log(ratio)).alias("mi_nats"))
     )
     pr = F.col("rt") * 1.0 / F.col("total")
     h1 = rows_.crossJoin(F.broadcast(total)).agg(
@@ -235,10 +241,13 @@ def drift_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         mi.crossJoin(F.broadcast(h1))
         .crossJoin(F.broadcast(h2))
         .select(
-            F.round("mi_nats", 6).alias("mi_nats"),
-            F.round("h_source", 6).alias("h_source"),
-            F.round("h_lang", 6).alias("h_lang"),
-            F.round(
+            # tie-down rounding: near-independence sums mi to a tiny
+            # negative, single-category entropies are -0.0 — the r4
+            # -0.0 hash-divergence class
+            round_ties_down(F.col("mi_nats"), 6).alias("mi_nats"),
+            round_ties_down(F.col("h_source"), 6).alias("h_source"),
+            round_ties_down(F.col("h_lang"), 6).alias("h_lang"),
+            round_ties_down(
                 F.when(hh > 0, F.col("mi_nats") / F.sqrt(hh)), 6
             ).alias("nmi"),
         )
@@ -401,18 +410,22 @@ def drift_chi2_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
         ),
         per_dim AS (
-            SELECT pos, AVG(val) AS m, AVG(val * val) AS m2
+            SELECT pos, AVG(val) AS m, AVG(val * val) AS m2,
+                   COUNT(*) AS cnt
             FROM flat GROUP BY pos
         ),
         agg AS (
+            -- n_vectors rides the per-dim pass (max per-dim count = the
+            -- number of contributing vectors for rectangular embeddings)
+            -- instead of a second scan of the corpus-scale table
             SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+                   CAST(MAX(cnt) AS BIGINT) AS n_vectors,
                    SUM(m2) AS msq,
                    SUM(m * m) AS cn2,
                    SUM(m2 - m * m) AS v1,
                    SUM(POW(m2 - m * m, 2)) AS v2
             FROM per_dim
-        ),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+        )
         SELECT n_vectors, dims,
                ROUND(msq - 5e-13, 5) + 0.0 AS mean_sq_norm,
                ROUND(cn2 - 5e-13, 5) + 0.0 AS centroid_norm_sq,
@@ -420,7 +433,7 @@ def drift_chi2_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.0 AS isotropy_ratio,
                ROUND((CASE WHEN v2 > 0 THEN v1 * v1 / v2 END) - 5e-13, 5)
                    + 0.0 AS participation_ratio
-        FROM agg, n WHERE dims > 0
+        FROM agg WHERE dims > 0
     """,
 )
 def embedding_norm_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +444,8 @@ def embedding_norm_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     variances — the effective dimensionality a representation actually
     uses. The checks run on every embedding-model version before its
     vectors enter dedup/ANN (a collapsed space makes cosine thresholds
-    meaningless).
+    meaningless). n_vectors counts CONTRIBUTING vectors (max per-dim
+    count over the exploded stream) so the whole report is one scan.
 
     Scale shape: posexplode → ONE per-(dim) mean/mean-square aggregate
     (map-side combined; the key space is the dimensionality), then every
@@ -444,19 +458,24 @@ def embedding_norm_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos", F.col("val0").cast("double").alias("val")
     )
     per_dim = flat.groupBy("pos").agg(
-        F.avg("val").alias("m"), F.avg(F.col("val") * F.col("val")).alias("m2")
+        F.avg("val").alias("m"),
+        F.avg(F.col("val") * F.col("val")).alias("m2"),
+        F.count("*").alias("cnt"),
     )
     var_d = F.col("m2") - F.col("m") * F.col("m")
+    # n_vectors = max per-dim count, riding the same aggregate — the
+    # embeddings table is scanned exactly ONCE (vectors with a NULL
+    # embedding column don't contribute anywhere in this report)
     agg = per_dim.agg(
         F.count("*").cast("long").alias("dims"),
+        F.max("cnt").cast("long").alias("n_vectors"),
         F.sum("m2").alias("msq"),
         F.sum(F.col("m") * F.col("m")).alias("cn2"),
         F.sum(var_d).alias("v1"),
         F.sum(F.pow(var_d, 2)).alias("v2"),
     )
-    n = emb.agg(F.count("*").cast("long").alias("n_vectors"))
     return (
-        agg.crossJoin(F.broadcast(n))
+        agg
         .select(
             "n_vectors",
             "dims",

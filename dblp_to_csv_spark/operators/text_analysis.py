@@ -1514,14 +1514,23 @@ def lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select(F.explode("w").alias("word"))
         .agg(F.count_distinct("word").alias("v"))
     )
-    # The bigram count table materializes once (eager localCheckpoint of the
-    # distinct-bigram-sized frame); the prev-context table is then DERIVED
-    # from it — c(w1 ·) = Σ c(w1 w2) over bigrams sharing the prefix, exact
-    # integer arithmetic — instead of a second groupBy over the lazy exploded
-    # stream, which re-tokenized the corpus (r11 double-eval audit,
-    # ROADMAP 30: 4 corpus explodes → 3, and the prevc shuffle now runs over
-    # the vocab-sized count table, not the occurrence stream).
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c12")).localCheckpoint(eager=True)
+    # The bigram count table materializes once; the prev-context table is
+    # then DERIVED from it — c(w1 ·) = Σ c(w1 w2) over bigrams sharing the
+    # prefix, exact integer arithmetic — instead of a second groupBy over
+    # the lazy exploded stream, which re-tokenized the corpus (r11
+    # double-eval audit, ROADMAP 30: 4 corpus explodes → 3, and the prevc
+    # shuffle now runs over the vocab-sized count table, not the occurrence
+    # stream). PARQUET checkpoint, not cache()/localCheckpoint: the
+    # distinct-bigram frame is corpus-vocabulary-scale (Heaps-sublinear but
+    # unbounded), and storage blocks pinned by a registered query leak in a
+    # shared session with no unpersist hook — the dedup.py candidate-frame
+    # discipline (minhash_lsh_pairs docstring) applies verbatim.
+    from dblp_to_csv_spark.session import session_checkpoint_dir
+
+    bgc_lazy = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    _bgc_dir = session_checkpoint_dir("_lm_bgc_")
+    bgc_lazy.write.mode("overwrite").parquet(_bgc_dir)
+    bgc = spark.read.parquet(_bgc_dir)
     prevc = (
         bgc.select(F.split("bg", " ").getItem(0).alias("prev"), "c12")
         .groupBy("prev")

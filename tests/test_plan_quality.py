@@ -845,15 +845,25 @@ def test_chi2_by_window_single_corpus_scan(spark):
 
 
 def test_lm_bigram_explodes_once_in_final_plan(spark):
-    """lm_bigram_cross_entropy: the bigram count table checkpoints once and
-    the prev-context table is DERIVED from it (exact integer sums), so the
+    """lm_bigram_cross_entropy: the bigram count table PARQUET-checkpoints
+    once (session_checkpoint_dir — not localCheckpoint, whose storage
+    blocks would leak per invocation in a shared session) and the
+    prev-context table is DERIVED from it (exact integer sums), so the
     final plan re-explodes the corpus only for the per-occurrence scoring
-    stream plus the vocab count — two Generates, with the count tables
-    reading the checkpoint (was four corpus explodes before the r11
+    stream plus the vocab count — two Generates, with both count tables
+    reading the checkpoint files (was four corpus explodes before the r11
     double-eval audit)."""
     plan = _plan(spark, "lm_bigram_cross_entropy")
     assert plan.count("Generate explode") == 2  # scoring stream + vocab
-    assert "Scan ExistingRDD" in plan  # both count tables read the checkpoint
+    assert "_lm_bgc_" in plan  # count tables read the parquet checkpoint
+    assert "BatchEvalPython" not in plan
+
+
+def test_isotropy_single_scan(spark):
+    """embedding_norm_isotropy: n_vectors rides the per-dim aggregate —
+    exactly ONE scan of the embeddings table in the whole report."""
+    plan = _plan(spark, "embedding_norm_isotropy")
+    assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan
 
 
