@@ -109,8 +109,9 @@ PIPELINE_BENCH = [
     # round-11: the audio modality twin + batch-shaping prep
     "multimodal_decode_wav",
     "pack_length_buckets",
-    # round-11 session 2: fixed-size quantile sketch
+    # round-11 session 2: fixed-size quantile sketches (global + per-group)
     "sketch_bottomk_quantiles",
+    "sketch_bottomk_quantiles_by_group",
 ]
 
 

@@ -1166,6 +1166,112 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOTTOMK_GROUP_K = 512
+_BKG_QS = (0.5, 0.95)
+_BKG_QS_SQL = "[" + ", ".join(str(q) for q in _BKG_QS) + "]"
+
+
+@register(
+    "sketch_bottomk_quantiles_by_group",
+    tags=("sketch", "approx", "percentile", "window"),
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, value AS val,
+                   md5(CAST(event_id AS VARCHAR)) AS hk
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, val,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk)
+                       AS rn
+            FROM h
+        ),
+        e AS (
+            SELECT event_type,
+                   quantile_cont(val, {_BKG_QS_SQL}) AS ests
+            FROM ranked WHERE rn <= {BOTTOMK_GROUP_K} GROUP BY event_type
+        ),
+        x AS (
+            SELECT event_type,
+                   quantile_cont(value, {_BKG_QS_SQL}) AS exs
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, q,
+               ROUND(est - 5e-13, 4) + 0.0 AS est,
+               ROUND(exact - 5e-13, 4) + 0.0 AS exact,
+               ROUND((CASE WHEN exact <> 0
+                           THEN ABS(est - exact) / ABS(exact) END)
+                     - 5e-13, 4) + 0.0 AS rel_error
+        FROM (
+            SELECT event_type, UNNEST({_BKG_QS_SQL}) AS q,
+                   UNNEST(ests) AS est, UNNEST(exs) AS exact
+            FROM e JOIN x USING (event_type)
+        )
+        WHERE exact IS NOT NULL
+    """,
+)
+def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP bottom-k quantile sketch: p50/p95 of `value` per event
+    type from each group's k=128 smallest-md5(event_id) rows — the
+    "latency percentiles per segment" production ask, answered with
+    per-group state that is CONSTANT-SIZE no matter how hot the group.
+    Exact per-group quantiles + realized error ride along (the KMV
+    convention; production drops the exact side).
+
+    Scale shape: the per-group cut is a rank filter under a constant
+    bound, which Spark executes as WindowGroupLimit (plan-gated) — every
+    partition forwards ≤k rows PER GROUP before the exchange, the same
+    physical shape as sketch_kmv_distinct; the global variant
+    (sketch_bottomk_quantiles) uses TakeOrderedAndProject instead because
+    it has no grouping key. Hot event types are exactly the case the
+    per-partition pre-cut absorbs: a group with 10^9 rows still ships
+    ≤k·partitions rows. md5 row keys keep the drawn samples
+    engine-portable; empty input → empty result on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    qs_lit = F.array(*[F.lit(q) for q in _BKG_QS])
+    h = ev.select(
+        "event_type",
+        F.col("value").alias("val"),
+        F.md5(F.col("event_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hk")
+    e = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BOTTOMK_GROUP_K)  # constant → WindowGroupLimit
+        .groupBy("event_type")
+        .agg(F.percentile("val", qs_lit).alias("ests"))
+    )
+    x = ev.groupBy("event_type").agg(F.percentile("value", qs_lit).alias("exs"))
+    zipped = (
+        e.join(x, "event_type")
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    qs_lit.alias("q"),
+                    F.col("ests").alias("est"),
+                    F.col("exs").alias("exact"),
+                )
+            ).alias("z"),
+        )
+        .select("event_type", "z.q", "z.est", "z.exact")
+        .filter(F.col("exact").isNotNull())
+    )
+    return zipped.select(
+        "event_type",
+        "q",
+        round_ties_down(F.col("est"), 4).alias("est"),
+        round_ties_down(F.col("exact"), 4).alias("exact"),
+        round_ties_down(
+            F.when(
+                F.col("exact") != 0,
+                F.abs(F.col("est") - F.col("exact")) / F.abs(F.col("exact")),
+            ),
+            4,
+        ).alias("rel_error"),
+    )
+
+
 # --------------------------------------------------------------------------
 # AQP: approximate aggregates from a deterministic uniform sample, with the
 # realized error next to the exact answer. The BlinkDB/quickstats pattern —

@@ -56,6 +56,21 @@ def test_bottomk_estimates_bounded_by_sample_extremes(spark):
     assert ((recomputed - df["rel_error"]).abs() < 1e-3).all()
 
 
+def test_bottomk_group_estimates_consistent(spark):
+    """Per-group sketch: every group present in the data reports both
+    quantiles, estimates are monotone in q within a group, and rel_error
+    is self-consistent with est/exact."""
+    df = all_queries()["sketch_bottomk_quantiles_by_group"].fn(spark, SF).toPandas()
+    assert len(df) > 0 and len(df) % 2 == 0
+    for _, g in df.groupby("event_type"):
+        g = g.sort_values("q")
+        assert list(g["q"]) == [0.5, 0.95]
+        assert g["est"].iloc[0] <= g["est"].iloc[1]
+        assert g["exact"].iloc[0] <= g["exact"].iloc[1]
+    recomputed = (df["est"] - df["exact"]).abs() / df["exact"].abs()
+    assert ((recomputed - df["rel_error"]).abs() < 1e-3).all()
+
+
 def test_mutual_information_bounds(spark):
     """0 ≤ MI ≤ min(H(source), H(lang)); NMI ∈ [0, 1]. The inequality is
     exact mathematics — rounding gives it 1e-5 of slack."""

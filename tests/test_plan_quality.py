@@ -811,6 +811,16 @@ def test_bottomk_sketch_partial_topk(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_bottomk_group_sketch_windowgrouplimit(spark):
+    """sketch_bottomk_quantiles_by_group: the per-group cut must execute as
+    WindowGroupLimit (each partition forwards ≤k rows per group BEFORE the
+    exchange — a 10^9-row hot group still ships ≤k·partitions rows), the
+    same physical contract as the KMV sketch."""
+    plan = _plan(spark, "sketch_bottomk_quantiles_by_group")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_mutual_information_single_corpus_scan(spark):
     """drift_mutual_information: the contingency cells materialize once
     (eager localCheckpoint) and all four consumers read the checkpoint —
