@@ -151,3 +151,84 @@ def stream_user_ewma(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Streaming bottom-k quantile sketch: the stateful twin of
+# operators/statistics.sketch_bottomk_quantiles_by_group. State per event
+# type = the k smallest (md5(event_id), value) pairs seen so far — the
+# MERGEABILITY of bottom-k (bottom-k of a union = re-cut of the merged
+# bottom-k states, pinned in test_governance_sketch_ops) is exactly what
+# makes it a streaming-updatable sketch: each micro-batch merges and
+# re-cuts, and the final state is IDENTICAL to the batch draw over the
+# same data regardless of how the stream was chunked.
+BKG_STREAM_OUTPUT_SCHEMA = (
+    "event_type string, k_used long, p50 double, p95 double"
+)
+BKG_STREAM_STATE_SCHEMA = "hks array<string>, vals array<double>"
+
+
+def _update_group_bottomk(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    from dblp_to_csv_spark.functions.rounding import TIE_EPS
+    from dblp_to_csv_spark.operators.statistics import BOTTOMK_GROUP_K
+
+    (event_type,) = key
+    pairs: list[tuple[str, float]] = (
+        [tuple(t) for t in zip(*state.get)] if state.exists else []
+    )
+    for pdf in pdfs:
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            # identical draw to the batch sketch: md5 of the DECIMAL string
+            # of event_id, exactly Spark's md5(CAST(event_id AS STRING))
+            hk = hashlib.md5(str(int(eid)).encode()).hexdigest()
+            pairs.append(
+                (hk, float("nan") if pd.isna(val) else float(val))
+            )
+    pairs.sort(key=lambda p: p[0])
+    pairs = pairs[:BOTTOMK_GROUP_K]
+    state.update(([h for h, _ in pairs], [v for _, v in pairs]))
+    import numpy as np
+
+    # NULL-value rows occupy sample slots (they are drawn by hash like any
+    # row — mirroring the batch sketch, whose rank cut ignores `value`) but
+    # are skipped by the percentile, exactly as Spark `percentile` skips
+    # NULLs; linear interpolation = Spark `percentile` = DuckDB
+    # quantile_cont; tie-down rounding matches round_ties_down(…, 4)
+    vals = np.array([v for _, v in pairs], dtype="float64")
+    vals = vals[~np.isnan(vals)]
+    p50, p95 = (
+        (None, None)
+        if len(vals) == 0
+        else tuple(
+            round(float(q) - TIE_EPS, 4) + 0.0
+            for q in np.percentile(vals, [50, 95], method="linear")
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "k_used": [len(pairs)],
+            "p50": [p50],
+            "p95": [p95],
+        }
+    )
+
+
+def stream_group_bottomk(events: DataFrame) -> DataFrame:
+    """Per-event-type bottom-k quantile sketch maintained across
+    micro-batches (p50/p95 of `value` per type, k smallest md5(event_id)
+    rows as state). State is O(k) per group — constant no matter the
+    group's throughput — and the merge+re-cut update is order- and
+    chunking-insensitive, so the final state equals the batch sketch over
+    the same data (pinned in test_streaming.py). The streaming face of the
+    'latency percentiles per segment' monitor."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_group_bottomk,
+        outputStructType=BKG_STREAM_OUTPUT_SCHEMA,
+        stateStructType=BKG_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

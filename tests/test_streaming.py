@@ -569,3 +569,48 @@ def test_stream_interval_overlaps_equals_batch(spark):
     }
     assert got == want
     assert len(want) > 50, "fixture too weak: few overlapping intervals"
+
+
+def test_stream_group_bottomk_matches_batch_sketch(spark):
+    """Streaming bottom-k sketch: the final per-group state (p50/p95 over
+    the k smallest md5(event_id) rows) must equal the BATCH per-group
+    sketch over the same data — the mergeability property as a streaming
+    parity pin (each micro-batch merges and re-cuts, so chunking cannot
+    change the final draw)."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.registry import all_queries
+    from dblp_to_csv_spark.streaming import load_events_stream
+    from dblp_to_csv_spark.streaming.stateful import stream_group_bottomk
+
+    stream = load_events_stream(spark, SF_SMOKE)
+    q = (
+        stream_group_bottomk(stream)
+        .writeStream.format("memory")
+        .queryName("bottomk_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per (batch, group); the single-file fixture
+    # runs exactly one availableNow batch, so the table IS the final state
+    # (one row per group — asserted by the index comparison below)
+    got = (
+        spark.sql("SELECT event_type, p50, p95 FROM bottomk_test")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    batch = (
+        all_queries()["sketch_bottomk_quantiles_by_group"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .pivot(index="event_type", columns="q", values="est")
+        .sort_index()
+    )
+    assert list(got.index) == list(batch.index)
+    for et in got.index:
+        assert abs(got.loc[et, "p50"] - batch.loc[et, 0.5]) < 1e-9, et
+        assert abs(got.loc[et, "p95"] - batch.loc[et, 0.95]) < 1e-9, et
+    q.stop()
