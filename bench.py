@@ -58,6 +58,7 @@ CURATION_BENCH = [
     "drift_mutual_information",
     "privacy_k_anonymity_audit",
     "embedding_norm_isotropy",
+    "drift_psi_events_value",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and

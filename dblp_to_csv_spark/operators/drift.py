@@ -93,6 +93,136 @@ def drift_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_REF = "view"
+PSI_CUR = "click"
+PSI_BINS = 10
+_PSI_QS_SQL = "[" + ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS)) + "]"
+
+
+@register(
+    "drift_psi_events_value",
+    tags=("drift", "stats", "agg"),
+    oracle=f"""
+        WITH cuts AS (
+            -- decile cutpoints of the REFERENCE arm, tie-down-rounded to
+            -- 6 dp so both engines bin against bit-identical thresholds
+            -- (raw interpolated quantiles can differ by an ulp and flip a
+            -- value sitting exactly on a cutpoint)
+            SELECT list_transform(quantile_cont(value, {_PSI_QS_SQL}),
+                                  c -> ROUND(c - 5e-13, 6) + 0.0) AS cs
+            FROM events WHERE event_type = '{PSI_REF}'
+        ),
+        binned AS (
+            SELECT event_type,
+                   list_sum(list_transform(cs,
+                       c -> CASE WHEN value > c THEN 1 ELSE 0 END)) AS bin
+            FROM events, cuts
+            WHERE event_type IN ('{PSI_REF}', '{PSI_CUR}')
+        ),
+        counts AS (
+            SELECT bin,
+                   COUNT(*) FILTER (event_type = '{PSI_REF}') AS ca,
+                   COUNT(*) FILTER (event_type = '{PSI_CUR}') AS cb
+            FROM binned GROUP BY bin
+        ),
+        grid AS (
+            SELECT b.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM (SELECT UNNEST(generate_series(0, {PSI_BINS - 1})) AS bin) b
+            LEFT JOIN counts USING (bin)
+        ),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM grid),
+        rates AS (
+            -- Laplace-smoothed rates ((c + 0.5)/(n + bins/2)) keep every
+            -- bin's log finite — the standard PSI zero-bin guard, made
+            -- deterministic instead of an epsilon clamp
+            SELECT (ca + 0.5) / (na + {PSI_BINS} * 0.5) AS ra,
+                   (cb + 0.5) / (nb + {PSI_BINS} * 0.5) AS rb,
+                   na, nb
+            FROM grid, tot
+        )
+        SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+               ROUND(SUM((ra - rb) * ln(ra / rb)) - 5e-13, 6) + 0.0 AS psi
+        FROM rates
+        GROUP BY na, nb
+        HAVING na > 0 AND nb > 0
+    """,
+)
+def drift_psi_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference and current arms'
+    value distributions — THE named drift number of ML feature monitoring
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 action): bin the current
+    distribution against the REFERENCE arm's decile cutpoints, then
+    PSI = Σ (ra − rb)·ln(ra/rb) over the 10 bins (symmetric KL). Completes
+    the drift family: KS gives the max ECDF gap, PSI the standard banded
+    magnitude against reference deciles.
+
+    Scale shape: one exact-percentile aggregate over the (pruned) reference
+    arm produces a 9-value cutpoint row broadcast onto the scan; binning is
+    an in-row fold (no range join); per-bin counts collapse map-side to ≤10
+    rows; the statistic folds on the 10-row grid with totals as
+    unpartitioned windows (the drift-family contract). Cutpoints are
+    tie-down-rounded to 6 dp BEFORE binning so both engines compare against
+    bit-identical thresholds; Laplace smoothing ((c+0.5)/(n+5)) keeps empty
+    bins finite deterministically. Either arm empty → empty result."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(PSI_REF, PSI_CUR)
+    )
+    qs = F.array(*[F.lit(i / PSI_BINS) for i in range(1, PSI_BINS)])
+    cuts = (
+        ev.filter(F.col("event_type") == PSI_REF)
+        .agg(
+            F.transform(
+                F.percentile("value", qs), lambda c: round_ties_down(c, 6)
+            ).alias("cs")
+        )
+    )
+    bin_col = F.aggregate(
+        F.col("cs"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+    )
+    binned = ev.crossJoin(F.broadcast(cuts)).select(
+        "event_type", bin_col.alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("event_type") == PSI_REF, 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == PSI_CUR, 1)).alias("cb"),
+    )
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+    grid = bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w_all = Window.partitionBy()
+    rates = grid.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    ).select(
+        ((F.col("ca") + 0.5) / (F.col("na") + PSI_BINS * 0.5)).alias("ra"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + PSI_BINS * 0.5)).alias("rb"),
+        "na",
+        "nb",
+    )
+    return (
+        rates.groupBy("na", "nb")
+        .agg(
+            round_ties_down(
+                F.sum((F.col("ra") - F.col("rb")) * F.log(F.col("ra") / F.col("rb"))),
+                6,
+            ).alias("psi")
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.col("na").cast("long").alias("n_ref"),
+            F.col("nb").cast("long").alias("n_cur"),
+            "psi",
+        )
+    )
+
+
 @register(
     "drift_chi2_source_lang",
     tags=("drift", "stats", "agg"),

@@ -821,6 +821,17 @@ def test_bottomk_group_sketch_windowgrouplimit(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_psi_broadcasts_cutpoints_no_range_join(spark):
+    """drift_psi_events_value: the 9 reference-decile cutpoints attach as a
+    1-row broadcast and binning is an in-row fold — no range join, no
+    Python; per-bin counts reduce before the statistic (drift contract)."""
+    plan = _plan(spark, "drift_psi_events_value")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_mutual_information_single_corpus_scan(spark):
     """drift_mutual_information: the contingency cells materialize once
     (eager localCheckpoint) and all four consumers read the checkpoint —
