@@ -113,6 +113,7 @@ PIPELINE_BENCH = [
     # round-11 session 2: fixed-size quantile sketches (global + per-group)
     "sketch_bottomk_quantiles",
     "sketch_bottomk_quantiles_by_group",
+    "dataset_version_diff",
 ]
 
 

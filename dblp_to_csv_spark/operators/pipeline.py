@@ -1530,3 +1530,109 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("int").alias("min_len"),
         F.max("n_chars").cast("int").alias("max_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset version diff: the snapshot-comparison every training-data release
+# runs ("what changed between corpus v1 and v2?") — classify every key as
+# added / removed / changed / unchanged by fingerprint comparison, never by
+# comparing payload bytes across the join. v2 is derived from v1 by a
+# deterministic md5 rule (drop / edit / add) so the diff is verifiable
+# end-to-end on both engines; swap in a real second snapshot path in
+# production.
+# --------------------------------------------------------------------------
+_VDIFF_MOD = 17  # md5(doc_id) % MOD selects the simulated delta classes
+_VDIFF_SEL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 17)"
+
+
+@register(
+    "dataset_version_diff",
+    tags=("pipeline", "cdc", "join"),
+    oracle=f"""
+        WITH v1 AS (
+            SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   CASE WHEN {_VDIFF_SEL} = 1
+                        THEN md5(COALESCE(text, '') || ' [edited]')
+                        ELSE md5(COALESCE(text, '')) END AS fp
+            FROM documents WHERE {_VDIFF_SEL} <> 0
+            UNION ALL
+            SELECT doc_id + 1000000000,
+                   md5('new document ' || CAST(doc_id AS VARCHAR))
+            FROM documents WHERE {_VDIFF_SEL} = 2
+        ),
+        j AS (
+            SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.fp <> v2.fp THEN 'changed'
+                        ELSE 'unchanged' END AS change_class
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY change_class
+    """,
+)
+def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions: every doc_id classified
+    added / removed / changed / unchanged, where 'changed' is detected by
+    md5 FINGERPRINT inequality — document text never crosses the join, so
+    the shuffle carries (key, 32-byte hash) rows regardless of document
+    size. The release-gate report a corpus publisher attaches to every
+    version bump (and the input to incremental re-processing: only
+    added+changed keys re-enter the pipeline).
+
+    v2 here is a deterministic md5-derived delta of v1 (≈1/17 of keys
+    dropped, 1/17 edited, 1/17 added under shifted ids) so both engines
+    materialize the identical pair of snapshots; a production caller
+    replaces v2 with its real second snapshot path.
+
+    Scale shape: two fingerprint projections (scan-fused md5, no text
+    movement) → ONE full-outer equi-join on the key → a 4-row conditional
+    aggregate with map-side combine. The join co-partitions both sides on
+    doc_id; at 100 TB this is the canonical CDC-diff plan, and bucketed
+    snapshot layouts (plans/bucketing.py) make it exchange-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    sel = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _VDIFF_MOD
+    )
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    v1 = docs.select("doc_id", fp.alias("fp"))
+    v2 = (
+        docs.filter(sel != 0)
+        .select(
+            "doc_id",
+            F.when(
+                sel == 1,
+                F.md5(F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [edited]"))),
+            )
+            .otherwise(fp)
+            .alias("fp"),
+        )
+        .unionAll(
+            docs.filter(sel == 2).select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("new document "), F.col("doc_id").cast("string"))
+                ).alias("fp"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_class"))
+        .groupBy("change_class")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
