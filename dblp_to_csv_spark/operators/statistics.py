@@ -1212,7 +1212,8 @@ _BKG_QS_SQL = "[" + ", ".join(str(q) for q in _BKG_QS) + "]"
 )
 def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP bottom-k quantile sketch: p50/p95 of `value` per event
-    type from each group's k=128 smallest-md5(event_id) rows — the
+    type from each group's k=BOTTOMK_GROUP_K (512) smallest-md5(event_id)
+    rows — the
     "latency percentiles per segment" production ask, answered with
     per-group state that is CONSTANT-SIZE no matter how hot the group.
     Exact per-group quantiles + realized error ride along (the KMV

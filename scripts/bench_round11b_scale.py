@@ -6,10 +6,11 @@ in BASELINE.md so the judge can see the growth curves, not just one point.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dblp_to_csv_spark.session import get_spark
 from dblp_to_csv_spark.registry import all_queries

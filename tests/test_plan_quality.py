@@ -821,6 +821,22 @@ def test_bottomk_group_sketch_windowgrouplimit(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_version_diff_joins_fingerprints_only(spark):
+    """dataset_version_diff: one full-outer EQUI-join of two (key, md5)
+    projections — no nested-loop/cartesian degradation, document text
+    never read into the join (column pruning drops everything but doc_id
+    and text-for-md5 at the scans), no Python."""
+    plan = _plan(spark, "dataset_version_diff")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the join's shuffle carries fingerprints, not text: no scan reads
+    # more than (doc_id, text) and text is consumed by md5 below the join
+    for m in re.finditer(r"ReadSchema: ([^\n]*)", plan):
+        assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+
 def test_psi_broadcasts_cutpoints_no_range_join(spark):
     """drift_psi_events_value: the 9 reference-decile cutpoints attach as a
     1-row broadcast and binning is an in-row fold — no range join, no

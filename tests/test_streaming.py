@@ -614,3 +614,58 @@ def test_stream_group_bottomk_matches_batch_sketch(spark):
         assert abs(got.loc[et, "p50"] - batch.loc[et, 0.5]) < 1e-9, et
         assert abs(got.loc[et, "p95"] - batch.loc[et, 0.95]) < 1e-9, et
     q.stop()
+
+
+def test_stream_group_bottomk_state_merge_across_batches(spark):
+    """The state-restore + merge+re-cut path (state.exists) that the
+    single-batch availableNow test cannot reach: drive the update function
+    directly with a fake GroupState across two chunked invocations and
+    assert the final emission equals the one-shot result — the streaming
+    sketch's actual across-micro-batch contract."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming.stateful import _update_group_bottomk
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    # all events as ONE synthetic group (the function never reads the key
+    # from the rows) so the sample exceeds k and the re-cut actually cuts
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "value")
+        .toPandas()
+    )
+    from dblp_to_csv_spark.operators.statistics import BOTTOMK_GROUP_K
+
+    assert len(ev) > BOTTOMK_GROUP_K
+
+    def final_emission(chunk_lists):
+        state = FakeState()
+        out = None
+        for chunks in chunk_lists:
+            out = list(
+                _update_group_bottomk(("click",), iter(chunks), state)
+            )[0]
+        return out
+
+    one_shot = final_emission([[ev]])
+    # two micro-batches, the second itself split into two chunks (the
+    # multiple-pdfs-per-group delivery shape), arbitrary order
+    halves = [ev.iloc[: len(ev) // 2], ev.iloc[len(ev) // 2 :]]
+    q1 = halves[1].iloc[: len(halves[1]) // 2]
+    q2 = halves[1].iloc[len(halves[1]) // 2 :]
+    chunked = final_emission([[halves[0]], [q2, q1]])
+    for col in ("k_used", "p50", "p95"):
+        assert one_shot[col].iloc[0] == chunked[col].iloc[0], col
