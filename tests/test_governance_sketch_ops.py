@@ -108,3 +108,55 @@ def test_k_anonymity_partitions_the_table(spark):
         ["c_nationkey", "c_mktsegment", "acctbal_band"]
     ).size()
     assert (sizes >= K_ANONYMITY).all()
+
+
+def test_psi_values_exactly_on_cutpoints(spark, tmp_path):
+    """PSI boundary pin: reference arm 0..10 (n=11) makes every decile
+    cutpoint an EXACT integer ((n-1)·q integral → no interpolation), and
+    the current arm reuses those integers — every value sits exactly ON a
+    cutpoint, the case where a 1-ulp cross-engine cutpoint difference
+    would flip `value > c`. With tie-down-rounded cutpoints both engines
+    must agree bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dblp_to_csv_spark.operators.drift import PSI_CUR, PSI_REF
+    from dblp_to_csv_spark.registry import all_queries
+    from dblp_to_csv_spark.sources.tables import TABLES
+    from tests.sweep_util import REAL_SF, assert_matches_oracle, duck_for
+
+    out = tmp_path / "psi_sf"
+    out.mkdir()
+    for t in TABLES:
+        if t == "events":
+            continue
+        pq.write_table(pq.read_table(f"{REAL_SF}/{t}.parquet").slice(0, 3),
+                       out / f"{t}.parquet")
+    schema = pq.read_schema(f"{REAL_SF}/events.parquet")
+    ref = [float(v) for v in range(11)]
+    cur = [float(v) for v in range(11)] * 2
+    n = len(ref) + len(cur)
+    rows = {
+        "event_id": list(range(n)),
+        "ts": [1_700_000_000_000_000 + i for i in range(n)],
+        "user_id": [1] * n,
+        "event_type": [PSI_REF] * len(ref) + [PSI_CUR] * len(cur),
+        "value": ref + cur,
+        "props": ["{}"] * n,
+    }
+    cols = []
+    for f in schema:
+        data = rows[f.name]
+        if f.name == "ts":
+            cols.append(pa.array(data, type=pa.int64()).cast(f.type))
+        else:
+            cols.append(pa.array(data).cast(f.type))
+    pq.write_table(pa.table(cols, schema=schema), out / "events.parquet")
+
+    q = all_queries()["drift_psi_events_value"]
+    got = q.fn(spark, str(out)).toPandas()
+    con = duck_for(str(out))
+    want = con.execute(q.oracle).fetchdf()
+    con.close()
+    assert_matches_oracle("drift_psi_events_value", got, want, "cutpoint-boundary corpus")
+    assert len(got) == 1 and got["n_ref"].iloc[0] == 11
