@@ -44,3 +44,22 @@ def round_ties_down(col: Column, scale: int) -> Column:
     # + 0.0 normalizes the -0.0 a nudged exact zero would produce (IEEE
     # -0.0 + 0.0 = +0.0 on both engines — the repo's existing idiom).
     return F.round(col - F.lit(TIE_EPS), scale) + F.lit(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Measurement-NaN policy (r11 session-2 NaN-landmine sweep): ORDER/RANK
+# statistics and variance-based tests treat IEEE NaN in a measurement
+# column as MISSING DATA. The engines' NaN semantics are irreconcilable
+# there — Spark orders NaN greater than any double and lets it win
+# comparisons; DuckDB's var_samp THROWS on NaN input — so the only
+# portable contract is the explicit one. Algebraic pass-through/sum paths
+# keep faithful NaN propagation (cross-engine-identical, pinned by the
+# sweep). Apply BOTH twins in lockstep.
+# ---------------------------------------------------------------------------
+NAN_AS_NULL_SQL = "(CASE WHEN isnan({col}) THEN NULL ELSE {col} END)"
+
+
+def nan_as_null(col: Column) -> Column:
+    """IEEE NaN → NULL for measurement columns feeding order statistics,
+    rank tests, or variance computations (see module note)."""
+    return F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)

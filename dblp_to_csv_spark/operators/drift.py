@@ -28,11 +28,16 @@ KS_GROUP_B = "view"
     tags=("drift", "stats", "window"),
     oracle=f"""
         WITH binned AS (
+            -- NaN-sweep policy: missing measurements (NULL / NaN) belong
+            -- to neither ECDF; isnan(NULL) is NULL so one predicate drops
+            -- both (the engines order NaN and NULL bins differently in
+            -- the cumulative window — irreconcilable otherwise)
             SELECT ROUND(value, 1) AS bin,
                    COUNT(*) FILTER (event_type = '{KS_GROUP_A}') AS ca,
                    COUNT(*) FILTER (event_type = '{KS_GROUP_B}') AS cb
             FROM events
             WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+              AND NOT isnan(value)
             GROUP BY 1
         ),
         totals AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
@@ -60,8 +65,12 @@ def drift_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum window runs over the ~hundreds of distinct bins, not the
     corpus — D is then exact for the binned distributions on both engines.
     The single-partition window over bins is deliberate and bounded."""
+    # missing measurements (NULL/NaN) leave both ECDFs — NaN-sweep policy;
+    # Spark's isnan(NULL) is false, so the null check is explicit
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
     )
     binned = ev.groupBy(F.round("value", 1).alias("bin")).agg(
         F.count(F.when(F.col("event_type") == KS_GROUP_A, 1)).alias("ca"),
@@ -111,13 +120,16 @@ _PSI_QS_SQL = "[" + ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS)) + "
             SELECT list_transform(quantile_cont(value, {_PSI_QS_SQL}),
                                   c -> ROUND(c - 5e-13, 6) + 0.0) AS cs
             FROM events WHERE event_type = '{PSI_REF}'
+              AND NOT isnan(value)
         ),
         binned AS (
             SELECT event_type,
                    list_sum(list_transform(cs,
                        c -> CASE WHEN value > c THEN 1 ELSE 0 END)) AS bin
+            -- NaN-sweep policy: missing measurements join neither arm
             FROM events, cuts
             WHERE event_type IN ('{PSI_REF}', '{PSI_CUR}')
+              AND NOT isnan(value)
         ),
         counts AS (
             SELECT bin,
@@ -164,8 +176,11 @@ def drift_psi_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-down-rounded to 6 dp BEFORE binning so both engines compare against
     bit-identical thresholds; Laplace smoothing ((c+0.5)/(n+5)) keeps empty
     bins finite deterministically. Either arm empty → empty result."""
+    # missing measurements (NULL/NaN) join neither arm — NaN-sweep policy
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(PSI_REF, PSI_CUR)
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
     )
     qs = F.array(*[F.lit(i / PSI_BINS) for i in range(1, PSI_BINS)])
     cuts = (

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.rounding import round_ties_down
+from dblp_to_csv_spark.functions.rounding import nan_as_null, round_ties_down
 from dblp_to_csv_spark.functions.text import WORDS_SQL, words
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
@@ -227,17 +227,22 @@ def quartile_labels_by_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outliers_by_mad",
     tags=("agg", "quality", "broadcast"),
     oracle="""
-        WITH med AS (
-            SELECT QUANTILE_CONT(value, 0.5) AS m FROM events
+        WITH ev AS (
+            SELECT event_id,
+                   (CASE WHEN isnan(value) THEN NULL ELSE value END) AS value
+            FROM events
+        ),
+        med AS (
+            SELECT QUANTILE_CONT(value, 0.5) AS m FROM ev
         ),
         dev AS (
             SELECT QUANTILE_CONT(ABS(value - med.m), 0.5) AS mad, med.m
-            FROM events, med GROUP BY med.m
+            FROM ev, med GROUP BY med.m
         )
         SELECT event_id, value,
                ROUND((value - dev.m) / (1.4826 * NULLIF(dev.mad, 0)), 4)
                    AS robust_z
-        FROM events, dev
+        FROM ev, dev
         WHERE ABS((value - dev.m) / (1.4826 * NULLIF(dev.mad, 0))) > 3
     """,
 )
@@ -259,8 +264,12 @@ def outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate guard: when MAD = 0 (>=half the values identical — e.g. a
     constant column) no robust z exists; NULLIF on BOTH engines makes z NULL
     so the |z|>3 filter returns zero outliers, instead of Spark's NULL
-    silently diverging from DuckDB's ±inf."""
-    ev = load_table(spark, sf_dir, "events")
+    silently diverging from DuckDB's ±inf. Measurement NaNs are missing
+    data (nan_as_null on both engines — the NaN-sweep policy: rank/order
+    statistics cannot reconcile the engines' NaN orderings)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", nan_as_null(F.col("value")).alias("value")
+    )
     med = ev.agg(F.percentile("value", F.lit(0.5)).alias("m"))
     dev = (
         ev.join(F.broadcast(med))
@@ -357,11 +366,16 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winsorize_event_values",
     tags=("agg", "percentile", "pipeline"),
     oracle="""
-        WITH cuts AS (
+        WITH ev AS (
+            SELECT event_type,
+                   (CASE WHEN isnan(value) THEN NULL ELSE value END) AS value
+            FROM events
+        ),
+        cuts AS (
             SELECT event_type,
                    ROUND(QUANTILE_CONT(value, 0.05), 6) AS p05,
                    ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95
-            FROM events GROUP BY event_type
+            FROM ev GROUP BY event_type
         )
         SELECT e.event_type, c.p05, c.p95,
                CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END)
@@ -371,7 +385,7 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(AVG(e.value), 6) AS mean_raw,
                ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 6)
                    AS mean_winsorized
-        FROM events e JOIN cuts c USING (event_type)
+        FROM ev e JOIN cuts c USING (event_type)
         GROUP BY e.event_type, c.p05, c.p95
     """,
 )
@@ -387,8 +401,13 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus passes twice but never shuffles wholesale (the second
     aggregate's exchange carries per-type partials only). The cutpoints
     round to 6 dp BEFORE clipping so both engines clip against the same
-    constant (the lang_temperature_resample discipline)."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    constant (the lang_temperature_resample discipline). Measurement NaNs
+    are missing data (nan_as_null, the NaN-sweep policy) — a NaN would
+    otherwise win every clip comparison on Spark and crash/poison the
+    DuckDB quantile."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", nan_as_null(F.col("value")).alias("value")
+    )
     cuts = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
@@ -768,10 +787,13 @@ _AB_GROUP_B = "click"
     tags=("stats", "agg"),
     oracle=f"""
         WITH g AS (
+            -- NaN-sweep policy: NaN measurements are missing; n counts
+            -- VALID observations (COUNT(value)), matching avg/var's basis
             SELECT event_type,
-                   COUNT(*) AS n,
-                   AVG(value) AS m,
-                   VAR_SAMP(value) AS s2
+                   COUNT(CASE WHEN isnan(value) THEN NULL ELSE value END) AS n,
+                   AVG(CASE WHEN isnan(value) THEN NULL ELSE value END) AS m,
+                   VAR_SAMP(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                       AS s2
             FROM events
             WHERE event_type IN ('{_AB_GROUP_A}', '{_AB_GROUP_B}')
             GROUP BY event_type
@@ -810,13 +832,15 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     single corpus pass — partial aggregation collapses map-side, the final
     arithmetic runs on a 1-row frame. The filter on the two arms reaches
     the parquet scan (PushedFilters: In(event_type)); at 100 TB this is a
-    pruned single-scan job with a kilobyte shuffle."""
+    pruned single-scan job with a kilobyte shuffle. Measurement NaNs are
+    missing data (nan_as_null; DuckDB's VAR_SAMP throws outright on NaN
+    input — the NaN-sweep policy), and n counts VALID observations."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_AB_GROUP_A, _AB_GROUP_B)
-    )
+    ).select("event_type", nan_as_null(F.col("value")).alias("value"))
     arm = lambda t, c: F.max(F.when(F.col("event_type") == t, c))
     g = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
+        F.count("value").alias("n"),
         F.avg("value").alias("m"),
         F.var_samp("value").alias("s2"),
     )
@@ -1176,7 +1200,10 @@ _BKG_QS_SQL = "[" + ", ".join(str(q) for q in _BKG_QS) + "]"
     tags=("sketch", "approx", "percentile", "window"),
     oracle=f"""
         WITH h AS (
-            SELECT event_type, value AS val,
+            -- NaN-sweep policy: NaN measurements are missing — rows keep
+            -- their hash-drawn sample slots, quantiles skip them (NULL)
+            SELECT event_type,
+                   (CASE WHEN isnan(value) THEN NULL ELSE value END) AS val,
                    md5(CAST(event_id AS VARCHAR)) AS hk
             FROM events
         ),
@@ -1193,7 +1220,8 @@ _BKG_QS_SQL = "[" + ", ".join(str(q) for q in _BKG_QS) + "]"
         ),
         x AS (
             SELECT event_type,
-                   quantile_cont(value, {_BKG_QS_SQL}) AS exs
+                   quantile_cont(CASE WHEN isnan(value) THEN NULL
+                                      ELSE value END, {_BKG_QS_SQL}) AS exs
             FROM events GROUP BY event_type
         )
         SELECT event_type, q,
@@ -1230,9 +1258,11 @@ def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataF
     engine-portable; empty input → empty result on both engines."""
     ev = load_table(spark, sf_dir, "events")
     qs_lit = F.array(*[F.lit(q) for q in _BKG_QS])
+    # NaN-sweep policy: rows keep their hash-drawn slots, quantiles skip
+    # the missing values (percentile ignores NULL on both engines)
     h = ev.select(
         "event_type",
-        F.col("value").alias("val"),
+        nan_as_null(F.col("value")).alias("val"),
         F.md5(F.col("event_id").cast("string")).alias("hk"),
     )
     w = Window.partitionBy("event_type").orderBy("hk")
@@ -1242,7 +1272,9 @@ def sketch_bottomk_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("event_type")
         .agg(F.percentile("val", qs_lit).alias("ests"))
     )
-    x = ev.groupBy("event_type").agg(F.percentile("value", qs_lit).alias("exs"))
+    x = ev.groupBy("event_type").agg(
+        F.percentile(nan_as_null(F.col("value")), qs_lit).alias("exs")
+    )
     zipped = (
         e.join(x, "event_type")
         .select(
@@ -1559,8 +1591,14 @@ _MW_GROUP_B = "click"
     tags=("stats", "agg", "window"),
     oracle=f"""
         WITH arms AS (
+            -- rank statistics are undefined over missing measurements:
+            -- NULL and NaN rows leave the pool entirely (NaN-sweep policy;
+            -- the engines' NaN/NULL orderings are irreconcilable in the
+            -- cumulative rank window). isnan(NULL) is NULL so one
+            -- predicate excludes both.
             SELECT value, event_type FROM events
             WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
+              AND NOT isnan(value)
         ),
         grp AS (
             SELECT value,
@@ -1623,8 +1661,12 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized operation is the per-value count; the single-partition
     window runs over the bounded distinct-value table — the same
     grouped-domain pattern the drift and quantile operators use."""
+    # NULL/NaN measurements leave the rank pool (NaN-sweep policy; note
+    # Spark's isnan(NULL) is false, so the null check must be explicit)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B)
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
     )
     grp = ev.groupBy("value").agg(
         F.count(F.when(F.col("event_type") == _MW_GROUP_A, 1)).alias("na"),
