@@ -63,3 +63,22 @@ def nan_as_null(col: Column) -> Column:
     """IEEE NaN → NULL for measurement columns feeding order statistics,
     rank tests, or variance computations (see module note)."""
     return F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
+
+
+# Variance/correlation-based statistics need the stronger FINITE policy:
+# ±Inf is a legitimately ORDERED value (order statistics handle it
+# consistently on both engines — the Inf sweep pins that), but DuckDB's
+# variance aggregates throw on infinite input and inf−inf/inf·0 inside
+# means produces NaN mid-expression, so second-moment statistics are
+# defined over finite measurements only.
+FINITE_OR_NULL_SQL = "(CASE WHEN isfinite({col}) THEN {col} END)"
+
+
+def finite_or_null(col: Column) -> Column:
+    """Non-finite (NaN, ±Inf) → NULL for measurement columns feeding
+    variance/correlation statistics (see note above). Spark has no
+    isfinite builtin: NaN and ±Inf are excluded explicitly; NULL input
+    stays NULL through the conjunction."""
+    return F.when(
+        (~F.isnan(col)) & (F.abs(col) != F.lit(float("inf"))), col
+    )

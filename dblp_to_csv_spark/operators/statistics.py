@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.rounding import nan_as_null, round_ties_down
+from dblp_to_csv_spark.functions.rounding import (
+    finite_or_null,
+    nan_as_null,
+    round_ties_down,
+)
 from dblp_to_csv_spark.functions.text import WORDS_SQL, words
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
@@ -787,13 +791,13 @@ _AB_GROUP_B = "click"
     tags=("stats", "agg"),
     oracle=f"""
         WITH g AS (
-            -- NaN-sweep policy: NaN measurements are missing; n counts
-            -- VALID observations (COUNT(value)), matching avg/var's basis
+            -- NaN/Inf-sweep policy: the t test is defined over FINITE
+            -- measurements (DuckDB VAR_SAMP throws on NaN AND Inf); n
+            -- counts valid observations, matching avg/var's basis
             SELECT event_type,
-                   COUNT(CASE WHEN isnan(value) THEN NULL ELSE value END) AS n,
-                   AVG(CASE WHEN isnan(value) THEN NULL ELSE value END) AS m,
-                   VAR_SAMP(CASE WHEN isnan(value) THEN NULL ELSE value END)
-                       AS s2
+                   COUNT(CASE WHEN isfinite(value) THEN value END) AS n,
+                   AVG(CASE WHEN isfinite(value) THEN value END) AS m,
+                   VAR_SAMP(CASE WHEN isfinite(value) THEN value END) AS s2
             FROM events
             WHERE event_type IN ('{_AB_GROUP_A}', '{_AB_GROUP_B}')
             GROUP BY event_type
@@ -832,12 +836,13 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     single corpus pass — partial aggregation collapses map-side, the final
     arithmetic runs on a 1-row frame. The filter on the two arms reaches
     the parquet scan (PushedFilters: In(event_type)); at 100 TB this is a
-    pruned single-scan job with a kilobyte shuffle. Measurement NaNs are
-    missing data (nan_as_null; DuckDB's VAR_SAMP throws outright on NaN
-    input — the NaN-sweep policy), and n counts VALID observations."""
+    pruned single-scan job with a kilobyte shuffle. The test is defined
+    over FINITE measurements (finite_or_null; DuckDB's VAR_SAMP throws
+    outright on NaN or Inf input — the NaN/Inf-sweep policy), and n
+    counts valid observations."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_AB_GROUP_A, _AB_GROUP_B)
-    ).select("event_type", nan_as_null(F.col("value")).alias("value"))
+    ).select("event_type", finite_or_null(F.col("value")).alias("value"))
     arm = lambda t, c: F.max(F.when(F.col("event_type") == t, c))
     g = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),

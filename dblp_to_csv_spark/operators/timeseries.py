@@ -798,22 +798,22 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling-median diagnostics: the ONE corpus-sized reduction they all start
 # from (reviewed r9 session 3 — previously triplicated).
 # --------------------------------------------------------------------------
-# The hourly mean is over VALID measurements: NaN ≡ missing (NaN-sweep
-# policy, functions/rounding.py note) — one NaN event would otherwise
-# poison its hour on both engines and then diverge through every
-# order-sensitive consumer (corr, median, rank windows).
+# The hourly mean is over FINITE measurements: NaN and ±Inf ≡ missing
+# (NaN/Inf-sweep policy, functions/rounding.py note) — one non-finite
+# event would otherwise poison its hour's mean and diverge through every
+# downstream consumer (corr NaN arithmetic, median/rank ordering).
 HOURLY_SERIES_SQL = (
     "SELECT event_type, date_trunc('hour', ts) AS h, "
-    "AVG(CASE WHEN isnan(value) THEN NULL ELSE value END) AS v "
+    "AVG(CASE WHEN isfinite(value) THEN value END) AS v "
     "FROM events GROUP BY 1, 2"
 )
 
 
 def hourly_series(ev: DataFrame) -> DataFrame:
-    from dblp_to_csv_spark.functions.rounding import nan_as_null
+    from dblp_to_csv_spark.functions.rounding import finite_or_null
 
     return ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.avg(nan_as_null(F.col("value"))).alias("v")
+        F.avg(finite_or_null(F.col("value"))).alias("v")
     )
 
 
