@@ -67,19 +67,6 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # its declared round without re-greening (VERDICT r10 item 8).
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
-    "multimodal_decode_bmp": 11,  # vectorized BMP row packing (byte-exact by 200-trial A/B, VERDICT r10 item 5)
-    "graph_coreness": 11,  # in-core fixpoint finisher under the 8M-edge gate (same fixpoint, VERDICT r10 item 3)
-    "graph_report": 11,  # consumes the coreness_table artifact the finisher now builds
-    "dedup_connected_components": 11,  # union-find in-core finisher under the 8M-pair gate (same min-label contract)
-    "dedup_cluster_stats": 11,  # consumes the CC labels the finisher now builds
-    "dedup_keep_canonical": 11,  # consumes the CC labels the finisher now builds
-    "split_leakage_free": 11,  # consumes the CC labels the finisher now builds
-    "pretrain_corpus_report": 11,  # composite's CC stage now takes the finisher path
-    "text_logprob_buckets": 11,  # lp frame checkpoints before its two consumers (was double-evaluated)
-    "drift_ks_events_value": 11,  # totals ride the bins frame as windows (was re-scanning events)
-    "drift_chi2_source_lang": 11,  # cells frame localCheckpoints once (was 5 corpus re-aggregations)
-    "drift_chi2_by_window": 11,  # obs frame localCheckpoints once (was 3 corpus re-aggregations)
-    "lm_bigram_cross_entropy": 11,  # prevc derived from checkpointed bgc (was 4 corpus explodes)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
@@ -113,23 +100,24 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "bpe_apply_encode": 10,
     "bpe_merge_candidates": 8,
     "bpe_train_merges": 10,
-    "broadcast_join_part_agg": 6,
+    "broadcast_join_part_agg": 11,
     "changepoint_cusum_events": 9,
     "chunk_documents_overlapping": 8,
     "conditional_agg_orders": 9,
     "constraint_audit_orders": 8,
     "contrastive_pairs_dataset": 8,
     "cooccurrence_parts_pmi": 9,
-    "cube_orders_status_priority": 6,
+    "cube_orders_status_priority": 11,
     "curate_source_cap": 8,
+    "dataset_version_diff": 11,
     "date_functions_gallery": 9,
-    "decontaminate_against_eval": 5,
+    "decontaminate_against_eval": 11,
     "decontaminate_bloom": 7,
     "decontaminate_semantic": 10,
     "dedup_chunk_exact": 6,
     "dedup_chunk_rewrite": 7,
-    "dedup_cluster_stats": 6,
-    "dedup_connected_components": 7,
+    "dedup_cluster_stats": 11,
+    "dedup_connected_components": 11,
     "dedup_connected_components_star": 7,
     "dedup_containment_capped": 10,
     "dedup_containment_pairs": 10,
@@ -140,7 +128,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_graph_pagerank": 8,
     "dedup_intradoc_rewrite": 7,
     "dedup_jaccard_prefix_filter": 10,
-    "dedup_keep_canonical": 6,
+    "dedup_keep_canonical": 11,
     "dedup_latest_order_per_customer": 7,
     "dedup_minhash_lsh": 10,
     "dedup_minhash_lsh_capped": 10,
@@ -152,12 +140,16 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dedup_substring_rewrite": 8,
     "dedup_substring_spans": 8,
     "dict_encode_segments": 6,
-    "distinct_customers_per_status": 6,
-    "drift_chi2_by_window": 8,
-    "drift_chi2_source_lang": 6,
-    "drift_ks_events_value": 6,
+    "distinct_customers_per_status": 11,
+    "drift_chi2_by_window": 11,
+    "drift_chi2_source_lang": 11,
+    "drift_kl_unigram_langs": 11,
+    "drift_ks_events_value": 11,
+    "drift_mutual_information": 11,
+    "drift_psi_events_value": 11,
     "dsir_importance_weights": 10,
     "embedding_label_centroids": 6,
+    "embedding_norm_isotropy": 11,
     "embedding_random_projection": 8,
     "eval_contamination_report": 8,
     "event_transition_matrix": 9,
@@ -173,10 +165,10 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "graph_adamic_adar_capped": 9,
     "graph_bfs_distances": 9,
     "graph_clustering_coefficient": 10,
-    "graph_coreness": 9,
+    "graph_coreness": 11,
     "graph_kcore": 8,
     "graph_label_propagation": 9,
-    "graph_report": 10,
+    "graph_report": 11,
     "graph_triangle_count": 8,
     "heavy_hitters_words": 10,
     "higher_order_functions_gallery": 7,
@@ -186,13 +178,14 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "interval_overlap_join_bucketed": 8,
     "json_extract_events": 6,
     "lang_temperature_resample": 6,
-    "lm_bigram_cross_entropy": 10,
+    "lm_bigram_cross_entropy": 11,
     "map_functions_events": 10,
-    "market_share_by_year": 6,
-    "median_price_by_status": 6,
+    "market_share_by_year": 11,
+    "median_price_by_status": 11,
     "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
-    "multimodal_decode_bmp": 10,
+    "multimodal_decode_bmp": 11,
+    "multimodal_decode_wav": 11,
     "multimodal_feature_extract": 10,
     "multimodal_frame_sample": 10,
     "multimodal_metadata": 7,
@@ -201,20 +194,24 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "null_safe_join_suppliers": 6,
     "orders_rfm_segments": 9,
     "outliers_by_mad": 9,
-    "pack_concat_chunks": 5,
+    "pack_concat_chunks": 11,
+    "pack_length_buckets": 11,
     "pack_sequences_greedy": 5,
     "pandas_udf_vector_norm": 10,
     "parts_abc_pareto": 9,
-    "pipeline_c4_keep": 5,
+    "pipeline_c4_keep": 11,
     "pivot_status_by_priority": 9,
     "posexplode_order_lines": 6,
-    "pretrain_corpus_report": 8,
-    "pricing_summary": 6,
+    "pretrain_corpus_report": 11,
+    "pricing_summary": 11,
+    "privacy_k_anonymity_audit": 11,
+    "privacy_k_anonymous_release": 11,
     "profile_documents": 7,
     "prune_empty_columns": 6,
     "quality_gopher_rules": 6,
     "quality_linear_score": 7,
-    "quartile_labels_by_cutpoint": 5,
+    "quality_score_pr_curve": 11,
+    "quartile_labels_by_cutpoint": 11,
     "rag_retrieve_chunks": 8,
     "range_join_events_binned": 9,
     "rank_functions_suppliers": 10,
@@ -222,27 +219,27 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "regression_moments_lineitem": 8,
     "retention_cohorts_weekly": 6,
     "retrieval_eval_bm25": 9,
-    "revenue_by_nation": 6,
+    "revenue_by_nation": 11,
     "rolling_median_hourly": 9,
-    "rollup_lineitem_status": 6,
+    "rollup_lineitem_status": 11,
     "salted_agg_event_types": 10,
-    "sample_documents_hash": 5,
-    "sample_stratified_by_lang": 5,
+    "sample_documents_hash": 11,
+    "sample_stratified_by_lang": 11,
     "sample_weighted_priority": 8,
-    "scalar_functions_gallery": 6,
+    "scalar_functions_gallery": 11,
     "scd2_point_in_time_join": 9,
     "scd2_user_state": 9,
     "search_bm25": 8,
     "search_hybrid_rrf": 10,
     "seasonal_decompose_events": 8,
     "segment_edges": 6,
-    "semi_join_discounted_orders": 6,
+    "semi_join_discounted_orders": 11,
     "session_window_events": 8,
     "sessionize_events": 7,
     "setop_except_urgent_unfinished": 9,
-    "setop_intersect_nations": 6,
+    "setop_intersect_nations": 11,
     "setop_multiset_all_nations": 8,
-    "setop_union_nations": 6,
+    "setop_union_nations": 11,
     "shard_rendezvous_assign": 10,
     "similarity_eval_recall": 10,
     "similarity_knn_graph_bucketed": 10,
@@ -253,6 +250,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "similarity_topk_lsh_bucketed": 10,
     "similarity_topk_lsh_multiprobe": 10,
     "similarity_topk_pq": 10,
+    "sketch_bottomk_quantiles": 11,
+    "sketch_bottomk_quantiles_by_group": 11,
     "sketch_countmin_words": 9,
     "sketch_kmv_distinct": 10,
     "sketch_kmv_set_ops": 10,
@@ -260,8 +259,8 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "skyline_documents": 8,
     "sliding_window_events": 7,
     "sorted_page_orders": 10,
-    "split_leakage_free": 8,
-    "split_train_val_test": 5,
+    "split_leakage_free": 11,
+    "split_train_val_test": 11,
     "sql_exists_subquery": 9,
     "sql_group_by_all_shorthand": 8,
     "sql_grouping_sets": 9,
@@ -280,7 +279,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "text_feature_hash_embedding": 8,
     "text_fingerprint": 7,
     "text_language_id": 7,
-    "text_logprob_buckets": 6,
+    "text_logprob_buckets": 11,
     "text_quality_score": 10,
     "text_redact_pii": 7,
     "text_repetition_score": 10,
@@ -288,9 +287,9 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "text_token_stats": 10,
     "text_unigram_logprob": 7,
     "text_zipf_slope": 8,
-    "theta_join_nation_pairs": 6,
+    "theta_join_nation_pairs": 11,
     "token_budget_per_lang": 6,
-    "top_orders_by_revenue": 6,
+    "top_orders_by_revenue": 11,
     "training_epoch_order": 8,
     "try_functions_gallery": 7,
     "tumbling_window_events": 7,
@@ -299,13 +298,13 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "udaf_geomean_order_price": 6,
     "udtf_ngrams_polymorphic": 7,
     "udtf_tokenize_documents": 10,
-    "union_by_name_schema_evolution": 6,
+    "union_by_name_schema_evolution": 11,
     "unpivot_order_status_counts": 9,
     "weighted_percentiles_price": 9,
-    "window_lag_event_delta": 6,
+    "window_lag_event_delta": 11,
     "window_range_frame": 9,
-    "window_running_revenue": 6,
-    "window_top_orders_per_customer": 6,
+    "window_running_revenue": 11,
+    "window_top_orders_per_customer": 11,
     "winsorize_event_values": 8,
     "xml_functions_gallery": 8,
 }
