@@ -58,6 +58,11 @@ def round_ties_down(col: Column, scale: int) -> Column:
 # ---------------------------------------------------------------------------
 NAN_AS_NULL_SQL = "(CASE WHEN isnan({col}) THEN NULL ELSE {col} END)"
 
+# Predicate twin for oracles that FILTER missing measurements instead of
+# projecting them to NULL (the drift family): isnan(NULL) is NULL, so one
+# predicate drops NULL and NaN together on both engines.
+NOT_NAN_FILTER_SQL = "NOT isnan({col})"
+
 
 def nan_as_null(col: Column) -> Column:
     """IEEE NaN → NULL for measurement columns feeding order statistics,

@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dblp_to_csv_spark.functions.rounding import round_ties_down
+from dblp_to_csv_spark.functions.rounding import (
+    NOT_NAN_FILTER_SQL,
+    round_ties_down,
+)
+
+# Oracle-side missing-measurement predicate, spliced into every drift
+# oracle in lockstep with the Spark-side filters (ADVICE r11).
+_NOT_NAN_VALUE = NOT_NAN_FILTER_SQL.format(col="value")
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -37,7 +44,7 @@ KS_GROUP_B = "view"
                    COUNT(*) FILTER (event_type = '{KS_GROUP_B}') AS cb
             FROM events
             WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
-              AND NOT isnan(value)
+              AND {_NOT_NAN_VALUE}
             GROUP BY 1
         ),
         totals AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
@@ -120,7 +127,7 @@ _PSI_QS_SQL = "[" + ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS)) + "
             SELECT list_transform(quantile_cont(value, {_PSI_QS_SQL}),
                                   c -> ROUND(c - 5e-13, 6) + 0.0) AS cs
             FROM events WHERE event_type = '{PSI_REF}'
-              AND NOT isnan(value)
+              AND {_NOT_NAN_VALUE}
         ),
         binned AS (
             SELECT event_type,
@@ -129,7 +136,7 @@ _PSI_QS_SQL = "[" + ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS)) + "
             -- NaN-sweep policy: missing measurements join neither arm
             FROM events, cuts
             WHERE event_type IN ('{PSI_REF}', '{PSI_CUR}')
-              AND NOT isnan(value)
+              AND {_NOT_NAN_VALUE}
         ),
         counts AS (
             SELECT bin,

@@ -1559,7 +1559,7 @@ _VDIFF_SEL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 17
                         ELSE md5(COALESCE(text, '')) END AS fp
             FROM documents WHERE {_VDIFF_SEL} <> 0
             UNION ALL
-            SELECT doc_id + 1000000000,
+            SELECT -doc_id - 1,
                    md5('new document ' || CAST(doc_id AS VARCHAR))
             FROM documents WHERE {_VDIFF_SEL} = 2
         ),
@@ -1615,7 +1615,10 @@ def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(
             docs.filter(sel == 2).select(
-                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                # synthetic 'added' ids live in the negative range — disjoint
+                # from any non-negative real key BY CONSTRUCTION (a +1e9
+                # shift would collide once real ids reach 1e9; ADVICE r11)
+                (-F.col("doc_id") - 1).alias("doc_id"),
                 F.md5(
                     F.concat(F.lit("new document "), F.col("doc_id").cast("string"))
                 ).alias("fp"),

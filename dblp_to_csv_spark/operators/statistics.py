@@ -9,10 +9,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.rounding import (
+    FINITE_OR_NULL_SQL,
+    NAN_AS_NULL_SQL,
+    NOT_NAN_FILTER_SQL,
     finite_or_null,
     nan_as_null,
     round_ties_down,
 )
+
+# The oracle-side twins, pre-formatted for the events measurement column —
+# every oracle below that applies nan_as_null/finite_or_null on the Spark
+# side MUST splice these (ADVICE r11: hand-inlined CASEs drift silently).
+_NAN_NULL_VALUE = NAN_AS_NULL_SQL.format(col="value")
+_NOT_NAN_VALUE = NOT_NAN_FILTER_SQL.format(col="value")
+_FINITE_VALUE = FINITE_OR_NULL_SQL.format(col="value")
 from dblp_to_csv_spark.functions.text import WORDS_SQL, words
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
@@ -230,10 +240,10 @@ def quartile_labels_by_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "outliers_by_mad",
     tags=("agg", "quality", "broadcast"),
-    oracle="""
+    oracle=f"""
         WITH ev AS (
             SELECT event_id,
-                   (CASE WHEN isnan(value) THEN NULL ELSE value END) AS value
+                   {_NAN_NULL_VALUE} AS value
             FROM events
         ),
         med AS (
@@ -369,10 +379,10 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "winsorize_event_values",
     tags=("agg", "percentile", "pipeline"),
-    oracle="""
+    oracle=f"""
         WITH ev AS (
             SELECT event_type,
-                   (CASE WHEN isnan(value) THEN NULL ELSE value END) AS value
+                   {_NAN_NULL_VALUE} AS value
             FROM events
         ),
         cuts AS (
@@ -387,8 +397,9 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_clipped_hi,
                ROUND(AVG(e.value), 6) AS mean_raw,
-               ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 6)
-                   AS mean_winsorized
+               ROUND(AVG(CASE WHEN e.value IS NOT NULL
+                              THEN LEAST(GREATEST(e.value, c.p05), c.p95)
+                         END), 6) AS mean_winsorized
         FROM ev e JOIN cuts c USING (event_type)
         GROUP BY e.event_type, c.p05, c.p95
     """,
@@ -422,7 +433,13 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(v < lo, 1).otherwise(0)).cast("long").alias("n_clipped_lo"),
         F.sum(F.when(v > hi, 1).otherwise(0)).cast("long").alias("n_clipped_hi"),
         F.round(F.avg(v), 6).alias("mean_raw"),
-        F.round(F.avg(F.least(F.greatest(v, lo), hi)), 6).alias("mean_winsorized"),
+        # NULL must not reach the clip: LEAST/GREATEST skip NULLs on both
+        # engines, so an unguarded clip counts every missing measurement as
+        # a p05 observation (ADVICE r11) — guard keeps NULL rows out of the
+        # winsorized mean exactly as they are out of mean_raw.
+        F.round(
+            F.avg(F.when(v.isNotNull(), F.least(F.greatest(v, lo), hi))), 6
+        ).alias("mean_winsorized"),
     )
 
 
@@ -795,9 +812,9 @@ _AB_GROUP_B = "click"
             -- measurements (DuckDB VAR_SAMP throws on NaN AND Inf); n
             -- counts valid observations, matching avg/var's basis
             SELECT event_type,
-                   COUNT(CASE WHEN isfinite(value) THEN value END) AS n,
-                   AVG(CASE WHEN isfinite(value) THEN value END) AS m,
-                   VAR_SAMP(CASE WHEN isfinite(value) THEN value END) AS s2
+                   COUNT({_FINITE_VALUE}) AS n,
+                   AVG({_FINITE_VALUE}) AS m,
+                   VAR_SAMP({_FINITE_VALUE}) AS s2
             FROM events
             WHERE event_type IN ('{_AB_GROUP_A}', '{_AB_GROUP_B}')
             GROUP BY event_type
@@ -1208,7 +1225,7 @@ _BKG_QS_SQL = "[" + ", ".join(str(q) for q in _BKG_QS) + "]"
             -- NaN-sweep policy: NaN measurements are missing — rows keep
             -- their hash-drawn sample slots, quantiles skip them (NULL)
             SELECT event_type,
-                   (CASE WHEN isnan(value) THEN NULL ELSE value END) AS val,
+                   {_NAN_NULL_VALUE} AS val,
                    md5(CAST(event_id AS VARCHAR)) AS hk
             FROM events
         ),
@@ -1225,8 +1242,7 @@ _BKG_QS_SQL = "[" + ", ".join(str(q) for q in _BKG_QS) + "]"
         ),
         x AS (
             SELECT event_type,
-                   quantile_cont(CASE WHEN isnan(value) THEN NULL
-                                      ELSE value END, {_BKG_QS_SQL}) AS exs
+                   quantile_cont({_NAN_NULL_VALUE}, {_BKG_QS_SQL}) AS exs
             FROM events GROUP BY event_type
         )
         SELECT event_type, q,
@@ -1603,7 +1619,7 @@ _MW_GROUP_B = "click"
             -- predicate excludes both.
             SELECT value, event_type FROM events
             WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
-              AND NOT isnan(value)
+              AND {_NOT_NAN_VALUE}
         ),
         grp AS (
             SELECT value,

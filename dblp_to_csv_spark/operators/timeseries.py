@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dblp_to_csv_spark.functions.rounding import FINITE_OR_NULL_SQL
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.sources.tables import load_table
 
@@ -804,7 +805,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # downstream consumer (corr NaN arithmetic, median/rank ordering).
 HOURLY_SERIES_SQL = (
     "SELECT event_type, date_trunc('hour', ts) AS h, "
-    "AVG(CASE WHEN isfinite(value) THEN value END) AS v "
+    f"AVG({FINITE_OR_NULL_SQL.format(col='value')}) AS v "
     "FROM events GROUP BY 1, 2"
 )
 

@@ -67,6 +67,8 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # its declared round without re-greening (VERDICT r10 item 8).
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
+    "winsorize_event_values": 12,  # NULL guard on the clipped mean (ADVICE r11 medium)
+    "dataset_version_diff": 12,  # synthetic 'added' ids → negative range (ADVICE r11)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

@@ -180,7 +180,13 @@ def _update_group_bottomk(
         [tuple(t) for t in zip(*state.get)] if state.exists else []
     )
     for pdf in pdfs:
-        for eid, val in zip(pdf["event_id"], pdf["value"]):
+        # A chunk that carried NULL ids arrives with event_id widened to
+        # float64 by pandas; nullable Int64 restores exact int64 identity
+        # for in-range values instead of trusting int(float) truncation.
+        eids = pdf["event_id"].astype("Int64")
+        for eid, val in zip(eids, pdf["value"]):
+            if pd.isna(eid):
+                continue  # md5(NULL) = NULL on the batch side — no draw
             # identical draw to the batch sketch: md5 of the DECIMAL string
             # of event_id, exactly Spark's md5(CAST(event_id AS STRING))
             hk = hashlib.md5(str(int(eid)).encode()).hexdigest()

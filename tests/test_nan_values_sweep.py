@@ -62,3 +62,38 @@ def test_query_survives_nan_values(spark, duck, nan_sf, name, entry):
     got = entry.fn(spark, nan_sf).toPandas()  # the crash gate
     want = duck.execute(entry.oracle).df()
     assert_matches_oracle(name, got, want, "the NaN landmine corpus")
+
+
+def test_winsorize_excludes_missing_from_clipped_mean(spark, tmp_path):
+    """Policy pin (ADVICE r11): a missing measurement must contribute to
+    NEITHER mean. LEAST/GREATEST skip NULLs on both engines, so an
+    unguarded clip silently counts every NULL/NaN row as a p05
+    observation — parity holds but the value is wrong. Crafted corpus:
+    values 1..20 plus one NULL and one NaN ⇒ p05=1.95, p95=19.05,
+    mean_winsorized = (1.95 + Σ2..19 + 19.05)/20 = 10.5 exactly; the
+    buggy clip would average 22 rows (two of them p05) ⇒ ≈9.72."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dblp_to_csv_spark.operators.statistics import winsorize_event_values
+
+    tb = pq.read_table(f"{REAL_SF}/events.parquet").slice(0, 22)
+    vals = [float(i) for i in range(1, 21)] + [None, float("nan")]
+    types = ["pin"] * 22
+    for col, data in (("value", pa.array(vals, type=tb.column("value").type)),
+                      ("event_type", pa.array(types))):
+        idx = tb.schema.get_field_index(col)
+        tb = tb.set_column(idx, tb.schema.field(col).with_type(data.type), data)
+    for t in TABLES:
+        if t != "events":
+            pq.write_table(pq.read_table(f"{REAL_SF}/{t}.parquet").slice(0, 5),
+                           tmp_path / f"{t}.parquet")
+    pq.write_table(tb, tmp_path / "events.parquet")
+
+    row = winsorize_event_values(spark, str(tmp_path)).collect()[0]
+    assert row["p05"] == 1.95 and row["p95"] == 19.05
+    assert row["n_clipped_lo"] == 1 and row["n_clipped_hi"] == 1
+    assert row["mean_raw"] == 10.5
+    assert row["mean_winsorized"] == 10.5, (
+        "missing measurements leaked into the winsorized mean as p05"
+    )

@@ -669,3 +669,48 @@ def test_stream_group_bottomk_state_merge_across_batches(spark):
     chunked = final_emission([[halves[0]], [q2, q1]])
     for col in ("k_used", "p50", "p95"):
         assert one_shot[col].iloc[0] == chunked[col].iloc[0], col
+
+
+def test_stream_group_bottomk_tolerates_null_event_id(spark):
+    """NULL-id hardening (ADVICE r11): a micro-batch chunk whose event_id
+    column was widened to float64 by pandas (nullable batch) must neither
+    crash on int(NaN) nor let the NULL row draw a sample slot — mirroring
+    the batch twin, where md5(NULL) = NULL yields no draw. The result must
+    equal the same batch with the NULL rows absent."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.sources.tables import load_table
+    from dblp_to_csv_spark.streaming.stateful import _update_group_bottomk
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "value")
+        .limit(600)
+        .toPandas()
+    )
+    # the nullable delivery shape: float64 ids with NaN holes
+    holed = ev.copy()
+    holed["event_id"] = holed["event_id"].astype("float64")
+    holed.loc[holed.index[::7], "event_id"] = float("nan")
+    clean = ev[~pd.isna(holed["event_id"]).values]
+
+    def run(pdf):
+        state = FakeState()
+        return list(_update_group_bottomk(("click",), iter([pdf]), state))[0]
+
+    got, want = run(holed), run(clean)
+    for col in ("k_used", "p50", "p95"):
+        assert got[col].iloc[0] == want[col].iloc[0], col
