@@ -988,10 +988,15 @@ def noncanonical_marked(occ: DataFrame, prepare=lambda dup: dup) -> DataFrame:
     first occurrence. ``prepare`` wraps the duplicated-hash table before
     the attach join — checkpoint + size-gated broadcast for the corpus
     queries, plain broadcast for the (batch-sized) incremental path."""
+    # occurrence identity is the (doc_id, pos) PAIR (dupkey-sweep pin): a
+    # verbatim duplicate-key row re-emits the same occurrences, which must
+    # neither make a unique window look duplicated (count_distinct, not
+    # count) nor emit the same marked occurrence twice into the run-length
+    # window (distinct on the duplication-rate-sized marked frame)
     dup = (
         occ.groupBy("h")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct(F.struct("doc_id", "pos")).alias("cnt"),
             F.min(F.struct("doc_id", "pos")).alias("first"),
         )
         .filter(F.col("cnt") > 1)
@@ -1004,6 +1009,7 @@ def noncanonical_marked(occ: DataFrame, prepare=lambda dup: dup) -> DataFrame:
             | (F.col("pos") != F.col("first.pos"))
         )
         .select("doc_id", "pos")
+        .distinct()
     )
 
 
@@ -1048,7 +1054,11 @@ _SUBSTR_CTES = f"""
             FROM t
         ),
         occ AS (
-            SELECT doc_id, u.i AS pos,
+            -- DISTINCT: occurrence identity is the (doc_id, pos) pair —
+            -- a duplicate-key row must not make its own windows look
+            -- duplicated (dupkey-sweep pin; mirrors the Spark side's
+            -- count_distinct + distinct marked frame)
+            SELECT DISTINCT doc_id, u.i AS pos,
                    md5(array_to_string(
                        list_slice(w, u.i + 1, u.i + {SPAN_WORDS}), ' ')) AS h
             FROM base,
@@ -1139,7 +1149,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  UNNEST(generate_series(pos, pos + {SPAN_WORDS - 1})) AS u(j)
         ),
         allw AS (
-            SELECT doc_id, u.j AS j, w[u.j + 1] AS word
+            -- DISTINCT (dupkey-sweep pin): the per-doc agg below must see
+            -- each word position once even when a duplicate-key row fans
+            -- base out — the Spark side rewrites each physical row in-row,
+            -- so every copy reports the same per-doc numbers
+            SELECT DISTINCT doc_id, u.j AS j, w[u.j + 1] AS word
             FROM base,
                  UNNEST(CASE WHEN len(w) > 0
                         THEN generate_series(0, len(w) - 1)
@@ -1301,10 +1315,14 @@ def _pretrain_oracle() -> str:
     assert cc_list.startswith("WITH RECURSIVE")
     cc_list = cc_list[len("WITH RECURSIVE"):]
     shingles_of_words = SHINGLES_SQL.format(words="words")
+    # docs_u: the report is KEYED — a verbatim duplicate-key row is the
+    # same document and must not fan the doc_id-keyed stage joins
+    # (dupkey-sweep pin; the Spark side applies the same entry distinct)
     return f"""
         WITH RECURSIVE
+        docs_u AS (SELECT DISTINCT * FROM documents),
         base AS (SELECT doc_id, source, text, doc_id % {EVAL_MOD} = 0 AS is_eval
-                 FROM documents),
+                 FROM docs_u),
         cap AS (
             SELECT doc_id,
                    ROW_NUMBER() OVER (
@@ -1313,7 +1331,7 @@ def _pretrain_oracle() -> str:
                    ) <= {SOURCE_CAP} AS cap_ok
             FROM base WHERE NOT is_eval
         ),
-        qt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        qt AS (SELECT doc_id, {_WORDS} AS w FROM docs_u),
         qm AS ({_gopher_m_sql("qt")}),
         q AS (SELECT doc_id, {_GOPHER_KEEP_PRED} AS q_ok FROM qm),
         exact AS (
@@ -1333,7 +1351,7 @@ def _pretrain_oracle() -> str:
         canon AS (SELECT label, MIN(doc_id) AS canonical FROM labels GROUP BY label),
         nd AS (SELECT l.doc_id, l.doc_id <> cn.canonical AS nd_fail
                FROM labels l JOIN canon cn USING (label)),
-        dw AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        dw AS (SELECT doc_id, {_WORDS} AS words FROM docs_u),
         dsh AS (
             SELECT DISTINCT doc_id, shingle
             FROM (SELECT doc_id, unnest({shingles_of_words}) AS shingle FROM dw)
@@ -1400,7 +1418,12 @@ def pretrain_corpus_report(
     from dblp_to_csv_spark.session import checkpoint_base
 
     base = checkpoint_base(spark, checkpoint_dir, "_pretrain_")
-    docs = load_table(spark, sf_dir, "documents")
+    # entry distinct (dupkey-sweep pin): the report is keyed by doc_id — a
+    # verbatim duplicate-key row is the same document, and leaving it in
+    # would fan every stage join below multiplicatively; the oracle's
+    # docs_u CTE is the twin. Exact-duplicate TEXT under different ids
+    # stays — that is the exact_dup stage's job, not ingestion's.
+    docs = load_table(spark, sf_dir, "documents").distinct()
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
     cap_w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -1410,7 +1433,7 @@ def pretrain_corpus_report(
     )
     q = quality_gopher_rules(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("q_ok")
-    )
+    ).distinct()  # per-row verdicts are identical for verbatim copies
     # the per-doc verdict frame is consumed by BOTH the survivor filter and
     # the final report — checkpoint it once so the O(words²) Gopher scan
     # and the per-source window run once per invocation, not three times

@@ -1565,9 +1565,13 @@ def dedup_semantic_semdedup(
     column computed at ingest: the in-cell self-join is partition-local,
     and the drop-set (a vanishing fraction) broadcasts back, so the corpus
     is never reshuffled to apply the verdict."""
+    # entry distinct (dupkey-sweep pin): the verdict is keyed by vec_id —
+    # a verbatim duplicate row is the same vector; the oracle's a1 window
+    # (PARTITION BY vec_id) collapses copies, so the Spark side must too,
+    # or the assignment join fans every copy into the output.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
-    )
+    ).distinct()
     # the (vec_id, cell) assignment is consumed by both the pair search and
     # the final verdict — parquet-checkpoint it so the k-means chain runs
     # ONCE (same discipline as the MinHash candidate checkpoint: disk, not

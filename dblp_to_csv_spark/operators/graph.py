@@ -350,7 +350,10 @@ def _kcore_oracle() -> str:
 
 @register("graph_kcore", tags=("graph", "iterative"), oracle=_kcore_oracle())
 def graph_kcore(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """k-core decomposition (k = KCORE_K) of the part co-occurrence graph by
     iterative peeling: each round drops every node whose degree among the
@@ -380,8 +383,39 @@ def graph_kcore(
 
     from dblp_to_csv_spark.session import checkpoint_base
 
-    base_dir = checkpoint_base(spark, checkpoint_dir, "_kcore_")
     und = copart_und(spark, sf_dir, checkpoint_dir)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    gate = (
+        CORENESS_LOCAL_FINISH_EDGES
+        if local_finish_edges is None
+        else local_finish_edges
+    )
+    # In-core collapse (VERDICT r11 item 3, the coreness finisher recipe):
+    # und is parquet-backed so count() is a metadata read; at or below the
+    # gate the whole peel runs as ONE vectorized task instead of ~rounds
+    # sequential actions whose fixed cost dominates at this size. Identical
+    # fixpoint (pinned local == distributed == pure-Python); above the gate
+    # — the 100 TB regime — the broadcast rounds below remain the path.
+    if gate and und.count() <= gate:
+
+        def peel(pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame({"node": []}).astype("int64")
+            nodes, alive = _kcore_peel_numpy(
+                pdf["u"].to_numpy(), pdf["v"].to_numpy(), KCORE_K, KCORE_ROUNDS
+            )
+            return pd.DataFrame({"node": nodes[alive]})
+
+        core = _graph_single_task(und, peel, "node long")
+        return part.join(
+            core, part["l_partkey"] == core["node"], "left"
+        ).select("l_partkey", F.col("node").isNotNull().alias("in_core"))
+
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_kcore_")
     cur = und.select(F.col("u").alias("node")).distinct()
     n_cur = cur.count()
     for rnd in range(KCORE_ROUNDS):
@@ -404,9 +438,6 @@ def graph_kcore(
         cur, n_cur = nxt, n_nxt
         if converged:
             break
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey")
-    )
     return part.join(
         cur, part["l_partkey"] == cur["node"], "left"
     ).select("l_partkey", F.col("node").isNotNull().alias("in_core"))
@@ -755,6 +786,75 @@ def _coreness_local_finish(
             ),
             "n long, cor long",
         )
+    )
+
+
+def _kcore_peel_numpy(u, v, k: int, rounds: int):
+    """Vectorized k-core peel over int arrays (u, v) holding BOTH edge
+    directions: each round keeps nodes with >= k edges into the surviving
+    set. Returns (node_ids, alive_mask). Early-exits on convergence —
+    semantically free, the peel is monotone (graph_kcore's contract)."""
+    import numpy as np
+
+    nodes, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(nodes, v)  # symmetric und: same node set
+    alive = np.ones(len(nodes), dtype=bool)
+    n_alive = len(nodes)
+    for _ in range(rounds):
+        mask = alive[u_idx] & alive[v_idx]
+        deg = np.bincount(u_idx[mask], minlength=len(nodes))
+        alive = deg >= k  # a peeled node has deg 0 < k: stays dead
+        n_next = int(alive.sum())
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    return nodes, alive
+
+
+def _lpa_rounds_numpy(u, v, rounds: int):
+    """Exactly ``rounds`` synchronous label-propagation rounds (most
+    frequent neighbor label, ties to the SMALLEST label — the
+    graph_label_propagation contract) vectorized over int arrays holding
+    both edge directions. Returns (node_ids, final_labels). Labels are
+    tracked as indices into the sorted node array, so smallest-index ==
+    smallest-id and the tiebreak is exact."""
+    import numpy as np
+
+    nodes, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(nodes, v)
+    n = len(nodes)
+    label = np.arange(n, dtype=np.int64)
+    u64 = u_idx.astype(np.int64)
+    for _ in range(rounds):
+        # (u, neighbor-label) pair counts via one flat unique; pick per-u
+        # argmax with (count desc, label asc) by lexsort — nodes update
+        # synchronously from the PREVIOUS round's labels
+        key = u64 * n + label[v_idx]
+        uk, counts = np.unique(key, return_counts=True)
+        ku, klab = uk // n, uk % n
+        order = np.lexsort((klab, -counts, ku))
+        ku_o = ku[order]
+        sel = order[np.r_[True, ku_o[1:] != ku_o[:-1]]]
+        new_label = label.copy()
+        new_label[ku[sel]] = klab[sel]
+        label = new_label
+    return nodes, nodes[label]
+
+
+def _graph_single_task(und: DataFrame, fn, schema: str) -> DataFrame:
+    """Collapse a whole iterative graph computation into ONE executor-side
+    applyInPandas task over the full edge frame — the in-core finisher
+    physical strategy (see CORENESS_LOCAL_FINISH_EDGES). ``fn`` maps the
+    (u, v) pandas frame to the result frame. Only valid under the edge
+    gate — the caller checks."""
+
+    def run(pdf):
+        return fn(pdf.drop(columns="_g", errors="ignore"))
+
+    return (
+        und.select("u", "v")
+        .groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(run, schema)
     )
 
 
@@ -1314,7 +1414,10 @@ def _lpa_oracle() -> str:
     "graph_label_propagation", tags=("graph", "iterative"), oracle=_lpa_oracle()
 )
 def graph_label_propagation(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) over the part co-occurrence graph, made fully deterministic:
@@ -1339,8 +1442,39 @@ def graph_label_propagation(
 
     from dblp_to_csv_spark.session import checkpoint_base
 
-    base_dir = checkpoint_base(spark, checkpoint_dir, "_lpa_")
     und = copart_und(spark, sf_dir, checkpoint_dir)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    gate = (
+        CORENESS_LOCAL_FINISH_EDGES
+        if local_finish_edges is None
+        else local_finish_edges
+    )
+    # In-core collapse (VERDICT r11 item 3): all LPA_ROUNDS synchronous
+    # rounds in one vectorized task under the same gate/recipe as the
+    # coreness and k-core finishers — identical labels by construction
+    # (pinned local == distributed == pure-Python), distributed rounds
+    # remain the scale path above the gate.
+    if gate and und.count() <= gate:
+
+        def propagate(pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame({"n": [], "label": []}).astype("int64")
+            nodes, labels = _lpa_rounds_numpy(
+                pdf["u"].to_numpy(), pdf["v"].to_numpy(), LPA_ROUNDS
+            )
+            return pd.DataFrame({"n": nodes, "label": labels})
+
+        lbl = _graph_single_task(und, propagate, "n long, label long")
+        return part.join(lbl, part["l_partkey"] == lbl["n"], "left").select(
+            "l_partkey",
+            F.coalesce("label", F.lit(-1)).cast("long").alias("community"),
+        )
+
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_lpa_")
     und_u = und.select("u", "v").repartition("u").persist()
     per_node = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
     try:

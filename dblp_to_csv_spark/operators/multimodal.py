@@ -214,25 +214,25 @@ def encode_bmp_payloads(df: DataFrame) -> DataFrame:
     oracle=f"""
         WITH d AS (
             SELECT doc_id, text, length(text) AS n FROM documents
-        ),
-        s AS (
-            SELECT doc_id,
-                   CAST(SUM(ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT)
-                       AS px
-            FROM d, unnest(range(1, n + 1)) AS t(i)
-            GROUP BY doc_id
         )
-        SELECT d.doc_id,
+        -- pixel_sum computed IN-ROW (list_sum over the row's own chars),
+        -- not via a GROUP-BY-doc_id re-join: the decode is per ROW, so a
+        -- duplicate-key doc decodes twice to identical rows — a keyed
+        -- re-join would double its sum instead (dupkey-sweep pin)
+        SELECT doc_id,
                n > 0 AS ok,
                CASE WHEN n > 0
                     THEN CAST(LEAST(n, {BMP_WIDTH}) AS INT) END AS width,
                CASE WHEN n > 0
                     THEN CAST((n + LEAST(n, {BMP_WIDTH}) - 1)
                               // LEAST(n, {BMP_WIDTH}) AS INT) END AS height,
-               CASE WHEN n > 0 THEN s.px END AS pixel_sum,
+               CASE WHEN n > 0 THEN CAST(list_sum(list_transform(
+                        range(1, n + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))))
+                    AS BIGINT) END AS pixel_sum,
                CASE WHEN n > 0
                     THEN CAST(ascii(substr(text, 1, 1)) AS INT) END AS top_left
-        FROM d LEFT JOIN s USING (doc_id)
+        FROM d
     """,
 )
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,11 +361,18 @@ N_FEATURE_BINS = 32  # 256 byte values / 8 per bin
     "multimodal_feature_extract",
     tags=("multimodal", "pandas-udf"),
     oracle=f"""
+        -- grouped per physical ROW (rid), not per doc_id: the extractor is
+        -- per row, so a duplicate-key doc yields two identical histograms —
+        -- grouping by key alone would merge them and double n_bytes
+        -- (dupkey-sweep pin)
+        WITH d AS (
+            SELECT doc_id, text, ROW_NUMBER() OVER () AS rid FROM documents
+        )
         SELECT doc_id,
                CAST(ascii(substr(text, CAST(i AS INT), 1)) // 8 AS INT) AS bin,
                COUNT(*) AS n_bytes
-        FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
-        GROUP BY 1, 2
+        FROM d, unnest(range(1, length(text) + 1)) AS t(i)
+        GROUP BY doc_id, rid, 2
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,20 +565,17 @@ def decode_wav_payloads(df: DataFrame) -> DataFrame:
     tags=("multimodal", "pandas-udf"),
     oracle=f"""
         WITH d AS (
-            SELECT doc_id, text, length(text) AS n FROM documents
-        ),
-        s AS (
-            SELECT doc_id,
-                   CAST(SUM(CAST((ascii(substr(text, CAST(i AS INT), 1)) - 128)
-                                 * 256 AS BIGINT)
-                            * ((ascii(substr(text, CAST(i AS INT), 1)) - 128)
-                               * 256)) AS BIGINT) AS sum_sq,
-                   CAST(MAX(ABS((ascii(substr(text, CAST(i AS INT), 1)) - 128)
-                                * 256)) AS INT) AS peak_abs
-            FROM d, unnest(range(1, n + 1)) AS t(i)
-            GROUP BY doc_id
+            SELECT doc_id, text, length(text) AS n,
+                   -- per-ROW 16-bit samples (the BMP in-row discipline: a
+                   -- GROUP-BY-doc_id re-join would double sum_sq on
+                   -- duplicate keys, but the decode is per row —
+                   -- dupkey-sweep pin)
+                   list_transform(range(1, n + 1),
+                       i -> CAST((ascii(substr(text, CAST(i AS INT), 1))
+                                  - 128) * 256 AS BIGINT)) AS samples
+            FROM documents
         )
-        SELECT d.doc_id,
+        SELECT doc_id,
                n > 0 AS ok,
                CASE WHEN n > 0 THEN {WAV_SAMPLE_RATE} END AS sample_rate,
                CASE WHEN n > 0 THEN 1 END AS n_channels,
@@ -579,12 +583,14 @@ def decode_wav_payloads(df: DataFrame) -> DataFrame:
                CASE WHEN n > 0
                     THEN CAST(n * 1000 // {WAV_SAMPLE_RATE} AS BIGINT)
                     END AS duration_ms,
-               CASE WHEN n > 0 THEN s.sum_sq END AS sum_sq,
-               CASE WHEN n > 0 THEN s.peak_abs END AS peak_abs,
+               CASE WHEN n > 0 THEN CAST(list_sum(list_transform(
+                        samples, s -> s * s)) AS BIGINT) END AS sum_sq,
+               CASE WHEN n > 0 THEN CAST(list_max(list_transform(
+                        samples, s -> ABS(s))) AS INT) END AS peak_abs,
                CASE WHEN n > 0
                     THEN CAST((ascii(substr(text, 1, 1)) - 128) * 256 AS INT)
                     END AS first_sample
-        FROM d LEFT JOIN s USING (doc_id)
+        FROM d
     """,
 )
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -511,13 +511,20 @@ def ngram_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # count_distinct, not count: the oracle's `SELECT DISTINCT doc_id,
+    # shingle` spans ROWS — a duplicate-key doc contributes its shingles
+    # once, where per-row counts would double them (dupkey-sweep pin); the
+    # distinct collapses inside the one per-doc aggregate, the corpus-side
+    # join stays map-side broadcast
+    n_sh = F.count_distinct("shingle")
+    n_hit = F.count_distinct(F.when(F.col("hit") == 1, F.col("shingle")))
     return (
         tr.join(F.broadcast(ev), "shingle", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
-            F.count("hit").alias("n_shared"),
-            F.round(1.0 - F.count("hit") * 1.0 / F.count("*"), 6).alias("novelty"),
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_shared"),
+            F.round(1.0 - n_hit * 1.0 / n_sh, 6).alias("novelty"),
         )
     )
 
@@ -672,11 +679,15 @@ def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(
         F.broadcast(matched), ev["shingle"] == matched["m_shingle"], "left"
     )
-    hit = F.count(F.col("m_shingle"))
+    # count_distinct (dupkey-sweep pin): the oracle's DISTINCT (doc_id,
+    # shingle) spans rows, so a duplicate-key eval doc contributes its
+    # shingles once — per-row counts would double both sides of the ratio
+    hit = F.count_distinct("m_shingle")
+    n_sh = F.count_distinct("shingle")
     return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        n_sh.cast("long").alias("n_shingles"),
         hit.cast("long").alias("n_contaminated"),
-        F.round(hit * 1.0 / F.count(F.lit(1)), 6).alias("contamination_frac"),
+        F.round(hit * 1.0 / n_sh, 6).alias("contamination_frac"),
     )
 
 
@@ -1370,23 +1381,30 @@ def rendezvous_pick(key: Column, nodes: list[str]) -> Column:
             SELECT unnest([{", ".join(repr(n) for n in RENDEZVOUS_NODES)}])
                 AS node
         ),
+        -- windows partition by a physical ROW id, not doc_id: the Spark
+        -- assignment is an in-row expression, so every physical row — a
+        -- duplicate key included — counts toward its shard (dupkey-sweep
+        -- pin; a doc_id partition would collapse the copies)
+        d AS (
+            SELECT doc_id, ROW_NUMBER() OVER () AS rid FROM documents
+        ),
         h AS (
-            SELECT d.doc_id, n.node,
+            SELECT d.rid, n.node,
                    md5(CAST(d.doc_id AS VARCHAR) || ':' || n.node) AS hv
-            FROM documents d CROSS JOIN nodes n
+            FROM d CROSS JOIN nodes n
         ),
         a8 AS (
-            SELECT doc_id, node FROM (
-                SELECT doc_id, node,
-                       ROW_NUMBER() OVER (PARTITION BY doc_id
+            SELECT rid, node FROM (
+                SELECT rid, node,
+                       ROW_NUMBER() OVER (PARTITION BY rid
                                           ORDER BY hv DESC, node DESC) AS rn
                 FROM h
             ) WHERE rn = 1
         ),
         a7 AS (
-            SELECT doc_id, node FROM (
-                SELECT doc_id, node,
-                       ROW_NUMBER() OVER (PARTITION BY doc_id
+            SELECT rid, node FROM (
+                SELECT rid, node,
+                       ROW_NUMBER() OVER (PARTITION BY rid
                                           ORDER BY hv DESC, node DESC) AS rn
                 FROM h WHERE node != '{RENDEZVOUS_NODES[-1]}'
             ) WHERE rn = 1
@@ -1395,7 +1413,7 @@ def rendezvous_pick(key: Column, nodes: list[str]) -> Column:
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN a7.node != a8.node THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_moved_on_drain
-        FROM a8 JOIN a7 USING (doc_id)
+        FROM a8 JOIN a7 USING (rid)
         GROUP BY a8.node
     """,
 )

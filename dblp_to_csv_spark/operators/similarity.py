@@ -424,8 +424,12 @@ _IVF_ASSIGN_SQL = """
 # top-k oracle and the SemDeDup oracle so both stay in lock-step with
 # `kmeans_cells` below.
 KMEANS_CELLS_CTE = f"""
-        emb AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        emb AS MATERIALIZED (
+            -- DISTINCT (dupkey-sweep pin): the k-means index is KEYED by
+            -- vec_id — a verbatim duplicate row is the same vector, and a
+            -- duplicated seed row would shrink the seed set below k
+            SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
         ),
         seeds AS (
             SELECT vec_id AS cell, emb AS cemb FROM emb
@@ -560,9 +564,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark.ml's KMeans remains the drop-in for more iterations when
     cross-engine determinism is not required. Recall vs the exact baseline
     is additionally gated in tests/test_similarity_recall.py."""
+    # entry distinct (dupkey-sweep pin): keyed k-means index — see
+    # KMEANS_CELLS_CTE's DISTINCT twin
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
-    )
+    ).distinct()
     bucketed = emb.join(kmeans_cells(emb, k=IVF_CELLS), "vec_id").withColumn(
         "nrm", _norm(F.col("emb"))
     )
@@ -627,9 +633,11 @@ def similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest-time cell id (partition-prunable); only the tiny query→cell map
     grows by a factor of nprobe and broadcasts. nprobe is a query-time
     knob: recall/cost trades per query, not per layout."""
+    # entry distinct (dupkey-sweep pin): keyed k-means index — see
+    # KMEANS_CELLS_CTE's DISTINCT twin
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
-    )
+    ).distinct()
     # ONE centroid chain: derive the corpus assignment from the same cent
     # frame the probe ranking uses (kmeans_cells would rebuild the whole
     # seed/Lloyd chain a second time — review r8)
@@ -919,8 +927,13 @@ def _pq_oracle() -> str:
     """Per-subspace deterministic k-means (the KMEANS_CELLS_CTE recipe with
     suffixed names over a list_slice'd input), PQ encoding, ADC candidate
     generation, exact-cosine rerank."""
+    # DISTINCT (dupkey-sweep pin): the ANN index is KEYED by vec_id — a
+    # verbatim duplicate row is the same vector, and leaving it in fans
+    # the 8-way LUT join exponentially (2^M rows per duplicated query)
+    # and double-books top-k slots in the rerank; the Spark side applies
+    # the same entry distinct.
     ctes = [
-        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        "emb AS MATERIALIZED (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
         " FROM embeddings)"
     ]
     for m in range(PQ_M):
@@ -934,15 +947,15 @@ def _pq_oracle() -> str:
                          {c}.cell
             )
         """
-        ctes.append(f"sub{m} AS (SELECT vec_id, emb[{s}:{e}] AS semb FROM emb)")
+        ctes.append(f"sub{m} AS MATERIALIZED (SELECT vec_id, emb[{s}:{e}] AS semb FROM emb)")
         ctes.append(
-            f"""seeds{m} AS (
+            f"""seeds{m} AS MATERIALIZED (
                 SELECT vec_id AS cell, semb AS cemb FROM sub{m}
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
             )"""
         )
         ctes.append(
-            f"""a0x{m} AS (
+            f"""a0x{m} AS MATERIALIZED (
                 SELECT vec_id, cell FROM (
                     SELECT e.vec_id, s.cell, {assign.format(c='s')} AS rn
                     FROM sub{m} e CROSS JOIN seeds{m} s
@@ -950,14 +963,14 @@ def _pq_oracle() -> str:
             )"""
         )
         ctes.append(
-            f"""coords{m} AS (
+            f"""coords{m} AS MATERIALIZED (
                 SELECT a.cell, u.z[2] AS pos, u.z[1] AS val
                 FROM a0x{m} a JOIN sub{m} s USING (vec_id),
                      UNNEST(list_zip(s.semb, range(1, len(s.semb) + 1))) AS u(z)
             )"""
         )
         ctes.append(
-            f"""cent{m} AS (
+            f"""cent{m} AS MATERIALIZED (
                 SELECT cell, array_agg(v ORDER BY pos) AS cemb FROM (
                     SELECT cell, pos, ROUND(AVG(val), 6) AS v
                     FROM coords{m} GROUP BY 1, 2
@@ -965,7 +978,7 @@ def _pq_oracle() -> str:
             )"""
         )
         ctes.append(
-            f"""a1x{m} AS (
+            f"""a1x{m} AS MATERIALIZED (
                 SELECT vec_id, cell FROM (
                     SELECT e.vec_id, c.cell, {assign.format(c='c')} AS rn
                     FROM sub{m} e CROSS JOIN cent{m} c
@@ -973,7 +986,7 @@ def _pq_oracle() -> str:
             )"""
         )
         ctes.append(
-            f"""lut{m} AS (
+            f"""lut{m} AS MATERIALIZED (
                 SELECT q.vec_id AS query_id, c.cell AS code,
                        ROUND(list_dot_product(q.semb, q.semb)
                              - 2 * list_dot_product(q.semb, c.cemb)
@@ -987,7 +1000,7 @@ def _pq_oracle() -> str:
         f"JOIN a1x{m} USING (vec_id)" for m in range(1, PQ_M)
     )
     ctes.append(
-        f"codes AS (SELECT a1x0.vec_id, {code_cols} FROM a1x0 {code_joins})"
+        f"codes AS MATERIALIZED (SELECT a1x0.vec_id, {code_cols} FROM a1x0 {code_joins})"
     )
     lut_joins = " ".join(
         f"JOIN lut{m} l{m} ON l{m}.code = cd.c{m}"
@@ -996,7 +1009,7 @@ def _pq_oracle() -> str:
     )
     dist = " + ".join(f"l{m}.d" for m in range(PQ_M))
     ctes.append(
-        f"""scored AS (
+        f"""scored AS MATERIALIZED (
             SELECT l0.query_id, cd.vec_id AS neighbor_id,
                    ROUND({dist}, 6) AS approx_dist
             FROM codes cd JOIN lut0 l0 ON l0.code = cd.c0 {lut_joins}
@@ -1004,7 +1017,7 @@ def _pq_oracle() -> str:
         )"""
     )
     ctes.append(
-        f"""cand AS (
+        f"""cand AS MATERIALIZED (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
                        ROW_NUMBER() OVER (
@@ -1076,9 +1089,12 @@ def similarity_topk_pq(
     codes as a column, and the scan never reads the float column until
     rerank."""
     scored = pq_adc_scores(spark, sf_dir, checkpoint_dir)
+    # entry distinct (dupkey-sweep pin): the index is keyed by vec_id — a
+    # duplicate row would double-book rerank top-k slots (oracle twin:
+    # the DISTINCT emb CTE in _pq_oracle)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
-    )
+    ).distinct()
     w_cand = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
     cand = (
         scored.withColumn("rn", F.row_number().over(w_cand))
@@ -1117,9 +1133,12 @@ def pq_adc_scores(
     from dblp_to_csv_spark.session import checkpoint_base
 
     base = checkpoint_base(spark, checkpoint_dir, "_pq_")
+    # entry distinct (dupkey-sweep pin): the PQ index is keyed by vec_id —
+    # verbatim duplicate rows are the same vector (oracle twin: DISTINCT
+    # emb CTE in _pq_oracle)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
-    )
+    ).distinct()
     # one long frame (vec_id, m, semb): every subspace trains in the same jobs
     sub_long = emb.select(
         "vec_id",
@@ -1167,9 +1186,13 @@ def pq_adc_scores(
         nearest_by_m(sub_long, cent)
         .groupBy("vec_id")
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("m", "cell"))).alias(
-                "codes"
-            )
+            # array_distinct: duplicate vec_id rows (verbatim copies) land
+            # identical (m, cell) entries in one group — map_from_entries
+            # throws DUPLICATED_MAP_KEY on them, while the oracle's GROUP BY
+            # collapses the copies (dupkey-sweep pin)
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("m", "cell")))
+            ).alias("codes")
         )
     )
     lut = (
@@ -1181,7 +1204,11 @@ def pq_adc_scores(
             F.round(_sq_dist(F.col("semb"), F.col("cemb")), 6).alias("d"),
         )
         .groupBy("query_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("mc", "d"))).alias("lut"))
+        .agg(
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("mc", "d")))
+            ).alias("lut")
+        )
     )
     dist = None
     for m in range(PQ_M):

@@ -65,12 +65,14 @@ def pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_tokenize_documents",
     tags=("udf", "udtf", "text"),
     oracle="""
-        SELECT d.doc_id, s.i AS pos, w.words[s.i] AS word
+        -- per-ROW lateral (no re-join on doc_id: a self-join would square
+        -- duplicate-key rows, where the Spark LATERAL fans out linearly —
+        -- dupkey-sweep pin)
+        SELECT w.doc_id, s.i AS pos, w.words[s.i] AS word
         FROM (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                  x -> x <> '') AS words
-              FROM documents WHERE doc_id < 20) w
-        JOIN documents d USING (doc_id),
+              FROM documents WHERE doc_id < 20) w,
         UNNEST(generate_series(1, len(w.words))) AS s(i)
     """,
 )

@@ -69,6 +69,17 @@ _REGISTRY: dict[str, QueryEntry] = {}
 _EVIDENCE_RESET: dict[str, int] = {
     "winsorize_event_values": 12,  # NULL guard on the clipped mean (ADVICE r11 medium)
     "dataset_version_diff": 12,  # synthetic 'added' ids → negative range (ADVICE r11)
+    "similarity_topk_pq": 12,  # dupkey sweep: entry-distinct index, dedup'd code/LUT maps
+    "ngram_novelty_vs_reference": 12,  # dupkey sweep: cross-row count_distinct
+    "eval_contamination_report": 12,  # dupkey sweep: cross-row count_distinct
+    "pretrain_corpus_report": 12,  # dupkey sweep: keyed-report entry distinct
+    "dedup_substring_spans": 12,  # dupkey sweep: (doc_id,pos) occurrence identity
+    "dedup_substring_rewrite": 12,  # dupkey sweep: (doc_id,pos) occurrence identity
+    "graph_kcore": 12,  # in-core finisher gate (VERDICT r11 item 3)
+    "graph_label_propagation": 12,  # in-core finisher gate (VERDICT r11 item 3)
+    "dedup_semantic_semdedup": 12,  # dupkey sweep: keyed-index entry distinct
+    "similarity_topk_ivf": 12,  # dupkey sweep: keyed-index entry distinct
+    "similarity_topk_ivf_nprobe": 12,  # dupkey sweep: keyed-index entry distinct
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
