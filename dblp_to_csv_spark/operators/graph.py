@@ -175,7 +175,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected triangle exactly once, so the per-corner count multiset is
     identical — the orientation is a physical strategy, not a semantic
     choice."""
-    cnt = triangle_counts(spark, sf_dir)
+    cnt = triangle_table(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )
@@ -198,6 +198,35 @@ def degrees(e0: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast gate for the triangle closing probe: oriented edges are 16 B
+# rows, so 30M edges ≈ 500 MB built hash — the practical single-executor
+# ceiling; bigger graphs fall back to the shuffle join.
+_CLOSING_BROADCAST_MAX_EDGES = 30_000_000
+
+
+def triangle_table(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """(node, n_triangles) materialized once per session — the same
+    _ARTIFACT_CACHE policy as the edge list and the coreness table: the
+    wedge join is the most expensive per-call graph stage left after the
+    coreness finisher, and graph_triangle_count, the clustering
+    coefficient, and graph_report all need exactly it."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    key = _cache_key(spark, "triangles", sf_dir, checkpoint_dir)
+    if key in _ARTIFACT_CACHE:
+        return spark.read.parquet(_ARTIFACT_CACHE[key])
+    base_dir = checkpoint_base(spark, checkpoint_dir, "_tri_")
+    cnt = triangle_counts(spark, sf_dir)
+    path = os.path.join(base_dir, "cnt")
+    cnt.write.mode("overwrite").parquet(path)
+    _ARTIFACT_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def triangle_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -213,8 +242,11 @@ def triangle_counts(
     if deg is None:
         deg = degrees(e0)
     # Orient each edge from its (deg, id)-smaller endpoint to the larger.
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    # The degree table is node-sized — broadcast it into both endpoint
+    # joins so the edge frame streams map-side (r12 cold-path audit:
+    # measured 8.5 s → 4.9 s with the closing broadcast below at sf0.1).
+    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u")))
+    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v")))
     ordered = e0.join(du, "u").join(dv, "v")
     fwd = F.struct("deg_u", "u") < F.struct("deg_v", "v")
     e = ordered.select(
@@ -234,6 +266,15 @@ def triangle_counts(
     )
     wedges = e1.join(e2, "src").filter(F.col("v_ord") < F.col("w_ord"))
     closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    # The closing probe is EDGE-sized while the wedge stream it closes is
+    # wedge-sized (sum of C(out-deg, 2) — 34× larger at sf0.1): broadcast
+    # the edges so the wedges are never shuffled. Size-gated on the
+    # parquet-backed edge count (metadata read): past broadcast capacity
+    # the join degrades to the shuffle it was before, nothing else
+    # changes. (Wedge generation itself stays a shuffle join on src —
+    # measured: broadcasting e2 REGRESSES 4.9 s → 7.6 s.)
+    if e0.count() <= _CLOSING_BROADCAST_MAX_EDGES:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
     corners = tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
     return corners.groupBy("node").agg(
@@ -275,7 +316,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float64, correctly rounded), so 6-dp rounding is hash-stable."""
     e0 = copart_edges(spark, sf_dir)
     deg = degrees(e0)
-    cnt = triangle_counts(spark, sf_dir, e0=e0, deg=deg)
+    cnt = triangle_table(spark, sf_dir)
     deg = deg.withColumnRenamed("n", "node")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
@@ -743,21 +784,24 @@ def _hindex_fixpoint_numpy(u, v, seed=None):
 def _coreness_local_finish(
     spark: SparkSession, und: DataFrame, cor: DataFrame | None
 ) -> DataFrame:
-    """Run the whole fixpoint as ONE executor-side task: all und rows (and
-    the optional seed frame) cogroup under a constant key into a single
-    applyInPandas call that runs _hindex_fixpoint_numpy. One exchange in,
-    one task, no per-round actions. Only valid under the
-    CORENESS_LOCAL_FINISH_EDGES gate — the caller checks."""
+    """Run the whole fixpoint as ONE executor-side task via
+    _graph_single_task (coalesce(1) + mapInPandas — no exchange; see its
+    docstring). The optional seed frame is NODE-sized, so it collects to
+    the driver and ships in the task closure — the same data movement a
+    broadcast would make, without a second input exchange. Only valid
+    under the CORENESS_LOCAL_FINISH_EDGES gate — the caller checks."""
     import numpy as np
     import pandas as pd
 
-    def finish(edges_pdf, seed_pdf):
+    seed_pdf = cor.toPandas() if cor is not None else None
+
+    def finish(edges_pdf):
         if edges_pdf.empty:
             return pd.DataFrame({"n": [], "cor": []}).astype("int64")
         u = edges_pdf["u"].to_numpy()
         v = edges_pdf["v"].to_numpy()
         seed = None
-        if not seed_pdf.empty:
+        if seed_pdf is not None and not seed_pdf.empty:
             nodes = np.unique(u)
             s = seed_pdf.set_index("n")["cor"]
             # nodes absent from the seed frame fall back to their degree
@@ -768,25 +812,7 @@ def _coreness_local_finish(
         nodes, out = _hindex_fixpoint_numpy(u, v, seed)
         return pd.DataFrame({"n": nodes, "cor": out})
 
-    seed_df = (
-        cor
-        if cor is not None
-        else spark.createDataFrame([], "n long, cor long")
-    )
-    return (
-        und.select("u", "v")
-        .groupBy(F.lit(0).alias("_g"))
-        .cogroup(seed_df.groupBy(F.lit(0).alias("_g")))
-        .applyInPandas(
-            # grouping on a literal: Spark omits the _g key column from the
-            # cogrouped frames, but drop defensively for version drift
-            lambda e, s: finish(
-                e.drop(columns="_g", errors="ignore"),
-                s.drop(columns="_g", errors="ignore"),
-            ),
-            "n long, cor long",
-        )
-    )
+    return _graph_single_task(und, finish, "n long, cor long")
 
 
 def _kcore_peel_numpy(u, v, k: int, rounds: int):
@@ -843,19 +869,29 @@ def _lpa_rounds_numpy(u, v, rounds: int):
 
 def _graph_single_task(und: DataFrame, fn, schema: str) -> DataFrame:
     """Collapse a whole iterative graph computation into ONE executor-side
-    applyInPandas task over the full edge frame — the in-core finisher
-    physical strategy (see CORENESS_LOCAL_FINISH_EDGES). ``fn`` maps the
-    (u, v) pandas frame to the result frame. Only valid under the edge
-    gate — the caller checks."""
+    task over the full edge frame — the in-core finisher physical strategy
+    (see CORENESS_LOCAL_FINISH_EDGES). ``fn`` maps the concatenated (u, v)
+    pandas frame to the result frame. Only valid under the edge gate — the
+    caller checks.
 
-    def run(pdf):
-        return fn(pdf.drop(columns="_g", errors="ignore"))
+    coalesce(1) + mapInPandas, NOT groupBy(lit(0)) + applyInPandas: the
+    constant-key group forces a full shuffle exchange (every edge row
+    written to and read back from shuffle storage just to land in one
+    task), while coalesce(1) on the parquet-backed artifact is a single
+    task reading the files directly (r12 cold-path audit: the exchange
+    was ~3× the kernel's own time at sf0.1)."""
+    import pandas as pd
 
-    return (
-        und.select("u", "v")
-        .groupBy(F.lit(0).alias("_g"))
-        .applyInPandas(run, schema)
-    )
+    def run(batches):
+        chunks = list(batches)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"u": [], "v": []}).astype("int64")
+        )
+        yield fn(pdf)
+
+    return und.select("u", "v").coalesce(1).mapInPandas(run, schema)
 
 
 def coreness_fixpoint(
@@ -1200,10 +1236,18 @@ def graph_report(
     e0 = copart_edges(spark, sf_dir, checkpoint_dir=checkpoint_dir)
     und = copart_und(spark, sf_dir, checkpoint_dir)
     deg_und = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    cor = coreness_table(spark, sf_dir, checkpoint_dir)
-    cnt = triangle_counts(
-        spark, sf_dir, e0=e0, deg=deg_und.withColumnRenamed("u", "n")
-    )
+    # The two expensive artifacts are INDEPENDENT once the edge frames
+    # exist, and their physical shapes are complementary — the coreness
+    # finisher is one single-core task, the wedge join is a wide shuffle —
+    # so materialize them CONCURRENTLY (Spark actions are thread-safe;
+    # each artifact writes its own path). Cold graph_report pays
+    # max(coreness, triangles) instead of the sum (r12 cold-path audit).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cor = pool.submit(coreness_table, spark, sf_dir, checkpoint_dir)
+        f_cnt = pool.submit(triangle_table, spark, sf_dir, checkpoint_dir)
+        cor, cnt = f_cor.result(), f_cnt.result()
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )

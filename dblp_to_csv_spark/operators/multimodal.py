@@ -606,3 +606,252 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_payloads(
         encode_wav_payloads(with_binary_payload(docs).select("doc_id", "payload"))
     )
+
+
+# --------------------------------------------------------------------------
+# Third dependency-free modality (VERDICT r11 item 6): PNG — the COMPRESSED
+# format the family lacked (BMP is raw pixels, WAV is raw PCM). PNG is a
+# public chunked container: 8-byte signature, then (length, type, payload,
+# crc32) chunks; pixels live zlib-DEFLATEd in IDAT, each scanline prefixed
+# by a filter byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) that the
+# decoder must UNDO against the reconstructed previous bytes — real
+# decompression + filter reconstruction, not a header walk. The encoder
+# synthesizes deterministic grayscale fixtures from documents.text (pixel =
+# byte value, the BMP grid math) and deliberately cycles the filter type
+# per row (row i uses filter i % 5) so the decoder's reconstruction of all
+# five filters is exercised on every multi-row document. stdlib zlib only.
+# --------------------------------------------------------------------------
+PNG_WIDTH = 16  # grid width for synthesized grayscale fixtures
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """Pack ``data`` as an 8-bit grayscale PNG: w = min(len, width),
+    h = ceil(len/w), grid padded with 0 bytes, scanline r filtered with
+    type r % 5 (cycling None/Sub/Up/Average/Paeth so decoders must
+    implement them all), IDAT zlib-compressed, real CRCs — a
+    spec-complete file any viewer opens. Empty data raises ValueError."""
+    import struct
+    import zlib
+
+    n = len(data)
+    if n == 0:
+        raise ValueError("cannot encode an empty payload as PNG")
+    w = min(n, width)
+    h = (n + w - 1) // w
+    grid = data.ljust(w * h, b"\0")
+    raw = bytearray()
+    prev = bytes(w)  # the spec's virtual zero row above the image
+    for r in range(h):
+        row = grid[r * w : (r + 1) * w]
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub: x - left
+            raw += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(w))
+        elif ft == 2:  # Up: x - above
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(w))
+        elif ft == 3:  # Average: x - (left + above) // 2
+            raw += bytes(
+                (row[i] - ((row[i - 1] if i else 0) + prev[i]) // 2) & 0xFF
+                for i in range(w)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[i] - _paeth(row[i - 1] if i else 0, prev[i], prev[i - 1] if i else 0)) & 0xFF
+                for i in range(w)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §6.6): pick the neighbor (left a,
+    above b, upper-left c) closest to a + b - c, ties a then b then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL PNG parse: signature, chunk walk with CRC verification, IHDR
+    profile check (8-bit grayscale, no interlace), multi-IDAT
+    concatenation, zlib inflate, and per-scanline filter RECONSTRUCTION
+    (all five filter types against the previously reconstructed row).
+    Returns (width, height, pixel_sum, top_left). Raises ValueError on
+    anything malformed — the profile the encoder emits."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color != 0 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("inflated size mismatch")
+    pixel_sum, top_left = 0, None
+    prev = bytes(w)
+    for r in range(h):
+        off = r * (w + 1)
+        ft = raw[off]
+        line = raw[off + 1 : off + 1 + w]
+        row = bytearray(w)
+        for i in range(w):
+            x = line[i]
+            a = row[i - 1] if i else 0  # left, already reconstructed
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 0:
+                rec = x
+            elif ft == 1:
+                rec = x + a
+            elif ft == 2:
+                rec = x + b
+            elif ft == 3:
+                rec = x + (a + b) // 2
+            elif ft == 4:
+                rec = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown filter type {ft}")
+            row[i] = rec & 0xFF
+        pixel_sum += sum(row)
+        if r == 0:
+            top_left = row[0]
+        prev = bytes(row)
+    return w, h, pixel_sum, top_left
+
+
+def encode_png_payloads(df: DataFrame) -> DataFrame:
+    """Fixture-ingest stage, PNG flavor (the encode_bmp_payloads shape)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: png_encode_gray(bytes(p))
+                        if p is not None and len(p)
+                        else b""
+                    ),
+                }
+            )
+
+    return df.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+
+def decode_png_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode via mapInPandas; malformed payloads yield
+    ok=false quarantine rows (the BMP/WAV discipline)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px, tl = png_decode(
+                        b"" if payload is None else bytes(payload)
+                    )
+                    rows.append((doc_id, True, w, h, px, tl))
+                except (ValueError, zlib.error):  # corrupt DEFLATE quarantines too
+                    rows.append((doc_id, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ok", "width", "height", "pixel_sum", "top_left",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, DECODE_BMP_SCHEMA)
+
+
+@register(
+    "multimodal_decode_png",
+    tags=("multimodal", "pandas-udf"),
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        )
+        -- the BMP in-row discipline (dupkey-sweep pin): pixel_sum from the
+        -- row's own chars, no keyed re-join
+        SELECT doc_id,
+               n > 0 AS ok,
+               CASE WHEN n > 0
+                    THEN CAST(LEAST(n, {PNG_WIDTH}) AS INT) END AS width,
+               CASE WHEN n > 0
+                    THEN CAST((n + LEAST(n, {PNG_WIDTH}) - 1)
+                              // LEAST(n, {PNG_WIDTH}) AS INT) END AS height,
+               CASE WHEN n > 0 THEN CAST(list_sum(list_transform(
+                        range(1, n + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))))
+                    AS BIGINT) END AS pixel_sum,
+               CASE WHEN n > 0
+                    THEN CAST(ascii(substr(text, 1, 1)) AS INT) END AS top_left
+        FROM d
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED image modality end-to-end (VERDICT r11 item 6):
+    documents.text → spec-complete grayscale PNG bytes (zlib DEFLATE, real
+    CRCs, filter type cycling 0-4 per scanline) → binary column → Arrow
+    batches → pure-Python chunk walk + inflate + per-scanline filter
+    reconstruction → typed (width, height, pixel_sum, top_left) frame.
+    Unlike BMP/WAV the payload bytes are NOT the pixels — the oracle's
+    prediction from the seeding ASCII text only matches if the
+    decompression and all five filter reconstructions are exact. Both
+    stages are narrow mapInPandas over input splits: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_payloads(
+        encode_png_payloads(with_binary_payload(docs).select("doc_id", "payload"))
+    )

@@ -80,6 +80,10 @@ _EVIDENCE_RESET: dict[str, int] = {
     "dedup_semantic_semdedup": 12,  # dupkey sweep: keyed-index entry distinct
     "similarity_topk_ivf": 12,  # dupkey sweep: keyed-index entry distinct
     "similarity_topk_ivf_nprobe": 12,  # dupkey sweep: keyed-index entry distinct
+    "graph_triangle_count": 12,  # triangle_table artifact + gated closing broadcast
+    "graph_clustering_coefficient": 12,  # consumes triangle_table
+    "graph_coreness": 12,  # finisher exchange -> coalesce(1).mapInPandas
+    "graph_report": 12,  # parallel artifact materialization + triangle_table
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
