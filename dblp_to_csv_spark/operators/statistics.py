@@ -1437,7 +1437,10 @@ HIST_BINS = 16
             FROM lineitem
         ),
         binned AS (
-            SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+            -- guard on the WIDTH (hi - lo can be a denormal that
+            -- underflows width to exactly 0.0 with hi <> lo; see the
+            -- Spark docstring)
+            SELECT CASE WHEN (bounds.hi - bounds.lo) / 16 = 0 THEN 0
                         ELSE LEAST(CAST(FLOOR((l_extendedprice - bounds.lo)
                           / ((bounds.hi - bounds.lo) / {HIST_BINS})) AS BIGINT),
                          {HIST_BINS - 1}) END AS bin
@@ -1468,9 +1471,13 @@ def histogram_equiwidth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so the shuffle moves kilobytes at any corpus size. Bin arithmetic
     is the same IEEE expression on both engines (floor((x−lo)/width) with
     the top edge clamped into the last bin), so the histogram hash-matches
-    the oracle exactly. A constant column (hi == lo → width 0) maps every
-    row to bin 0 on both engines instead of dividing by zero (Spark ANSI
-    would raise; the guard is a CASE branch, so the division never runs)."""
+    the oracle exactly. A ZERO width maps every row to bin 0 on both
+    engines instead of dividing by zero (Spark ANSI would raise; the guard
+    is a CASE branch, so the division never runs). The guard is on the
+    WIDTH, not hi == lo: a denormal range (hi − lo < 16·DBL_MIN_DENORMAL)
+    UNDERFLOWS (hi−lo)/16 to exactly 0.0 with hi ≠ lo — the property suite
+    falsified the hi == lo guard with prices [0.0, 5e-324], where Spark
+    threw DIVIDE_BY_ZERO while DuckDB rode x/0 = inf into the top bin."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     bounds = li.agg(
         F.min("l_extendedprice").alias("lo"),
@@ -1479,7 +1486,7 @@ def histogram_equiwidth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / HIST_BINS
     binned = li.crossJoin(F.broadcast(bounds)).select(
-        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        F.when(width == 0, F.lit(0).cast("long"))
         .otherwise(
             F.least(
                 F.floor(

@@ -84,6 +84,7 @@ _EVIDENCE_RESET: dict[str, int] = {
     "graph_clustering_coefficient": 12,  # consumes triangle_table
     "graph_coreness": 12,  # finisher exchange -> coalesce(1).mapInPandas
     "graph_report": 12,  # parallel artifact materialization + triangle_table
+    "histogram_equiwidth_prices": 12,  # width==0 guard (denormal underflow, property find)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

@@ -111,13 +111,13 @@ def _python_hist(prices: list[float], bins: int = 16):
     lo, hi = min(prices), max(prices)
     total = len(prices)
     out: dict[int, int] = {}
+    width = (hi - lo) / bins
     for x in prices:
-        if hi == lo:
+        if width == 0:  # constant column OR denormal-range underflow
             b = 0
         else:
-            b = min(int(math.floor((x - lo) / ((hi - lo) / bins))), bins - 1)
+            b = min(int(math.floor((x - lo) / width)), bins - 1)
         out[b] = out.get(b, 0) + 1
-    width = (hi - lo) / bins
     return {
         b: (_r(lo + b * width, 6), _r(lo + (b + 1) * width, 6), n,
             _r(n / total, 6))
