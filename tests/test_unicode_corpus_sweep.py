@@ -112,6 +112,7 @@ def duck(unicode_sf):
 # only the oracle comparison, not the correctness claim.
 ASCII_DOMAIN_ORACLES = {
     "multimodal_decode_bmp",
+    "multimodal_decode_png",  # round-trip pinned in test_multimodal_png.py
     "multimodal_decode_wav",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
