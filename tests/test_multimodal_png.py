@@ -158,3 +158,53 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in, but gate anyway
     pass
+
+
+def test_decode_streams_through_readstream(spark, tmp_path):
+    """The decode stage is a narrow mapInPandas, so the SAME function body
+    drives Structured Streaming unchanged — the multimodal ingest shape at
+    scale is a stream of binary payloads, not a static table. availableNow
+    over a parquet source → decode → memory sink; results must equal the
+    batch decode of the same files."""
+    import pandas as pd
+
+    from dblp_to_csv_spark.operators.multimodal import (
+        decode_png_payloads,
+        png_encode_gray,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = {1: b"hello stream", 2: b"png bytes ride structured streaming", 3: b""}
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "payload": [png_encode_gray(t) if t else b"" for t in texts.values()],
+        }
+    ).to_parquet(src / "part-0.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .parquet(str(src))
+    )
+    q = (
+        decode_png_payloads(stream)
+        .writeStream.format("memory")
+        .queryName("png_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM png_stream_test")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == 3
+    for doc_id, t in texts.items():
+        if t:
+            assert bool(got.loc[doc_id, "ok"]) is True
+            assert got.loc[doc_id, "pixel_sum"] == sum(t)
+        else:
+            assert bool(got.loc[doc_id, "ok"]) is False
