@@ -1317,10 +1317,19 @@ def _pretrain_oracle() -> str:
     shingles_of_words = SHINGLES_SQL.format(words="words")
     # docs_u: the report is KEYED — a verbatim duplicate-key row is the
     # same document and must not fan the doc_id-keyed stage joins
-    # (dupkey-sweep pin; the Spark side applies the same entry distinct)
+    # (dupkey-sweep pin; the Spark side applies the same entry distinct).
+    # conf: keys that survive the distinct with >1 row carry CONFLICTING
+    # payloads — an ingest-contract violation the report QUARANTINES as
+    # its own stage instead of pretending a winner (ROADMAP 31).
     return f"""
         WITH RECURSIVE
-        docs_u AS (SELECT DISTINCT * FROM documents),
+        docs_a AS (SELECT DISTINCT * FROM documents),
+        conf AS (
+            SELECT doc_id FROM docs_a GROUP BY doc_id HAVING COUNT(*) > 1
+        ),
+        docs_u AS (
+            SELECT * FROM docs_a WHERE doc_id NOT IN (SELECT doc_id FROM conf)
+        ),
         base AS (SELECT doc_id, source, text, doc_id % {EVAL_MOD} = 0 AS is_eval
                  FROM docs_u),
         cap AS (
@@ -1375,6 +1384,8 @@ def _pretrain_oracle() -> str:
         LEFT JOIN exact USING (doc_id)
         LEFT JOIN nd USING (doc_id)
         LEFT JOIN cont USING (doc_id)
+        UNION ALL
+        SELECT doc_id, 'conflicting_key' AS stage FROM conf
     """
 
 
@@ -1388,6 +1399,8 @@ def pretrain_corpus_report(
 ) -> DataFrame:
     """THE pipeline: every document's fate through the full pretraining
     admission chain, with the FIRST failing stage named —
+    conflicting_key (ingest-contract violation: >1 distinct payload under
+    one doc_id, quarantined rather than arbitrated; ROADMAP 31) →
     eval_holdout → source_cap → quality (Gopher rules) → exact_dup →
     near_dup (MinHash-LSH → connected components, keep-canonical) →
     contaminated (eval n-gram overlap) → kept. Sequential semantics where
@@ -1423,7 +1436,19 @@ def pretrain_corpus_report(
     # would fan every stage join below multiplicatively; the oracle's
     # docs_u CTE is the twin. Exact-duplicate TEXT under different ids
     # stays — that is the exact_dup stage's job, not ingestion's.
-    docs = load_table(spark, sf_dir, "documents").distinct()
+    # CONFLICTING keys (>1 distinct payload per doc_id — the CDC-ingest
+    # contract violation, ROADMAP 31) quarantine into their own stage
+    # instead of electing an arbitrary winner: the conflict set is
+    # violation-rate-sized, so it broadcasts back as an anti-join and the
+    # corpus never reshuffles to apply the verdict.
+    docs_a = load_table(spark, sf_dir, "documents").distinct()
+    conf = (
+        docs_a.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("doc_id")
+    )
+    docs = docs_a.join(_broadcast_if_small(conf), "doc_id", "anti")
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
     cap_w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -1475,7 +1500,7 @@ def pretrain_corpus_report(
     # checkpoint before the size-gated broadcast: the gate's count() would
     # otherwise re-run the whole decontamination chain (semdedup precedent)
     cont_path = os.path.join(base, "cont")
-    decontaminate_against_eval(spark, sf_dir).select(
+    decontaminate_against_eval(spark, sf_dir, docs=docs).select(
         "doc_id", F.lit(True).alias("contaminated")
     ).write.mode("overwrite").parquet(cont_path)
     cont = spark.read.parquet(cont_path)
@@ -1497,6 +1522,9 @@ def pretrain_corpus_report(
             .when(F.col("contaminated").isNotNull(), "contaminated")
             .otherwise("kept")
             .alias("stage"),
+        )
+        .unionAll(
+            conf.select("doc_id", F.lit("conflicting_key").alias("stage"))
         )
     )
 

@@ -182,7 +182,9 @@ def _exploded_shingles(
         GROUP BY s.doc_id
     """,
 )
-def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_against_eval(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Benchmark decontamination: flag every training document that shares
     at least one word shingle with the held-out eval set (here: every
     ``EVAL_MOD``-th doc_id stands in for the benchmark), reporting how many
@@ -195,8 +197,13 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST and the contamination check is a map-side hash join over the
     exploded training shingles — the 100 TB side is NEVER shuffled wholesale
     (deduplication of its shingles happens as count-DISTINCT per doc AFTER
-    the join, over matched rows only, a vanishing fraction of the corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the join, over matched rows only, a vanishing fraction of the corpus).
+
+    ``docs`` lets a composite pass a pre-filtered corpus (the pretrain
+    report's conflict-quarantined frame) instead of re-loading the raw
+    table."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     tr = _exploded_shingles(
         docs.filter(F.col("doc_id") % EVAL_MOD != 0), with_doc_id=True
     )

@@ -10,12 +10,10 @@ agreement on the seven probed representatives so a rewrite that starts
 assuming key-functional payloads (joining a payload back by key, collapsing
 by key before a per-row stage) surfaces here.
 
-`pretrain_corpus_report` is the known out-of-domain composite: its entry
-distinct collapses only verbatim copies, so conflicting keys fan its keyed
-stage joins — documented in ROADMAP 31 with the declared r13 fix
-(quarantine conflicting keys as an ingest-contract violation, not pretend
-a winner). It is asserted to STAY out-of-domain here so the eventual fix
-must update this pin deliberately."""
+`pretrain_corpus_report` — the one composite the scout found out-of-domain
+— gained the declared fix in the same session (ROADMAP 31): conflicting
+keys quarantine into a `conflicting_key` stage on both engines, pinned
+below with an exact quarantine count."""
 
 from __future__ import annotations
 
@@ -77,14 +75,16 @@ def test_query_agrees_on_conflicting_keys(spark, duck, conflict_sf, name):
     assert_matches_oracle(name, got, want, "the conflicting-key corpus")
 
 
-def test_pretrain_report_is_known_out_of_domain(spark, duck, conflict_sf):
-    """The declared exception: conflicting keys fan the keyed composite's
-    stage joins differently across engines. When ROADMAP 31's quarantine
-    stage lands, this test flips to an equality pin."""
+def test_pretrain_report_quarantines_conflicting_keys(spark, duck, conflict_sf):
+    """ROADMAP 31 landed (r12, same session as the scout): conflicting
+    keys are an ingest-contract violation the report QUARANTINES into a
+    `conflicting_key` stage — one row per violating key, the rest of the
+    chain runs over the clean keys only, and both engines agree."""
     entry = all_queries()["pretrain_corpus_report"]
     got = entry.fn(spark, conflict_sf).toPandas()
     want = duck.execute(entry.oracle).df()
-    assert len(got) != len(want), (
-        "pretrain_corpus_report now agrees on conflicting keys — "
-        "ROADMAP 31 landed? Replace this exception with an equality pin."
+    assert_matches_oracle(
+        "pretrain_corpus_report", got, want, "the conflicting-key corpus"
     )
+    n_conf = (got["stage"] == "conflicting_key").sum()
+    assert n_conf == 24, f"expected the 24 mutated keys quarantined, got {n_conf}"
