@@ -1400,11 +1400,12 @@ def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
                         THEN 1 ELSE 0 END AS chg
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, event_type)
         ),
         runs AS (
             SELECT user_id, state, ts,
-                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   CAST(SUM(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id, state
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS run_id
             FROM ordered
@@ -1437,8 +1438,9 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME partitioning key (user_id), so Catalyst plans ONE shuffle and runs
     the entire chain inside it — the pattern that survives 100 TB: state
     history cost is one exchange regardless of how many windows stack.
-    Ties inside a user's sequence break on event_id (ingest order), matching
-    the oracle's ORDER BY ts, event_id exactly."""
+    Ties inside a user's sequence break on (event_id, event_type) — ingest
+    order, then state as the conflicting-dupkey tiebreak — matching the
+    oracle's ORDER BY ts, event_id, event_type exactly (see scd2_runs)."""
     ev = load_table(spark, sf_dir, "events")
     return scd2_runs(ev)
 
@@ -1446,8 +1448,17 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_runs(ev: DataFrame) -> DataFrame:
     """The SCD2 run-collapse chain shared by `scd2_user_state` and the
     point-in-time join: lag → change flag → running run id → per-run
-    aggregate → lead, all on the user_id partitioning (one exchange)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    aggregate → lead, all on the user_id partitioning (one exchange).
+
+    event_type is the FINAL sort tiebreak (r13 conflicting-dupkey sweep):
+    an event log SHOULD carry unique (ts, event_id) per user, but when a
+    CDC replay emits the same (ts, event_id) under two different states,
+    an (ts, event_id)-only ordering leaves the tied rows' relative order
+    unspecified on BOTH engines — run boundaries (and therefore version
+    numbers) would depend on partitioning luck. With the state tiebreak the
+    total order is a key, so the history is a pure function of the input
+    multiset."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
     chg = F.when(
         ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
     ).otherwise(0)
@@ -1463,7 +1474,7 @@ def scd2_runs(ev: DataFrame) -> DataFrame:
             "run_id",
             F.sum("chg").over(
                 Window.partitionBy("user_id")
-                .orderBy("ts", "event_id")
+                .orderBy("ts", "event_id", "state")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
@@ -1500,11 +1511,12 @@ _PIT_FACT = "purchase"
                         THEN 1 ELSE 0 END AS chg
             FROM events
             WHERE event_type <> '{_PIT_FACT}'
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, event_type)
         ),
         runs AS (
             SELECT user_id, state, ts,
-                   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   CAST(SUM(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id, state
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS run_id
             FROM ordered

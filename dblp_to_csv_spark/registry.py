@@ -67,24 +67,9 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # its declared round without re-greening (VERDICT r10 item 8).
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
-    "winsorize_event_values": 12,  # NULL guard on the clipped mean (ADVICE r11 medium)
-    "dataset_version_diff": 12,  # synthetic 'added' ids → negative range (ADVICE r11)
-    "similarity_topk_pq": 12,  # dupkey sweep: entry-distinct index, dedup'd code/LUT maps
-    "ngram_novelty_vs_reference": 12,  # dupkey sweep: cross-row count_distinct
-    "eval_contamination_report": 12,  # dupkey sweep: cross-row count_distinct
-    "pretrain_corpus_report": 12,  # dupkey sweep: keyed-report entry distinct
-    "dedup_substring_spans": 12,  # dupkey sweep: (doc_id,pos) occurrence identity
-    "dedup_substring_rewrite": 12,  # dupkey sweep: (doc_id,pos) occurrence identity
-    "graph_kcore": 12,  # in-core finisher gate (VERDICT r11 item 3)
-    "graph_label_propagation": 12,  # in-core finisher gate (VERDICT r11 item 3)
-    "dedup_semantic_semdedup": 12,  # dupkey sweep: keyed-index entry distinct
-    "similarity_topk_ivf": 12,  # dupkey sweep: keyed-index entry distinct
-    "similarity_topk_ivf_nprobe": 12,  # dupkey sweep: keyed-index entry distinct
-    "graph_triangle_count": 12,  # triangle_table artifact + gated closing broadcast
-    "graph_clustering_coefficient": 12,  # consumes triangle_table
-    "graph_coreness": 12,  # finisher exchange -> coalesce(1).mapInPandas
-    "graph_report": 12,  # parallel artifact materialization + triangle_table
-    "histogram_equiwidth_prices": 12,  # width==0 guard (denormal underflow, property find)
+    "decontaminate_against_eval": 13,  # r12 added docs= param (default path byte-identical); reset declared retroactively per VERDICT r12 — the ledger errs verbose
+    "scd2_user_state": 13,  # dupkey sweep: (ts,event_id,state) total-order tiebreak
+    "scd2_point_in_time_join": 13,  # dupkey sweep: shares scd2_runs tiebreak
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
@@ -107,7 +92,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "approx_percentile_prices": 6,
     "aqp_sample_estimates": 9,
     "argmax_order_per_customer": 10,
-    "array_collapse_returnflags": 6,
+    "array_collapse_returnflags": 12,
     "array_functions_gallery": 9,
     "arrow_quantize_embeddings": 10,
     "asof_join_purchase_last_view": 7,
@@ -127,37 +112,37 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "cooccurrence_parts_pmi": 9,
     "cube_orders_status_priority": 11,
     "curate_source_cap": 8,
-    "dataset_version_diff": 11,
+    "dataset_version_diff": 12,
     "date_functions_gallery": 9,
     "decontaminate_against_eval": 11,
     "decontaminate_bloom": 7,
     "decontaminate_semantic": 10,
-    "dedup_chunk_exact": 6,
+    "dedup_chunk_exact": 12,
     "dedup_chunk_rewrite": 7,
     "dedup_cluster_stats": 11,
     "dedup_connected_components": 11,
-    "dedup_connected_components_star": 7,
+    "dedup_connected_components_star": 12,
     "dedup_containment_capped": 10,
     "dedup_containment_pairs": 10,
     "dedup_edit_distance_banded": 8,
     "dedup_embedding_cosine": 10,
     "dedup_embedding_cosine_bucketed": 10,
-    "dedup_exact_documents": 7,
+    "dedup_exact_documents": 12,
     "dedup_graph_pagerank": 8,
     "dedup_intradoc_rewrite": 7,
     "dedup_jaccard_prefix_filter": 10,
     "dedup_keep_canonical": 11,
-    "dedup_latest_order_per_customer": 7,
+    "dedup_latest_order_per_customer": 12,
     "dedup_minhash_lsh": 10,
     "dedup_minhash_lsh_capped": 10,
     "dedup_minhash_lsh_df_capped": 10,
     "dedup_ngram_jaccard": 10,
     "dedup_ngram_jaccard_capped": 10,
-    "dedup_semantic_semdedup": 10,
-    "dedup_simhash": 7,
-    "dedup_substring_rewrite": 8,
-    "dedup_substring_spans": 8,
-    "dict_encode_segments": 6,
+    "dedup_semantic_semdedup": 12,
+    "dedup_simhash": 12,
+    "dedup_substring_rewrite": 12,
+    "dedup_substring_spans": 12,
+    "dict_encode_segments": 12,
     "distinct_customers_per_status": 11,
     "drift_chi2_by_window": 11,
     "drift_chi2_source_lang": 11,
@@ -166,36 +151,36 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_mutual_information": 11,
     "drift_psi_events_value": 11,
     "dsir_importance_weights": 10,
-    "embedding_label_centroids": 6,
+    "embedding_label_centroids": 12,
     "embedding_norm_isotropy": 11,
     "embedding_random_projection": 8,
-    "eval_contamination_report": 8,
+    "eval_contamination_report": 12,
     "event_transition_matrix": 9,
     "event_validity_intervals": 7,
     "ewma_event_values": 8,
     "forward_fill_event_metric": 8,
-    "from_json_events": 6,
-    "full_outer_join_customer_activity": 6,
+    "from_json_events": 12,
+    "full_outer_join_customer_activity": 12,
     "funnel_time_to_convert": 9,
-    "funnel_view_cart_purchase": 6,
+    "funnel_view_cart_purchase": 12,
     "gapfill_hourly_events": 7,
     "graph_adamic_adar": 8,
     "graph_adamic_adar_capped": 9,
     "graph_bfs_distances": 9,
-    "graph_clustering_coefficient": 10,
-    "graph_coreness": 11,
-    "graph_kcore": 8,
-    "graph_label_propagation": 9,
-    "graph_report": 11,
-    "graph_triangle_count": 8,
+    "graph_clustering_coefficient": 12,
+    "graph_coreness": 12,
+    "graph_kcore": 12,
+    "graph_label_propagation": 12,
+    "graph_report": 12,
+    "graph_triangle_count": 12,
     "heavy_hitters_words": 10,
     "higher_order_functions_gallery": 7,
-    "histogram_equiwidth_prices": 9,
+    "histogram_equiwidth_prices": 12,
     "incremental_agg_merge": 8,
     "integrity_audit": 8,
     "interval_overlap_join_bucketed": 8,
-    "json_extract_events": 6,
-    "lang_temperature_resample": 6,
+    "json_extract_events": 12,
+    "lang_temperature_resample": 12,
     "lm_bigram_cross_entropy": 11,
     "map_functions_events": 10,
     "market_share_by_year": 11,
@@ -203,13 +188,14 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "merge_upsert_orders": 8,
     "mix_upsample_langs": 7,
     "multimodal_decode_bmp": 11,
+    "multimodal_decode_png": 12,
     "multimodal_decode_wav": 11,
     "multimodal_feature_extract": 10,
     "multimodal_frame_sample": 10,
     "multimodal_metadata": 7,
-    "ngram_novelty_vs_reference": 7,
+    "ngram_novelty_vs_reference": 12,
     "ntile_order_quartiles": 10,
-    "null_safe_join_suppliers": 6,
+    "null_safe_join_suppliers": 12,
     "orders_rfm_segments": 9,
     "outliers_by_mad": 9,
     "pack_concat_chunks": 11,
@@ -219,14 +205,14 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "parts_abc_pareto": 9,
     "pipeline_c4_keep": 11,
     "pivot_status_by_priority": 9,
-    "posexplode_order_lines": 6,
-    "pretrain_corpus_report": 11,
+    "posexplode_order_lines": 12,
+    "pretrain_corpus_report": 12,
     "pricing_summary": 11,
     "privacy_k_anonymity_audit": 11,
     "privacy_k_anonymous_release": 11,
     "profile_documents": 7,
-    "prune_empty_columns": 6,
-    "quality_gopher_rules": 6,
+    "prune_empty_columns": 12,
+    "quality_gopher_rules": 12,
     "quality_linear_score": 7,
     "quality_score_pr_curve": 11,
     "quartile_labels_by_cutpoint": 11,
@@ -235,7 +221,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "rank_functions_suppliers": 10,
     "regexp_functions_gallery": 9,
     "regression_moments_lineitem": 8,
-    "retention_cohorts_weekly": 6,
+    "retention_cohorts_weekly": 12,
     "retrieval_eval_bm25": 9,
     "revenue_by_nation": 11,
     "rolling_median_hourly": 9,
@@ -250,7 +236,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "search_bm25": 8,
     "search_hybrid_rrf": 10,
     "seasonal_decompose_events": 8,
-    "segment_edges": 6,
+    "segment_edges": 12,
     "semi_join_discounted_orders": 11,
     "session_window_events": 8,
     "sessionize_events": 7,
@@ -263,11 +249,11 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "similarity_knn_graph_bucketed": 10,
     "similarity_topk_blas": 2,
     "similarity_topk_bruteforce": 10,
-    "similarity_topk_ivf": 10,
-    "similarity_topk_ivf_nprobe": 10,
+    "similarity_topk_ivf": 12,
+    "similarity_topk_ivf_nprobe": 12,
     "similarity_topk_lsh_bucketed": 10,
     "similarity_topk_lsh_multiprobe": 10,
-    "similarity_topk_pq": 10,
+    "similarity_topk_pq": 12,
     "sketch_bottomk_quantiles": 11,
     "sketch_bottomk_quantiles_by_group": 11,
     "sketch_countmin_words": 9,
@@ -282,38 +268,38 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sql_exists_subquery": 9,
     "sql_group_by_all_shorthand": 8,
     "sql_grouping_sets": 9,
-    "sql_lateral_topk_nations": 6,
+    "sql_lateral_topk_nations": 12,
     "sql_parameterized_query": 7,
     "sql_pipe_syntax_pricing": 7,
-    "sql_recursive_cte_months": 6,
+    "sql_recursive_cte_months": 12,
     "sql_scalar_subquery": 9,
     "sql_udf_scalar_nested": 7,
     "sql_udf_table_valued": 7,
-    "sql_variant_events": 6,
+    "sql_variant_events": 12,
     "stats_agg_lineitem": 10,
     "string_functions_gallery": 9,
-    "text_bpe_token_count": 7,
+    "text_bpe_token_count": 12,
     "text_char_entropy": 8,
     "text_feature_hash_embedding": 8,
-    "text_fingerprint": 7,
-    "text_language_id": 7,
+    "text_fingerprint": 12,
+    "text_language_id": 12,
     "text_logprob_buckets": 11,
     "text_quality_score": 10,
     "text_redact_pii": 7,
     "text_repetition_score": 10,
-    "text_tfidf_top_terms": 7,
+    "text_tfidf_top_terms": 12,
     "text_token_stats": 10,
-    "text_unigram_logprob": 7,
+    "text_unigram_logprob": 12,
     "text_zipf_slope": 8,
     "theta_join_nation_pairs": 11,
-    "token_budget_per_lang": 6,
+    "token_budget_per_lang": 12,
     "top_orders_by_revenue": 11,
     "training_epoch_order": 8,
     "try_functions_gallery": 7,
     "tumbling_window_events": 7,
-    "type_detect_ladder": 6,
-    "type_unification_lattice": 6,
-    "udaf_geomean_order_price": 6,
+    "type_detect_ladder": 12,
+    "type_unification_lattice": 12,
+    "udaf_geomean_order_price": 12,
     "udtf_ngrams_polymorphic": 7,
     "udtf_tokenize_documents": 10,
     "union_by_name_schema_evolution": 11,
@@ -323,7 +309,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_range_frame": 9,
     "window_running_revenue": 11,
     "window_top_orders_per_customer": 11,
-    "winsorize_event_values": 8,
+    "winsorize_event_values": 12,
     "xml_functions_gallery": 8,
 }
 
