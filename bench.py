@@ -114,6 +114,8 @@ PIPELINE_BENCH = [
     "sketch_bottomk_quantiles",
     "sketch_bottomk_quantiles_by_group",
     "dataset_version_diff",
+    # round-13: perceptual image near-dup (dHash + banded hamming join)
+    "dedup_image_phash",
 ]
 
 

@@ -1347,6 +1347,69 @@ def _simhash_band_pairs(sketch: DataFrame) -> DataFrame:
     )
 
 
+def banded_hamming_pairs(
+    sketch: DataFrame, band_cols: list[str], max_hamming: int
+) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs over a sketch whose bits live in
+    EXPLICIT integer band columns (doc_id, b0, b1, ...) — the
+    _simhash_band_pairs plan generalized past the packed-32-bit layout:
+    banding is LOSSLESS whenever max_hamming < len(band_cols) (pigeonhole:
+    a pair within the radius agrees exactly on ≥1 whole band), candidates
+    come from a per-band equi-join, total hamming is the in-row sum of
+    per-band bit_count(xor), and the emit-on-first-collision filter keeps
+    the pair only from its first agreeing band — no pair-sized DISTINCT
+    shuffle. Keeping bands as columns (not a packed long) sidesteps the
+    sign arithmetic of bit 63 on both engines, which is what lets the
+    64-bit image dHash reuse this machinery with a hash-exact oracle."""
+    if max_hamming >= len(band_cols):
+        raise ValueError("banding is lossy unless max_hamming < n_bands")
+    bands = sketch.select(
+        "doc_id",
+        *band_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(c).alias("band_val"),
+                    )
+                    for i, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *band_cols, "bk.band_idx", "bk.band_val")
+    a = bands.alias("a")
+    b = bands.hint("merge").alias("b")  # sketch side never broadcasts at scale
+    earlier_match = F.lit(False)
+    first_collision = F.lit(True)
+    for j in range(1, len(band_cols)):
+        earlier_match = earlier_match | (
+            F.col(f"a.{band_cols[j - 1]}") == F.col(f"b.{band_cols[j - 1]}")
+        )
+        first_collision = F.when(
+            F.col("a.band_idx") == j, ~earlier_match
+        ).otherwise(first_collision)
+    hamming = sum(
+        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        for c in band_cols
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_collision)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs.
 # --------------------------------------------------------------------------

@@ -127,6 +127,40 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, int]:
     return w, h, pixel_sum, top_left
 
 
+def bmp_decode_pixels(payload: bytes):
+    """REAL BMP parse returning the grayscale pixel MATRIX — the blue
+    channel as an (h, w) uint8 numpy array in IMAGE row order (row 0 =
+    top), honoring the same header validation, stride padding, and
+    bottom-up/top-down handling as ``bmp_decode``. The matrix feeds the
+    perceptual-hash family (dHash), which needs pixels, not summaries."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP profile (bpp={bpp}, comp={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid dimensions {w}x{h_signed}")
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < data_offset + stride * h:
+        raise ValueError("truncated pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3 : 3]
+    return rows if top_down else rows[::-1]
+
+
 DECODE_BMP_SCHEMA = (
     "doc_id long, ok boolean, width int, height int, "
     "pixel_sum long, top_left int"
@@ -703,6 +737,15 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int]:
     (all five filter types against the previously reconstructed row).
     Returns (width, height, pixel_sum, top_left). Raises ValueError on
     anything malformed — the profile the encoder emits."""
+    m = png_decode_pixels(payload)
+    return m.shape[1], m.shape[0], int(m.sum()), int(m[0, 0])
+
+
+def png_decode_pixels(payload: bytes):
+    """The PNG parse itself, returning the reconstructed grayscale pixel
+    MATRIX as an (h, w) uint8 numpy array (row 0 = top). ``png_decode``
+    derives its summary tuple from this; the perceptual-hash family
+    consumes the matrix directly."""
     import struct
     import zlib
 
@@ -738,7 +781,9 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int]:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("inflated size mismatch")
-    pixel_sum, top_left = 0, None
+    import numpy as np
+
+    out = np.empty((h, w), dtype=np.uint8)
     prev = bytes(w)
     for r in range(h):
         off = r * (w + 1)
@@ -763,11 +808,9 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int]:
             else:
                 raise ValueError(f"unknown filter type {ft}")
             row[i] = rec & 0xFF
-        pixel_sum += sum(row)
-        if r == 0:
-            top_left = row[0]
+        out[r] = np.frombuffer(bytes(row), dtype=np.uint8)
         prev = bytes(row)
-    return w, h, pixel_sum, top_left
+    return out
 
 
 def encode_png_payloads(df: DataFrame) -> DataFrame:
@@ -854,4 +897,163 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_png_payloads(
         encode_png_payloads(with_binary_payload(docs).select("doc_id", "payload"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup (r13, VERDICT r12 item 6): dHash over decoded
+# pixel matrices. The gradient hash (each bit compares two adjacent samples
+# of a fixed 9x8 nearest-neighbor downsample) is the standard perceptual
+# fingerprint for "same image modulo re-encode/resize"; aHash (mean
+# threshold) is the trivial variant of the same plumbing. Candidate pairs
+# come from the SimHash chunk-banding machinery generalized to band
+# COLUMNS (dedup.banded_hamming_pairs): 4 x 16-bit bands, hamming <= 3 —
+# strictly fewer bands than the radius requires, so banding is lossless
+# (pigeonhole), pinned in tests/test_dedup_banding.py.
+# --------------------------------------------------------------------------
+DHASH_COLS = 9  # sample grid: 9 columns x 8 rows -> 8x8 = 64 gradient bits
+DHASH_ROWS = 8
+DHASH_BANDS = 4  # 4 x 16-bit band columns (two sample rows per band)
+DHASH_MAX_HAMMING = 3  # < DHASH_BANDS -> the band equi-join is LOSSLESS
+
+
+def dhash_bands(grid) -> tuple[int, int, int, int]:
+    """64-bit dHash of a grayscale pixel matrix as DHASH_BANDS 16-bit band
+    values. Nearest-neighbor downsample to DHASH_ROWS x DHASH_COLS (sample
+    (i, j) reads pixel ((i*h)//8, (j*w)//9) — pure integer index math, so
+    the DuckDB oracle can replay it from the seeding text), then bit
+    (i, j) = sample(i, j) > sample(i, j+1). Band k packs rows 2k and 2k+1:
+    bit index (i - 2k)*8 + j within the band. Bands as separate ints (not
+    one packed 64-bit long) keep bit 63 sign arithmetic out of both
+    engines."""
+    import numpy as np
+
+    h, w = grid.shape
+    rr = (np.arange(DHASH_ROWS) * h) // DHASH_ROWS
+    cc = (np.arange(DHASH_COLS) * w) // DHASH_COLS
+    s = grid[np.ix_(rr, cc)].astype(np.int32)
+    bits = s[:, :-1] > s[:, 1:]  # DHASH_ROWS x (DHASH_COLS-1)
+    weights = 1 << np.arange(DHASH_COLS - 1)
+    row_vals = bits @ weights  # per-sample-row 8-bit values
+    return tuple(
+        int(row_vals[2 * k] + (row_vals[2 * k + 1] << 8))
+        for k in range(DHASH_BANDS)
+    )
+
+
+DHASH_SCHEMA = "doc_id long, ok boolean, b0 long, b1 long, b2 long, b3 long"
+
+
+def image_dhash_payloads(df: DataFrame, decode_pixels=None) -> DataFrame:
+    """Arrow-batched (doc_id, payload) -> (doc_id, ok, b0..b3) dHash stage:
+    a real image decode to the pixel matrix (BMP by default; pass
+    ``png_decode_pixels`` for the compressed modality) followed by the
+    in-worker gradient hash. Malformed payloads quarantine as ok=false —
+    the codec-family discipline."""
+    decode = decode_pixels or bmp_decode_pixels
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    grid = decode(b"" if payload is None else bytes(payload))
+                    rows.append((doc_id, True, *dhash_bands(grid)))
+                except (ValueError, zlib.error):
+                    rows.append((doc_id, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ok", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.mapInPandas(hash_batches, DHASH_SCHEMA)
+
+
+def _dhash_px_sql(i: int, j: int) -> str:
+    """Sampled pixel (i, j) predicted from the seeding ASCII text: the
+    BMP grid is w=min(n,16) wide, ceil(n/w) tall, text bytes row-major,
+    zero-padded — so sample (i, j) is ascii(text[idx+1]) when idx < n
+    else 0, idx = ((i*h)//DHASH_ROWS)*w + ((j*w)//DHASH_COLS)."""
+    idx = f"(({i}*h)//{DHASH_ROWS})*w + (({j}*w)//{DHASH_COLS})"
+    return (
+        f"(CASE WHEN {idx} < n THEN "
+        f"ascii(substr(text, CAST({idx} + 1 AS INT), 1)) ELSE 0 END)"
+    )
+
+
+def _dhash_band_sql(k: int) -> str:
+    terms = []
+    for i2 in range(2):
+        i = 2 * k + i2
+        for j in range(DHASH_COLS - 1):
+            bit = i2 * 8 + j
+            terms.append(
+                f"(CASE WHEN {_dhash_px_sql(i, j)} > {_dhash_px_sql(i, j + 1)} "
+                f"THEN {1 << bit} ELSE 0 END)"
+            )
+    return " + ".join(terms)
+
+
+def _dhash_oracle() -> str:
+    bands = ",\n               ".join(
+        f"CAST({_dhash_band_sql(k)} AS BIGINT) AS b{k}"
+        for k in range(DHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(DHASH_BANDS)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n,
+                   LEAST(length(text), {BMP_WIDTH}) AS w,
+                   (length(text) + LEAST(length(text), {BMP_WIDTH}) - 1)
+                       // LEAST(length(text), {BMP_WIDTH}) AS h
+            FROM documents WHERE length(text) > 0
+        ),
+        g AS (
+            SELECT doc_id,
+               {bands}
+            FROM d
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({ham} AS INT) AS hamming
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE {ham} <= {DHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "dedup_image_phash",
+    tags=("multimodal", "dedup", "pandas-udf"),
+    oracle=_dhash_oracle(),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: documents.text → real grayscale BMP
+    bytes → Arrow batches → REAL pixel-matrix decode → 9x8 nearest-neighbor
+    downsample → 64-bit gradient dHash as 4 x 16-bit band columns → banded
+    hamming-≤3 equi-join (dedup.banded_hamming_pairs — lossless by
+    pigeonhole, the dedup_simhash machinery generalized to band columns).
+
+    The oracle predicts every gradient bit straight from the ASCII text
+    that seeded the pixels (integer index math end to end), so a hash match
+    proves decode + downsample + bit packing are all exact — the codec
+    family's differential discipline applied to the hash, not just the
+    pixel sums.
+
+    Scale shape: encode/decode/hash are narrow mapInPandas over input
+    splits (no shuffle); the sketch frame is 5 ints per image; candidates
+    come from a 4-way band equi-join with emit-on-first-collision (no
+    pair-sized DISTINCT), exactly the plan that holds for SimHash text
+    near-dup at corpus scale. Same-pixel re-encodes collide at hamming 0;
+    small crops/recolors land within the radius."""
+    from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = image_dhash_payloads(
+        encode_bmp_payloads(with_binary_payload(docs).select("doc_id", "payload"))
+    )
+    sketch = sk.filter(F.col("ok")).select("doc_id", "b0", "b1", "b2", "b3")
+    return banded_hamming_pairs(
+        sketch, ["b0", "b1", "b2", "b3"], DHASH_MAX_HAMMING
     )

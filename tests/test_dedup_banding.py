@@ -399,3 +399,68 @@ def test_prefix_filter_differential_adversarial(spark, tmp_path):
     # the corpus must actually exercise the boundary and both extremes
     assert (0, 1) in expected  # J == 0.5 exactly
     assert (len(docs) - 22, len(docs) - 21) in expected  # rare-only pair
+
+
+def test_image_dhash_banding_is_lossless(spark):
+    """dedup_image_phash's 4x16-bit band equi-join must return EXACTLY the
+    hamming<=3 pair set of the quadratic all-pairs ground truth over the
+    same dHash sketch (pigeonhole: max_hamming < n_bands). Also pins the
+    emit-on-first-collision dedup — the banded plan must not emit a pair
+    once per agreeing band."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
+    from dblp_to_csv_spark.operators.multimodal import (
+        DHASH_MAX_HAMMING,
+        encode_bmp_payloads,
+        image_dhash_payloads,
+        with_binary_payload,
+    )
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    sketch = (
+        image_dhash_payloads(
+            encode_bmp_payloads(
+                with_binary_payload(docs).select("doc_id", "payload")
+            )
+        )
+        .filter(F.col("ok"))
+        .select("doc_id", "b0", "b1", "b2", "b3")
+    )
+    banded = _rows(
+        banded_hamming_pairs(sketch, ["b0", "b1", "b2", "b3"], DHASH_MAX_HAMMING)
+    )
+    a, b = sketch.alias("a"), sketch.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    allpairs = _rows(
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+    )
+    assert banded == allpairs
+    assert len(banded) > 0, "fixture too weak: no hamming<=3 image pairs at sf0.01"
+
+
+def test_image_dhash_band_count_exceeds_radius():
+    """The losslessness precondition itself: the banded join is only exact
+    while max_hamming < n_bands, and banded_hamming_pairs refuses lossy
+    configurations outright."""
+    import pytest as _pytest
+
+    from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
+    from dblp_to_csv_spark.operators.multimodal import (
+        DHASH_BANDS,
+        DHASH_MAX_HAMMING,
+    )
+
+    assert DHASH_MAX_HAMMING < DHASH_BANDS
+    with _pytest.raises(ValueError, match="lossy"):
+        banded_hamming_pairs(None, ["b0", "b1"], 2)

@@ -208,3 +208,31 @@ def test_decode_streams_through_readstream(spark, tmp_path):
             assert got.loc[doc_id, "pixel_sum"] == sum(t)
         else:
             assert bool(got.loc[doc_id, "ok"]) is False
+
+
+def test_dhash_identical_across_codecs():
+    """The perceptual hash is a function of the PIXELS, not the container:
+    the same seeding bytes encoded as BMP and as PNG (same 16-wide grid)
+    must decode to the same matrix and therefore the same dHash bands —
+    the cross-codec invariant that makes dedup_image_phash meaningful as
+    'same image modulo re-encode'."""
+    import numpy as np
+
+    from dblp_to_csv_spark.operators.multimodal import (
+        bmp_decode_pixels,
+        bmp_encode_gray,
+        dhash_bands,
+        png_decode_pixels,
+        png_encode_gray,
+    )
+
+    for data in (
+        b"The quick brown fox jumps over the lazy dog 0123456789!",
+        bytes(range(256)),
+        b"x",
+        b"ab" * 40,
+    ):
+        m_bmp = bmp_decode_pixels(bmp_encode_gray(data))
+        m_png = png_decode_pixels(png_encode_gray(data))
+        assert np.array_equal(m_bmp, m_png), f"pixel matrices differ for {data[:16]!r}"
+        assert dhash_bands(m_bmp) == dhash_bands(m_png)
