@@ -342,3 +342,152 @@ def substring_dedup_incremental(
         "h", "prefix"
     ).write.mode("append").partitionBy("prefix").parquet(index_dir)
     return accepted
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental ANN (r13, VERDICT r12 item 7): the persistent-index
+# pattern composed with the IVF coarse quantizer — the continuous-ingest
+# shape of the similarity family. The index is a cell-partitioned parquet
+# vector store plus a k-row centroid table: new vectors PROBE the existing
+# cells (partition-pruned scan, batch side broadcasts), then APPEND under
+# the centroids trained earlier; cells re-train only on the DECLARED
+# trigger (vector count past IVF_RETRAIN_GROWTH x the trained size), never
+# implicitly — an unannounced re-cluster would silently move every
+# historical vector's cell and invalidate external cell references.
+#
+# Determinism: centroid training reuses similarity.kmeans_centroids
+# (md5-min seeds + one 6-dp-rounded Lloyd step) and assignment reuses
+# similarity._nearest (6-dp rounded squared-L2, dist-then-cell tie-break),
+# so index contents are a pure function of the trained corpus, and probe
+# results of (index contents, query batch) — the property the pytest gate
+# pins. Stateful I/O: no DuckDB oracle by design (COVERAGE.md exception).
+# --------------------------------------------------------------------------
+IVF_INDEX_NPROBE = 2
+# Declared retrain trigger: the coarse quantizer was trained on n_trained
+# vectors; once the store holds >= IVF_RETRAIN_GROWTH x that, cell-size
+# balance has drifted enough that the caller should re-train. 2x matches
+# the classic amortized-rebuild rule: total retrain cost stays O(N log N).
+IVF_RETRAIN_GROWTH = 2.0
+
+
+def _ivf_paths(index_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_dir, "centroids"),
+        os.path.join(index_dir, "vectors"),
+        os.path.join(index_dir, "meta"),
+    )
+
+
+def ivf_index_train(
+    spark: SparkSession, vectors: DataFrame, index_dir: str, k: int | None = None
+) -> None:
+    """(Re)train the IVF index from ``vectors`` (vec_id, emb array<double>):
+    deterministic k-means centroids (corpus-scaled k unless pinned), every
+    vector assigned to its nearest cell, store rewritten parquet-partitioned
+    by cell so probes prune to their cells' files. Rebuild is the EXPENSIVE
+    path by design — it runs on the declared trigger, not per batch."""
+    from dblp_to_csv_spark.operators.similarity import _nearest, kmeans_centroids
+
+    cent_path, vec_path, meta_path = _ivf_paths(index_dir)
+    cent = kmeans_centroids(vectors, k)
+    cent.write.mode("overwrite").parquet(cent_path)
+    cent = spark.read.parquet(cent_path)  # train once, assign from the artifact
+    assigned = _nearest(vectors, cent, "cell")
+    vectors.join(assigned, "vec_id").select("vec_id", "emb", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(vec_path)
+    n = spark.read.parquet(vec_path).count()
+    spark.createDataFrame([(n,)], "n_trained long").write.mode(
+        "overwrite"
+    ).parquet(meta_path)
+
+
+def ivf_index_append(
+    spark: SparkSession, new_vectors: DataFrame, index_dir: str
+) -> bool:
+    """Assign ``new_vectors`` to the EXISTING centroids (k-row broadcast, no
+    retrain) and append them to the cell-partitioned store. Returns True
+    when the declared retrain trigger fired — the caller then decides when
+    to run ivf_index_train; the append itself never re-clusters."""
+    from dblp_to_csv_spark.operators.similarity import _nearest
+
+    cent_path, vec_path, meta_path = _ivf_paths(index_dir)
+    cent = spark.read.parquet(cent_path)
+    assigned = _nearest(new_vectors, cent, "cell")
+    new_vectors.join(assigned, "vec_id").select("vec_id", "emb", "cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(vec_path)
+    # parquet row counts come from footers — a metadata read, not a scan
+    n_now = spark.read.parquet(vec_path).count()
+    n_trained = spark.read.parquet(meta_path).first()["n_trained"]
+    return n_now >= IVF_RETRAIN_GROWTH * max(n_trained, 1)
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    top_k: int = 5,
+    nprobe: int = IVF_INDEX_NPROBE,
+) -> DataFrame:
+    """Top-``top_k`` cosine neighbors of each query (vec_id, emb) among the
+    INDEXED vectors, probing each query's ``nprobe`` nearest cells.
+
+    Scale shape: centroids are k rows (broadcast); the query->cell probe map
+    is batch x nprobe rows and BROADCASTS against the store scan, which
+    prunes to the probed cells' partitions (PartitionFilters — plan-asserted
+    in the pytest gate). The store never reshuffles; per-query top-k is a
+    window over the probed candidates only. Self-matches (a query vector
+    already in the index under the same vec_id) are excluded."""
+    from dblp_to_csv_spark.operators.similarity import _dot, _norm, _nearest
+
+    cent_path, vec_path, _ = _ivf_paths(index_dir)
+    cent = spark.read.parquet(cent_path)
+    from pyspark.sql import Window
+
+    d = queries.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "cell",
+        F.round(
+            _dot(F.col("emb"), F.col("emb"))
+            - 2 * _dot(F.col("emb"), F.col("cemb"))
+            + _dot(F.col("cemb"), F.col("cemb")),
+            6,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    probes = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            "cell",
+        )
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    vecs = spark.read.parquet(vec_path).filter(
+        F.col("cell").isin(cells) if cells else F.lit(False)
+    )
+    scored = (
+        vecs.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("emb"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
