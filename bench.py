@@ -114,8 +114,10 @@ PIPELINE_BENCH = [
     "sketch_bottomk_quantiles",
     "sketch_bottomk_quantiles_by_group",
     "dataset_version_diff",
-    # round-13: perceptual image near-dup (dHash + banded hamming join)
+    # round-13: perceptual near-dup for both decoded modalities
+    # (dHash / energy-gradient fingerprint + shared banded hamming join)
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 

@@ -1057,3 +1057,201 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(
         sketch, ["b0", "b1", "b2", "b3"], DHASH_MAX_HAMMING
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual AUDIO near-dup (r13): energy-gradient fingerprint over decoded
+# PCM — the WAV twin of the image dHash, completing the perceptual-dedup
+# family across both decoded modalities. Real audio fingerprinting
+# (Shazam/Chromaprint-style) hashes the sign of energy differences between
+# adjacent analysis windows; with no FFT library in the container the
+# per-window feature is total energy (integer sum of squares — exactly
+# what wav_decode already computes globally), which keeps the whole hash
+# integer-exact and therefore DuckDB-predictable from the seeding text.
+# --------------------------------------------------------------------------
+AUDIO_FP_WINDOWS = 65  # 65 energy windows -> 64 gradient bits
+AUDIO_FP_FRAME = 4  # samples per window: FIXED width, not fixed count —
+# real fingerprints analyze fixed-DURATION windows over a fixed-length
+# clip prefix (Shazam/Chromaprint hash the first seconds), which is also
+# what makes the hash edit-robust: a suffix edit touches only the windows
+# it lands in, while length-proportional windows shift EVERY boundary and
+# scramble all 64 bits for a 1-char insertion (measured on the corpus's
+# built-in near-dups: 0 pairs with proportional windows, ~30 with fixed).
+AUDIO_FP_BANDS = 4  # 4 x 16-bit band columns (banded_hamming_pairs reuse)
+AUDIO_FP_MAX_HAMMING = 3  # < AUDIO_FP_BANDS -> lossless banding
+
+
+def wav_decode_samples(payload: bytes):
+    """REAL RIFF/WAVE parse returning the PCM SAMPLE ARRAY (int64 numpy,
+    channels interleaved) — same chunk-walk validation as ``wav_decode``,
+    which returns summaries; the fingerprint family needs the waveform."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_fields = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size})")
+            fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if fmt_fields is None:
+                raise ValueError("data chunk before fmt chunk")
+            audio_format, n_channels, sample_rate, _, block_align, bits = fmt_fields
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV profile (format={audio_format}, bits={bits})"
+                )
+            if n_channels < 1 or block_align != 2 * n_channels or sample_rate <= 0:
+                raise ValueError("inconsistent fmt fields")
+            n_frames = size // block_align
+            if n_frames == 0:
+                raise ValueError("no audio frames")
+            return np.frombuffer(
+                body[: n_frames * block_align], dtype="<i2"
+            ).astype(np.int64)
+        pos += 8 + size + (size % 2)  # word alignment
+    raise ValueError("no data chunk")
+
+
+def audio_fingerprint_bands(samples) -> tuple[int, int, int, int]:
+    """64-bit energy-gradient fingerprint of a PCM sample array as
+    AUDIO_FP_BANDS 16-bit band values, over the clip's first
+    AUDIO_FP_WINDOWS x AUDIO_FP_FRAME samples: window i covers the FIXED
+    span [i*FRAME, (i+1)*FRAME) (samples past the clip end contribute 0,
+    so short clips leave trailing windows empty — deterministic on both
+    engines), E_i = Σ sample², bit i = E_i > E_{i+1}, band k packs bits
+    16k..16k+15 (bit index i-16k within the band)."""
+    import numpy as np
+
+    n_fp = AUDIO_FP_WINDOWS * AUDIO_FP_FRAME
+    clip = np.zeros(n_fp, dtype=np.int64)
+    head = samples[:n_fp]
+    clip[: len(head)] = head
+    e = (clip * clip).reshape(AUDIO_FP_WINDOWS, AUDIO_FP_FRAME).sum(axis=1)
+    bits = e[:-1] > e[1:]
+    weights = 1 << np.arange(16)
+    return tuple(
+        int(bits[16 * k : 16 * (k + 1)] @ weights) for k in range(AUDIO_FP_BANDS)
+    )
+
+
+AUDIO_FP_SCHEMA = "doc_id long, ok boolean, b0 long, b1 long, b2 long, b3 long"
+
+
+def audio_fingerprint_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched (doc_id, payload) -> (doc_id, ok, b0..b3): real WAV
+    parse to the waveform, then the in-worker energy-gradient hash.
+    Malformed payloads quarantine as ok=false."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples = wav_decode_samples(
+                        b"" if payload is None else bytes(payload)
+                    )
+                    rows.append((doc_id, True, *audio_fingerprint_bands(samples)))
+                except ValueError:
+                    rows.append((doc_id, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ok", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.mapInPandas(fp_batches, AUDIO_FP_SCHEMA)
+
+
+def _afp_energy_sql(i: int) -> str:
+    """Window i's energy predicted from the seeding ASCII text: sample p is
+    (ascii(text[p+1]) - 128) * 256, so E_i sums 65536*(ascii-128)^2 over
+    the fixed span p in [i*FRAME, min((i+1)*FRAME, n))."""
+    lo = i * AUDIO_FP_FRAME
+    hi = (i + 1) * AUDIO_FP_FRAME
+    # BIGINT from the first factor: ascii() of an astral-plane codepoint is
+    # ~1.1e5, whose square overflows DuckDB's INT32 multiply (unicode sweep)
+    v = "(ascii(substr(text, CAST(p + 1 AS INT), 1)) - 128)"
+    return (
+        f"COALESCE(list_sum(list_transform(range({lo}, LEAST({hi}, n)), "
+        f"p -> CAST(65536 AS BIGINT) * {v} * {v})), 0)"
+    )
+
+
+def _afp_oracle() -> str:
+    energies = ",\n                   ".join(
+        f"CAST({_afp_energy_sql(i)} AS BIGINT) AS e{i}"
+        for i in range(AUDIO_FP_WINDOWS)
+    )
+    band_exprs = []
+    for k in range(AUDIO_FP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN e{16 * k + j} > e{16 * k + j + 1} THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        band_exprs.append(f"CAST({bits} AS BIGINT) AS b{k}")
+    bands = ",\n               ".join(band_exprs)
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(AUDIO_FP_BANDS)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE length(text) > 0
+        ),
+        en AS (
+            SELECT doc_id,
+                   {energies}
+            FROM d
+        ),
+        g AS (
+            SELECT doc_id,
+               {bands}
+            FROM en
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({ham} AS INT) AS hamming
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE {ham} <= {AUDIO_FP_MAX_HAMMING}
+    """
+
+
+@register(
+    "dedup_audio_fingerprint",
+    tags=("multimodal", "dedup", "pandas-udf"),
+    oracle=_afp_oracle(),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs: documents.text → real 16-bit PCM
+    WAV bytes → Arrow batches → REAL RIFF chunk-walk decode to the
+    waveform → 65 fixed-width energy windows over the clip prefix (the
+    fixed-duration-analysis rule; see AUDIO_FP_FRAME) → 64-bit
+    energy-gradient fingerprint as 4 x 16-bit band columns → banded
+    hamming-≤3 equi-join
+    (dedup.banded_hamming_pairs — lossless by pigeonhole). The audio twin
+    of dedup_image_phash: together they cover perceptual near-dup for both
+    decoded modalities with one shared candidate-join plan.
+
+    The oracle predicts every window energy (integer sum of squares)
+    straight from the seeding ASCII text, so a hash match proves chunk
+    walk, sample extraction, window arithmetic, and bit packing are all
+    exact. Scale shape: encode/decode/hash are narrow mapInPandas (no
+    shuffle); candidates via the 4-band equi-join with
+    emit-on-first-collision — the SimHash plan."""
+    from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = audio_fingerprint_payloads(
+        encode_wav_payloads(with_binary_payload(docs).select("doc_id", "payload"))
+    )
+    sketch = sk.filter(F.col("ok")).select("doc_id", "b0", "b1", "b2", "b3")
+    return banded_hamming_pairs(
+        sketch, ["b0", "b1", "b2", "b3"], AUDIO_FP_MAX_HAMMING
+    )

@@ -464,3 +464,51 @@ def test_image_dhash_band_count_exceeds_radius():
     assert DHASH_MAX_HAMMING < DHASH_BANDS
     with _pytest.raises(ValueError, match="lossy"):
         banded_hamming_pairs(None, ["b0", "b1"], 2)
+
+
+def test_audio_fingerprint_banding_is_lossless(spark):
+    """dedup_audio_fingerprint's banded join equals the quadratic all-pairs
+    ground truth over the same energy-gradient sketch (hamming<=3 < 4
+    bands)."""
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
+    from dblp_to_csv_spark.operators.multimodal import (
+        AUDIO_FP_MAX_HAMMING,
+        audio_fingerprint_payloads,
+        encode_wav_payloads,
+        with_binary_payload,
+    )
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    sketch = (
+        audio_fingerprint_payloads(
+            encode_wav_payloads(
+                with_binary_payload(docs).select("doc_id", "payload")
+            )
+        )
+        .filter(F.col("ok"))
+        .select("doc_id", "b0", "b1", "b2", "b3")
+    )
+    banded = _rows(
+        banded_hamming_pairs(
+            sketch, ["b0", "b1", "b2", "b3"], AUDIO_FP_MAX_HAMMING
+        )
+    )
+    a, b = sketch.alias("a"), sketch.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    allpairs = _rows(
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAMMING)
+    )
+    assert banded == allpairs
+    assert len(banded) > 0, "fixture too weak: no hamming<=3 audio pairs at sf0.01"

@@ -150,3 +150,56 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in, but gate anyway
     pass
+
+
+def test_samples_match_decode_summary():
+    """wav_decode_samples is the same parse as wav_decode: summaries derived
+    from the returned waveform must equal wav_decode's own fields."""
+    import numpy as np
+
+    from dblp_to_csv_spark.operators.multimodal import (
+        wav_decode,
+        wav_decode_samples,
+        wav_encode_pcm16,
+    )
+
+    for data in (b"hello world audio", bytes(range(1, 200)), b"x"):
+        payload = wav_encode_pcm16(data)
+        _, _, n_frames, _, sum_sq, peak_abs, first = wav_decode(payload)
+        s = wav_decode_samples(payload)
+        assert len(s) == n_frames
+        assert int((s * s).sum()) == sum_sq
+        assert int(np.abs(s).max()) == peak_abs
+        assert int(s[0]) == first
+
+
+def test_fingerprint_edit_robustness_is_local():
+    """The fixed-width-window design contract: a SUFFIX edit flips only the
+    gradient bits whose windows the edit touches (near-dups stay within the
+    hamming radius), and an identical clip re-encoded hashes identically.
+    Length-proportional windows would scramble all 64 bits here — the
+    failure mode AUDIO_FP_FRAME documents."""
+    from dblp_to_csv_spark.operators.multimodal import (
+        AUDIO_FP_MAX_HAMMING,
+        audio_fingerprint_bands,
+        wav_decode_samples,
+        wav_encode_pcm16,
+    )
+
+    # 250 bytes: the whole clip sits INSIDE the 260-sample fingerprinted
+    # prefix, so a tail edit lands in the last couple of windows
+    base = (b"The quick brown fox jumps over the lazy dog. " * 6)[:250]
+    fp = lambda d: audio_fingerprint_bands(wav_decode_samples(wav_encode_pcm16(d)))
+    assert fp(base) == fp(base)
+    edited = base[:-8] + b"NEWTAIL!!"  # length +1, tail content changed
+    ham = sum(
+        bin(a ^ b).count("1") for a, b in zip(fp(base), fp(edited))
+    )
+    assert 0 < ham <= AUDIO_FP_MAX_HAMMING, ham
+    # an edit PAST the fingerprinted prefix is invisible by design (the
+    # fixed-duration-clip rule): hash equality, not merely small hamming
+    long_base = base * 2  # 500 bytes > 260-sample prefix
+    assert fp(long_base) == fp(long_base[:-5] + b"XXXXX")
+    # a MID-clip insertion shifts everything after it: allowed to exceed
+    # the radius (documented limitation — alignment robustness needs
+    # overlap/constellation schemes, not a 64-bit sketch)

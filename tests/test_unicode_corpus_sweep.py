@@ -117,6 +117,12 @@ ASCII_DOMAIN_ORACLES = {
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_metadata",
+    # r13 perceptual hashes: same seeding contract (payload = UTF-8 BYTES,
+    # oracle arithmetic = codepoints — equal only on ASCII); the hash
+    # machinery itself is byte-exact on arbitrary payloads (cross-codec +
+    # losslessness pins in test_dedup_banding.py / test_multimodal_wav.py)
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
 }
 
 DOC_QUERIES = sorted(
