@@ -512,3 +512,22 @@ def test_audio_fingerprint_banding_is_lossless(spark):
     )
     assert banded == allpairs
     assert len(banded) > 0, "fixture too weak: no hamming<=3 audio pairs at sf0.01"
+
+
+def test_perceptual_hash_plans_have_no_nested_loop(spark):
+    """Both r13 perceptual near-dup queries must plan their candidate join
+    as an equi-join on (band_idx, band_val) — never a nested loop / cross
+    product (the banded machinery's whole point)."""
+    from dblp_to_csv_spark.registry import all_queries
+
+    q = all_queries()
+    for name in ("dedup_image_phash", "dedup_audio_fingerprint"):
+        plan = (
+            q[name].fn(spark, SF_CORRECTNESS)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
