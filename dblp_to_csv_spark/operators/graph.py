@@ -1548,3 +1548,173 @@ def graph_label_propagation(
         )
     finally:
         und_u.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Power-law stress graph (ROADMAP 17). The co-part graph the family above
+# runs on is near-uniform (sf0.1: p50 degree 115, max 222), so the (deg, id)
+# orientation — the thing that makes distributed triangle counting survive
+# real power-law graphs — was never exercised where it matters. This derives
+# a DETERMINISTIC hub graph from lineitem: each row contributes one edge
+# whose endpoints are md5-uniform 16-bit draws pushed through x² scaling
+# (node = (h·h) DIV 2^20 ∈ [0, 4096), pdf ∝ 1/√x), giving hubs at low node
+# ids — measured sf0.01: max degree 1100 vs median 16; sf0.1: 3764 vs 151.
+# Integer-exact on both engines (h < 2^16 so h² < 2^32 — no float anywhere),
+# same md5-uniform idiom as the curation family (operators/curation.py:246).
+# The query returns the skew evidence itself: naive wedge count Σ C(deg,2)
+# vs oriented Σ C(outdeg,2) — sf0.01: 2,547,331 vs 235,599 (10.8× less work)
+# — plus the exact triangle total through the SAME degree-oriented
+# enumeration (triangle_counts) the co-part family uses.
+
+_PL_NODE_DIV = 1_048_576  # (h*h) DIV 2^20 → node ids in [0, 4096)
+
+
+def powerlaw_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Distinct undirected hub-graph edges (u < v), same _ARTIFACT_CACHE
+    checkpoint policy as copart_edges (≥3 consumers per query: degrees,
+    orientation sides, closing probe, plus the gate count)."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    key = _cache_key(spark, "powerlaw_edges", sf_dir, checkpoint_dir)
+    if checkpoint and key in _ARTIFACT_CACHE:
+        return spark.read.parquet(_ARTIFACT_CACHE[key])
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    k = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+
+    def h16(salt: str):
+        # first 4 md5 hex chars → [0, 2^16); integer-exact twin of the
+        # oracle's ('0x' || substr(md5(...), 1, 4))::BIGINT
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), k)), 1, 4), 16, 10
+        ).cast("long")
+
+    nodes = li.select(h16("pls|").alias("hs"), h16("pld|").alias("hd")).select(
+        F.expr(f"CAST((hs*hs) DIV {_PL_NODE_DIV} AS BIGINT)").alias("a"),
+        F.expr(f"CAST((hd*hd) DIV {_PL_NODE_DIV} AS BIGINT)").alias("b"),
+    )
+    edges = (
+        nodes.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    if not checkpoint:
+        return edges
+    path = os.path.join(checkpoint_base(spark, checkpoint_dir, "_plaw_"), "edges")
+    edges.write.mode("overwrite").parquet(path)
+    _ARTIFACT_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+_PL_RAW_SQL = """
+        raw AS (
+            SELECT ('0x' || substr(md5('pls|' || CAST(l_orderkey AS VARCHAR)
+                        || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT AS hs,
+                   ('0x' || substr(md5('pld|' || CAST(l_orderkey AS VARCHAR)
+                        || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT AS hd
+            FROM lineitem
+        ),
+        ed AS (
+            SELECT LEAST((hs*hs)//1048576, (hd*hd)//1048576) AS u,
+                   GREATEST((hs*hs)//1048576, (hd*hd)//1048576) AS v
+            FROM raw
+        ),
+        e AS (SELECT DISTINCT u, v FROM ed WHERE u < v)
+"""
+
+
+@register(
+    "graph_triangle_powerlaw",
+    tags=("graph", "join"),
+    oracle=f"""
+        WITH {_PL_RAW_SQL},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node
+        ),
+        odeg AS (
+            SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+                   COUNT(*) AS od
+            FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(MAX(deg) AS BIGINT) FROM deg) AS max_degree,
+               (SELECT CAST(SUM((deg*(deg-1))//2) AS BIGINT) FROM deg) AS naive_wedges,
+               (SELECT CAST(SUM((od*(od-1))//2) AS BIGINT) FROM odeg) AS oriented_wedges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles
+    """,
+)
+def graph_triangle_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on a genuinely power-law graph (hub skew ~70:1 at
+    sf0.01) through the SAME degree-oriented machinery as the co-part
+    family, returning the skew evidence as columns: naive Σ C(deg,2) vs
+    oriented Σ C(outdeg,2) wedge counts (the work a naive vs oriented
+    enumeration would shuffle) plus the exact triangle total. One summary
+    row, all BIGINT — the oracle enumerates triangles id-ordered (a
+    different orientation), pinning that the (deg, id) physical strategy
+    is semantics-free. ROADMAP 17: the co-part graph is near-uniform, so
+    this is where the orientation's O(sqrt(m)) out-degree bound is
+    actually load-bearing."""
+    e0 = powerlaw_edges(spark, sf_dir)
+    deg = degrees(e0)
+    tri = triangle_counts(spark, sf_dir, e0=e0, deg=deg)
+
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.sum(F.expr("(deg*(deg-1)) DIV 2")).cast("long").alias("naive_wedges"),
+    )
+    edge_cnt = e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # oriented out-degrees under the identical (deg, id) orientation
+    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u")))
+    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v")))
+    fwd = F.struct("deg_u", "u") < F.struct("deg_v", "v")
+    owedges = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(
+            F.sum(F.expr("(od*(od-1)) DIV 2"))
+            .cast("long")
+            .alias("oriented_wedges")
+        )
+    )
+    tri_total = tri.agg(
+        F.expr("CAST(COALESCE(SUM(n_triangles), 0) DIV 3 AS BIGINT)").alias(
+            "n_triangles"
+        )
+    )
+    # 1-row aggregate frames — the established tiny-crossJoin composite shape
+    return (
+        deg_stats.crossJoin(edge_cnt)
+        .crossJoin(owedges)
+        .crossJoin(tri_total)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "naive_wedges",
+            "oriented_wedges",
+            "n_triangles",
+        )
+    )

@@ -582,3 +582,102 @@ def test_graph_report_warm_path_reuses_artifacts(spark):
         f"warm graph_report took {warm:.2f}s vs cold {cold:.2f}s — "
         "the warm path should only pay the final joins"
     )
+
+
+# --- power-law stress graph (ROADMAP 17) -----------------------------------
+
+_PL_EDGE_SQL = """
+    WITH raw AS (
+      SELECT ('0x'||substr(md5('pls|'||CAST(l_orderkey AS VARCHAR)||'|'
+                 ||CAST(l_linenumber AS VARCHAR)),1,4))::BIGINT AS hs,
+             ('0x'||substr(md5('pld|'||CAST(l_orderkey AS VARCHAR)||'|'
+                 ||CAST(l_linenumber AS VARCHAR)),1,4))::BIGINT AS hd
+      FROM read_parquet('{sf}/lineitem.parquet')
+    ), ed AS (
+      SELECT LEAST((hs*hs)//1048576,(hd*hd)//1048576) AS u,
+             GREATEST((hs*hs)//1048576,(hd*hd)//1048576) AS v
+      FROM raw
+    )
+    SELECT DISTINCT u, v FROM ed WHERE u < v
+"""
+
+
+def _pl_edges(sf_dir: str) -> list[tuple[int, int]]:
+    return duckdb.sql(_PL_EDGE_SQL.format(sf=sf_dir)).fetchall()
+
+
+def test_powerlaw_graph_stays_skewed():
+    """The whole point of the fixture is hub skew — if a driver testdata
+    regeneration ever flattened it, the query would silently stop testing
+    the orientation where it matters. Pin max/median degree ≥ 10 and the
+    oriented wedge count at least 5× below naive at the correctness SF."""
+    edges = _pl_edges(SF_CORRECTNESS)
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    degs = sorted(deg.values())
+    med = degs[len(degs) // 2]
+    assert max(degs) >= 10 * med, (max(degs), med)
+    naive = sum(d * (d - 1) // 2 for d in degs)
+    od = defaultdict(int)
+    for u, v in edges:
+        s = u if (deg[u], u) < (deg[v], v) else v
+        od[s] += 1
+    oriented = sum(d * (d - 1) // 2 for d in od.values())
+    assert 5 * oriented <= naive, (oriented, naive)
+
+
+def test_powerlaw_oriented_outdegree_bound():
+    """The theorem the orientation rests on: under (deg, id) orientation
+    every out-degree is ≤ sqrt(2m) (an out-neighbor outranks its source,
+    so out-deg > sqrt(2m) would force 2m < sum of degrees). This is the
+    O(sqrt(m)) wedge fan-out bound that survives 100× scale-up."""
+    edges = _pl_edges(SF_CORRECTNESS)
+    m = len(edges)
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    od = defaultdict(int)
+    for u, v in edges:
+        s = u if (deg[u], u) < (deg[v], v) else v
+        od[s] += 1
+    assert max(od.values()) <= int((2 * m) ** 0.5) + 1, (max(od.values()), m)
+
+
+def test_powerlaw_triangles_match_pure_python(spark):
+    """Third-implementation pin at sf0.001: adjacency-set intersection
+    triangle count agrees with the Spark degree-oriented enumeration
+    (the oracle's id-ordered enumeration is the second — parity suite)."""
+    edges = _pl_edges(SF_SMOKE)
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    total = sum(len(adj[u] & adj[v]) for u, v in edges) // 3
+    row = (
+        all_queries()["graph_triangle_powerlaw"]
+        .fn(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    assert row["n_triangles"] == total
+    assert row["n_edges"] == len(edges)
+
+
+def test_powerlaw_triangle_stage_stays_equijoin(spark):
+    """The heavy stage (wedge generation + closing probe over the hub
+    graph) must stay equi-joins; the 1-row summary crossJoins are the
+    composite's established tiny-frame shape and are excluded by gating
+    the compute frame, not the report frame."""
+    from dblp_to_csv_spark.operators.graph import (
+        degrees,
+        powerlaw_edges,
+        triangle_counts,
+    )
+
+    e0 = powerlaw_edges(spark, SF_SMOKE)
+    tri = triangle_counts(spark, SF_SMOKE, e0=e0, deg=degrees(e0))
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
