@@ -1672,7 +1672,15 @@ def graph_triangle_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     different orientation), pinning that the (deg, id) physical strategy
     is semantics-free. ROADMAP 17: the co-part graph is near-uniform, so
     this is where the orientation's O(sqrt(m)) out-degree bound is
-    actually load-bearing."""
+    actually load-bearing.
+
+    Fixture contract: the node domain is FIXED at 4096, so density (not
+    node count) scales with SF — sf0.001 is sparse (41 triangles), sf0.01
+    is the skew-dominated regime this query exists for (70:1 hubs), sf0.1
+    is dense (~5% of all pairs). A production corpus would scale the node
+    domain with the data (pick a larger power-of-two divisor); the fixed
+    domain is what keeps the oracle's id-ordered enumeration cheap at the
+    driver's correctness SF."""
     e0 = powerlaw_edges(spark, sf_dir)
     deg = degrees(e0)
     tri = triangle_counts(spark, sf_dir, e0=e0, deg=deg)

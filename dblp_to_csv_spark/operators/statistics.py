@@ -99,6 +99,67 @@ def salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_join_salted_events",
+    tags=("join", "skew"),
+    oracle="""
+        WITH f AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                        ELSE 1 + (event_id % 99) END AS hot_key,
+                   value
+            FROM events
+        ),
+        d AS (
+            SELECT p_partkey % 100 AS dk, MIN(p_name) AS dim_label
+            FROM part GROUP BY 1
+        )
+        SELECT f.hot_key, d.dim_label,
+               COUNT(*) AS n_events,
+               ROUND(SUM(f.value), 4) AS sum_value
+        FROM f JOIN d ON d.dk = f.hot_key
+        GROUP BY 1, 2
+    """,
+)
+def skew_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant SALTED JOIN — the compile-time counterpart of the AQE
+    runtime split (tests/test_skew_join.py) for when the build side is too
+    big to broadcast: the fact side's hot key (half of all events map to
+    key 0 by construction) gets a uniform 16-way salt, and the dim side is
+    replicated across all 16 salt values, so the shuffle keys become
+    (key, salt) and no reducer ever receives a whole hot key. Same result
+    as the plain join (the oracle), different shuffle profile.
+
+    At this test scale the 100-row dim would simply broadcast (making
+    salting moot), so the join carries an explicit merge hint to force the
+    shuffle plan the technique exists for — the plan gate in
+    tests/test_skew_join.py asserts SortMergeJoin on (key, salt). At 100 TB
+    the dim side is a replicated-16× table keyed the same way; replication
+    factor trades shuffle balance for build-side size exactly like
+    salted_agg_event_types' 16 partials."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(1 + F.col("event_id") % 99)
+        .alias("hot_key"),
+        (F.col("event_id") % 16).alias("salt"),
+        "value",
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 100).alias("dk"))
+        .agg(F.min("p_name").alias("dim_label"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    )
+    joined = fact.join(
+        dim.hint("merge"),
+        (fact["hot_key"] == dim["dk"]) & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy("hot_key", "dim_label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
     "rank_functions_suppliers",
     tags=("window", "rank"),
     oracle="""
