@@ -491,3 +491,176 @@ def ivf_index_probe(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle maintenance (continuous-ingest shape for the GRAPH
+# family — the same move ivf_index_* makes for similarity): a 100 TB edge
+# stream is not re-triangle-counted per batch. The store keeps the
+# symmetrized adjacency parquet-partitioned by source-node bucket plus a
+# running (n_edges, n_triangles) meta; each batch counts ONLY the triangles
+# it completes (standard delta counting: a triangle in G∪B that touches B
+# has its common-neighbor wedge probed from the batch edge, per-batch cost
+# ∝ |batch| × degree — never corpus-sized), then appends. Triangles closed
+# by MORE than one batch edge are counted exactly once via canonical-
+# minimum-new-edge ownership. Stateful I/O — pytest-gated
+# (tests/test_incremental_triangles.py), no oracle by design; the batch
+# ground truth is operators/graph.py triangle_counts (oracle-checked).
+
+TRI_STORE_BUCKETS = 64
+
+
+def _tri_paths(index_dir: str) -> tuple[str, str]:
+    return os.path.join(index_dir, "adj"), os.path.join(index_dir, "meta")
+
+
+def _tri_canonical(edges: DataFrame) -> DataFrame:
+    """Distinct canonical (u < v) simple edges; self-loops dropped."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _tri_sym(edges: DataFrame) -> DataFrame:
+    """Both-direction adjacency rows with the store's bucket column."""
+    fwd = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    rev = edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    return fwd.unionByName(rev).withColumn(
+        "sb", F.pmod(F.col("src"), F.lit(TRI_STORE_BUCKETS)).cast("int")
+    )
+
+
+def _tri_write_meta(spark: SparkSession, meta_path: str, n_edges: int, n_tri: int) -> None:
+    spark.createDataFrame(
+        [(int(n_edges), int(n_tri))], "n_edges long, n_triangles long"
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def triangle_store_init(
+    spark: SparkSession, edges: DataFrame, index_dir: str
+) -> tuple[int, int]:
+    """Initialize the edge store from ``edges`` (u, v — any orientation,
+    duplicates tolerated) and compute the starting triangle total through
+    the oracle-checked batch machinery. Returns (n_edges, n_triangles)."""
+    from dblp_to_csv_spark.operators.graph import degrees, triangle_counts
+
+    adj_path, meta_path = _tri_paths(index_dir)
+    canon = _tri_canonical(edges)
+    _tri_sym(canon).write.mode("overwrite").partitionBy("sb").parquet(adj_path)
+    # recount from the store artifact so init and append read the same bytes
+    store = spark.read.parquet(adj_path)
+    canon_store = store.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    n_edges = canon_store.count()
+    tri = triangle_counts(spark, "", e0=canon_store, deg=degrees(canon_store))
+    row = tri.agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("s")
+    ).first()
+    n_tri = int(row["s"]) // 3
+    _tri_write_meta(spark, meta_path, n_edges, n_tri)
+    return n_edges, n_tri
+
+
+def triangle_store_append(
+    spark: SparkSession, new_edges: DataFrame, index_dir: str
+) -> tuple[int, int, int]:
+    """Count the triangles ``new_edges`` completes against the store (plus
+    among themselves), append them, and roll the meta forward. Returns
+    (added_edges, added_triangles, new_total).
+
+    Scale shape: the batch broadcasts everywhere; the store scan prunes to
+    the batch endpoints' buckets (PartitionFilters — plan-asserted in the
+    pytest gate) and is never reshuffled wholesale. A triangle whose three
+    edges include 2 or 3 batch edges is owned by its canonically-smallest
+    batch edge, so the per-edge wedge probes never double-count."""
+    adj_path, meta_path = _tri_paths(index_dir)
+    batch = _tri_canonical(new_edges)
+
+    # Drop edges the store already has: prune the store scan to the batch's
+    # source buckets, inner-join against the broadcast batch to find the
+    # existing subset (batch-sized), then anti-join batch against it.
+    buckets = sorted(
+        {
+            int(b)
+            for r in batch.select("u", "v").collect()
+            for b in (r["u"] % TRI_STORE_BUCKETS, r["v"] % TRI_STORE_BUCKETS)
+        }
+    )
+    store = spark.read.parquet(adj_path)
+    pruned = store.filter(
+        F.col("sb").isin(buckets) if buckets else F.lit(False)
+    )
+    existing = pruned.filter(F.col("src") < F.col("dst")).join(
+        F.broadcast(batch),
+        (F.col("src") == F.col("u")) & (F.col("dst") == F.col("v")),
+        "left_semi",
+    )
+    fresh = batch.join(
+        F.broadcast(existing.select(F.col("src").alias("u"), F.col("dst").alias("v"))),
+        ["u", "v"],
+        "left_anti",
+    )
+    # fresh is batch-sized: stage it driver-side once — it seeds broadcasts
+    # below and the final append, and must not re-evaluate against a store
+    # that meanwhile grew (the read-your-own-append hazard, same rule as
+    # exact_dedup_incremental's staging).
+    fresh_rows = [(r["u"], r["v"]) for r in fresh.collect()]
+    added_edges = len(fresh_rows)
+    meta = spark.read.parquet(meta_path).first()
+    if added_edges == 0:
+        return 0, 0, int(meta["n_triangles"])
+    freshb = spark.createDataFrame(fresh_rows, "u long, v long")
+
+    # Union adjacency the wedge probes see: pruned store + the fresh batch
+    # itself (triangles with 2-3 new edges need the new neighbors too).
+    adj = pruned.select("src", "dst").unionByName(
+        _tri_sym(freshb).select("src", "dst")
+    )
+    j1 = adj.join(
+        F.broadcast(freshb), adj["src"] == freshb["u"]
+    ).select("u", "v", F.col("dst").alias("w")).filter(F.col("w") != F.col("v"))
+    j2 = adj.join(
+        F.broadcast(freshb.withColumnRenamed("u", "u2")),
+        adj["src"] == F.col("v"),
+    ).select(
+        F.col("u2").alias("u"), "v", F.col("dst").alias("w")
+    ).filter(
+        F.col("w") != F.col("u")
+    )
+    wedges = j1.join(j2, ["u", "v", "w"])
+
+    # Ownership: count (u,v,w) only if neither other edge of the triangle
+    # is a FRESH edge that canonically precedes (u,v).
+    f_e = F.struct(
+        F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+    )
+    g_e = F.struct(
+        F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+    )
+    self_e = F.struct(F.col("u").alias("a"), F.col("v").alias("b"))
+    fset = F.broadcast(
+        freshb.select(
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")).alias("fe")
+        )
+    )
+    wf = (
+        wedges.join(fset, fset["fe"] == f_e, "left")
+        .withColumn("f_pre", F.col("fe").isNotNull() & (F.col("fe") < self_e))
+        .drop("fe")
+        .join(fset, fset["fe"] == g_e, "left")
+        .withColumn("g_pre", F.col("fe").isNotNull() & (F.col("fe") < self_e))
+        .drop("fe")
+    )
+    added_tri = wf.filter(~F.col("f_pre") & ~F.col("g_pre")).count()
+
+    _tri_sym(freshb).write.mode("append").partitionBy("sb").parquet(adj_path)
+    new_total = int(meta["n_triangles"]) + added_tri
+    _tri_write_meta(
+        spark, meta_path, int(meta["n_edges"]) + added_edges, new_total
+    )
+    return added_edges, added_tri, new_total
