@@ -507,6 +507,11 @@ def ivf_index_probe(
 # (tests/test_incremental_triangles.py), no oracle by design; the batch
 # ground truth is operators/graph.py triangle_counts (oracle-checked).
 
+# Store partition count: like _PREFIX_LEN this is a test-scale setting —
+# size it so (expected batch endpoint count) << buckets << (store rows /
+# healthy-file-size); at billions of nodes this is thousands of buckets
+# (or two-level node-range partitioning), and the probe's per-batch
+# pruning ratio is what the setting buys.
 TRI_STORE_BUCKETS = 64
 
 
