@@ -669,3 +669,246 @@ def triangle_store_append(
         spark, meta_path, int(meta["n_edges"]) + added_edges, new_total
     )
     return added_edges, added_tri, new_total
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (the missing stage of the STREAMING
+# near-dup chain: minhash_dedup_incremental yields candidate pairs per
+# batch, but clustering was batch-only). The store keeps a (node, root)
+# membership table parquet-partitioned by node bucket, a small ROOT-MERGE
+# map (old_root -> new_root), and meta. An append never touches the
+# corpus-sized membership: it probes the batch endpoints' buckets, runs
+# union-find over the BATCH edges on their resolved roots (batch-sized,
+# driver-side — the same _union_find_components kernel the batch CC
+# finisher uses), appends new nodes, and records root merges lazily in the
+# merge map. Members of a merged component are NOT relabelled per batch —
+# lookups compose the merge map (merge-event-sized, bounded by the
+# declared compaction trigger); cc_store_compact is the declared expensive
+# path that rewrites membership with resolved roots and empties the map —
+# the amortized-rebuild rule, same as IVF_RETRAIN_GROWTH. Root contract
+# matches the batch operator exactly: component = MIN node id.
+
+CC_STORE_BUCKETS = 64
+# Declared compaction trigger: once merge events since the last compaction
+# reach this fraction of tracked nodes, lookups pay a noticeable chain and
+# the caller should compact. Amortized: total compaction cost stays
+# O(N log N) like the IVF retrain rule.
+CC_COMPACT_FRACTION = 0.25
+
+
+def _cc_paths(index_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_dir, "members"),
+        os.path.join(index_dir, "merges"),
+        os.path.join(index_dir, "meta"),
+    )
+
+
+def _cc_bucket(col):
+    return F.pmod(col, F.lit(CC_STORE_BUCKETS)).cast("int")
+
+
+def _cc_write_meta(spark, meta_path, n_nodes: int, n_merges: int) -> None:
+    spark.createDataFrame(
+        [(int(n_nodes), int(n_merges))], "n_nodes long, n_merges long"
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def _cc_merge_dict(spark, merges_path) -> dict:
+    """The composed (old_root -> final_root) map, path-compressed. Its size
+    is the number of merge EVENTS since the last compaction — the declared
+    driver-side state, bounded by the compaction trigger (the same budget
+    class as the IVF meta and the Bloom word fold)."""
+    m = {
+        r["old_root"]: r["new_root"]
+        for r in spark.read.parquet(merges_path).collect()
+    }
+
+    def find(x):
+        seen = []
+        while x in m:
+            seen.append(x)
+            x = m[x]
+        for s in seen:
+            m[s] = x
+        return x
+
+    for k in list(m):
+        find(k)
+    return m
+
+
+def cc_store_init(spark: SparkSession, edges: DataFrame, index_dir: str) -> int:
+    """Initialize membership from ``edges`` (u, v) through the batch
+    union-find kernel (component = min node id — the oracle-checked batch
+    contract). Singletons are not tracked, matching the batch operator.
+    Returns the tracked node count."""
+    mem_path, mrg_path, meta_path = _cc_paths(index_dir)
+    from dblp_to_csv_spark.operators.dedup import _cc_local_finish
+
+    pairs = (
+        edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    labels = _cc_local_finish(pairs).select(
+        F.col("doc_id").alias("node"), F.col("component").alias("root")
+    )
+    labels.withColumn("nb", _cc_bucket(F.col("node"))).write.mode(
+        "overwrite"
+    ).partitionBy("nb").parquet(mem_path)
+    n = spark.read.parquet(mem_path).count()
+    spark.createDataFrame([], "old_root long, new_root long").write.mode(
+        "overwrite"
+    ).parquet(mrg_path)
+    _cc_write_meta(spark, meta_path, n, 0)
+    return n
+
+
+def cc_store_append(
+    spark: SparkSession, edges: DataFrame, index_dir: str
+) -> tuple[int, int, bool]:
+    """Fold a batch of edges into the store. Returns (new_nodes_added,
+    merge_events_recorded, compaction_trigger_fired). Never scans the
+    membership table beyond the batch endpoints' buckets."""
+    mem_path, mrg_path, meta_path = _cc_paths(index_dir)
+    batch = [
+        (int(r["u"]), int(r["v"]))
+        for r in edges.select("u", "v").distinct().collect()
+        if r["u"] != r["v"]
+    ]
+    meta = spark.read.parquet(meta_path).first()
+    if not batch:
+        return 0, 0, False
+    endpoints = sorted({n for e in batch for n in e})
+    buckets = sorted({n % CC_STORE_BUCKETS for n in endpoints})
+    known = {
+        r["node"]: r["root"]
+        for r in spark.read.parquet(mem_path)
+        .filter(F.col("nb").isin(buckets))
+        .join(
+            F.broadcast(
+                spark.createDataFrame([(n,) for n in endpoints], "node long")
+            ),
+            "node",
+            "left_semi",
+        )
+        .collect()
+    }
+    mdict = _cc_merge_dict(spark, mrg_path)
+    resolved = {n: mdict.get(r, r) for n, r in known.items()}
+
+    # Union-find over batch edges on resolved roots; union by MIN root.
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def add(x):
+        if x not in parent:
+            parent[x] = x
+
+    for u, v in batch:
+        ru = resolved.get(u, u)
+        rv = resolved.get(v, v)
+        add(ru)
+        add(rv)
+        ra, rb = find(ru), find(rv)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    new_rows = [
+        (n, find(resolved.get(n, n))) for n in endpoints if n not in known
+    ]
+    merge_rows = [
+        (r, find(r))
+        for r in {resolved[n] for n in known}
+        if find(r) != r
+    ]
+    if new_rows:
+        spark.createDataFrame(new_rows, "node long, root long").withColumn(
+            "nb", _cc_bucket(F.col("node"))
+        ).write.mode("append").partitionBy("nb").parquet(mem_path)
+    if merge_rows:
+        spark.createDataFrame(
+            merge_rows, "old_root long, new_root long"
+        ).write.mode("append").parquet(mrg_path)
+    n_nodes = int(meta["n_nodes"]) + len(new_rows)
+    n_merges = int(meta["n_merges"]) + len(merge_rows)
+    _cc_write_meta(spark, meta_path, n_nodes, n_merges)
+    return (
+        len(new_rows),
+        len(merge_rows),
+        n_merges >= CC_COMPACT_FRACTION * max(n_nodes, 1),
+    )
+
+
+def _cc_resolve_roots(spark, mem: DataFrame, mrg_path: str) -> DataFrame:
+    """Resolve stale roots through the path-compressed merge map as a
+    BROADCAST join (the map is merge-event-sized; a create_map literal of
+    thousands of entries would bloat analysis instead)."""
+    mdict = _cc_merge_dict(spark, mrg_path)
+    if not mdict:
+        return mem
+    mdf = spark.createDataFrame(
+        list(mdict.items()), "old_root long, new_root long"
+    )
+    return (
+        mem.join(F.broadcast(mdf), mem["root"] == mdf["old_root"], "left")
+        .select("node", F.coalesce("new_root", "root").alias("root"))
+    )
+
+
+def cc_store_lookup(
+    spark: SparkSession, nodes: DataFrame, index_dir: str
+) -> DataFrame:
+    """(node, component) for the queried ``nodes`` (column ``node``):
+    membership probe pruned to the queried buckets, stale roots resolved
+    through the broadcast merge map; untracked nodes are their own
+    component (the batch operator's singleton convention)."""
+    mem_path, mrg_path, _ = _cc_paths(index_dir)
+    node_vals = sorted({int(r["node"]) for r in nodes.select("node").collect()})
+    buckets = sorted({n % CC_STORE_BUCKETS for n in node_vals})
+    probe = spark.createDataFrame([(n,) for n in node_vals], "node long")
+    mem = (
+        spark.read.parquet(mem_path)
+        .filter(F.col("nb").isin(buckets) if buckets else F.lit(False))
+        .join(F.broadcast(probe), "node", "left_semi")
+        .select("node", "root")
+    )
+    mem = _cc_resolve_roots(spark, mem, mrg_path)
+    return probe.join(mem, "node", "left").select(
+        "node", F.coalesce("root", F.col("node")).alias("component")
+    )
+
+
+def cc_store_compact(spark: SparkSession, index_dir: str) -> int:
+    """The declared expensive path: rewrite membership with every stale
+    root resolved and empty the merge map. Full store scan by design —
+    runs on the compaction trigger, not per batch. Returns rows written."""
+    mem_path, mrg_path, meta_path = _cc_paths(index_dir)
+    mem = _cc_resolve_roots(
+        spark, spark.read.parquet(mem_path).select("node", "root"), mrg_path
+    )
+    tmp = mem_path + "_compact"
+    mem.withColumn("nb", _cc_bucket(F.col("node"))).write.mode(
+        "overwrite"
+    ).partitionBy("nb").parquet(tmp)
+    compacted = spark.read.parquet(tmp)
+    compacted.write.mode("overwrite").partitionBy("nb").parquet(mem_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = spark.read.parquet(mem_path).count()
+    spark.createDataFrame([], "old_root long, new_root long").write.mode(
+        "overwrite"
+    ).parquet(mrg_path)
+    _cc_write_meta(spark, meta_path, n, 0)
+    return n
