@@ -262,6 +262,82 @@ def minhash_dedup_incremental(
     return accepted
 
 
+def minhash_pairs_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """CLUSTERING-mode sibling of minhash_dedup_incremental: emit the
+    near-dup PAIRS a batch forms (against history and within itself) and
+    index EVERY signed batch doc — nothing is rejected, because cluster
+    maintenance wants future dups to link to any member. Feed the returned
+    (doc_a, doc_b) frame to cc_store_append and the streaming near-dup
+    chain runs end-to-end: signatures → banded candidates → signature-
+    estimate verify → incremental components. Same probe shape as the
+    dedup mode (band-pruned index scan vs broadcast batch; in-row
+    verification; nothing corpus-sized shuffles)."""
+    batch_bands = _stage(
+        _bands(_minhash_signature(new_docs)), staging_dir, "pair_bands"
+    )
+    hcols = [f"h{i}" for i in range(MINHASH_K)]
+    index = _read_index(
+        spark,
+        index_dir,
+        "doc_id long, bandkey string, "
+        + ", ".join(f"{h} string" for h in hcols)
+        + ", band int",
+    )
+    probe = F.broadcast(
+        batch_bands.select("band", "bandkey", "doc_id", *hcols).withColumnsRenamed(
+            {"doc_id": "new_id", **{h: f"n_{h}" for h in hcols}}
+        )
+    )
+    est = (
+        sum(
+            F.when(F.col(h) == F.col(f"n_{h}"), 1).otherwise(0) for h in hcols
+        )
+        / float(MINHASH_K)
+    )
+    hist_pairs = (
+        index.join(probe, ["band", "bandkey"])
+        .filter(est >= threshold)
+        .select(
+            F.least("doc_id", "new_id").alias("doc_a"),
+            F.greatest("doc_id", "new_id").alias("doc_b"),
+        )
+    )
+    a = batch_bands.alias("a")
+    b = batch_bands.alias("b")
+    est_ab = (
+        sum(
+            F.when(F.col(f"a.{h}") == F.col(f"b.{h}"), 1).otherwise(0)
+            for h in hcols
+        )
+        / float(MINHASH_K)
+    )
+    batch_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .filter(est_ab >= threshold)
+        .select(
+            F.col("b.doc_id").alias("doc_a"), F.col("a.doc_id").alias("doc_b")
+        )
+    )
+    pairs = _stage(
+        hist_pairs.union(batch_pairs).distinct(), staging_dir, "pairs_out"
+    )
+    batch_bands.select("doc_id", "bandkey", *hcols, "band").write.mode(
+        "append"
+    ).partitionBy("band").parquet(index_dir)
+    return pairs
+
+
 def substring_dedup_incremental(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -721,7 +797,9 @@ def _cc_merge_dict(spark, merges_path) -> dict:
     class as the IVF meta and the Bloom word fold)."""
     m = {
         r["old_root"]: r["new_root"]
-        for r in spark.read.parquet(merges_path).collect()
+        for r in _read_index(
+            spark, merges_path, "old_root long, new_root long"
+        ).collect()
     }
 
     def find(x):
@@ -757,7 +835,7 @@ def cc_store_init(spark: SparkSession, edges: DataFrame, index_dir: str) -> int:
     labels.withColumn("nb", _cc_bucket(F.col("node"))).write.mode(
         "overwrite"
     ).partitionBy("nb").parquet(mem_path)
-    n = spark.read.parquet(mem_path).count()
+    n = _read_index(spark, mem_path, "node long, root long, nb int").count()
     spark.createDataFrame([], "old_root long, new_root long").write.mode(
         "overwrite"
     ).parquet(mrg_path)
@@ -784,7 +862,7 @@ def cc_store_append(
     buckets = sorted({n % CC_STORE_BUCKETS for n in endpoints})
     known = {
         r["node"]: r["root"]
-        for r in spark.read.parquet(mem_path)
+        for r in _read_index(spark, mem_path, "node long, root long, nb int")
         .filter(F.col("nb").isin(buckets))
         .join(
             F.broadcast(
@@ -878,7 +956,7 @@ def cc_store_lookup(
     buckets = sorted({n % CC_STORE_BUCKETS for n in node_vals})
     probe = spark.createDataFrame([(n,) for n in node_vals], "node long")
     mem = (
-        spark.read.parquet(mem_path)
+        _read_index(spark, mem_path, "node long, root long, nb int")
         .filter(F.col("nb").isin(buckets) if buckets else F.lit(False))
         .join(F.broadcast(probe), "node", "left_semi")
         .select("node", "root")
@@ -895,18 +973,22 @@ def cc_store_compact(spark: SparkSession, index_dir: str) -> int:
     runs on the compaction trigger, not per batch. Returns rows written."""
     mem_path, mrg_path, meta_path = _cc_paths(index_dir)
     mem = _cc_resolve_roots(
-        spark, spark.read.parquet(mem_path).select("node", "root"), mrg_path
+        spark,
+        _read_index(spark, mem_path, "node long, root long, nb int").select(
+            "node", "root"
+        ),
+        mrg_path,
     )
     tmp = mem_path + "_compact"
     mem.withColumn("nb", _cc_bucket(F.col("node"))).write.mode(
         "overwrite"
     ).partitionBy("nb").parquet(tmp)
-    compacted = spark.read.parquet(tmp)
+    compacted = _read_index(spark, tmp, "node long, root long, nb int")
     compacted.write.mode("overwrite").partitionBy("nb").parquet(mem_path)
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    n = spark.read.parquet(mem_path).count()
+    n = _read_index(spark, mem_path, "node long, root long, nb int").count()
     spark.createDataFrame([], "old_root long, new_root long").write.mode(
         "overwrite"
     ).parquet(mrg_path)

@@ -193,3 +193,58 @@ def test_streaming_foreachbatch_incremental_cc(spark, tmp_path):
     assert _lookup(spark, idx, [100, 101, 102, 200, 201]) == {
         100: 100, 101: 100, 102: 100, 200: 100, 201: 100
     }
+
+
+# --- end-to-end: streaming near-dup clustering -----------------------------
+
+TEXT_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+TEXT_A_NEAR = (
+    "the quick brown fox jumps over the lazy dog near the river bank tonight"
+)
+TEXT_A_NEAR2 = (
+    "a quick brown fox jumps over the lazy dog near the river bank today"
+)
+TEXT_B = "completely different content about spark shuffles and partition pruning"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_streaming_near_dup_clustering_end_to_end(spark, tmp_path):
+    """The full chain: per-batch minhash_pairs_incremental (signatures →
+    banded candidates → signature-estimate verify, against history and
+    in-batch) feeds cc_store_append. Cluster assignments must be
+    batching-invariant: three sequential batches == one big batch."""
+    from dblp_to_csv_spark.operators.incremental import (
+        minhash_pairs_incremental,
+    )
+
+    batches = [
+        [(1, TEXT_A), (2, TEXT_B)],
+        [(3, TEXT_A_NEAR)],
+        [(4, TEXT_A_NEAR2), (5, TEXT_B + " appended words here")],
+    ]
+
+    def run(splits, tag):
+        mh = str(tmp_path / f"mh_{tag}")
+        cc = str(tmp_path / f"cc_{tag}")
+        cc_store_init(spark, _edges_df(spark, []), cc)
+        for i, batch in enumerate(splits):
+            pairs = minhash_pairs_incremental(
+                spark,
+                _docs(spark, batch),
+                mh,
+                staging_dir=str(tmp_path / f"s_{tag}_{i}"),
+            ).select(F_col("doc_a").alias("u"), F_col("doc_b").alias("v"))
+            cc_store_append(spark, pairs, cc)
+        return _lookup(spark, cc, [1, 2, 3, 4, 5])
+
+    from pyspark.sql.functions import col as F_col
+
+    seq = run(batches, "seq")
+    big = run([[d for b in batches for d in b]], "big")
+    assert seq == big
+    # the A-family clusters together under root 1; B stays apart
+    assert seq[1] == seq[3] == seq[4] == 1
+    assert seq[2] != 1
