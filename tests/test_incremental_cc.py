@@ -248,3 +248,50 @@ def test_streaming_near_dup_clustering_end_to_end(spark, tmp_path):
     # the A-family clusters together under root 1; B stays apart
     assert seq[1] == seq[3] == seq[4] == 1
     assert seq[2] != 1
+
+
+# --- property: batch-split invariance on random graphs ----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def random_edges_and_split(draw):
+    n_edges = draw(st.integers(min_value=1, max_value=18))
+    edges = [
+        (
+            draw(st.integers(min_value=0, max_value=9)),
+            draw(st.integers(min_value=0, max_value=9)),
+        )
+        for _ in range(n_edges)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        edges = [(0, 1)]
+    batch_of = [draw(st.integers(0, 2)) for _ in edges]
+    batches = [
+        [e for e, b in zip(edges, batch_of) if b == k] for k in range(3)
+    ]
+    return edges, [b for b in batches if b]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=random_edges_and_split())
+def test_cc_store_split_invariance_property(spark, tmp_path_factory, data):
+    """For ANY random multigraph and ANY split into sequential batches,
+    the store's resolved roots equal the pure-Python min-root union-find
+    over the whole edge list — duplicate edges, re-orientations, hub
+    collisions, and cross-batch merge chains included."""
+    edges, batches = data
+    base = tmp_path_factory.mktemp("cc_prop")
+    idx = str(base / "cc")
+    cc_store_init(spark, _edges_df(spark, batches[0]), idx)
+    for batch in batches[1:]:
+        cc_store_append(spark, _edges_df(spark, batch), idx)
+    want = _py_components(edges)
+    assert _lookup(spark, idx, sorted(want)) == want
