@@ -300,9 +300,20 @@ def minhash_pairs_incremental(
         )
         / float(MINHASH_K)
     )
+    hist_hits = index.join(probe, ["band", "bandkey"]).filter(est >= threshold)
+    # A doc_id re-ingested in a later batch matches ITSELF in the index
+    # (estimate 1.0, least/greatest collapse): drop the self-pair, and
+    # remember the id so its bands aren't appended a second time as
+    # duplicate index rows (ADVICE r13). The band-pruned hit set is exactly
+    # where an identical-signature re-ingest must appear, so no extra index
+    # scan is needed.
+    already_indexed = (
+        hist_hits.filter(F.col("doc_id") == F.col("new_id"))
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
     hist_pairs = (
-        index.join(probe, ["band", "bandkey"])
-        .filter(est >= threshold)
+        hist_hits.filter(F.col("doc_id") != F.col("new_id"))
         .select(
             F.least("doc_id", "new_id").alias("doc_a"),
             F.greatest("doc_id", "new_id").alias("doc_b"),
@@ -332,9 +343,12 @@ def minhash_pairs_incremental(
     pairs = _stage(
         hist_pairs.union(batch_pairs).distinct(), staging_dir, "pairs_out"
     )
-    batch_bands.select("doc_id", "bandkey", *hcols, "band").write.mode(
-        "append"
-    ).partitionBy("band").parquet(index_dir)
+    # Stage the already-indexed id set BEFORE appending — its plan reads the
+    # index dir, and the append below writes to it (read-your-own-append).
+    already_indexed = _stage(already_indexed, staging_dir, "pair_already")
+    batch_bands.join(F.broadcast(already_indexed), "doc_id", "left_anti").select(
+        "doc_id", "bandkey", *hcols, "band"
+    ).write.mode("append").partitionBy("band").parquet(index_dir)
     return pairs
 
 
@@ -469,9 +483,21 @@ def ivf_index_train(
     cent.write.mode("overwrite").parquet(cent_path)
     cent = spark.read.parquet(cent_path)  # train once, assign from the artifact
     assigned = _nearest(vectors, cent, "cell")
+    # Stage-then-swap (ADVICE r13): the natural retrain call reads ``vectors``
+    # FROM this store (retrain-from-store, exercised in
+    # tests/test_incremental_ann.py), so a direct overwrite is a
+    # read-your-own-overwrite — it happens to work on this Spark build but
+    # is version-fragile. Same pattern as cc_store_compact.
+    tmp = vec_path + "_retrain"
     vectors.join(assigned, "vec_id").select("vec_id", "emb", "cell").write.mode(
         "overwrite"
-    ).partitionBy("cell").parquet(vec_path)
+    ).partitionBy("cell").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").partitionBy("cell").parquet(
+        vec_path
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     n = spark.read.parquet(vec_path).count()
     spark.createDataFrame([(n,)], "n_trained long").write.mode(
         "overwrite"
@@ -770,6 +796,15 @@ CC_STORE_BUCKETS = 64
 # the caller should compact. Amortized: total compaction cost stays
 # O(N log N) like the IVF retrain rule.
 CC_COMPACT_FRACTION = 0.25
+# Absolute ceiling on the driver-collected merge map (ADVICE r13): the
+# fractional trigger alone makes the bound proportional to tracked nodes
+# (0.25 x N before firing), which is NOT the "merge-event-sized" budget
+# class at 100 TB. The trigger fires at min(fraction x nodes, this cap),
+# so driver-side merge-map state stays O(1) regardless of store size:
+# 1M (old_root, new_root) longs ≈ 16 MB collected — well inside any
+# driver heap, and far above what a micro-batch cadence accumulates
+# between compactions.
+CC_MAX_MERGE_EVENTS = 1_000_000
 
 
 def _cc_paths(index_dir: str) -> tuple[str, str, str]:
@@ -924,7 +959,8 @@ def cc_store_append(
     return (
         len(new_rows),
         len(merge_rows),
-        n_merges >= CC_COMPACT_FRACTION * max(n_nodes, 1),
+        n_merges
+        >= min(CC_COMPACT_FRACTION * max(n_nodes, 1), CC_MAX_MERGE_EVENTS),
     )
 
 

@@ -136,11 +136,16 @@ def skew_join_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor trades shuffle balance for build-side size exactly like
     salted_agg_event_types' 16 partials."""
     ev = load_table(spark, sf_dir, "events")
+    # Salt = pmod(hash(event_id), 16), NOT event_id % 16: the hot-key rule
+    # is parity-based (hot key 0 = even event_ids), so a modulo salt is
+    # correlated with it — only the 8 even salts would ever carry the hot
+    # key, halving the demonstrated fan-out — and a signed % would emit
+    # negative salts that never match the dim replicas (ADVICE r13).
     fact = ev.select(
         F.when(F.col("event_id") % 2 == 0, F.lit(0))
         .otherwise(1 + F.col("event_id") % 99)
         .alias("hot_key"),
-        (F.col("event_id") % 16).alias("salt"),
+        F.pmod(F.hash("event_id"), F.lit(16)).alias("salt"),
         "value",
     )
     dim = (

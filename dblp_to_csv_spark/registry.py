@@ -67,9 +67,7 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # its declared round without re-greening (VERDICT r10 item 8).
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
-    "decontaminate_against_eval": 13,  # r12 added docs= param (default path byte-identical); reset declared retroactively per VERDICT r12 — the ledger errs verbose
-    "scd2_user_state": 13,  # dupkey sweep: (ts,event_id,state) total-order tiebreak
-    "scd2_point_in_time_join": 13,  # dupkey sweep: shares scd2_runs tiebreak
+    "skew_join_salted_events": 14,  # ADVICE r13: salt = pmod(hash(event_id), 16), decorrelated from the parity hot-key rule
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
@@ -95,41 +93,43 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "array_collapse_returnflags": 12,
     "array_functions_gallery": 9,
     "arrow_quantize_embeddings": 10,
-    "asof_join_purchase_last_view": 7,
+    "asof_join_purchase_last_view": 13,
     "augment_span_corrupt": 8,
     "benford_digit_audit": 9,
-    "bitwise_functions_gallery": 7,
+    "bitwise_functions_gallery": 13,
     "bootstrap_mean_ci": 10,
     "bpe_apply_encode": 10,
-    "bpe_merge_candidates": 8,
+    "bpe_merge_candidates": 13,
     "bpe_train_merges": 10,
     "broadcast_join_part_agg": 11,
     "changepoint_cusum_events": 9,
     "chunk_documents_overlapping": 8,
     "conditional_agg_orders": 9,
-    "constraint_audit_orders": 8,
+    "constraint_audit_orders": 13,
     "contrastive_pairs_dataset": 8,
     "cooccurrence_parts_pmi": 9,
     "cube_orders_status_priority": 11,
     "curate_source_cap": 8,
     "dataset_version_diff": 12,
     "date_functions_gallery": 9,
-    "decontaminate_against_eval": 11,
-    "decontaminate_bloom": 7,
+    "decontaminate_against_eval": 13,
+    "decontaminate_bloom": 13,
     "decontaminate_semantic": 10,
+    "dedup_audio_fingerprint": 13,
     "dedup_chunk_exact": 12,
-    "dedup_chunk_rewrite": 7,
+    "dedup_chunk_rewrite": 13,
     "dedup_cluster_stats": 11,
     "dedup_connected_components": 11,
     "dedup_connected_components_star": 12,
     "dedup_containment_capped": 10,
     "dedup_containment_pairs": 10,
-    "dedup_edit_distance_banded": 8,
+    "dedup_edit_distance_banded": 13,
     "dedup_embedding_cosine": 10,
     "dedup_embedding_cosine_bucketed": 10,
     "dedup_exact_documents": 12,
-    "dedup_graph_pagerank": 8,
-    "dedup_intradoc_rewrite": 7,
+    "dedup_graph_pagerank": 13,
+    "dedup_image_phash": 13,
+    "dedup_intradoc_rewrite": 13,
     "dedup_jaccard_prefix_filter": 10,
     "dedup_keep_canonical": 11,
     "dedup_latest_order_per_customer": 12,
@@ -153,17 +153,17 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "dsir_importance_weights": 10,
     "embedding_label_centroids": 12,
     "embedding_norm_isotropy": 11,
-    "embedding_random_projection": 8,
+    "embedding_random_projection": 13,
     "eval_contamination_report": 12,
     "event_transition_matrix": 9,
-    "event_validity_intervals": 7,
-    "ewma_event_values": 8,
-    "forward_fill_event_metric": 8,
+    "event_validity_intervals": 13,
+    "ewma_event_values": 13,
+    "forward_fill_event_metric": 13,
     "from_json_events": 12,
     "full_outer_join_customer_activity": 12,
     "funnel_time_to_convert": 9,
     "funnel_view_cart_purchase": 12,
-    "gapfill_hourly_events": 7,
+    "gapfill_hourly_events": 13,
     "graph_adamic_adar": 8,
     "graph_adamic_adar_capped": 9,
     "graph_bfs_distances": 9,
@@ -173,26 +173,27 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "graph_label_propagation": 12,
     "graph_report": 12,
     "graph_triangle_count": 12,
+    "graph_triangle_powerlaw": 13,
     "heavy_hitters_words": 10,
-    "higher_order_functions_gallery": 7,
+    "higher_order_functions_gallery": 13,
     "histogram_equiwidth_prices": 12,
-    "incremental_agg_merge": 8,
-    "integrity_audit": 8,
-    "interval_overlap_join_bucketed": 8,
+    "incremental_agg_merge": 13,
+    "integrity_audit": 13,
+    "interval_overlap_join_bucketed": 13,
     "json_extract_events": 12,
     "lang_temperature_resample": 12,
     "lm_bigram_cross_entropy": 11,
     "map_functions_events": 10,
     "market_share_by_year": 11,
     "median_price_by_status": 11,
-    "merge_upsert_orders": 8,
-    "mix_upsample_langs": 7,
+    "merge_upsert_orders": 13,
+    "mix_upsample_langs": 13,
     "multimodal_decode_bmp": 11,
     "multimodal_decode_png": 12,
     "multimodal_decode_wav": 11,
     "multimodal_feature_extract": 10,
     "multimodal_frame_sample": 10,
-    "multimodal_metadata": 7,
+    "multimodal_metadata": 13,
     "ngram_novelty_vs_reference": 12,
     "ntile_order_quartiles": 10,
     "null_safe_join_suppliers": 12,
@@ -210,17 +211,17 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "pricing_summary": 11,
     "privacy_k_anonymity_audit": 11,
     "privacy_k_anonymous_release": 11,
-    "profile_documents": 7,
+    "profile_documents": 13,
     "prune_empty_columns": 12,
     "quality_gopher_rules": 12,
-    "quality_linear_score": 7,
+    "quality_linear_score": 13,
     "quality_score_pr_curve": 11,
     "quartile_labels_by_cutpoint": 11,
     "rag_retrieve_chunks": 8,
     "range_join_events_binned": 9,
     "rank_functions_suppliers": 10,
     "regexp_functions_gallery": 9,
-    "regression_moments_lineitem": 8,
+    "regression_moments_lineitem": 13,
     "retention_cohorts_weekly": 12,
     "retrieval_eval_bm25": 9,
     "revenue_by_nation": 11,
@@ -231,18 +232,18 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sample_stratified_by_lang": 11,
     "sample_weighted_priority": 8,
     "scalar_functions_gallery": 11,
-    "scd2_point_in_time_join": 9,
-    "scd2_user_state": 9,
-    "search_bm25": 8,
+    "scd2_point_in_time_join": 13,
+    "scd2_user_state": 13,
+    "search_bm25": 13,
     "search_hybrid_rrf": 10,
-    "seasonal_decompose_events": 8,
+    "seasonal_decompose_events": 13,
     "segment_edges": 12,
     "semi_join_discounted_orders": 11,
-    "session_window_events": 8,
-    "sessionize_events": 7,
+    "session_window_events": 13,
+    "sessionize_events": 13,
     "setop_except_urgent_unfinished": 9,
     "setop_intersect_nations": 11,
-    "setop_multiset_all_nations": 8,
+    "setop_multiset_all_nations": 13,
     "setop_union_nations": 11,
     "shard_rendezvous_assign": 10,
     "similarity_eval_recall": 10,
@@ -259,48 +260,49 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "sketch_countmin_words": 9,
     "sketch_kmv_distinct": 10,
     "sketch_kmv_set_ops": 10,
+    "skew_join_salted_events": 13,
     "skipgram_pairs_subsampled": 9,
     "skyline_documents": 8,
-    "sliding_window_events": 7,
+    "sliding_window_events": 13,
     "sorted_page_orders": 10,
     "split_leakage_free": 11,
     "split_train_val_test": 11,
     "sql_exists_subquery": 9,
-    "sql_group_by_all_shorthand": 8,
+    "sql_group_by_all_shorthand": 13,
     "sql_grouping_sets": 9,
     "sql_lateral_topk_nations": 12,
-    "sql_parameterized_query": 7,
-    "sql_pipe_syntax_pricing": 7,
+    "sql_parameterized_query": 13,
+    "sql_pipe_syntax_pricing": 13,
     "sql_recursive_cte_months": 12,
     "sql_scalar_subquery": 9,
-    "sql_udf_scalar_nested": 7,
-    "sql_udf_table_valued": 7,
+    "sql_udf_scalar_nested": 13,
+    "sql_udf_table_valued": 13,
     "sql_variant_events": 12,
     "stats_agg_lineitem": 10,
     "string_functions_gallery": 9,
     "text_bpe_token_count": 12,
-    "text_char_entropy": 8,
-    "text_feature_hash_embedding": 8,
+    "text_char_entropy": 13,
+    "text_feature_hash_embedding": 13,
     "text_fingerprint": 12,
     "text_language_id": 12,
     "text_logprob_buckets": 11,
     "text_quality_score": 10,
-    "text_redact_pii": 7,
+    "text_redact_pii": 13,
     "text_repetition_score": 10,
     "text_tfidf_top_terms": 12,
     "text_token_stats": 10,
     "text_unigram_logprob": 12,
-    "text_zipf_slope": 8,
+    "text_zipf_slope": 13,
     "theta_join_nation_pairs": 11,
     "token_budget_per_lang": 12,
     "top_orders_by_revenue": 11,
     "training_epoch_order": 8,
-    "try_functions_gallery": 7,
-    "tumbling_window_events": 7,
+    "try_functions_gallery": 13,
+    "tumbling_window_events": 13,
     "type_detect_ladder": 12,
     "type_unification_lattice": 12,
     "udaf_geomean_order_price": 12,
-    "udtf_ngrams_polymorphic": 7,
+    "udtf_ngrams_polymorphic": 13,
     "udtf_tokenize_documents": 10,
     "union_by_name_schema_evolution": 11,
     "unpivot_order_status_counts": 9,
@@ -310,7 +312,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "window_running_revenue": 11,
     "window_top_orders_per_customer": 11,
     "winsorize_event_values": 12,
-    "xml_functions_gallery": 8,
+    "xml_functions_gallery": 13,
 }
 
 

@@ -250,6 +250,41 @@ def test_streaming_near_dup_clustering_end_to_end(spark, tmp_path):
     assert seq[2] != 1
 
 
+def test_reingested_doc_no_self_pair_no_duplicate_index(spark, tmp_path):
+    """ADVICE r13: a doc_id already in the index, re-ingested in a later
+    batch, must not emit a (doc, doc) self-pair (its own signature matches
+    at estimate 1.0) and must not re-append its bands as duplicate index
+    rows. It must still LINK normally: a later near-dup of the re-ingested
+    doc finds it once."""
+    from pyspark.sql.functions import col
+
+    from dblp_to_csv_spark.operators.incremental import (
+        minhash_pairs_incremental,
+    )
+
+    mh = str(tmp_path / "mh")
+    p1 = minhash_pairs_incremental(
+        spark, _docs(spark, [(1, TEXT_A), (2, TEXT_B)]), mh,
+        staging_dir=str(tmp_path / "s1"),
+    )
+    assert p1.count() == 0
+    index_rows_before = spark.read.parquet(mh).count()
+    # batch 2 re-ingests doc 1 verbatim
+    p2 = minhash_pairs_incremental(
+        spark, _docs(spark, [(1, TEXT_A)]), mh, staging_dir=str(tmp_path / "s2")
+    )
+    assert p2.count() == 0, p2.collect()  # no self-pair
+    assert spark.read.parquet(mh).count() == index_rows_before  # no dup rows
+    # batch 3: a near-dup of doc 1 still links, exactly one pair per doc
+    p3 = minhash_pairs_incremental(
+        spark, _docs(spark, [(7, TEXT_A_NEAR)]), mh,
+        staging_dir=str(tmp_path / "s3"),
+    )
+    rows = {(r["doc_a"], r["doc_b"]) for r in p3.collect()}
+    assert rows == {(1, 7)}, rows
+    assert p3.filter(col("doc_a") == col("doc_b")).count() == 0
+
+
 # --- property: batch-split invariance on random graphs ----------------------
 
 from hypothesis import HealthCheck, given, settings

@@ -56,6 +56,26 @@ def test_salted_join_plan_is_salted_smj(spark):
     assert "salt" in plan and "hot_key" in plan
 
 
+def test_salted_join_hot_key_uses_all_salts(spark):
+    """ADVICE r13: the salt must be decorrelated from the hot-key rule.
+    Hot key 0 = even event_ids, so a plain event_id % 16 salt only ever
+    hit the 8 even salt values — halving the demonstrated mitigation. The
+    pmod(hash(event_id), 16) salt must spread the hot key across (nearly)
+    all 16 reducer slots, and never go negative."""
+    from dblp_to_csv_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    salts = [
+        r["salt"]
+        for r in ev.filter(F.col("event_id") % 2 == 0)
+        .select(F.pmod(F.hash("event_id"), F.lit(16)).alias("salt"))
+        .distinct()
+        .collect()
+    ]
+    assert len(salts) >= 14, sorted(salts)
+    assert all(0 <= s < 16 for s in salts), sorted(salts)
+
+
 def test_salted_join_hot_key_is_hot(spark):
     """Fixture honesty: key 0 must actually carry ~half the fact rows —
     if a testdata regeneration flattened event_id parity the query would
