@@ -136,9 +136,16 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(words²) per document (array_distinct × filter) — bounded by document
     length, linear in corpus size, and still cheaper than the explode +
     groupBy + window alternative, which would shuffle every token."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("w")
-    )
+    return gopher_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_metrics(docs_raw: DataFrame) -> DataFrame:
+    """The Gopher battery over an arbitrary (doc_id, text) frame — shared by
+    the registered query above and the incremental admission chain
+    (admission_incremental.py), which must score each BATCH with the exact
+    per-row expressions the batch flagship uses for sequential==batch
+    parity."""
+    docs = docs_raw.select("doc_id", words("text").alias("w"))
     w = F.col("w")
     n_words = F.size(w)
     denom = F.greatest(n_words, F.lit(1))
