@@ -1030,3 +1030,246 @@ def cc_store_compact(spark: SparkSession, index_dir: str) -> int:
     ).parquet(mrg_path)
     _cc_write_meta(spark, meta_path, n, 0)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Incremental leakage-free splitting (VERDICT r13 item 6): the streaming
+# companion of the oracle-checked split_leakage_free. Batch semantics bucket
+# every document by the md5 prefix of its near-dup CLUSTER canonical; under
+# continuous ingest a cc_store merge can join two clusters whose members
+# were already assigned to DIFFERENT splits — re-hashing would silently
+# move consumed eval documents, so the DECLARED policy is quarantine-to-
+# train: a component whose assigned members ever disagree re-assigns
+# wholesale to 'train' (the conflicting-key move — eval shrinks, train
+# grows, and no training-side near-duplicate ever remains in val/test).
+#
+# State: docs/ records each doc's IMMUTABLE assignment root (the component
+# root at assign time); roots/ records the per-root split, seq-versioned so
+# quarantine is an append, never a rewrite. Merge events fold in EAGERLY
+# via split_reconcile (called inside split_assign_incremental and after
+# cc_store_append by the caller) by walking the cc store's bounded merge
+# map — so the leakage invariant (all assigned docs of one CURRENT
+# component share one split) holds after every batch, which the pytest
+# gate asserts under arbitrary interleavings. Call split_reconcile BEFORE
+# cc_store_compact: compaction clears the merge map the reconcile reads.
+
+_SPLIT_DOC_SCHEMA = "doc_id long, root long, db int"
+_SPLIT_ROOT_SCHEMA = "root long, split string, seq long"
+
+
+def _split_paths(split_dir: str) -> tuple[str, str]:
+    return os.path.join(split_dir, "docs"), os.path.join(split_dir, "roots")
+
+
+def _split_of_root(root: int) -> str:
+    """Same 75/12.5/12.5 md5-hex-prefix thresholds as split_leakage_free /
+    split_train_val_test (curation.py)."""
+    import hashlib
+
+    h = hashlib.md5(str(int(root)).encode()).hexdigest()[0]
+    return "train" if h < "c" else ("val" if h < "e" else "test")
+
+
+def _split_root_table(spark: SparkSession, roots_path: str) -> dict[int, str]:
+    """Latest split per assigned root. Assigned-root count is bounded by
+    assignment calls (cluster-count-sized, not corpus-sized): every doc
+    maps to one root, roots dedup across docs."""
+    rows = _read_index(spark, roots_path, _SPLIT_ROOT_SCHEMA).collect()
+    best: dict[int, tuple[int, str]] = {}
+    for r in rows:
+        if r["root"] not in best or r["seq"] > best[r["root"]][0]:
+            best[r["root"]] = (r["seq"], r["split"])
+    return {k: v for k, (_, v) in best.items()}
+
+
+def split_store_init(spark: SparkSession, split_dir: str) -> None:
+    dpath, rpath = _split_paths(split_dir)
+    spark.createDataFrame([], _SPLIT_DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("db").parquet(dpath)
+    spark.createDataFrame([], _SPLIT_ROOT_SCHEMA).write.mode("overwrite").parquet(
+        rpath
+    )
+
+
+def split_reconcile(
+    spark: SparkSession,
+    cc_index_dir: str,
+    split_dir: str,
+    new_edges: DataFrame | None = None,
+) -> int:
+    """Fold pending cc merges into the root-split table: for every current
+    root whose assigned sub-roots disagree, append 'train' rows for all of
+    them (and the surviving root). Returns the number of quarantined
+    components. Idempotent; bounded by the merge map (CC_MAX_MERGE_EVENTS)
+    plus the batch.
+
+    ``new_edges`` (u, v — the batch just given to cc_store_append) closes
+    the untracked-singleton hole: a doc assigned while it was a SINGLETON
+    (never in the cc members table) that gains its first edge produces NO
+    merge event — the store simply records it under its neighbor's root —
+    so the merge-map walk alone cannot see a cross-split union. Any such
+    union necessarily involves a batch edge endpoint, so probing the batch
+    endpoints' assignments (batch-sized, bucket-pruned) restores exactness."""
+    _, mrg_path, _ = _cc_paths(cc_index_dir)
+    mdict = _cc_merge_dict(spark, mrg_path)
+    dpath, rpath = _split_paths(split_dir)
+    table = _split_root_table(spark, rpath)
+    if not table:
+        return 0
+    # (current_root -> assigned sub-roots) from tracked merges...
+    groups: dict[int, set] = {}
+    for old, new in mdict.items():
+        if old in table:
+            groups.setdefault(new, set()).add(old)
+    # ...plus the batch endpoints' assignments (untracked-singleton unions)
+    if new_edges is not None:
+        ends = {
+            int(r[0])
+            for r in new_edges.select(F.explode(F.array("u", "v"))).collect()
+        }
+        assigned = {
+            r["doc_id"]: r["root"]
+            for r in _probe_split_docs(
+                spark, dpath, {e: None for e in ends}
+            ).collect()
+        }
+        if assigned:
+            cur = {
+                r["node"]: r["component"]
+                for r in cc_store_lookup(
+                    spark,
+                    spark.createDataFrame(
+                        [(int(d),) for d in sorted(assigned)], "node long"
+                    ),
+                    cc_index_dir,
+                ).collect()
+            }
+            for d, o in assigned.items():
+                groups.setdefault(cur[d], set()).add(o)
+    if not groups:
+        return 0
+
+    def mixed(new_root, olds):
+        members = olds | ({new_root} if new_root in table else set())
+        return len({table[o] for o in members}) > 1
+
+    if any(mixed(nr, olds) for nr, olds in groups.items()):
+        # a quarantine must reach EVERY assigned sub-root of the mixed
+        # component — including ones that joined with no merge event and
+        # outside this batch's endpoints (an untracked singleton absorbed
+        # two batches ago is visible only in the members table). Quarantine
+        # events are rare (a merge ACROSS assigned splits), so the declared
+        # cost of one is a full regroup of the root table: one bucket-pruned
+        # lookup over the assigned roots (cluster-count-sized, never
+        # corpus-sized).
+        all_cur = {
+            r["node"]: r["component"]
+            for r in cc_store_lookup(
+                spark,
+                spark.createDataFrame(
+                    [(int(o),) for o in sorted(table)], "node long"
+                ),
+                cc_index_dir,
+            ).collect()
+        }
+        groups = {}
+        for o, r in all_cur.items():
+            groups.setdefault(r, set()).add(o)
+    seq = 1 + max(
+        (r["seq"] for r in _read_index(spark, rpath, _SPLIT_ROOT_SCHEMA).collect()),
+        default=0,
+    )
+    out = []
+    n_quarantined = 0
+    for new_root, olds in groups.items():
+        members = olds | ({new_root} if new_root in table else set())
+        splits = {table[o] for o in members}
+        # the surviving root must carry the component split so later
+        # assignments (and post-compaction lookups) resolve through it
+        if len(splits) > 1:
+            n_quarantined += 1
+            out += [(int(o), "train", seq) for o in members | {new_root}]
+        elif new_root not in table:
+            out.append((int(new_root), splits.pop(), seq))
+    if out:
+        spark.createDataFrame(out, _SPLIT_ROOT_SCHEMA).write.mode(
+            "append"
+        ).parquet(rpath)
+    return n_quarantined
+
+
+def split_assign_incremental(
+    spark: SparkSession,
+    nodes: DataFrame,
+    cc_index_dir: str,
+    split_dir: str,
+) -> DataFrame:
+    """Assign (or re-read) the leakage-free split for ``nodes`` (column
+    ``node``): each node's CURRENT cc_store component root keys the split;
+    fresh roots hash like the batch operator; components already carrying
+    an assignment reuse it; mixed components quarantine to train (via the
+    eager split_reconcile). Returns (doc_id, split)."""
+    split_reconcile(spark, cc_index_dir, split_dir)
+    dpath, rpath = _split_paths(split_dir)
+    lk = {
+        r["node"]: r["component"]
+        for r in cc_store_lookup(spark, nodes, cc_index_dir).collect()
+    }
+    table = _split_root_table(spark, rpath)
+    seq = 1 + max(
+        (r["seq"] for r in _read_index(spark, rpath, _SPLIT_ROOT_SCHEMA).collect()),
+        default=0,
+    )
+    known_docs = {
+        r["doc_id"]: r["root"]
+        for r in _probe_split_docs(spark, dpath, lk).collect()
+    }
+    new_roots, doc_rows, result = [], [], []
+    for node, root in sorted(lk.items()):
+        if node in known_docs:
+            result.append((node, table[known_docs[node]]))
+            continue
+        if root not in table:
+            table[root] = _split_of_root(root)
+            new_roots.append((int(root), table[root], seq))
+        doc_rows.append((int(node), int(root)))
+        result.append((node, table[root]))
+    if new_roots:
+        spark.createDataFrame(new_roots, _SPLIT_ROOT_SCHEMA).write.mode(
+            "append"
+        ).parquet(rpath)
+    if doc_rows:
+        spark.createDataFrame(doc_rows, "doc_id long, root long").withColumn(
+            "db", F.pmod(F.col("doc_id"), F.lit(CC_STORE_BUCKETS)).cast("int")
+        ).write.mode("append").partitionBy("db").parquet(dpath)
+    return spark.createDataFrame(result, "doc_id long, split string")
+
+
+def _probe_split_docs(spark: SparkSession, dpath: str, lk: dict) -> DataFrame:
+    if not lk:
+        return spark.createDataFrame([], _SPLIT_DOC_SCHEMA)
+    buckets = sorted({n % CC_STORE_BUCKETS for n in lk})
+    probe = spark.createDataFrame([(int(n),) for n in sorted(lk)], "doc_id long")
+    return (
+        _read_index(spark, dpath, _SPLIT_DOC_SCHEMA)
+        .filter(F.col("db").isin(buckets))
+        .join(F.broadcast(probe), "doc_id", "left_semi")
+    )
+
+
+def split_current(spark: SparkSession, split_dir: str) -> DataFrame:
+    """(doc_id, split) for every assigned doc, resolved through the latest
+    root-split table — the report twin of split_leakage_free's output."""
+    dpath, rpath = _split_paths(split_dir)
+    docs = _read_index(spark, dpath, _SPLIT_DOC_SCHEMA)
+    roots = _read_index(spark, rpath, _SPLIT_ROOT_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("root").orderBy(F.col("seq").desc())
+    latest = (
+        roots.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("root", "split")
+    )
+    return docs.join(F.broadcast(latest), "root").select("doc_id", "split")

@@ -329,3 +329,31 @@ def test_streaming_foreachbatch_admission(spark, tmp_path):
     assert got == _batch_report(spark, tmp_path, all_rows, "fb")
     assert got[611] == "contaminated"  # shares "granite ridges holds" with eval 620
     assert got[612] == "exact_dup" and got[713] == "near_dup"
+
+
+def test_empty_and_degenerate_batches(spark, tmp_path):
+    """Empty batches are no-ops; an in-batch conflicting BRAND-NEW doc_id
+    quarantines immediately (both payloads, no signals ingested); null text
+    forms the single 'NULL' exact group and fails quality — all against the
+    batch flagship."""
+    idx = str(tmp_path / "adm_deg")
+    pretrain_report_init(spark, idx)
+    stats = pretrain_report_append(spark, _docs_df(spark, []), idx)
+    assert stats["ingested"] == 0 and stats["verdicts_written"] == 0
+    rows = [
+        _row(771, "payload one for the conflicting pair"),
+        _row(771, "payload two for the conflicting pair"),
+        (871, None, "en", "s1", 0),
+        (972, None, "en", "s1", 0),
+    ]
+    pretrain_report_append(spark, _docs_df(spark, rows), idx)
+    got = _inc_report(spark, idx)
+    assert got[771] == "conflicting_key"
+    # null text: no words -> quality fail for both copies
+    assert got[871] == "quality" and got[972] == "quality"
+    assert got == _batch_report(spark, tmp_path, rows, "deg")
+    # the conflicting id stays quarantined on every later re-ingest
+    pretrain_report_append(
+        spark, _docs_df(spark, [_row(771, "payload three")]), idx
+    )
+    assert _inc_report(spark, idx)[771] == "conflicting_key"
