@@ -357,3 +357,44 @@ def test_empty_and_degenerate_batches(spark, tmp_path):
         spark, _docs_df(spark, [_row(771, "payload three")]), idx
     )
     assert _inc_report(spark, idx)[771] == "conflicting_key"
+
+
+def test_admission_probes_are_partition_pruned(spark, tmp_path):
+    """Every per-doc admission index must be probed with PartitionFilters —
+    verdict-store, signals, shingle-sets (db buckets) and the gram inverted
+    indexes (gb buckets): probe cost proportional to the batch's buckets,
+    never the store."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.admission_incremental import (
+        _GRAM_SCHEMA,
+        _SIG_SCHEMA,
+        _paths,
+        _probe_docs,
+        _probe_keys,
+    )
+
+    idx = str(tmp_path / "adm_plan")
+    pretrain_report_init(spark, idx)
+    pretrain_report_append(
+        spark, _docs_df(spark, [_row(901, _q()), _row(902, _q((1, "harbor")))]), idx
+    )
+    p = _paths(idx)
+
+    def pf(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        return m.group(1) if m else ""
+
+    assert "db" in pf(_probe_docs(spark, p["sig"], _SIG_SCHEMA, [901]))
+    assert "db" in pf(_probe_docs(spark, p["shsets"], "doc_id long, sh array<string>, db int", [901]))
+    gram_probe = spark.createDataFrame(
+        [("granite ridges holds",)], "shingle string"
+    )
+    assert "gb" in pf(
+        _probe_keys(
+            spark, p["docgram"], _GRAM_SCHEMA, gram_probe, "shingle", "gb", 256
+        )
+    )
