@@ -398,3 +398,62 @@ def test_admission_probes_are_partition_pruned(spark, tmp_path):
             spark, p["docgram"], _GRAM_SCHEMA, gram_probe, "shingle", "gb", 256
         )
     )
+
+
+# --- property: random corpora, random batchings, exact parity ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POOL_TEXTS = [
+    _q(),                      # quality-pass base
+    _q((1, "harbor")),         # near-dup of base (banded, J=0.636)
+    "completely different prose about spark shuffle partition pruning today",
+    "short junk",              # quality fail (under 10 words)
+    None,                      # null text
+    "benchmark asks about granite ridges holds answer",  # shares a shingle
+]
+
+
+@st.composite
+def corpus_and_batching(draw):
+    n = draw(st.integers(min_value=4, max_value=10))
+    rows = []
+    for _ in range(n):
+        doc_id = draw(st.integers(min_value=1, max_value=12))
+        t = _POOL_TEXTS[draw(st.integers(0, len(_POOL_TEXTS) - 1))]
+        src = f"s{draw(st.integers(1, 2))}"
+        rows.append((doc_id, t, "en", src, len(t or "")))
+    batch_of = [draw(st.integers(0, 2)) for _ in rows]
+    batches = [
+        [r for r, b in zip(rows, batch_of) if b == k] for k in range(3)
+    ]
+    return rows, [b for b in batches if b]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=corpus_and_batching())
+def test_admission_parity_property(spark, tmp_path_factory, data):
+    """Random corpora (conflicts, verbatim dups, near-dups, null text,
+    quality fails, eval ids via doc_id 10) through random batchings must
+    end exactly equal to the batch flagship over the union — the
+    generalization of the hand-written cascade pins."""
+    rows, batches = data
+    tmp = tmp_path_factory.mktemp("adm_prop")
+    idx = str(tmp / "store")
+    pretrain_report_init(spark, idx)
+    for k, b in enumerate(batches):
+        pretrain_report_append(
+            spark, _docs_df(spark, b), idx, staging_dir=str(tmp / f"s{k}")
+        )
+    got = _inc_report(spark, idx)
+    want = _batch_report(spark, tmp, rows, "prop")
+    assert got == want, {
+        i: (got.get(i), want.get(i))
+        for i in set(got) | set(want)
+        if got.get(i) != want.get(i)
+    }
