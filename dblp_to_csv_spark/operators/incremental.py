@@ -1273,3 +1273,62 @@ def split_current(spark: SparkSession, split_dir: str) -> DataFrame:
         .select("root", "split")
     )
     return docs.join(F.broadcast(latest), "root").select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Incremental weighted reservoir (r14): the sampling family's continuous-
+# ingest member. The batch query (pipeline.py::sample_weighted_priority) is
+# Efraimidis–Spirakis A-ES with DETERMINISTIC md5 priorities, and min-K
+# over priorities is associative + commutative — so the streaming reservoir
+# is exact, not approximate: fold each batch's priorities against the
+# K-row store and keep the K smallest. Sequential == batch for any
+# batching, re-ingests are idempotent (same doc_id → same priority →
+# distinct() collapses), and the store is K rows forever — the only
+# corpus-scale work is the per-batch priority projection, which is one
+# narrow map over the batch.
+
+RESERVOIR_K = 100  # == pipeline.WEIGHTED_SAMPLE_K (pinned by the parity test)
+
+
+def reservoir_sample_init(spark: SparkSession, store_dir: str) -> None:
+    spark.createDataFrame(
+        [], "doc_id long, lang string, n_chars long, priority double"
+    ).write.mode("overwrite").parquet(store_dir)
+
+
+def reservoir_sample_append(
+    spark: SparkSession, new_docs: DataFrame, store_dir: str, k: int = RESERVOIR_K
+) -> None:
+    """Fold a batch (doc_id, lang, n_chars, ...) into the K-row reservoir:
+    union the batch's A-ES priorities with the store, keep the K smallest
+    (ties by doc_id — the batch query's exact order), stage-then-swap the
+    K-row rewrite (the ivf_index_train discipline: the new store derives
+    from a read of the old one)."""
+    from dblp_to_csv_spark.operators.pipeline import aes_priority_frame
+
+    schema = "doc_id long, lang string, n_chars long, priority double"
+    cur = _read_index(spark, store_dir, schema)
+    merged = (
+        cur.unionByName(
+            aes_priority_frame(
+                new_docs.select("doc_id", "lang", "n_chars")
+            )
+        )
+        .distinct()
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+    tmp = store_dir + "_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_dir)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def reservoir_sample_current(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The current weighted sample — row-identical to running the batch
+    sample_weighted_priority over everything ever appended."""
+    return _read_index(
+        spark, store_dir, "doc_id long, lang string, n_chars long, priority double"
+    ).orderBy("priority", "doc_id")

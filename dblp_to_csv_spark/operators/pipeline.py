@@ -608,6 +608,18 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) and ties at the selection boundary break by doc_id
     identically in both engines."""
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        aes_priority_frame(docs)
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+def aes_priority_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_chars, priority) with the deterministic A-ES
+    priority — shared by the registered query above and the incremental
+    reservoir (operators/incremental.py::reservoir_sample_append), whose
+    sequential==batch contract needs the identical expression."""
     u = (
         F.conv(
             F.substring(
@@ -621,15 +633,11 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority = F.round(
         -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9
     )
-    return (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            priority.alias("priority"),
-        )
-        .orderBy("priority", "doc_id")
-        .limit(WEIGHTED_SAMPLE_K)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        priority.alias("priority"),
     )
 
 

@@ -69,6 +69,7 @@ _REGISTRY: dict[str, QueryEntry] = {}
 _EVIDENCE_RESET: dict[str, int] = {
     "skew_join_salted_events": 14,  # ADVICE r13: salt = pmod(hash(event_id), 16), decorrelated from the parity hot-key rule
     "quality_gopher_rules": 14,  # r14: body extracted into gopher_metrics(docs) for the admission twin — same expressions, signature-only refactor
+    "sample_weighted_priority": 14,  # r14: priority projection extracted into aes_priority_frame(docs) for the incremental reservoir — same expressions
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
