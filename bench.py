@@ -59,6 +59,8 @@ CURATION_BENCH = [
     "privacy_k_anonymity_audit",
     "embedding_norm_isotropy",
     "drift_psi_events_value",
+    # round-14: the repetition half of the Gopher battery
+    "quality_repetition_rules",
 ]
 
 # Graph family split out of CURATION_BENCH (ROADMAP #19) so the dedup and

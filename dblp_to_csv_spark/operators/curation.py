@@ -27,6 +27,7 @@ from dblp_to_csv_spark.functions.text import (
     STOPWORDS,
     WORDS_SQL,
     bigrams,
+    shingles,
     words,
 )
 from dblp_to_csv_spark.functions.rounding import (
@@ -1848,4 +1849,120 @@ def quality_score_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fn",
         precision.alias("precision"),
         recall.alias("recall"),
+    )
+
+
+# --- Gopher repetition battery (r14) ----------------------------------------
+
+REP_TOP2_MAX = 0.05  # most-common 2-gram ≤ 5% of 2-gram occurrences
+REP_TOP3_MAX = 0.04  # most-common 3-gram ≤ 4% of 3-gram occurrences
+REP_DUP2_MAX = 0.15  # ≤ 15% of 2-gram occurrences are repeats
+
+_G2 = (
+    f"CASE WHEN len({_WORDS}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_WORDS})-1), "
+    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1]) "
+    "ELSE [] END"
+)
+_G3 = (
+    f"CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_WORDS})-2), "
+    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "quality_repetition_rules",
+    tags=("curation", "quality"),
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, {_G2} AS g2, {_G3} AS g3 FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                {ROUND_TIES_DOWN_SQL.format(
+                    expr="COALESCE(list_max(list_transform(list_distinct(g2),"
+                    " x -> len(list_filter(g2, y -> y = x)))), 0) * 1.0"
+                    " / GREATEST(len(g2), 1)",
+                    scale=6,
+                )} AS top2_frac,
+                {ROUND_TIES_DOWN_SQL.format(
+                    expr="COALESCE(list_max(list_transform(list_distinct(g3),"
+                    " x -> len(list_filter(g3, y -> y = x)))), 0) * 1.0"
+                    " / GREATEST(len(g3), 1)",
+                    scale=6,
+                )} AS dup3_top_frac,
+                {ROUND_TIES_DOWN_SQL.format(
+                    expr="(len(g2) - len(list_distinct(g2))) * 1.0"
+                    " / GREATEST(len(g2), 1)",
+                    scale=6,
+                )} AS dup2_frac
+            FROM g
+        )
+        SELECT doc_id, top2_frac, dup3_top_frac, dup2_frac,
+               (top2_frac <= {REP_TOP2_MAX}
+                AND dup3_top_frac <= {REP_TOP3_MAX}
+                AND dup2_frac <= {REP_DUP2_MAX}) AS keep
+        FROM m
+    """,
+)
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPETITION half of the Gopher rule battery (Rae et al. 2021,
+    §A1.1): most-common-2-gram fraction, most-common-3-gram fraction, and
+    duplicate-2-gram occurrence fraction → a keep verdict. The existing
+    quality_gopher_rules tests the word DISTRIBUTION; this one catches
+    looping generators and boilerplate stuffing, which dominate-word tests
+    miss when the repeated unit is a phrase rather than a word.
+
+    Same plan shape as quality_gopher_rules: all three metrics are array
+    expressions over one staged tokenization — a single narrow projection,
+    no shuffle, fully inside codegen. The top-n-gram scan is O(m²) in
+    DOCUMENT length (array_distinct × filter), linear in corpus size —
+    cheaper at 100 TB than explode + groupBy + window, which would shuffle
+    every n-gram occurrence. Ratios round tie-safe (round_ties_down) since
+    small-integer fractions can land exactly on half boundaries."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    g = docs.select(
+        "doc_id",
+        bigrams(F.col("w")).alias("g2"),
+        shingles(F.col("w"), 3).alias("g3"),
+    )
+
+    def top_frac(col):
+        return round_ties_down(
+            F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(col),
+                        lambda x: F.size(F.filter(col, lambda y: y == x)),
+                    )
+                ),
+                F.lit(0),
+            )
+            * 1.0
+            / F.greatest(F.size(col), F.lit(1)),
+            6,
+        )
+
+    m = g.select(
+        "doc_id",
+        top_frac(F.col("g2")).alias("top2_frac"),
+        top_frac(F.col("g3")).alias("dup3_top_frac"),
+        round_ties_down(
+            (F.size("g2") - F.size(F.array_distinct("g2")))
+            * 1.0
+            / F.greatest(F.size("g2"), F.lit(1)),
+            6,
+        ).alias("dup2_frac"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("top2_frac") <= REP_TOP2_MAX)
+            & (F.col("dup3_top_frac") <= REP_TOP3_MAX)
+            & (F.col("dup2_frac") <= REP_DUP2_MAX)
+        ).alias("keep"),
     )
