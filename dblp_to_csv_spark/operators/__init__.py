@@ -17,3 +17,4 @@ import dblp_to_csv_spark.operators.curation  # noqa: F401
 import dblp_to_csv_spark.operators.drift  # noqa: F401
 import dblp_to_csv_spark.operators.graph  # noqa: F401
 import dblp_to_csv_spark.operators.association  # noqa: F401
+import dblp_to_csv_spark.operators.entity_resolution  # noqa: F401
