@@ -1332,3 +1332,140 @@ def reservoir_sample_current(spark: SparkSession, store_dir: str) -> DataFrame:
     return _read_index(
         spark, store_dir, "doc_id long, lang string, n_chars long, priority double"
     ).orderBy("priority", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental Misra-Gries heavy hitters (r14): the frequency-sketch family's
+# continuous-ingest member. The batch query
+# (statistics.py::heavy_hitters_words) runs MG(k) per partition + exact
+# recount per corpus scan; here the MERGED MG summary itself is the
+# persistent state (Agarwal et al., PODS'12 mergeable summaries): K counter
+# rows forever, merged per batch by counter addition + one (k+1)-th-largest
+# cut. Unlike the reservoir, raw counter state is batching-DEPENDENT — what
+# is invariant (and pinned in tests/test_mg_incremental.py) is the
+# guarantee:
+#
+#     lb(x) <= true(x) <= lb(x) + D,   D = (total - sum_lb) / (k + 1)
+#
+# for EVERY word (absent words: true(x) <= D), because each unit of
+# deduction — a partition-level MG decrement or a merge cut — absorbs at
+# least k+1 token occurrences. With k+1 > 1/phi this makes the candidate
+# set a superset of the true phi-frequent words under ANY batching, and an
+# exact recount of the candidates (the batch query's pass 2) reproduces
+# heavy_hitters_words exactly.
+#
+# Replay safety: counting state cannot anti-join duplicates away without
+# corpus-sized memory, so appends carry a monotone batch seq and the store
+# skips seq <= last-applied — batch-granularity idempotent replay with
+# 1-row meta, the foreachBatch epoch-id contract.
+# ---------------------------------------------------------------------------
+
+MG_STORE_K = 251  # == statistics.HH_K: k+1 > 1/HH_PHI
+
+
+def _mg_paths(store_dir: str) -> tuple[str, str]:
+    return os.path.join(store_dir, "counters"), os.path.join(store_dir, "meta")
+
+
+def _mg_write_meta(spark: SparkSession, meta_path: str, total: int, seq: int, k: int) -> None:
+    spark.createDataFrame(
+        [(int(total), int(seq), int(k))], "total long, seq long, k int"
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def mg_store_init(spark: SparkSession, store_dir: str, k: int = MG_STORE_K) -> None:
+    cpath, mpath = _mg_paths(store_dir)
+    spark.createDataFrame([], "word string, lb long").write.mode("overwrite").parquet(cpath)
+    _mg_write_meta(spark, mpath, 0, -1, k)
+
+
+def mg_store_append(
+    spark: SparkSession, new_docs: DataFrame, store_dir: str, seq: int
+) -> bool:
+    """Fold one batch of documents into the K-row MG summary. Returns False
+    (no-op) when ``seq`` was already applied — replayed micro-batches leave
+    the counts exact.
+
+    Shuffle inventory: the batch tokenization + per-partition MG runs
+    inside the batch scan (mapInPandas, no shuffle — the batch query's
+    pass 1, reused); the merge is a groupBy-sum over <= (partitions+1)*k
+    summary rows, then one cut. Driver state: the 1-row meta, the 1-row
+    batch token count, and the (k+1)-th-largest cut value — never
+    vocabulary-sized."""
+    from dblp_to_csv_spark.functions.text import words
+    from dblp_to_csv_spark.operators.statistics import mg_partition_summaries
+
+    cpath, mpath = _mg_paths(store_dir)
+    meta = spark.read.parquet(mpath).first()
+    if seq <= meta["seq"]:
+        return False
+    k = int(meta["k"])
+    tok = new_docs.select(F.explode(words("text")).alias("word"))
+    batch_total = tok.count()
+    if batch_total == 0:
+        _mg_write_meta(spark, mpath, int(meta["total"]), seq, k)
+        return True
+    batch_summary = mg_partition_summaries(tok, k)
+    cur = _read_index(spark, cpath, "word string, lb long")
+    summed = (
+        cur.unionByName(batch_summary).groupBy("word").agg(F.sum("lb").alias("lb"))
+    )
+    # The merge cut: subtract the (k+1)-th largest summed counter from all,
+    # drop the non-positive — at most k rows survive. top-(k+1) is a
+    # bounded driver collect over an already-<= (partitions+1)*k frame.
+    top = summed.orderBy(F.col("lb").desc(), "word").limit(k + 1).collect()
+    cut = int(top[-1]["lb"]) if len(top) > k else 0
+    merged = summed.withColumn("lb", F.col("lb") - F.lit(cut)).filter(F.col("lb") > 0)
+    tmp = cpath + "_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(cpath)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    _mg_write_meta(spark, mpath, int(meta["total"]) + batch_total, seq, k)
+    return True
+
+
+def mg_store_candidates(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The current summary with its deterministic error budget:
+    (word, lb, ub) where ub = lb + floor((total - sum_lb)/(k+1)) — every
+    word's true count lies in [lb, ub], and any word NOT present has true
+    count <= ub - lb. Instant (K-row state), no corpus access."""
+    cpath, mpath = _mg_paths(store_dir)
+    meta = spark.read.parquet(mpath).first()
+    cur = _read_index(spark, cpath, "word string, lb long")
+    sum_lb = cur.agg(F.coalesce(F.sum("lb"), F.lit(0))).first()[0]
+    d_bound = (int(meta["total"]) - int(sum_lb)) // (int(meta["k"]) + 1)
+    return cur.select("word", "lb", (F.col("lb") + F.lit(d_bound)).alias("ub"))
+
+
+def mg_store_hh(
+    spark: SparkSession, corpus_docs: DataFrame, store_dir: str, phi: float | None = None
+) -> DataFrame:
+    """Exact phi-frequent words: recount the store's candidates over the
+    full corpus (the batch query's pass 2 — a semi-join against the
+    broadcast K-row candidate set, the one deliberate corpus scan). By the
+    no-false-negative guarantee this equals heavy_hitters_words run over
+    everything ever appended, for any batching."""
+    from dblp_to_csv_spark.functions.rounding import round_ties_down
+    from dblp_to_csv_spark.functions.text import words
+    from dblp_to_csv_spark.operators.statistics import HH_PHI
+
+    phi = HH_PHI if phi is None else phi
+    cand = mg_store_candidates(spark, store_dir).select("word")
+    tok = corpus_docs.select(F.explode(words("text")).alias("word"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    recount = (
+        tok.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("total")))
+        .select(
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            round_ties_down(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )
