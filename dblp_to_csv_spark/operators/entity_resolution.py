@@ -181,17 +181,26 @@ _PAIRS_SQL = f"""
 """
 
 
-def _match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_block_keys(dirty: DataFrame) -> DataFrame:
+    return dirty.withColumn("bk_pre", F.substring("addr", 1, ER_BLOCK_WIDTH)).withColumn(
+        "bk_suf", F.substring("addr", 27, ER_BLOCK_WIDTH)
+    )
+
+
+def _field_match(a, b):  # the per-field verify conjunction, one definition
+    return (F.levenshtein(a("addr"), b("addr")) <= ER_ADDR_MAX_DIST) & (
+        F.levenshtein(a("phone"), b("phone")) <= ER_PHONE_MAX_DIST
+    )
+
+
+def match_pairs_from_dirty(dirty: DataFrame) -> DataFrame:
     """Blocked candidate pairs (record_a < record_b) that pass the per-field
     verify, with their distances. Two equi-join passes unioned + distinct —
-    never an OR-join (Spark would plan that as a filtered cross join)."""
-    dirty = _dirty_records(spark, sf_dir)
-    keyed = dirty.select(
-        "record_id",
-        "addr",
-        "phone",
-        F.substring("addr", 1, ER_BLOCK_WIDTH).alias("bk_pre"),
-        F.substring("addr", 27, ER_BLOCK_WIDTH).alias("bk_suf"),
+    never an OR-join (Spark would plan that as a filtered cross join).
+    Exposed over an arbitrary dirty frame so the incremental store's parity
+    tests can run batch semantics on any ingested prefix."""
+    keyed = _with_block_keys(dirty).select(
+        "record_id", "addr", "phone", "bk_pre", "bk_suf"
     )
 
     def one_pass(key: str) -> DataFrame:
@@ -231,7 +240,7 @@ def _match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The match-pair stage exposed: every blocked pair passing the
     per-field edit-distance conjunction, with distances."""
-    return _match_pairs(spark, sf_dir)
+    return match_pairs_from_dirty(_dirty_records(spark, sf_dir))
 
 
 @register(
@@ -269,8 +278,14 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     base at the replacement position. balance_total = ROUND(SUM, 2) of
     2-dp inputs — identity rounding, no half-boundary exposure (registry
     header contract)."""
-    dirty = _dirty_records(spark, sf_dir)
-    pairs = _match_pairs(spark, sf_dir)
+    return golden_from_dirty(_dirty_records(spark, sf_dir))
+
+
+def golden_from_dirty(dirty: DataFrame) -> DataFrame:
+    """Batch golden-record semantics over an arbitrary dirty frame — the
+    ground truth the incremental er_store parity tests pin against at every
+    ingested prefix."""
+    pairs = match_pairs_from_dirty(dirty)
     both_dirs = pairs.select(
         F.col("record_a").alias("rid"), F.col("record_b").alias("nb")
     ).unionByName(pairs.select(F.col("record_b").alias("rid"), F.col("record_a").alias("nb")))
@@ -291,3 +306,243 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal"), 2).alias("balance_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental entity resolution (r14): the golden-record pipeline as a
+# continuous-ingest store. New records probe the persistent block indexes
+# (two narrow tables partitioned by a 2-hex-char bucket of each blocking
+# key — PartitionFilters prune the scan to the batch's buckets), verify the
+# per-field conjunction JVM-side, and join existing clusters in place.
+#
+# The repair that keeps this exact is O(batch matches), not corpus-sized:
+# 1-hop min canonicals are MONOTONE under record arrival (records are never
+# deleted, so a new neighbor can only lower a canonical), which gives
+#     new_canon(s) = least(old_canon(s), min(new matching record_id))
+# — an O(1) update per matched store record, no neighbor-set rescan. The
+# canon table is append-only; the current canonical of a record is the MIN
+# over its appended rows (monotonicity again), so reads need no
+# latest-by-seq window. Replay is idempotent by record_id: a batch first
+# anti-joins against the bucket-pruned records index.
+#
+# Sequential == batch is the contract: after any batching/ordering of the
+# dirty corpus (bases after their variants included — the re-election
+# cascade), er_store_current() must equal golden_from_dirty() over
+# everything ingested (tests/test_er_incremental.py).
+# ---------------------------------------------------------------------------
+
+ER_STORE_BUCKETS = 16  # records/canon partition fan-out (pmod(record_id))
+
+_ER_REC_SCHEMA = "record_id long, name string, addr string, phone string, bal double, rb int"
+_ER_BLOCK_SCHEMA = "record_id long, addr string, phone string, bk string, pb int"
+_ER_CANON_SCHEMA = "record_id long, canonical long, rb int"
+_ER_PAIR_SCHEMA = "record_a long, record_b long, addr_dist int, phone_dist int"
+
+
+def _er_paths(store_dir: str) -> tuple[str, str, str, str, str]:
+    import os
+
+    return (
+        os.path.join(store_dir, "records"),
+        os.path.join(store_dir, "blocks_pre"),
+        os.path.join(store_dir, "blocks_suf"),
+        os.path.join(store_dir, "canon"),
+        os.path.join(store_dir, "pairs"),
+    )
+
+
+def _er_read(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def er_store_init(spark: SparkSession, store_dir: str) -> None:
+    rec, pre, suf, canon, pairs = _er_paths(store_dir)
+    spark.createDataFrame([], _ER_REC_SCHEMA).write.mode("overwrite").partitionBy(
+        "rb"
+    ).parquet(rec)
+    for p in (pre, suf):
+        spark.createDataFrame([], _ER_BLOCK_SCHEMA).write.mode("overwrite").partitionBy(
+            "pb"
+        ).parquet(p)
+    spark.createDataFrame([], _ER_CANON_SCHEMA).write.mode("overwrite").partitionBy(
+        "rb"
+    ).parquet(canon)
+    spark.createDataFrame([], _ER_PAIR_SCHEMA).write.mode("overwrite").parquet(pairs)
+
+
+def _pb(col):  # 2-hex-char bucket of a blocking key -> 256 partitions
+    return F.conv(F.substring(col, 1, 2), 16, 10).cast("int")
+
+
+def _probe_blocks(
+    spark: SparkSession, path: str, batch_keyed: DataFrame, key: str
+) -> DataFrame:
+    """Bucket-pruned probe of one block index: store rows sharing a blocking
+    key with the batch, verified by the per-field conjunction. Returns
+    (store record_id 'sid', batch record_id 'bid', distances)."""
+    buckets = [
+        int(r[0])
+        for r in batch_keyed.select(_pb(F.col(key)).alias("pb")).distinct().collect()
+    ]
+    if not buckets:
+        return spark.createDataFrame([], "sid long, bid long, addr_dist int, phone_dist int")
+    idx = _er_read(spark, path, _ER_BLOCK_SCHEMA).filter(F.col("pb").isin(buckets))
+    b = batch_keyed.select(
+        F.col("record_id").alias("bid"),
+        F.col("addr").alias("b_addr"),
+        F.col("phone").alias("b_phone"),
+        F.col(key).alias("bk"),
+    )
+    return (
+        idx.join(F.broadcast(b), "bk")
+        .where(
+            (F.levenshtein(F.col("addr"), F.col("b_addr")) <= ER_ADDR_MAX_DIST)
+            & (F.levenshtein(F.col("phone"), F.col("b_phone")) <= ER_PHONE_MAX_DIST)
+        )
+        .select(
+            F.col("record_id").alias("sid"),
+            "bid",
+            F.levenshtein(F.col("addr"), F.col("b_addr")).cast("int").alias("addr_dist"),
+            F.levenshtein(F.col("phone"), F.col("b_phone")).cast("int").alias("phone_dist"),
+        )
+    )
+
+
+def er_store_append(spark: SparkSession, new_records: DataFrame, store_dir: str) -> dict:
+    """Resolve one batch of dirty records against the store and ingest them.
+    Returns counts {'ingested', 'store_matches', 'batch_matches',
+    'repaired'}. Batch-sized driver state only: the bucket lists, the match
+    edges (batch x matches), and the canonical updates."""
+    rec_p, pre_p, suf_p, canon_p, pairs_p = _er_paths(store_dir)
+
+    batch = _with_block_keys(
+        new_records.select("record_id", "name", "addr", "phone", "bal")
+    )
+    # Idempotent replay: drop record_ids already ingested (bucket-pruned probe).
+    batch_ids = [int(r[0]) for r in batch.select("record_id").distinct().collect()]
+    if not batch_ids:
+        return {"ingested": 0, "store_matches": 0, "batch_matches": 0, "repaired": 0}
+    rbuckets = sorted({i % ER_STORE_BUCKETS for i in batch_ids})
+    seen = (
+        _er_read(spark, rec_p, _ER_REC_SCHEMA)
+        .filter(F.col("rb").isin(rbuckets))
+        .join(
+            F.broadcast(spark.createDataFrame([(i,) for i in batch_ids], "record_id long")),
+            "record_id",
+            "left_semi",
+        )
+    )
+    seen_ids = {int(r[0]) for r in seen.select("record_id").collect()}
+    fresh = [i for i in batch_ids if i not in seen_ids]
+    if not fresh:
+        return {"ingested": 0, "store_matches": 0, "batch_matches": 0, "repaired": 0}
+    batch = batch.join(
+        F.broadcast(spark.createDataFrame([(i,) for i in fresh], "record_id long")),
+        "record_id",
+        "left_semi",
+    )
+
+    # Match edges: batch vs store (two pruned index probes) + batch vs batch
+    # (the two-pass blocking on the batch alone). Collected driver-side —
+    # batch-x-duplicate-density sized, the cc_store_append budget class.
+    store_edges = (
+        _probe_blocks(spark, pre_p, batch, "bk_pre")
+        .unionByName(_probe_blocks(spark, suf_p, batch, "bk_suf"))
+        .distinct()
+        .collect()
+    )
+    batch_edges = match_pairs_from_dirty(
+        batch.select("record_id", "name", "addr", "phone", "bal")
+    ).collect()
+
+    # Canonicals for the new records: least(self, direct neighbors).
+    neigh: dict[int, int] = {}
+
+    def _see(a: int, b: int) -> None:
+        neigh[a] = min(neigh.get(a, a), b)
+
+    for e in store_edges:
+        _see(int(e["bid"]), int(e["sid"]))
+    for e in batch_edges:
+        _see(int(e["record_a"]), int(e["record_b"]))
+        _see(int(e["record_b"]), int(e["record_a"]))
+    new_canon = [(i, min(i, neigh.get(i, i))) for i in fresh]
+
+    # O(1) repair per matched store record: new neighbors only ever lower a
+    # 1-hop min canonical (monotone under arrival), and the canon table is
+    # append-only with MIN-on-read, so the repair row is just (sid, bid).
+    repairs = {}
+    for e in store_edges:
+        sid, bid = int(e["sid"]), int(e["bid"])
+        repairs[sid] = min(repairs.get(sid, bid), bid)
+    repair_rows = [(s, c) for s, c in repairs.items() if c < s]
+
+    # Stage-then-append: the probes above are already materialized
+    # (collected), so index appends cannot feed back into this batch.
+    batch.select(
+        "record_id", "name", "addr", "phone", "bal",
+        F.pmod(F.col("record_id"), F.lit(ER_STORE_BUCKETS)).cast("int").alias("rb"),
+    ).write.mode("append").partitionBy("rb").parquet(rec_p)
+    for path, key in ((pre_p, "bk_pre"), (suf_p, "bk_suf")):
+        batch.select(
+            "record_id", "addr", "phone",
+            F.col(key).alias("bk"), _pb(F.col(key)).alias("pb"),
+        ).write.mode("append").partitionBy("pb").parquet(path)
+    canon_rows = new_canon + repair_rows
+    spark.createDataFrame(canon_rows, "record_id long, canonical long").withColumn(
+        "rb", F.pmod(F.col("record_id"), F.lit(ER_STORE_BUCKETS)).cast("int")
+    ).write.mode("append").partitionBy("rb").parquet(canon_p)
+    pair_rows = [
+        (min(int(e["sid"]), int(e["bid"])), max(int(e["sid"]), int(e["bid"])),
+         int(e["addr_dist"]), int(e["phone_dist"]))
+        for e in store_edges
+    ] + [
+        (int(e["record_a"]), int(e["record_b"]), int(e["addr_dist"]), int(e["phone_dist"]))
+        for e in batch_edges
+    ]
+    if pair_rows:
+        spark.createDataFrame(sorted(set(pair_rows)), _ER_PAIR_SCHEMA).write.mode(
+            "append"
+        ).parquet(pairs_p)
+    return {
+        "ingested": len(fresh),
+        "store_matches": len(store_edges),
+        "batch_matches": len(batch_edges),
+        "repaired": len(repair_rows),
+    }
+
+
+def er_store_current(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The golden records over everything ingested — row-identical to
+    golden_from_dirty() on the union of all appended batches."""
+    rec_p, _, _, canon_p, _ = _er_paths(store_dir)
+    recs = _er_read(spark, rec_p, _ER_REC_SCHEMA)
+    canon = (
+        _er_read(spark, canon_p, _ER_CANON_SCHEMA)
+        .groupBy("record_id")
+        .agg(F.min("canonical").alias("canonical_id"))
+    )
+    return (
+        recs.join(canon, "record_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.min("name").alias("golden_name"),
+            F.min("addr").alias("golden_address"),
+            F.min("phone").alias("golden_phone"),
+            F.round(F.sum("bal"), 2).alias("balance_total"),
+        )
+    )
+
+
+def er_store_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All match pairs discovered so far (record_a < record_b) — equal to
+    match_pairs_from_dirty() over everything ingested: each pair is found
+    exactly once, when its LATER record arrives (or in-batch)."""
+    _, _, _, _, pairs_p = _er_paths(store_dir)
+    return _er_read(spark, pairs_p, _ER_PAIR_SCHEMA).distinct()

@@ -1,0 +1,105 @@
+"""Incremental entity resolution (operators/entity_resolution.py:
+er_store_*): sequential == batch at every ingested prefix — including
+orderings where variants arrive BEFORE their base record (the canonical
+re-election cascade) — plus pairs-found-exactly-once, idempotent replay,
+and PartitionFilters on the block-index probes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dblp_to_csv_spark.operators.entity_resolution import (
+    _dirty_records,
+    _er_paths,
+    _probe_blocks,
+    _with_block_keys,
+    er_store_append,
+    er_store_current,
+    er_store_init,
+    er_store_pairs,
+    golden_from_dirty,
+    match_pairs_from_dirty,
+)
+from tests.conftest import SF_SMOKE
+
+_SCHEMA = "record_id long, name string, addr string, phone string, bal double"
+
+
+def _all_rows(spark):
+    return [
+        tuple(r)
+        for r in _dirty_records(spark, SF_SMOKE).orderBy("record_id").collect()
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "order,batch_size",
+    [("asc", 67), ("desc", 67), ("asc", 500)],
+    ids=["base-first", "variants-first", "big-batches"],
+)
+def test_sequential_equals_batch_at_every_prefix(spark, tmp_path, order, batch_size):
+    rows = _all_rows(spark)
+    if order == "desc":
+        rows = rows[::-1]
+    store = str(tmp_path / f"er_{order}_{batch_size}")
+    er_store_init(spark, store)
+    repaired_total = 0
+    for i in range(0, len(rows), batch_size):
+        stats = er_store_append(spark, _df(spark, rows[i : i + batch_size]), store)
+        repaired_total += stats["repaired"]
+        prefix = _df(spark, rows[: i + batch_size])
+        assert _sorted(er_store_current(spark, store)) == _sorted(
+            golden_from_dirty(prefix)
+        ), f"prefix {i + batch_size}"
+    assert _sorted(er_store_pairs(spark, store)) == _sorted(
+        match_pairs_from_dirty(_df(spark, rows))
+    )
+    if order == "desc":
+        # variants-first must exercise the re-election repair path: the base
+        # record arrives last and steals the canonical from every variant
+        assert repaired_total > 0
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    rows = _all_rows(spark)[:120]
+    store = str(tmp_path / "er_replay")
+    er_store_init(spark, store)
+    er_store_append(spark, _df(spark, rows[:60]), store)
+    er_store_append(spark, _df(spark, rows[60:]), store)
+    want = _sorted(er_store_current(spark, store))
+    want_pairs = _sorted(er_store_pairs(spark, store))
+    stats = er_store_append(spark, _df(spark, rows[:60]), store)  # full replay
+    assert stats["ingested"] == 0
+    # overlapping batch: only the genuinely new records ingest
+    stats = er_store_append(spark, _df(spark, rows[50:70]), store)
+    assert stats["ingested"] == 0
+    assert _sorted(er_store_current(spark, store)) == want
+    assert _sorted(er_store_pairs(spark, store)) == want_pairs
+
+
+def test_block_probes_are_partition_pruned(spark, tmp_path):
+    rows = _all_rows(spark)[:80]
+    store = str(tmp_path / "er_plan")
+    er_store_init(spark, store)
+    er_store_append(spark, _df(spark, rows), store)
+    _, pre_p, suf_p, _, _ = _er_paths(store)
+    batch = _with_block_keys(_df(spark, _all_rows(spark)[80:90]))
+
+    def pf(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        return m.group(1) if m else ""
+
+    assert "pb" in pf(_probe_blocks(spark, pre_p, batch, "bk_pre"))
+    assert "pb" in pf(_probe_blocks(spark, suf_p, batch, "bk_suf"))
