@@ -103,3 +103,51 @@ def test_block_probes_are_partition_pruned(spark, tmp_path):
 
     assert "pb" in pf(_probe_blocks(spark, pre_p, batch, "bk_pre"))
     assert "pb" in pf(_probe_blocks(spark, suf_p, batch, "bk_suf"))
+
+
+def test_streaming_foreachbatch_er(spark, tmp_path):
+    """The continuous-ingest shape end-to-end: dirty-record micro-batches
+    fold into the ER store via foreachBatch, goldens equal to the batch
+    semantics over everything streamed."""
+    import json as _json
+
+    rows = _all_rows(spark)[:90]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "er_stream")
+    ckpt = str(tmp_path / "ckpt")
+    er_store_init(spark, store)
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        er_store_append(spark, batch_df, store)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(_SCHEMA)
+            .json(str(src))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def dump(path, chunk):
+        path.write_text(
+            "\n".join(
+                _json.dumps(
+                    dict(zip(("record_id", "name", "addr", "phone", "bal"), r))
+                )
+                for r in chunk
+            )
+        )
+
+    dump(src / "b1.json", rows[:45])
+    run_once()
+    dump(src / "b2.json", rows[45:])
+    run_once()
+    assert _sorted(er_store_current(spark, store)) == _sorted(
+        golden_from_dirty(_df(spark, rows))
+    )

@@ -106,3 +106,48 @@ def test_replay_and_empty_batch(spark, tmp_path):
     truth = _true_counts(rows[:100])
     meta = spark.read.parquet(str(tmp_path / "mg" / "meta")).first()
     assert meta["total"] == sum(truth.values()) and meta["seq"] == 1
+
+
+def test_streaming_foreachbatch_mg(spark, tmp_path):
+    """Document micro-batches fold into the MG summary via foreachBatch
+    (batch_id as the seq watermark — the epoch-id contract); the recount
+    over everything streamed equals the batch query's semantics."""
+    import json as _json
+
+    rows = _rows(spark)[:200]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "mg_stream")
+    ckpt = str(tmp_path / "ckpt")
+    mg_store_init(spark, store)
+
+    def handle(batch_df, batch_id):
+        mg_store_append(spark, batch_df, store, seq=batch_id)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def dump(path, chunk):
+        path.write_text(
+            "\n".join(_json.dumps({"doc_id": r.doc_id, "text": r.text}) for r in chunk)
+        )
+
+    dump(src / "b1.json", rows[:100])
+    run_once()
+    dump(src / "b2.json", rows[100:])
+    run_once()
+    truth = _true_counts(rows)
+    cand = {r.word: (r.lb, r.ub) for r in mg_store_candidates(spark, store).collect()}
+    assert cand
+    for w, (lb, ub) in cand.items():
+        assert lb <= truth[w] <= ub
+    meta = spark.read.parquet(str(tmp_path / "mg_stream" / "meta")).first()
+    assert meta["total"] == sum(truth.values())
