@@ -120,6 +120,8 @@ PIPELINE_BENCH = [
     # (dHash / energy-gradient fingerprint + shared banded hamming join)
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    # round-14: the ER composite (blocked fuzzy match + survivorship merge)
+    "er_golden_record",
 ]
 
 
