@@ -31,6 +31,7 @@ ground truth.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1469,3 +1470,235 @@ def mg_store_hh(
             round_ties_down(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 search index (r14): the retrieval family's continuous-
+# ingest member. The batch query (text_analysis.py::search_bm25) re-scans
+# and re-scores the corpus per run; here the corpus-scale state is a
+# term-bucket-partitioned postings table probed by the query's terms only
+# (PartitionFilters), and the global statistics BM25 needs are EXACTLY
+# maintained 1-row meta: n_docs and sum_dl are integer-additive across
+# batches, per-term df is the probed postings' row count (a doc appears
+# once per term), so a search computes bit-for-bit the same (tf, df, n,
+# avgdl) inputs the batch scorer sees.
+#
+# Two read paths, pinned equal in tests/test_bm25_incremental.py:
+# * bm25_index_scan_scored — rebuilds the full tf frame from the index and
+#   feeds the SAME bm25_score_frame the batch query uses: parity with
+#   search_bm25 is by construction (index-completeness witness);
+# * bm25_index_search — the pruned-probe path (only the query terms'
+#   buckets are read); equal to the batch top-k because both sides rank on
+#   the 6-dp ROUNDED score with doc_id tie-break.
+#
+# Replay is idempotent by doc_id (bucket-pruned anti-probe, the er_store
+# rule): re-ingesting a doc would otherwise double df/tf/meta.
+# ---------------------------------------------------------------------------
+
+BM25_TERM_BUCKETS = 256
+BM25_DOC_BUCKETS = 16
+
+_BM25_POST_SCHEMA = "term string, doc_id long, tf long, dl long, tb int"
+_BM25_DOC_SCHEMA = "doc_id long, dl long, db int"
+
+
+def _bm25_paths(store_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(store_dir, "postings"),
+        os.path.join(store_dir, "docs"),
+        os.path.join(store_dir, "meta"),
+    )
+
+
+def _term_bucket(col):
+    return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
+
+
+def bm25_index_init(spark: SparkSession, store_dir: str) -> None:
+    post_p, docs_p, meta_p = _bm25_paths(store_dir)
+    spark.createDataFrame([], _BM25_POST_SCHEMA).write.mode("overwrite").partitionBy(
+        "tb"
+    ).parquet(post_p)
+    spark.createDataFrame([], _BM25_DOC_SCHEMA).write.mode("overwrite").partitionBy(
+        "db"
+    ).parquet(docs_p)
+    spark.createDataFrame([(0, 0)], "n_docs long, sum_dl long").write.mode(
+        "overwrite"
+    ).parquet(meta_p)
+
+
+def bm25_index_append(spark: SparkSession, new_docs: DataFrame, store_dir: str) -> int:
+    """Ingest a batch of (doc_id, text): tokenize once, append per-(doc,
+    term) postings (term-bucketed) + doc lengths (doc-bucketed), and fold
+    the batch's exact (count, sum-of-lengths) into the 1-row meta. Returns
+    the number of docs ingested (replays return 0)."""
+    from dblp_to_csv_spark.functions.text import words
+
+    post_p, docs_p, meta_p = _bm25_paths(store_dir)
+    batch_ids = [int(r[0]) for r in new_docs.select("doc_id").distinct().collect()]
+    if not batch_ids:
+        return 0
+    dbuckets = sorted({i % BM25_DOC_BUCKETS for i in batch_ids})
+    seen = {
+        int(r[0])
+        for r in _read_index(spark, docs_p, _BM25_DOC_SCHEMA)
+        .filter(F.col("db").isin(dbuckets))
+        .join(
+            F.broadcast(
+                spark.createDataFrame([(i,) for i in batch_ids], "doc_id long")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id")
+        .collect()
+    }
+    fresh = [i for i in batch_ids if i not in seen]
+    if not fresh:
+        return 0
+    batch = new_docs.join(
+        F.broadcast(spark.createDataFrame([(i,) for i in fresh], "doc_id long")),
+        "doc_id",
+        "left_semi",
+    )
+    tok = batch.select("doc_id", words("text").alias("w")).select(
+        "doc_id", F.size("w").alias("dl"), "w"
+    )
+    # Stage the tokenized batch: meta totals and the two appends must see
+    # one immutable snapshot (and postings/docs stay mutually consistent).
+    tok = _stage(tok, None, "bm25_tok")
+    agg = tok.agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))).first()
+    batch_n, batch_dl = int(agg[0]), int(agg[1])
+    meta = spark.read.parquet(meta_p).first()
+    postings = (
+        tok.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl", _term_bucket(F.col("term")).alias("tb"))
+    )
+    postings.write.mode("append").partitionBy("tb").parquet(post_p)
+    tok.select(
+        "doc_id", "dl", F.pmod(F.col("doc_id"), F.lit(BM25_DOC_BUCKETS)).cast("int").alias("db")
+    ).write.mode("append").partitionBy("db").parquet(docs_p)
+    spark.createDataFrame(
+        [(int(meta["n_docs"]) + batch_n, int(meta["sum_dl"]) + batch_dl)],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(meta_p)
+    return batch_n
+
+
+def _bm25_tf_frame_from_index(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The full corpus tf frame (doc_id, dl, tf_<term>...) reconstructed
+    from the index — the index-completeness witness: feeding it to the
+    batch scorer must reproduce search_bm25 exactly."""
+    from dblp_to_csv_spark.operators.text_analysis import BM25_TERMS
+
+    post_p, docs_p, _ = _bm25_paths(store_dir)
+    docs = _read_index(spark, docs_p, _BM25_DOC_SCHEMA).select("doc_id", "dl")
+    posts = (
+        _read_index(spark, post_p, _BM25_POST_SCHEMA)
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id")
+        .pivot("term", list(BM25_TERMS))
+        .agg(F.first("tf"))
+    )
+    out = docs.join(posts, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "dl",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("int").alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+
+def bm25_index_scan_scored(spark: SparkSession, store_dir: str) -> DataFrame:
+    """search_bm25 over the index via the batch scorer itself (corpus-sized
+    by design — the parity witness, not the serving path)."""
+    from dblp_to_csv_spark.operators.text_analysis import (
+        BM25_TOP,
+        bm25_score_frame,
+    )
+
+    tf = _bm25_tf_frame_from_index(spark, store_dir)
+    return (
+        bm25_score_frame(tf, ["doc_id"])
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def bm25_index_search(
+    spark: SparkSession,
+    store_dir: str,
+    terms: tuple[str, ...] | None = None,
+    top: int | None = None,
+) -> DataFrame:
+    """The serving path: score ONLY documents containing at least one query
+    term, read from the query terms' postings buckets (PartitionFilters —
+    probe cost is per-term posting lists, never the corpus). Global stats
+    come exact from the meta row (n, avgdl) and the probed lists (df). When
+    fewer than ``top`` documents match, the remainder fills with zero-score
+    docs in doc_id order — the batch query's exact tail semantics."""
+    from dblp_to_csv_spark.operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP,
+    )
+
+    terms = tuple(terms or BM25_TERMS)
+    top = top or BM25_TOP
+    post_p, docs_p, meta_p = _bm25_paths(store_dir)
+    meta = spark.read.parquet(meta_p).first()
+    n, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, n_terms_matched long"
+        )
+    avgdl = sum_dl / n
+    tbuckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:2], 16) for t in terms}
+    )
+    posts = (
+        _read_index(spark, post_p, _BM25_POST_SCHEMA)
+        .filter(F.col("tb").isin(tbuckets))
+        .filter(F.col("term").isin(list(terms)))
+    )
+    df_frame = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        posts.join(F.broadcast(df_frame), "term")
+        .withColumn(
+            "contrib",
+            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * F.lit(BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.sum("contrib"), 6) + F.lit(0.0)).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    hits = scored.orderBy(F.desc("bm25"), "doc_id").limit(top)
+    n_hits = hits.count()
+    if n_hits >= top:
+        return hits
+    fill = (
+        _read_index(spark, docs_p, _BM25_DOC_SCHEMA)
+        .join(scored.select("doc_id"), "doc_id", "left_anti")
+        .orderBy("doc_id")
+        .limit(top - n_hits)
+        .select(
+            "doc_id",
+            (F.lit(0.0) + F.lit(0.0)).alias("bm25"),
+            F.lit(0).cast("long").alias("n_terms_matched"),
+        )
+    )
+    return hits.unionByName(fill)
