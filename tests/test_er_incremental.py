@@ -151,3 +151,57 @@ def test_streaming_foreachbatch_er(spark, tmp_path):
     assert _sorted(er_store_current(spark, store)) == _sorted(
         golden_from_dirty(_df(spark, rows))
     )
+
+
+# --- property: random corpora through random batchings ----------------------
+# The derived dirty corpus only produces star-shaped clusters; random
+# corruptions produce chains (A~B, B~C, A!~C) and cross-entity collisions,
+# generalizing the monotone-repair parity argument to arbitrary shapes.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BASE_ADDRS = [
+    "aaaaaaaaaaaaaaaabbbbbbbbbbbbbbbb",
+    "abababababababababababababababab",
+    "bbbbbbbbbbbbbbbbaaaaaaaaaaaaaaaa",
+]
+_BASE_PHONES = ["aaaaabbbbb", "ababababab"]
+
+
+@st.composite
+def er_corpus_and_batching(draw):
+    n = draw(st.integers(min_value=3, max_value=9))
+    rows = []
+    for rid in range(1, n + 1):
+        addr = list(_BASE_ADDRS[draw(st.integers(0, len(_BASE_ADDRS) - 1))])
+        for _ in range(draw(st.integers(0, 3))):
+            addr[draw(st.integers(0, 31))] = draw(st.sampled_from("abc~"))
+        phone = list(_BASE_PHONES[draw(st.integers(0, len(_BASE_PHONES) - 1))])
+        for _ in range(draw(st.integers(0, 2))):
+            phone[draw(st.integers(0, 9))] = draw(st.sampled_from("ab~"))
+        rows.append((rid, f"n{rid}", "".join(addr), "".join(phone), float(rid)))
+    batch_of = [draw(st.integers(0, 2)) for _ in rows]
+    batches = [[r for r, b in zip(rows, batch_of) if b == k] for k in range(3)]
+    return rows, [b for b in batches if b]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=er_corpus_and_batching())
+def test_er_store_parity_property(spark, tmp_path_factory, data):
+    rows, batches = data
+    tmp = tmp_path_factory.mktemp("er_prop")
+    store = str(tmp / "store")
+    er_store_init(spark, store)
+    for b in batches:
+        er_store_append(spark, _df(spark, b), store)
+    got = _sorted(er_store_current(spark, store))
+    want = _sorted(golden_from_dirty(_df(spark, rows)))
+    assert got == want, (rows, [len(b) for b in batches])
+    assert _sorted(er_store_pairs(spark, store)) == _sorted(
+        match_pairs_from_dirty(_df(spark, rows))
+    )
