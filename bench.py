@@ -154,6 +154,23 @@ def _calibrate(spark, runs: int = 5) -> float:
     return round(best, 4)
 
 
+def _calibrate_cpu(spark, runs: int = 3) -> float:
+    """CPU-bound parallel probe (r14 session): 64M-row modulo-sum across 32
+    tasks, best-of-``runs`` (~0.18 s quiet). The serial 1M probe above is
+    scheduling-bound and under-reads MULTI-CORE contention: an r14 session
+    run saw the graph series swing 53.6 → 70 s while the serial probe held
+    0.07, on a host whose load average was visibly decaying from a prior
+    burst. This probe saturates the executor the way the queries do, so a
+    reader can attribute a series swing to host CPU pressure (cpu probe
+    inflated) vs plan/code change (cpu probe quiet)."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).selectExpr("sum(id % 1000003)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _time_queries(spark, sf_dir: str, fns: dict, runs: int = 2) -> dict[str, float]:
     # ``runs`` INTERLEAVED passes over the whole set, report the best per
     # query: the first pass pays one-off JIT compilation and (on this shared
@@ -244,13 +261,13 @@ def main() -> None:
     # quiet — the burst lived entirely inside the early series and the end
     # probe couldn't see it.
     registry = all_queries()
-    series: list[tuple[str, dict, float, float]] = []
+    series: list[tuple[str, dict, float, float, float, float]] = []
 
     def run_series(metric: str, fn) -> None:
-        c0 = _calibrate(spark)
+        c0, u0 = _calibrate(spark), _calibrate_cpu(spark)
         timings = fn()
-        c1 = _calibrate(spark)
-        series.append((metric, timings, c0, c1))
+        c1, u1 = _calibrate(spark), _calibrate_cpu(spark)
+        series.append((metric, timings, c0, c1, u0, u1))
 
     # Headline set runs interleaved best-of-3 (secondary series stay at
     # best-of-2 to bound total bench wall-clock; their per-query numbers are
@@ -301,7 +318,7 @@ def main() -> None:
     # the series actually ran under; both raw values stay on every line so
     # an in-series burst is self-explaining.
     headline = series[0]
-    for metric, timings, c0, c1 in series[1:] + [headline]:
+    for metric, timings, c0, c1, u0, u1 in series[1:] + [headline]:
         print(
             json.dumps(
                 {
@@ -313,6 +330,10 @@ def main() -> None:
                     "calibration": min(c0, c1),
                     "calibration_start": c0,
                     "calibration_end": c1,
+                    # CPU-bound twin (~0.18 quiet): reads multi-core
+                    # pressure the serial probe cannot see
+                    "calibration_cpu_start": u0,
+                    "calibration_cpu_end": u1,
                 }
             ),
             flush=True,
