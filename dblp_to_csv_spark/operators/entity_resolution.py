@@ -546,3 +546,44 @@ def er_store_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
     exactly once, when its LATER record arrives (or in-batch)."""
     _, _, _, _, pairs_p = _er_paths(store_dir)
     return _er_read(spark, pairs_p, _ER_PAIR_SCHEMA).distinct()
+
+
+def er_store_compact(spark: SparkSession, store_dir: str) -> None:
+    """Declared amortized rewrite (the cc_store_compact analogue): per-batch
+    appends accumulate small files, and the canon table accumulates repair
+    history rows. Compaction collapses canon to its MIN row per record and
+    rewrites every table stage-then-swap (a reader of the swapped store sees
+    either the old or the new complete table, never a mix). Run on the same
+    amortized trigger discipline as the other stores — e.g. appended-batch
+    count or canon-history fraction — never per batch."""
+    import shutil
+
+    rec_p, pre_p, suf_p, canon_p, pairs_p = _er_paths(store_dir)
+    for path, schema, part in (
+        (rec_p, _ER_REC_SCHEMA, "rb"),
+        (pre_p, _ER_BLOCK_SCHEMA, "pb"),
+        (suf_p, _ER_BLOCK_SCHEMA, "pb"),
+        (pairs_p, _ER_PAIR_SCHEMA, None),
+    ):
+        df = _er_read(spark, path, schema)
+        if path == pairs_p:
+            df = df.distinct()
+        tmp = path + "_compact"
+        w = df.write.mode("overwrite")
+        (w.partitionBy(part) if part else w).parquet(tmp)
+        out = spark.read.schema(schema).parquet(tmp)
+        w2 = out.write.mode("overwrite")
+        (w2.partitionBy(part) if part else w2).parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
+    canon = (
+        _er_read(spark, canon_p, _ER_CANON_SCHEMA)
+        .groupBy("record_id")
+        .agg(F.min("canonical").alias("canonical"))
+        .withColumn("rb", F.pmod(F.col("record_id"), F.lit(ER_STORE_BUCKETS)).cast("int"))
+    )
+    tmp = canon_p + "_compact"
+    canon.write.mode("overwrite").partitionBy("rb").parquet(tmp)
+    spark.read.schema(_ER_CANON_SCHEMA).parquet(tmp).write.mode(
+        "overwrite"
+    ).partitionBy("rb").parquet(canon_p)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -1702,3 +1702,23 @@ def bm25_index_search(
         )
     )
     return hits.unionByName(fill)
+
+
+def bm25_index_compact(spark: SparkSession, store_dir: str) -> None:
+    """Declared amortized rewrite for the append-per-batch postings/docs
+    tables (small-file collapse; row set unchanged — the index carries no
+    history rows). Stage-then-swap per table; meta untouched."""
+    import shutil
+
+    post_p, docs_p, _ = _bm25_paths(store_dir)
+    for path, schema, part in (
+        (post_p, _BM25_POST_SCHEMA, "tb"),
+        (docs_p, _BM25_DOC_SCHEMA, "db"),
+    ):
+        df = _read_index(spark, path, schema)
+        tmp = path + "_compact"
+        df.write.mode("overwrite").partitionBy(part).parquet(tmp)
+        spark.read.schema(schema).parquet(tmp).write.mode("overwrite").partitionBy(
+            part
+        ).parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -104,3 +104,24 @@ def test_postings_probe_is_partition_pruned(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "tb" in m.group(1)
+
+
+def test_compaction_preserves_search_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from dblp_to_csv_spark.operators.incremental import bm25_index_compact
+
+    rows = _rows(spark)[:200]
+    store = str(tmp_path / "bm25_compact")
+    bm25_index_init(spark, store)
+    for i in range(0, len(rows), 40):
+        bm25_index_append(spark, _df(spark, rows[i : i + 40]), store)
+    want = _sorted(bm25_index_search(spark, store))
+    files_before = len(glob.glob(f"{store}/postings/**/*.parquet", recursive=True))
+    bm25_index_compact(spark, store)
+    assert _sorted(bm25_index_search(spark, store)) == want
+    files_after = len(glob.glob(f"{store}/postings/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    # appends keep working on the compacted index
+    bm25_index_append(spark, _df(spark, _rows(spark)[200:260]), store)
+    assert bm25_index_search(spark, store).count() > 0

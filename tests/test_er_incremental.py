@@ -205,3 +205,29 @@ def test_er_store_parity_property(spark, tmp_path_factory, data):
     assert _sorted(er_store_pairs(spark, store)) == _sorted(
         match_pairs_from_dirty(_df(spark, rows))
     )
+
+
+def test_compaction_preserves_state_and_shrinks_canon(spark, tmp_path):
+    import glob
+
+    from dblp_to_csv_spark.operators.entity_resolution import er_store_compact
+
+    rows = _all_rows(spark)[::-1][:150]  # variants-first: repairs exist
+    store = str(tmp_path / "er_compact")
+    er_store_init(spark, store)
+    for i in range(0, len(rows), 30):
+        er_store_append(spark, _df(spark, rows[i : i + 30]), store)
+    want = _sorted(er_store_current(spark, store))
+    want_pairs = _sorted(er_store_pairs(spark, store))
+    files_before = len(glob.glob(f"{store}/canon/**/*.parquet", recursive=True))
+    er_store_compact(spark, store)
+    assert _sorted(er_store_current(spark, store)) == want
+    assert _sorted(er_store_pairs(spark, store)) == want_pairs
+    files_after = len(glob.glob(f"{store}/canon/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    # appends keep working on the compacted store
+    more = _all_rows(spark)[::-1][150:180]
+    er_store_append(spark, _df(spark, more), store)
+    assert _sorted(er_store_current(spark, store)) == _sorted(
+        golden_from_dirty(_df(spark, _all_rows(spark)[::-1][:180]))
+    )
