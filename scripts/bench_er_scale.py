@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+COMPACT_EVERY = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = never
 WORK = "/tmp/er_scale_store"
 
 
@@ -31,6 +32,7 @@ def main() -> None:
     from dblp_to_csv_spark.operators.entity_resolution import (
         _dirty_records,
         er_store_append,
+        er_store_compact,
         er_store_current,
         er_store_init,
         golden_from_dirty,
@@ -62,17 +64,24 @@ def main() -> None:
     print(f"dirty corpus: {len(rows)} records from {SF}", flush=True)
     shutil.rmtree(WORK, ignore_errors=True)
     er_store_init(spark, WORK)
-    for i in range(0, len(rows), BATCH):
+    for k, i in enumerate(range(0, len(rows), BATCH)):
         batch = spark.createDataFrame(rows[i : i + BATCH], schema)
         t0 = time.perf_counter()
         stats = er_store_append(spark, batch, WORK)
         dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        probe = time.perf_counter() - t0
         print(
             f"append store={i:6d} n={stats['ingested']:4d} "
             f"matches={stats['store_matches'] + stats['batch_matches']:4d} "
-            f"repaired={stats['repaired']:4d} t={dt:6.2f}s",
+            f"repaired={stats['repaired']:4d} t={dt:6.2f}s cal={probe:.3f}",
             flush=True,
         )
+        if COMPACT_EVERY and (k + 1) % COMPACT_EVERY == 0:
+            t0 = time.perf_counter()
+            er_store_compact(spark, WORK)
+            print(f"compact t={time.perf_counter() - t0:6.2f}s", flush=True)
 
     t0 = time.perf_counter()
     n_golden = er_store_current(spark, WORK).count()
