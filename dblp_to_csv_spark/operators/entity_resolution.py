@@ -417,7 +417,13 @@ def er_store_append(spark: SparkSession, new_records: DataFrame, store_dir: str)
     """Resolve one batch of dirty records against the store and ingest them.
     Returns counts {'ingested', 'store_matches', 'batch_matches',
     'repaired'}. Batch-sized driver state only: the bucket lists, the match
-    edges (batch x matches), and the canonical updates."""
+    edges (batch x matches), and the canonical updates.
+
+    Identity contract: records are immutable by record_id — a record_id
+    already in the store is skipped wholesale (idempotent replay), so an
+    id re-sent with DIFFERENT field values is treated as a replay, not a
+    revision (the pretrain-store conflicting-key problem is out of scope
+    here; route revisions through a new record_id)."""
     rec_p, pre_p, suf_p, canon_p, pairs_p = _er_paths(store_dir)
 
     batch = _with_block_keys(

@@ -1722,3 +1722,69 @@ def bm25_index_compact(spark: SparkSession, store_dir: str) -> None:
             part
         ).parquet(path)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental KMV distinct sketch (r14): the second EXACT streaming fold
+# (after the weighted reservoir): bottom-K over deterministic md5 hash
+# values is associative and commutative, and duplicate keys collapse by
+# VALUE (same key -> same hash -> distinct), so the store needs no replay
+# guard at all — re-ingesting any batch is a no-op by construction. State
+# is <= K rows per group forever; the estimate read from state equals the
+# oracle-checked batch query's sketch columns for any batching.
+# ---------------------------------------------------------------------------
+
+
+def kmv_store_init(spark: SparkSession, store_dir: str) -> None:
+    spark.createDataFrame([], "event_type string, v double").write.mode(
+        "overwrite"
+    ).parquet(store_dir)
+
+
+def kmv_store_append(spark: SparkSession, new_events: DataFrame, store_dir: str) -> None:
+    """Fold a batch of (event_type, user_id) into the per-group bottom-K
+    hash store: union the batch's distinct hash values with the store,
+    dedup by value, keep the K smallest per group (stage-then-swap)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from dblp_to_csv_spark.operators.statistics import KMV_K, _kmv_hash
+
+    cur = _read_index(spark, store_dir, "event_type string, v double")
+    batch = new_events.select("event_type", _kmv_hash().alias("v")).distinct()
+    w = Window.partitionBy("event_type").orderBy("v")
+    merged = (
+        cur.unionByName(batch)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "v")
+    )
+    tmp = store_dir + "_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def kmv_store_current(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(event_type, k_used, kmv_estimate) from state alone — equal to the
+    batch sketch_kmv_distinct's sketch columns over everything appended
+    (the exact_distinct/rel_error columns are batch-side accuracy
+    apparatus: reporting them requires the exact key set, which is the
+    corpus-scale state the sketch exists to avoid)."""
+    from dblp_to_csv_spark.functions.rounding import round_ties_down
+    from dblp_to_csv_spark.operators.statistics import KMV_K
+
+    cur = _read_index(spark, store_dir, "event_type string, v double")
+    sk = cur.groupBy("event_type").agg(
+        F.max("v").alias("vk"), F.count("*").alias("k_used")
+    )
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        (KMV_K - 1) / F.col("vk")
+    )
+    return sk.select(
+        "event_type",
+        F.col("k_used").cast("long").alias("k_used"),
+        round_ties_down(est, 4).alias("kmv_estimate"),
+    )
