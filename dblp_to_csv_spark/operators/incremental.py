@@ -1788,3 +1788,156 @@ def kmv_store_current(spark: SparkSession, store_dir: str) -> DataFrame:
         F.col("k_used").cast("long").alias("k_used"),
         round_ties_down(est, 4).alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PSI drift monitor (r14): the drift family's continuous-ingest
+# member. The reference arm is frozen at init time — its decile cutpoints
+# (tie-down-rounded 6 dp, the batch query's contract) and 10-row bin counts
+# ARE the store; each batch of current-arm events bins in-row against the
+# broadcast cutpoints and folds integer-additively into the 10-row current
+# counts. State is 9 cuts + 2x10 bins + 1-row meta forever; current()
+# reproduces the oracle-checked drift_psi_events_value over (reference,
+# everything appended) exactly, because every input to the PSI arithmetic
+# (integer counts, 6-dp cuts) is maintained exactly. Counting state -> seq
+# watermark for replay (the mg_store contract).
+# ---------------------------------------------------------------------------
+
+
+def _psi_paths(store_dir: str) -> tuple[str, str, str, str]:
+    return (
+        os.path.join(store_dir, "cuts"),
+        os.path.join(store_dir, "ref_counts"),
+        os.path.join(store_dir, "cur_counts"),
+        os.path.join(store_dir, "meta"),
+    )
+
+
+def _psi_bin_counts(events: DataFrame, cuts: DataFrame) -> DataFrame:
+    """(bin, c) counts of ``events``.value binned against the broadcast
+    cutpoint row — the batch query's in-row fold, grid-completed."""
+    from dblp_to_csv_spark.operators.drift import PSI_BINS
+
+    spark = events.sparkSession
+    bin_col = F.aggregate(
+        F.col("cs"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+    )
+    counts = (
+        events.crossJoin(F.broadcast(cuts))
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("long").alias("bin"))
+    return bins.join(counts, "bin", "left").select(
+        "bin", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+
+
+def _psi_clean(events: DataFrame) -> DataFrame:
+    # the batch query's NaN-sweep policy: missing measurements join no arm
+    return events.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+
+def psi_store_init(spark: SparkSession, ref_events: DataFrame, store_dir: str) -> None:
+    """Freeze the reference arm: decile cutpoints (6-dp tie-down, the batch
+    contract) + its 10-row bin counts."""
+    from dblp_to_csv_spark.functions.rounding import round_ties_down
+    from dblp_to_csv_spark.operators.drift import PSI_BINS
+
+    cuts_p, ref_p, cur_p, meta_p = _psi_paths(store_dir)
+    ref = _psi_clean(ref_events.select("value"))
+    qs = F.array(*[F.lit(i / PSI_BINS) for i in range(1, PSI_BINS)])
+    cuts = ref.agg(
+        F.transform(F.percentile("value", qs), lambda c: round_ties_down(c, 6)).alias(
+            "cs"
+        )
+    )
+    cuts.write.mode("overwrite").parquet(cuts_p)
+    cuts = spark.read.parquet(cuts_p)
+    _psi_bin_counts(ref, cuts).write.mode("overwrite").parquet(ref_p)
+    spark.range(PSI_BINS).select(
+        F.col("id").cast("long").alias("bin"), F.lit(0).cast("long").alias("c")
+    ).write.mode("overwrite").parquet(cur_p)
+    spark.createDataFrame([(-1,)], "seq long").write.mode("overwrite").parquet(meta_p)
+
+
+def psi_store_append(
+    spark: SparkSession, cur_events: DataFrame, store_dir: str, seq: int
+) -> bool:
+    """Fold one current-arm batch into the 10-row counts. Returns False when
+    ``seq`` was already applied (replayed micro-batch)."""
+    cuts_p, _, cur_p, meta_p = _psi_paths(store_dir)
+    if seq <= int(spark.read.parquet(meta_p).first()["seq"]):
+        return False
+    cuts = spark.read.parquet(cuts_p)
+    batch = _psi_bin_counts(_psi_clean(cur_events.select("value")), cuts).withColumnRenamed(
+        "c", "bc"
+    )
+    merged = (
+        spark.read.schema("bin long, c long")
+        .parquet(cur_p)
+        .join(batch, "bin")
+        .select("bin", (F.col("c") + F.col("bc")).alias("c"))
+    )
+    import shutil
+
+    tmp = cur_p + "_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(cur_p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.createDataFrame([(int(seq),)], "seq long").write.mode("overwrite").parquet(
+        meta_p
+    )
+    return True
+
+
+def psi_store_current(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(n_ref, n_cur, psi) from state alone — equal to the batch
+    drift_psi_events_value over (frozen reference, everything appended)."""
+    from pyspark.sql import Window
+
+    from dblp_to_csv_spark.functions.rounding import round_ties_down
+    from dblp_to_csv_spark.operators.drift import PSI_BINS
+
+    _, ref_p, cur_p, _ = _psi_paths(store_dir)
+    grid = (
+        spark.read.schema("bin long, c long")
+        .parquet(ref_p)
+        .withColumnRenamed("c", "ca")
+        .join(
+            spark.read.schema("bin long, c long")
+            .parquet(cur_p)
+            .withColumnRenamed("c", "cb"),
+            "bin",
+        )
+    )
+    w_all = Window.partitionBy()
+    rates = grid.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    ).select(
+        ((F.col("ca") + 0.5) / (F.col("na") + PSI_BINS * 0.5)).alias("ra"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + PSI_BINS * 0.5)).alias("rb"),
+        "na",
+        "nb",
+    )
+    return (
+        rates.groupBy("na", "nb")
+        .agg(
+            round_ties_down(
+                F.sum((F.col("ra") - F.col("rb")) * F.log(F.col("ra") / F.col("rb"))),
+                6,
+            ).alias("psi")
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.col("na").cast("long").alias("n_ref"),
+            F.col("nb").cast("long").alias("n_cur"),
+            "psi",
+        )
+    )
