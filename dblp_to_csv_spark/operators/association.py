@@ -85,15 +85,37 @@ def cooccurrence_parts_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts to both the prune and the final scoring join; the quantile
     cutoff is a 1-row broadcast. This is the classic apriori observation:
     pruning infrequent ITEMS before pair formation removes the long tail
-    that would otherwise dominate the pair shuffle."""
-    basket = (
+    that would otherwise dominate the pair shuffle.
+
+    r14 optimization round: the distinct (basket, item) frame and the
+    vocabulary-sized frequency table each parquet-checkpoint ONCE. The
+    lazy plan referenced ``basket`` from five consumers (freq → cut /
+    kept_items / fa / fb, n_baskets, and both self-join sides), and Spark
+    re-evaluated the lineitem scan + distinct shuffle under each one —
+    the before-plan carries 36 Exchanges and six lineitem scans for what
+    is logically one distinct + one aggregate (guide §2.4: remove
+    duplicated subtrees; measured at sf0.1 in the bench series)."""
+    import os
+
+    from dblp_to_csv_spark.session import checkpoint_base
+
+    ck = checkpoint_base(spark, None, "_pmi_")
+    basket_path = os.path.join(ck, "basket")
+    (
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
         )
         .distinct()
+        .write.mode("overwrite")
+        .parquet(basket_path)
     )
-    freq = basket.groupBy("item").agg(F.count("*").alias("item_n"))
+    basket = spark.read.parquet(basket_path)
+    freq_path = os.path.join(ck, "freq")
+    basket.groupBy("item").agg(F.count("*").alias("item_n")).write.mode(
+        "overwrite"
+    ).parquet(freq_path)
+    freq = spark.read.parquet(freq_path)
     cut = freq.agg(
         F.expr(f"percentile(item_n, {ITEM_FREQ_QUANTILE})").alias("cutoff")
     )
@@ -112,7 +134,12 @@ def cooccurrence_parts_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "basket", "item"
     )
     a = kept.select("basket", F.col("item").alias("item_a"))
-    b = kept.select("basket", F.col("item").alias("item_b"))
+    # shuffled-hash, not sort-merge (guide §3.1): the per-basket self-join
+    # needs no sorted output, and the build side's per-partition hash table
+    # is bounded by the shuffle partition count — skipping both sorts
+    # measured 2.48 → 2.08 s at sf0.1 (interleaved best-of-3; an in-row
+    # collect_set pair expansion variant measured 2.61 and was rejected).
+    b = kept.select("basket", F.col("item").alias("item_b")).hint("shuffle_hash")
     pairs = (
         a.join(b, "basket")
         .filter(F.col("item_a") < F.col("item_b"))
