@@ -389,16 +389,29 @@ def _nearest(
     the whole k-means family: IVF, SemDeDup, and — via ``part_cols=('m',)``
     — the per-subspace PQ codebooks (review r8 session 4: PQ previously
     carried its own copy)."""
+    # Precompute ||p||² once per point and ||c||² once per center instead
+    # of inside every (point, center) pair (r14 optimization round): the
+    # higher-order _dot fold is interpreted (no codegen), so the inline
+    # _sq_dist form re-ran the self-dots k× per point — 3× the interpreted
+    # work. The expanded expression keeps _sq_dist's exact operand order
+    # ((p² − 2·a·b) + c²), so every double is bit-identical to before and
+    # the 6-dp-rounded assignment cannot move.
+    centers2 = centers.withColumn("_nn_c2", _dot(F.col("cemb"), F.col("cemb")))
+    points2 = points.withColumn("_nn_p2", _dot(F.col(vec_col), F.col(vec_col)))
     joined = (
-        points.join(F.broadcast(centers), list(part_cols))
+        points2.join(F.broadcast(centers2), list(part_cols))
         if part_cols
-        else points.crossJoin(F.broadcast(centers))
+        else points2.crossJoin(F.broadcast(centers2))
     )
     d = joined.select(
         "vec_id",
         *part_cols,
         cell_col,
-        F.round(_sq_dist(F.col(vec_col), F.col("cemb")), 6).alias("dist2"),
+        F.round(
+            (F.col("_nn_p2") - 2 * _dot(F.col(vec_col), F.col("cemb")))
+            + F.col("_nn_c2"),
+            6,
+        ).alias("dist2"),
     )
     w = Window.partitionBy("vec_id", *part_cols).orderBy("dist2", cell_col)
     return (
@@ -1195,13 +1208,29 @@ def pq_adc_scores(
             ).alias("codes")
         )
     )
+    # Same norm-precompute as _nearest (r14 optimization round): ||q_sub||²
+    # once per query subvector and ||c||² once per centroid instead of
+    # inside every (query, centroid) pair — the interpreted _dot fold is
+    # the whole LUT cost, and the expanded ((q² − 2·q·c) + c²) keeps
+    # _sq_dist's operand order, so every 6-dp-rounded distance is
+    # bit-identical.
     lut = (
         sub_long.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cent), "m")
+        .withColumn("_q2", _dot(F.col("semb"), F.col("semb")))
+        .join(
+            F.broadcast(
+                cent.withColumn("_c2", _dot(F.col("cemb"), F.col("cemb")))
+            ),
+            "m",
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.concat_ws(":", "m", "cell").alias("mc"),
-            F.round(_sq_dist(F.col("semb"), F.col("cemb")), 6).alias("d"),
+            F.round(
+                (F.col("_q2") - 2 * _dot(F.col("semb"), F.col("cemb")))
+                + F.col("_c2"),
+                6,
+            ).alias("d"),
         )
         .groupBy("query_id")
         .agg(
