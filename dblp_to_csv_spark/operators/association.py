@@ -92,9 +92,10 @@ def cooccurrence_parts_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy plan referenced ``basket`` from five consumers (freq → cut /
     kept_items / fa / fb, n_baskets, and both self-join sides), and Spark
     re-evaluated the lineitem scan + distinct shuffle under each one —
-    the before-plan carries 36 Exchanges and six lineitem scans for what
-    is logically one distinct + one aggregate (guide §2.4: remove
-    duplicated subtrees; measured at sf0.1 in the bench series)."""
+    the before-plan carries 27 shuffle Exchanges (36 with broadcast
+    builds) and six lineitem scans for what is logically one distinct +
+    one aggregate (guide §2.4: remove duplicated subtrees; measured at
+    sf0.1 in the bench series — plans/r14/cooccurrence_parts_pmi_*)."""
     import os
 
     from dblp_to_csv_spark.session import checkpoint_base
