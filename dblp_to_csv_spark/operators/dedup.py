@@ -1657,15 +1657,26 @@ def dedup_semantic_semdedup(
     a = assigned.alias("a")
     c = assigned.alias("c")
     cos = _dot(F.col("a.emb"), F.col("c.emb")) / (F.col("a.nrm") * F.col("c.nrm"))
+    # The threshold verdict is computed as a per-vec_id MAX aggregate, not a
+    # pair filter (r14 optimization round): a filter on the pair frame gets
+    # merged into the BroadcastHashJoin's join CONDITION by the optimizer,
+    # where the higher-order cos fold is evaluated on the join's interpreted
+    # per-candidate path — measured ~2x the whole drop-set stage (3.1 s vs
+    # 1.7 s at sf0.1). The aggregation is a pushdown barrier, so the join
+    # keeps only the cheap (cell, vec_id<) condition and the cos evaluates
+    # once per pair inside the hash-aggregate operator. Same set exactly:
+    # max(round(cos,6)) >= T iff some predecessor pair has round(cos,6) >= T
+    # (the filter+distinct this replaces).
     dropped = (
         a.join(
             c,
             (F.col("a.cell") == F.col("c.cell"))
             & (F.col("c.vec_id") < F.col("a.vec_id")),
         )
-        .filter(F.round(cos, 6) >= COSINE_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.max(F.round(cos, 6)).alias("_max_cos"))
+        .filter(F.col("_max_cos") >= COSINE_THRESHOLD)
+        .select("vec_id")
         .withColumn("dup", F.lit(1))
     )
     # Drop-set size is bounded only by the "vanishing fraction of

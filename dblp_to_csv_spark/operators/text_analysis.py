@@ -1289,7 +1289,7 @@ def _bpe_train(
         ),
         "v0",
     )
-    rules = []
+    rule_rows: list[tuple] = []
     for rnd in range(1, BPE_ROUNDS + 1):
         sym = F.split(F.expr("btrim(symstr, '|')"), r"\|\|")
         pairs = F.transform(
@@ -1307,54 +1307,38 @@ def _bpe_train(
             .groupBy(F.col("p.ml").alias("ml"), F.col("p.mr").alias("mr"))
             .agg(F.sum("freq").cast("long").alias("c"))
         )
-        rule = _ckpt(pc.orderBy(F.desc("c"), "ml", "mr").limit(1), f"rule{rnd}")
-        rules.append(
-            rule.select(
-                F.lit(rnd).cast("long").alias("merge_round"),
-                F.col("ml").alias("merge_left"),
-                F.col("mr").alias("merge_right"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        # LEFT join on a constant key, not crossJoin: when a round finds no
-        # adjacent pairs (vocabulary fully merged), the 0-row rule frame
-        # must leave the vocabulary UNCHANGED — a crossJoin would silently
-        # empty it and bpe_apply_encode would drop every document
-        # (review r8 session 4)
-        rule1 = rule.select(F.lit(1).alias("jk"), "ml", "mr")
-        # No per-round vocab checkpoint: each round adds ONE broadcast join
-        # (a 1-row checkpointed rule read) plus an in-row replace to the
-        # lineage, so replaying from v0 is 4 narrow stages over the word
-        # frame — cheaper than 4 extra parquet write+read job pairs, and
-        # fewer jobs means less exposure to scheduler noise (the r9 bench
-        # swung 4.5–14 s for identical code; quiet-window r10 probe). The
-        # final vocabulary is anchored once below for bpe_apply_encode.
-        v = (
-            v.withColumn("jk", F.lit(1))
-            .join(F.broadcast(rule1), "jk", "left")
-            .select(
-                "word",
-                F.when(F.col("ml").isNull(), F.col("symstr"))
-                .otherwise(
-                    F.replace(
-                        F.col("symstr"),
-                        F.concat(
-                            F.lit("|"), F.col("ml"), F.lit("||"),
-                            F.col("mr"), F.lit("|"),
-                        ),
-                        F.concat(
-                            F.lit("|"), F.col("ml"), F.col("mr"), F.lit("|")
-                        ),
-                    )
-                )
-                .alias("symstr"),
-                "freq",
-            )
+        # The argmax rule is a 1-row aggregate: COLLECT it (the sanctioned
+        # bounded-collect class — same budget as the CC merge map and the
+        # PageRank n) instead of parquet-checkpointing a 1-row frame (r14
+        # optimization round). This drops one write+read job pair per round
+        # AND lets the rewrite embed the rule as LITERALS, so the vocab
+        # lineage is a flat per-round replace projection over v0 with no
+        # broadcast joins — fewer jobs, shorter plans, identical totals
+        # (the TakeOrdered (c desc, ml, mr) top-1 is the same total order
+        # the checkpointed variant wrote).
+        top = pc.orderBy(F.desc("c"), "ml", "mr").limit(1).collect()
+        if not top:
+            # no adjacent pairs (vocabulary fully merged): no rule this
+            # round and the vocabulary must stay UNCHANGED (review r8
+            # session 4 — the 0-row guard the LEFT-join variant encoded)
+            continue
+        ml, mr, c = top[0]["ml"], top[0]["mr"], top[0]["c"]
+        rule_rows.append((rnd, ml, mr, c))
+        v = v.select(
+            "word",
+            F.replace(
+                F.col("symstr"),
+                F.lit(f"|{ml}||{mr}|"),
+                F.lit(f"|{ml}{mr}|"),
+            ).alias("symstr"),
+            "freq",
         )
     v = _ckpt(v, f"v{BPE_ROUNDS}")
-    out = rules[0]
-    for r_ in rules[1:]:
-        out = out.unionAll(r_)
+    out = spark.createDataFrame(
+        rule_rows,
+        "merge_round long, merge_left string, merge_right string, "
+        "pair_count long",
+    )
     return out, v
 
 

@@ -70,6 +70,22 @@ _EVIDENCE_RESET: dict[str, int] = {
     "skew_join_salted_events": 14,  # ADVICE r13: salt = pmod(hash(event_id), 16), decorrelated from the parity hot-key rule
     "quality_gopher_rules": 14,  # r14: body extracted into gopher_metrics(docs) for the admission twin — same expressions, signature-only refactor
     "sample_weighted_priority": 14,  # r14: priority projection extracted into aes_priority_frame(docs) for the incremental reservoir — same expressions
+    # r14 OPTIMIZATION round: plan-shape changes proven result-identical by
+    # local oracle parity; declared so the driver window re-greens each on
+    # the new plan (VERDICT r13 item 2's "resets for ANY touched query").
+    "dedup_substring_rewrite": 14,  # posexplode+codegen window hash, binary-narrowed shuffle, occurrence checkpoint
+    "dedup_substring_spans": 14,  # shares the reworked occurrence front half
+    "cooccurrence_parts_pmi": 14,  # basket/freq checkpoints; per-basket self-join SMJ → shuffled-hash
+    "quality_repetition_rules": 14,  # most-common-n-gram via sorted-array max-run fold (same value, one O(m) pass)
+    "er_match_pairs": 14,  # dirty-frame checkpoint collapses 30 scans to 10
+    "er_golden_record": 14,  # same dirty-frame checkpoint
+    "dsir_importance_weights": 14,  # 64-row bucket model localCheckpoint: 3 Generates → 1
+    "similarity_topk_ivf": 14,  # _nearest self-dot hoist (bit-identical expanded sq-dist)
+    "similarity_topk_pq": 14,  # _nearest + PQ LUT self-dot hoist
+    "dedup_semantic_semdedup": 14,  # _nearest hoist + drop-set as max-cos aggregate (same set; agg is the pushdown barrier)
+    "graph_bfs_distances": 14,  # dropped edge repartition+persist; broadcast semi-join rounds re-read the parquet artifact
+    "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
+    "bpe_apply_encode": 14,  # shares the reworked training chain
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
