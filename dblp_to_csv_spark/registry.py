@@ -84,6 +84,10 @@ _EVIDENCE_RESET: dict[str, int] = {
     "similarity_topk_pq": 14,  # _nearest + PQ LUT self-dot hoist
     "dedup_semantic_semdedup": 14,  # _nearest hoist + drop-set as max-cos aggregate (same set; agg is the pushdown barrier)
     "graph_bfs_distances": 14,  # dropped edge repartition+persist; broadcast semi-join rounds re-read the parquet artifact
+    "graph_triangle_count": 14,  # packed-long (deg<<32|id) orientation + single-long closing key under an ids<2^31 gate (wedge stage 4.6 → 2.1 s)
+    "graph_clustering_coefficient": 14,  # shares triangle_counts' packed wedge stage
+    "graph_report": 14,  # shares triangle_table's packed wedge stage
+    "graph_triangle_powerlaw": 14,  # shares triangle_counts (packed path when its ids fit)
     "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
     "bpe_apply_encode": 14,  # shares the reworked training chain
 }
