@@ -1497,6 +1497,23 @@ def pretrain_corpus_report(
         .select("doc_id")
     )
     docs = docs_a.join(_broadcast_if_small(conf), "doc_id", "anti")
+    # The contamination stage depends ONLY on ``docs`` — not on the
+    # cap/quality/exact/near-dup chain — so its checkpoint write runs
+    # CONCURRENTLY with that whole chain from a second driver thread (the
+    # graph_report coreness ∥ triangle pattern, guide §2.6): the report
+    # pays max(chain, contamination) instead of the sum. Each thread
+    # writes its own parquet path; Spark actions are thread-safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    cont_path = os.path.join(base, "cont")
+
+    def _write_cont() -> None:
+        decontaminate_against_eval(spark, sf_dir, docs=docs).select(
+            "doc_id", F.lit(True).alias("contaminated")
+        ).write.mode("overwrite").parquet(cont_path)
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    f_cont = pool.submit(_write_cont)
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
     cap_w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -1546,11 +1563,10 @@ def pretrain_corpus_report(
         "doc_id", (F.col("doc_id") != F.col("canonical")).alias("nd_fail")
     )
     # checkpoint before the size-gated broadcast: the gate's count() would
-    # otherwise re-run the whole decontamination chain (semdedup precedent)
-    cont_path = os.path.join(base, "cont")
-    decontaminate_against_eval(spark, sf_dir, docs=docs).select(
-        "doc_id", F.lit(True).alias("contaminated")
-    ).write.mode("overwrite").parquet(cont_path)
+    # otherwise re-run the whole decontamination chain (semdedup precedent).
+    # The write itself was submitted before the chain above — join it here.
+    f_cont.result()
+    pool.shutdown()
     cont = spark.read.parquet(cont_path)
 
     def not_true(c):

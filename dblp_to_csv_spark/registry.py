@@ -88,6 +88,7 @@ _EVIDENCE_RESET: dict[str, int] = {
     "graph_clustering_coefficient": 14,  # shares triangle_counts' packed wedge stage
     "graph_report": 14,  # shares triangle_table's packed wedge stage
     "graph_triangle_powerlaw": 14,  # shares triangle_counts (packed path when its ids fit)
+    "pretrain_corpus_report": 14,  # contamination checkpoint write overlapped with the exact/minhash/CC chain (driver thread, graph_report pattern)
     "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
     "bpe_apply_encode": 14,  # shares the reworked training chain
 }
