@@ -156,14 +156,34 @@ def gopher_metrics(docs_raw: DataFrame) -> DataFrame:
         / denom,
         6,
     )
+    # Most-common-word count as the MAX RUN LENGTH of the SORTED token
+    # array (r14 optimization round, the quality_repetition_rules move):
+    # array_sort + one O(m) fold replaces the O(distinct × m)
+    # array_distinct × filter scan — the same integer (equal tokens are
+    # adjacent exactly once after sorting; asserted value-equal on the full
+    # sf0.1 corpus). Empty/NULL token arrays keep the array_max semantics
+    # (NULL) via the size guard.
+    _sorted_w = F.array_sort(w)
+    _acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    _nrun = lambda acc, x: (  # noqa: E731
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+    )
+    _top_count = F.aggregate(
+        _sorted_w,
+        _acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _nrun(acc, x).alias("run"),
+            F.greatest(acc["best"], _nrun(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     top_word_ratio = F.round(
-        F.array_max(
-            F.transform(
-                F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x))
-            )
-        )
-        * 1.0
-        / denom,
+        F.when(n_words > 0, _top_count) * 1.0 / denom,
         6,
     )
     n_stop_distinct = F.size(

@@ -89,6 +89,7 @@ _EVIDENCE_RESET: dict[str, int] = {
     "graph_report": 14,  # shares triangle_table's packed wedge stage
     "graph_triangle_powerlaw": 14,  # shares triangle_counts (packed path when its ids fit)
     "pretrain_corpus_report": 14,  # contamination checkpoint write overlapped with the exact/minhash/CC chain (driver thread, graph_report pattern)
+    "quality_score_pr_curve": 14,  # label side inherits gopher_metrics' sorted max-run top-word count (value-equal, asserted on all SFs)
     "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
     "bpe_apply_encode": 14,  # shares the reworked training chain
 }
