@@ -361,24 +361,34 @@ def pretrain_report_append(
         "adm_ing",
     )
     staged_w = ing.select("doc_id", "is_eval", words("text").alias("w"))
-    sh_df = _stage(
-        staged_w.select(
-            "doc_id",
-            "is_eval",
-            F.array_distinct(shingles(F.col("w"))).alias("sh"),
-        ),
-        staging_dir,
-        "adm_sh",
-    )
+    # sh_df and bands_b both derive from the STAGED ``ing`` parquet and
+    # write distinct staging paths — materialize them CONCURRENTLY from two
+    # driver threads (guide §2.6, the graph_report pattern): the batch pays
+    # max(shingle-set, signature) instead of the sum. Spark actions are
+    # thread-safe; _stage writes a fresh unique subdirectory per call.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # near-dup candidates probe the PRE-batch band index (history side)...
-    bands_b = _stage(
-        _bands(_minhash_signature(ing.select("doc_id", "text"))).select(
-            "doc_id", "band", "bandkey"
-        ),
-        staging_dir,
-        "adm_bands",
-    )
+    with ThreadPoolExecutor(max_workers=2) as _sp:
+        _f_sh = _sp.submit(
+            _stage,
+            staged_w.select(
+                "doc_id",
+                "is_eval",
+                F.array_distinct(shingles(F.col("w"))).alias("sh"),
+            ),
+            staging_dir,
+            "adm_sh",
+        )
+        # near-dup candidates probe the PRE-batch band index (history side)
+        _f_bands = _sp.submit(
+            _stage,
+            _bands(_minhash_signature(ing.select("doc_id", "text"))).select(
+                "doc_id", "band", "bandkey"
+            ),
+            staging_dir,
+            "adm_bands",
+        )
+        sh_df, bands_b = _f_sh.result(), _f_bands.result()
     probe = F.broadcast(bands_b.withColumnRenamed("doc_id", "new_id"))
     hist_cand = (
         _read_index(spark, p["mh"], _MH_SCHEMA)
@@ -430,44 +440,52 @@ def pretrain_report_append(
     sym = new_pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(new_pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    sym.withColumn("ub", _db(F.col("u"))).write.mode("append").partitionBy(
-        "ub"
-    ).parquet(p["pairs"])
 
-    # ...then the batch's own rows join every per-doc index
-    ing.select(
-        "doc_id",
-        "is_eval",
-        F.col("src").alias("source"),
-        "md5key",
-        "q_ok",
-        "text_fp",
-    ).withColumn("db", _db(F.col("doc_id"))).write.mode("append").partitionBy(
-        "db"
-    ).parquet(p["sig"])
-    ing.filter(~F.col("is_eval")).select(
-        "doc_id", F.col("src").alias("source"), "md5key"
-    ).withColumn(
-        "sb", F.pmod(F.hash("source"), F.lit(SRC_BUCKETS)).cast("int")
-    ).write.mode("append").partitionBy("sb").parquet(p["capidx"])
-    ing.select("doc_id", "text_fp").withColumn(
-        "fb", F.pmod(F.hash("text_fp"), F.lit(FP_BUCKETS)).cast("int")
-    ).write.mode("append").partitionBy("fb").parquet(p["fpidx"])
-    sh_df.select("doc_id", "sh").withColumn("db", _db(F.col("doc_id"))).write.mode(
-        "append"
-    ).partitionBy("db").parquet(p["shsets"])
-    bands_b.select("doc_id", "bandkey", "band").write.mode("append").partitionBy(
-        "band"
-    ).parquet(p["mh"])
+    # ...then the batch's own rows join every per-doc index. All eight
+    # appends below read ONLY staged parquet (ing / sh_df / bands_b /
+    # new_pairs — the stability barrier already materialized each) and
+    # every append targets its OWN index path, so they are mutually
+    # independent write jobs: submit them from a small driver thread pool
+    # (guide §2.6) instead of serially — the append half of the measured
+    # fixed cost collapses from the sum of eight job latencies toward the
+    # depth of four. Phase 3 reads p["sig"]/p["capidx"] and therefore
+    # joins AFTER the pool drains.
     grams = sh_df.select(
         "doc_id", "is_eval", F.explode("sh").alias("shingle")
     ).withColumn("gb", F.pmod(F.hash("shingle"), F.lit(GRAM_BUCKETS)).cast("int"))
-    grams.filter("is_eval").select("shingle", "doc_id", "gb").write.mode(
-        "append"
-    ).partitionBy("gb").parquet(p["evgram"])
-    grams.filter("NOT is_eval").select("shingle", "doc_id", "gb").write.mode(
-        "append"
-    ).partitionBy("gb").parquet(p["docgram"])
+    _appends = [
+        lambda: sym.withColumn("ub", _db(F.col("u")))
+        .write.mode("append").partitionBy("ub").parquet(p["pairs"]),
+        lambda: ing.select(
+            "doc_id",
+            "is_eval",
+            F.col("src").alias("source"),
+            "md5key",
+            "q_ok",
+            "text_fp",
+        )
+        .withColumn("db", _db(F.col("doc_id")))
+        .write.mode("append").partitionBy("db").parquet(p["sig"]),
+        lambda: ing.filter(~F.col("is_eval"))
+        .select("doc_id", F.col("src").alias("source"), "md5key")
+        .withColumn("sb", F.pmod(F.hash("source"), F.lit(SRC_BUCKETS)).cast("int"))
+        .write.mode("append").partitionBy("sb").parquet(p["capidx"]),
+        lambda: ing.select("doc_id", "text_fp")
+        .withColumn("fb", F.pmod(F.hash("text_fp"), F.lit(FP_BUCKETS)).cast("int"))
+        .write.mode("append").partitionBy("fb").parquet(p["fpidx"]),
+        lambda: sh_df.select("doc_id", "sh")
+        .withColumn("db", _db(F.col("doc_id")))
+        .write.mode("append").partitionBy("db").parquet(p["shsets"]),
+        lambda: bands_b.select("doc_id", "bandkey", "band")
+        .write.mode("append").partitionBy("band").parquet(p["mh"]),
+        lambda: grams.filter("is_eval").select("shingle", "doc_id", "gb")
+        .write.mode("append").partitionBy("gb").parquet(p["evgram"]),
+        lambda: grams.filter("NOT is_eval").select("shingle", "doc_id", "gb")
+        .write.mode("append").partitionBy("gb").parquet(p["docgram"]),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as _ap:
+        for _f in [_ap.submit(t) for t in _appends]:
+            _f.result()
 
     # -- phase 3: per-source cap repair ------------------------------------
     conf_hist_meta = _sig_probe(spark, p["sig"], new_conf & set(sig_known))
