@@ -463,7 +463,6 @@ def graph_kcore(
 
     from dblp_to_csv_spark.session import checkpoint_base
 
-    und = copart_und(spark, sf_dir, checkpoint_dir)
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )
@@ -473,28 +472,33 @@ def graph_kcore(
         else local_finish_edges
     )
     # In-core collapse (VERDICT r11 item 3, the coreness finisher recipe):
-    # und is parquet-backed so count() is a metadata read; at or below the
-    # gate the whole peel runs as ONE vectorized task instead of ~rounds
-    # sequential actions whose fixed cost dominates at this size. Identical
-    # fixpoint (pinned local == distributed == pure-Python); above the gate
-    # — the 100 TB regime — the broadcast rounds below remain the path.
-    if gate and und.count() <= gate:
+    # the DIRECTED edge artifact is parquet-backed so count() is a
+    # metadata read, and und holds exactly 2× its rows by construction
+    # (write_und_edges), so the gate needs no und at all — under it the
+    # whole peel runs as ONE vectorized task over the directed frame
+    # (symmetrized in-kernel, half the input bytes, no und artifact
+    # build; r14 §4 boundary audit) instead of ~rounds sequential actions
+    # whose fixed cost dominates at this size. Identical fixpoint (pinned
+    # local == distributed == pure-Python); above the gate — the 100 TB
+    # regime — the broadcast rounds below remain the path.
+    e0 = copart_edges(spark, sf_dir)
+    if gate and 2 * e0.count() <= gate:
 
-        def peel(pdf):
-            import pandas as pd
+        def peel(u, v):
+            import numpy as np
+            import pyarrow as pa
 
-            if pdf.empty:
-                return pd.DataFrame({"node": []}).astype("int64")
-            nodes, alive = _kcore_peel_numpy(
-                pdf["u"].to_numpy(), pdf["v"].to_numpy(), KCORE_K, KCORE_ROUNDS
-            )
-            return pd.DataFrame({"node": nodes[alive]})
+            if len(u) == 0:
+                return pa.table({"node": np.empty(0, dtype=np.int64)})
+            nodes, alive = _kcore_peel_numpy(u, v, KCORE_K, KCORE_ROUNDS)
+            return pa.table({"node": nodes[alive].astype(np.int64)})
 
-        core = _graph_single_task(und, peel, "node long")
+        core = _graph_single_task(e0, peel, "node long", symmetrize=True)
         return part.join(
             core, part["l_partkey"] == core["node"], "left"
         ).select("l_partkey", F.col("node").isNotNull().alias("in_core"))
 
+    und = copart_und(spark, sf_dir, checkpoint_dir)
     base_dir = checkpoint_base(spark, checkpoint_dir, "_kcore_")
     cur = und.select(F.col("u").alias("node")).distinct()
     n_cur = cur.count()
@@ -731,7 +735,7 @@ def write_und_edges(spark: SparkSession, e0: DataFrame, base_dir: str) -> DataFr
 # In-core finisher gate (ROADMAP 25 / VERDICT r10 item 3): when the WHOLE
 # symmetrized edge frame fits one task comfortably (8M rows x 16 B = 128 MB
 # plus a |V| x (H+1) counting matrix), the entire h-index fixpoint runs as
-# ONE applyInPandas task in vectorized numpy instead of ~rounds/2 sequential
+# ONE mapInArrow task in vectorized numpy instead of ~rounds/2 sequential
 # Spark actions whose per-action fixed cost (broadcast build + job setup)
 # dominates at this size. This is the adaptive-execution move applied to
 # iterative state: pick the physical strategy by measured size. Above the
@@ -821,24 +825,33 @@ def _hindex_fixpoint_numpy(u, v, seed=None):
 
 
 def _coreness_local_finish(
-    spark: SparkSession, und: DataFrame, cor: DataFrame | None
+    spark: SparkSession,
+    edges: DataFrame,
+    cor: DataFrame | None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Run the whole fixpoint as ONE executor-side task via
-    _graph_single_task (coalesce(1) + mapInPandas — no exchange; see its
-    docstring). The optional seed frame is NODE-sized, so it collects to
-    the driver and ships in the task closure — the same data movement a
-    broadcast would make, without a second input exchange. Only valid
-    under the CORENESS_LOCAL_FINISH_EDGES gate — the caller checks."""
+    _graph_single_task (coalesce(1) + mapInArrow — no exchange; see its
+    docstring). ``edges`` is the symmetrized frame, or the directed frame
+    with ``symmetrize=True`` (identical fixpoint on half the input bytes).
+    The optional seed frame is NODE-sized, so it collects to the driver
+    and ships in the task closure — the same data movement a broadcast
+    would make, without a second input exchange. Only valid under the
+    CORENESS_LOCAL_FINISH_EDGES gate — the caller checks."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     seed_pdf = cor.toPandas() if cor is not None else None
 
-    def finish(edges_pdf):
-        if edges_pdf.empty:
-            return pd.DataFrame({"n": [], "cor": []}).astype("int64")
-        u = edges_pdf["u"].to_numpy()
-        v = edges_pdf["v"].to_numpy()
+    def finish(u, v):
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "n": np.empty(0, dtype=np.int64),
+                    "cor": np.empty(0, dtype=np.int64),
+                }
+            )
         seed = None
         if seed_pdf is not None and not seed_pdf.empty:
             nodes = np.unique(u)
@@ -849,9 +862,13 @@ def _coreness_local_finish(
             ).astype(np.int64)
             seed = s.reindex(nodes).fillna(pd.Series(deg, index=nodes)).to_numpy()
         nodes, out = _hindex_fixpoint_numpy(u, v, seed)
-        return pd.DataFrame({"n": nodes, "cor": out})
+        return pa.table(
+            {"n": nodes.astype(np.int64), "cor": out.astype(np.int64)}
+        )
 
-    return _graph_single_task(und, finish, "n long, cor long")
+    return _graph_single_task(
+        edges, finish, "n long, cor long", symmetrize=symmetrize
+    )
 
 
 def _kcore_peel_numpy(u, v, k: int, rounds: int):
@@ -906,31 +923,51 @@ def _lpa_rounds_numpy(u, v, rounds: int):
     return nodes, nodes[label]
 
 
-def _graph_single_task(und: DataFrame, fn, schema: str) -> DataFrame:
+def _graph_single_task(
+    edges: DataFrame, fn, schema: str, symmetrize: bool = False
+) -> DataFrame:
     """Collapse a whole iterative graph computation into ONE executor-side
     task over the full edge frame — the in-core finisher physical strategy
-    (see CORENESS_LOCAL_FINISH_EDGES). ``fn`` maps the concatenated (u, v)
-    pandas frame to the result frame. Only valid under the edge gate — the
-    caller checks.
+    (see CORENESS_LOCAL_FINISH_EDGES). ``fn`` maps the concatenated
+    (u, v) int64 numpy arrays to a pyarrow.Table matching ``schema``.
+    Only valid under the edge gate — the caller checks.
 
-    coalesce(1) + mapInPandas, NOT groupBy(lit(0)) + applyInPandas: the
+    coalesce(1) + mapInArrow, NOT groupBy(lit(0)) + applyInPandas: the
     constant-key group forces a full shuffle exchange (every edge row
     written to and read back from shuffle storage just to land in one
     task), while coalesce(1) on the parquet-backed artifact is a single
     task reading the files directly (r12 cold-path audit: the exchange
-    was ~3× the kernel's own time at sf0.1)."""
-    import pandas as pd
+    was ~3× the kernel's own time at sf0.1). mapInArrow rather than
+    mapInPandas because the kernels consume flat numpy arrays: the Arrow
+    columns convert zero-copy, skipping the per-batch pandas DataFrame
+    build and the 2.4M-row concat (r14 §4 boundary audit).
+
+    ``symmetrize=True`` lets the caller ship the DIRECTED (u < v) edge
+    frame — HALF the rows of the symmetrized artifact — and reconstruct
+    both directions in-kernel with two concats: und is exactly
+    e ∪ reverse(e) by construction (write_und_edges), and every finisher
+    kernel is input-order-insensitive (np.unique/bincount/lexsort), so
+    the result is identical while the single task reads half the bytes."""
+    import numpy as np
+    import pyarrow as pa
 
     def run(batches):
-        chunks = list(batches)
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame({"u": [], "v": []}).astype("int64")
-        )
-        yield fn(pdf)
+        us, vs = [], []
+        for b in batches:
+            us.append(b.column(0).to_numpy(zero_copy_only=False))
+            vs.append(b.column(1).to_numpy(zero_copy_only=False))
+        if us:
+            u = np.concatenate(us)
+            v = np.concatenate(vs)
+        else:
+            u = np.empty(0, dtype=np.int64)
+            v = np.empty(0, dtype=np.int64)
+        if symmetrize:
+            u, v = np.concatenate([u, v]), np.concatenate([v, u])
+        yield from fn(u.astype(np.int64, copy=False),
+                      v.astype(np.int64, copy=False)).to_batches()
 
-    return und.select("u", "v").coalesce(1).mapInPandas(run, schema)
+    return edges.select("u", "v").coalesce(1).mapInArrow(run, schema)
 
 
 def coreness_fixpoint(
@@ -1179,8 +1216,21 @@ def coreness_table(
     if key in _ARTIFACT_CACHE:
         return spark.read.parquet(_ARTIFACT_CACHE[key])
     base_dir = checkpoint_base(spark, checkpoint_dir, "_coreness_")
-    und = copart_und(spark, sf_dir, checkpoint_dir)
-    cor = coreness_fixpoint(spark, und, base_dir)
+    # Same in-core gate as coreness_fixpoint, decided on the DIRECTED
+    # edge artifact (und is exactly 2× its rows by construction): under
+    # it the finisher consumes the directed frame symmetrized in-kernel —
+    # no und artifact build, half the single-task input bytes (r14 §4
+    # boundary audit). Above the gate the distributed rounds get the
+    # symmetrized artifact they iterate over, exactly as before.
+    e0 = copart_edges(spark, sf_dir)
+    if (
+        CORENESS_LOCAL_FINISH_EDGES
+        and 2 * e0.count() <= CORENESS_LOCAL_FINISH_EDGES
+    ):
+        cor = _coreness_local_finish(spark, e0, None, symmetrize=True)
+    else:
+        und = copart_und(spark, sf_dir, checkpoint_dir)
+        cor = coreness_fixpoint(spark, und, base_dir)
     path = os.path.join(base_dir, "final")
     cor.write.mode("overwrite").parquet(path)
     _ARTIFACT_CACHE[key] = path
@@ -1531,7 +1581,6 @@ def graph_label_propagation(
 
     from dblp_to_csv_spark.session import checkpoint_base
 
-    und = copart_und(spark, sf_dir, checkpoint_dir)
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey")
     )
@@ -1544,25 +1593,41 @@ def graph_label_propagation(
     # rounds in one vectorized task under the same gate/recipe as the
     # coreness and k-core finishers — identical labels by construction
     # (pinned local == distributed == pure-Python), distributed rounds
-    # remain the scale path above the gate.
-    if gate and und.count() <= gate:
+    # remain the scale path above the gate. Like the k-core gate, the
+    # in-core path ships the DIRECTED edge artifact (und is exactly 2×
+    # its rows) and symmetrizes in-kernel — no und artifact build, half
+    # the single-task input bytes (r14 §4 boundary audit).
+    e0 = copart_edges(spark, sf_dir)
+    if gate and 2 * e0.count() <= gate:
 
-        def propagate(pdf):
-            import pandas as pd
+        def propagate(u, v):
+            import numpy as np
+            import pyarrow as pa
 
-            if pdf.empty:
-                return pd.DataFrame({"n": [], "label": []}).astype("int64")
-            nodes, labels = _lpa_rounds_numpy(
-                pdf["u"].to_numpy(), pdf["v"].to_numpy(), LPA_ROUNDS
+            if len(u) == 0:
+                return pa.table(
+                    {
+                        "n": np.empty(0, dtype=np.int64),
+                        "label": np.empty(0, dtype=np.int64),
+                    }
+                )
+            nodes, labels = _lpa_rounds_numpy(u, v, LPA_ROUNDS)
+            return pa.table(
+                {
+                    "n": nodes.astype(np.int64),
+                    "label": labels.astype(np.int64),
+                }
             )
-            return pd.DataFrame({"n": nodes, "label": labels})
 
-        lbl = _graph_single_task(und, propagate, "n long, label long")
+        lbl = _graph_single_task(
+            e0, propagate, "n long, label long", symmetrize=True
+        )
         return part.join(lbl, part["l_partkey"] == lbl["n"], "left").select(
             "l_partkey",
             F.coalesce("label", F.lit(-1)).cast("long").alias("community"),
         )
 
+    und = copart_und(spark, sf_dir, checkpoint_dir)
     base_dir = checkpoint_base(spark, checkpoint_dir, "_lpa_")
     und_u = und.select("u", "v").repartition("u").persist()
     per_node = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))

@@ -84,6 +84,9 @@ _EVIDENCE_RESET: dict[str, int] = {
     "similarity_topk_pq": 14,  # _nearest + PQ LUT self-dot hoist
     "dedup_semantic_semdedup": 14,  # _nearest hoist + drop-set as max-cos aggregate (same set; agg is the pushdown barrier)
     "graph_bfs_distances": 14,  # dropped edge repartition+persist; broadcast semi-join rounds re-read the parquet artifact
+    "graph_kcore": 14,  # in-core peel fed by the DIRECTED edge artifact via mapInArrow (symmetrize in-kernel, half the bytes); no und build under the gate
+    "graph_coreness": 14,  # same finisher rework for the h-index fixpoint (coreness_table gates on 2×|e0|)
+    "graph_label_propagation": 14,  # same finisher rework for the LPA rounds
     "graph_triangle_count": 14,  # packed-long (deg<<32|id) orientation + single-long closing key under an ids<2^31 gate (wedge stage 4.6 → 2.1 s)
     "graph_clustering_coefficient": 14,  # shares triangle_counts' packed wedge stage
     "graph_report": 14,  # shares triangle_table's packed wedge stage
