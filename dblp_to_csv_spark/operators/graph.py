@@ -893,21 +893,58 @@ def _kcore_peel_numpy(u, v, k: int, rounds: int):
     return nodes, alive
 
 
+# Cell budget for the per-round (node × distinct-label) counting matrix in
+# _lpa_rounds_numpy — same class as _HINDEX_MATRIX_CELL_CAP: above it a
+# round falls back to the sort-based path (identical labels either way).
+_LPA_MATRIX_CELL_CAP = 1 << 26
+
+
 def _lpa_rounds_numpy(u, v, rounds: int):
     """Exactly ``rounds`` synchronous label-propagation rounds (most
     frequent neighbor label, ties to the SMALLEST label — the
     graph_label_propagation contract) vectorized over int arrays holding
     both edge directions. Returns (node_ids, final_labels). Labels are
     tracked as indices into the sorted node array, so smallest-index ==
-    smallest-id and the tiebreak is exact."""
+    smallest-id and the tiebreak is exact.
+
+    Round shapes (r14 kernel audit — 2.2 → 0.9 s at sf0.1, labels pinned
+    identical to the one-unique-per-round original on crafted, random
+    multi-edge, and all-SF graphs):
+    * round 1, distinct edges (the und contract): every starting label is
+      distinct and every neighbor appears exactly once, so all
+      (u, label) counts are 1 and the (count desc, label asc) argmax is
+      just the SMALLEST NEIGHBOR — the first edge of each group in one
+      sorted (u, v) key array; the same sort detects multi-edges, which
+      fall back to the generic round.
+    * later rounds: the label set collapses fast (sf0.1: 20k → 952 → 556
+      → 170), so counts go through a dense (n × |labels|) bincount
+      matrix while it fits _LPA_MATRIX_CELL_CAP — np.argmax ties to the
+      first (= smallest) compact label, preserving the tiebreak exactly;
+      above the cap a round keeps the original flat-unique path."""
     import numpy as np
 
     nodes, u_idx = np.unique(u, return_inverse=True)
     v_idx = np.searchsorted(nodes, v)
     n = len(nodes)
     label = np.arange(n, dtype=np.int64)
+    if rounds <= 0 or n == 0:
+        return nodes, nodes[label]
     u64 = u_idx.astype(np.int64)
-    for _ in range(rounds):
+    ks = np.sort(u64 * n + v_idx)
+    first_in_group = np.r_[True, (ks[1:] // n) != (ks[:-1] // n)]
+    multi = bool(np.any(ks[1:] == ks[:-1]))
+    for rnd in range(rounds):
+        if rnd == 0 and not multi:
+            label = ks[first_in_group] % n
+            continue
+        lab_set = np.unique(label)
+        n_lab = len(lab_set)
+        if n * n_lab <= _LPA_MATRIX_CELL_CAP:
+            compact = np.searchsorted(lab_set, label)
+            key = u64 * n_lab + compact[v_idx]
+            counts = np.bincount(key, minlength=n * n_lab).reshape(n, n_lab)
+            label = lab_set[np.argmax(counts, axis=1)]
+            continue
         # (u, neighbor-label) pair counts via one flat unique; pick per-u
         # argmax with (count desc, label asc) by lexsort — nodes update
         # synchronously from the PREVIOUS round's labels

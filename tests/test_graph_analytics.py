@@ -519,6 +519,65 @@ def test_kcore_and_lpa_numpy_kernels_crafted_graphs():
             assert got == ref_l, f"{name} rounds={rounds}: {got} != {ref_l}"
 
 
+def test_lpa_kernel_round_paths(monkeypatch):
+    """The r14 LPA kernel has three per-round strategies — closed-form
+    round 1 (distinct edges: every (u, label) count is 1, argmax = smallest
+    neighbor), the dense (n × |labels|) matrix round, and the sort-based
+    fallback (multi-edges in round 1, or matrix over _LPA_MATRIX_CELL_CAP).
+    All three must produce the labels of a multiplicity-aware pure-Python
+    synchronous LPA."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    import dblp_to_csv_spark.operators.graph as G
+
+    def ref_lpa(us, vs, rounds):
+        adj = defaultdict(list)  # lists: multi-edges keep multiplicity
+        for a, b in zip(us, vs):
+            adj[int(a)].append(int(b))
+        lbl = {node: node for node in adj}
+        for _ in range(rounds):
+            lbl = {
+                node: min(
+                    Counter(lbl[x] for x in nbrs).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for node, nbrs in adj.items()
+            }
+        return lbl
+
+    rng = np.random.RandomState(23)
+    for trial in range(6):
+        nn = rng.randint(5, 120)
+        mm = rng.randint(nn, nn * 5)
+        uu = rng.randint(0, nn, mm)
+        vv = rng.randint(0, nn, mm)
+        keep = uu != vv
+        uu, vv = uu[keep], vv[keep]
+        if trial % 2 == 0 and len(uu) >= 4:
+            # inject multi-edges: forces round 1 off the closed form
+            uu = np.concatenate([uu, uu[:4]])
+            vv = np.concatenate([vv, vv[:4]])
+        u = np.concatenate([uu, vv])
+        v = np.concatenate([vv, uu])
+        for rounds in (1, 2, 4):
+            ref = ref_lpa(u, v, rounds)
+            nodes, labels = G._lpa_rounds_numpy(u, v, rounds)
+            assert dict(zip(nodes.tolist(), labels.tolist())) == ref, (
+                f"trial={trial} rounds={rounds}"
+            )
+            # cap 0 forces the sort-based fallback for EVERY round — the
+            # matrix and fallback strategies must agree exactly
+            monkeypatch.setattr(G, "_LPA_MATRIX_CELL_CAP", 0)
+            nodes_f, labels_f = G._lpa_rounds_numpy(u, v, rounds)
+            monkeypatch.undo()
+            assert np.array_equal(nodes, nodes_f)
+            assert np.array_equal(labels, labels_f), (
+                f"fallback diverged: trial={trial} rounds={rounds}"
+            )
+
+
 def _artifact_listing(path):
     """Deterministic snapshot of an artifact directory: every file's
     (relative name, size, mtime_ns). Re-serializing an artifact rewrites
