@@ -1584,6 +1584,63 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _semdedup_cell_max_cos(pdf):
+    """Per-cell SemDeDup kernel: for every vector with at least one
+    same-cell predecessor (smaller vec_id), the max RAW cosine to any
+    predecessor — the grouped numpy replacement for the interpreted
+    per-pair HOF fold (see the call site in dedup_semantic_semdedup for
+    the bit-exactness contract; pinned by
+    tests/test_similarity_recall.py::test_semdedup_kernel_fold_bit_exact).
+    Rows of the Gram matrix are computed in bounded blocks so memory stays
+    O(block × cell), not O(cell²) — cells are TARGET_CELL_ROWS-bounded by
+    design, this is insurance for a skewed k-means split."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")  # ids are distinct (entry pin)
+    ids = ids[order]
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame(
+            {"vec_id": ids[:0], "max_cos_raw": np.zeros(0, dtype=np.float64)}
+        )
+    emb_mat = np.array(
+        [np.asarray(e, dtype=np.float64) for e in pdf["emb"].iloc[order]]
+    )
+    d = emb_mat.shape[1]
+    # self-dot fold (the _norm chain): acc = acc + x*x, one dim at a time
+    diag = np.zeros(n, dtype=np.float64)
+    for i in range(d):
+        diag += emb_mat[:, i] * emb_mat[:, i]
+    pos = diag > 0
+    nrm = np.where(pos, np.sqrt(np.where(pos, diag, 1.0)), np.nan)
+    out_ids, out_max = [], []
+    block = max(1, min(n, (1 << 22) // n))  # ≤ ~32 MB of float64 per block
+    for lo in range(1, n, block):  # row 0 has no predecessor
+        hi = min(lo + block, n)
+        gram = np.zeros((hi - lo, n), dtype=np.float64)
+        for i in range(d):
+            col = emb_mat[:, i]
+            gram += np.multiply.outer(col[lo:hi], col)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = gram / np.multiply.outer(nrm[lo:hi], nrm)
+        # predecessors only: c.vec_id < a.vec_id (ids sorted ascending)
+        valid = ~np.isnan(cos)
+        for j in range(lo, hi):
+            valid[j - lo, j:] = False
+        has_pred = valid.any(axis=1)
+        mx = np.where(valid, cos, -np.inf).max(axis=1)
+        out_ids.append(ids[lo:hi][has_pred])
+        out_max.append(mx[has_pred])
+    return pd.DataFrame(
+        {
+            "vec_id": np.concatenate(out_ids),
+            "max_cos_raw": np.concatenate(out_max),
+        }
+    )
+
+
 @register(
     "dedup_semantic_semdedup",
     tags=("dedup", "similarity", "ml"),
@@ -1651,31 +1708,31 @@ def dedup_semantic_semdedup(
     base_dir = checkpoint_base(spark, checkpoint_dir, "_semdedup_")
     cells_dir = os.path.join(base_dir, "cells")
     kmeans_cells(emb, k=k).write.mode("overwrite").parquet(cells_dir)
-    assigned = emb.join(spark.read.parquet(cells_dir), "vec_id").withColumn(
-        "nrm", _norm(F.col("emb"))
-    )
-    a = assigned.alias("a")
-    c = assigned.alias("c")
-    cos = _dot(F.col("a.emb"), F.col("c.emb")) / (F.col("a.nrm") * F.col("c.nrm"))
-    # The threshold verdict is computed as a per-vec_id MAX aggregate, not a
-    # pair filter (r14 optimization round): a filter on the pair frame gets
-    # merged into the BroadcastHashJoin's join CONDITION by the optimizer,
-    # where the higher-order cos fold is evaluated on the join's interpreted
-    # per-candidate path — measured ~2x the whole drop-set stage (3.1 s vs
-    # 1.7 s at sf0.1). The aggregation is a pushdown barrier, so the join
-    # keeps only the cheap (cell, vec_id<) condition and the cos evaluates
-    # once per pair inside the hash-aggregate operator. Same set exactly:
-    # max(round(cos,6)) >= T iff some predecessor pair has round(cos,6) >= T
-    # (the filter+distinct this replaces).
+    assigned = emb.join(spark.read.parquet(cells_dir), "vec_id")
+    # In-cell pair search as a grouped numpy kernel (r14 optimization round,
+    # second pass): the per-pair cosine was a higher-order `aggregate` fold —
+    # interpreted, ~250k evaluations at sf0.1 inside the hash aggregate.
+    # groupBy(cell).applyInPandas ships each cell once (the shuffle key IS
+    # the partition column at 100 TB, so this shuffle is partition-local at
+    # scale) and the kernel computes every predecessor max in vectorized
+    # numpy. Bit-exactness contract (the driver hash cannot move):
+    # * the Gram matrix accumulates one dimension at a time, in dimension
+    #   order — per pair that is ((0 + x0*y0) + x1*y1) + ..., the exact FP
+    #   op sequence of the zip_with/aggregate fold (elementwise numpy ops
+    #   are IEEE-754, no reassociation, no FMA);
+    # * norms are sqrt of the same fold's diagonal, NaN where d <= 0 — the
+    #   NULL-norm contract of _norm — and NaN cosines are excluded from the
+    #   max exactly as Spark's max ignores NULL;
+    # * max over bit-identical doubles is exact, and ROUND is monotone
+    #   non-decreasing, so filtering round(max(cos), 6) >= T in Spark below
+    #   equals the old max(round(cos, 6)) >= T pair aggregate;
+    # the drop SET is therefore provably identical (pinned bit-for-bit by
+    # tests/test_similarity_recall.py::test_semdedup_kernel_fold_bit_exact).
     dropped = (
-        a.join(
-            c,
-            (F.col("a.cell") == F.col("c.cell"))
-            & (F.col("c.vec_id") < F.col("a.vec_id")),
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_id"))
-        .agg(F.max(F.round(cos, 6)).alias("_max_cos"))
-        .filter(F.col("_max_cos") >= COSINE_THRESHOLD)
+        assigned.select("vec_id", "emb", "cell")
+        .groupBy("cell")
+        .applyInPandas(_semdedup_cell_max_cos, "vec_id long, max_cos_raw double")
+        .filter(F.round(F.col("max_cos_raw"), 6) >= COSINE_THRESHOLD)
         .select("vec_id")
         .withColumn("dup", F.lit(1))
     )
@@ -1691,8 +1748,11 @@ def dedup_semantic_semdedup(
     dropped_dir = os.path.join(base_dir, "dropped")
     dropped.write.mode("overwrite").parquet(dropped_dir)
     dropped = spark.read.parquet(dropped_dir)
+    # the cells checkpoint IS the (vec_id, cell) assignment (kmeans_cells
+    # emits one row per distinct vec_id), so the verdict frame reads it
+    # directly — the emb re-join the old shape paid here carried no columns
     return (
-        assigned.select("vec_id", "cell")
+        spark.read.parquet(cells_dir)
         .join(broadcast_if_small(dropped), "vec_id", "left")
         .select("vec_id", "cell", F.col("dup").isNull().alias("kept"))
     )

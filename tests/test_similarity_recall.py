@@ -302,3 +302,70 @@ def _topk_frame_rows(spark):
     from dblp_to_csv_spark.registry import all_queries
 
     return all_queries()["similarity_topk_ivf"].fn(spark, SF_CORRECTNESS).collect()
+
+
+def test_semdedup_kernel_fold_bit_exact(spark):
+    """The grouped numpy kernel behind dedup_semantic_semdedup's drop set
+    must reproduce the zip_with/aggregate HOF fold BIT-FOR-BIT (== on
+    doubles, no tolerance): the kernel accumulates the Gram matrix one
+    dimension at a time in dimension order — the exact FP op sequence of
+    the sequential fold — so max-raw-cosine per vector is the same double
+    the old per-pair aggregate produced. Corpus is adversarial: exact
+    duplicates (cos 1.0), negated vectors (cos −1.0), a zero vector (NULL
+    norm → excluded from max), near-ties at the 6-dp rounding boundary,
+    and denormal-ish magnitudes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.dedup import (
+        _dot,
+        _norm,
+        _semdedup_cell_max_cos,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = {
+        1: rng.randn(8),
+        2: rng.randn(8),
+        3: None,  # filled below: duplicate of 1 (cos exactly 1.0)
+        4: None,  # negated 2 (cos exactly -1.0)
+        5: np.zeros(8),  # zero vector: NULL norm, excluded everywhere
+        6: rng.randn(8) * 1e-160,  # tiny magnitudes (norm underflow guard)
+        7: rng.randn(8),
+        8: None,  # 7 + 1e-9 perturbation: rounding-boundary near-tie
+    }
+    vecs[3] = vecs[1].copy()
+    vecs[4] = -vecs[2]
+    vecs[8] = vecs[7] + 1e-9
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "emb": [np.asarray(v, dtype=np.float64) for v in vecs.values()],
+            "cell": [0] * len(vecs),
+        }
+    )
+    got = _semdedup_cell_max_cos(pdf)
+    got_map = dict(zip(got["vec_id"], got["max_cos_raw"]))
+
+    rows = [(int(k), [float(x) for x in v]) for k, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
+    a, c = emb.alias("a"), emb.alias("c")
+    cos = _dot(F.col("a.emb"), F.col("c.emb")) / (
+        F.col("a.nrm") * F.col("c.nrm")
+    )
+    want = (
+        a.join(c, F.col("c.vec_id") < F.col("a.vec_id"))
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.max(cos).alias("max_cos_raw"))
+        .collect()
+    )
+    want_map = {
+        r["vec_id"]: r["max_cos_raw"]
+        for r in want
+        if r["max_cos_raw"] is not None
+    }
+    assert set(got_map) == set(want_map)
+    for k, v in want_map.items():
+        assert got_map[k] == v, (k, got_map[k], v, got_map[k] - v)
