@@ -1613,20 +1613,36 @@ def _semdedup_cell_max_cos(pdf):
     diag = np.zeros(n, dtype=np.float64)
     for i in range(d):
         diag += emb_mat[:, i] * emb_mat[:, i]
-    pos = diag > 0
-    nrm = np.where(pos, np.sqrt(np.where(pos, diag, 1.0)), np.nan)
+    # Spark's `when(d > 0, sqrt(d))` yields NULL only for d <= 0 (a true
+    # zero vector): Spark comparisons order NaN GREATER than any double, so
+    # a NaN self-dot passes the guard and flows through as a NaN norm / NaN
+    # cosine that PARTICIPATES in the max (Spark's max again ranks NaN
+    # greatest — numpy's max propagates NaN, matching). Only NULL-norm
+    # pairs are excluded; numpy's `diag > 0` is False for NaN, so the NULL
+    # set is computed NaN-aware.
+    null_norm = ~(diag > 0) & ~np.isnan(diag)
+    with np.errstate(invalid="ignore"):
+        nrm = np.where(
+            null_norm, np.nan, np.sqrt(np.where(null_norm, 1.0, diag))
+        )
     out_ids, out_max = [], []
     block = max(1, min(n, (1 << 22) // n))  # ≤ ~32 MB of float64 per block
     for lo in range(1, n, block):  # row 0 has no predecessor
         hi = min(lo + block, n)
         gram = np.zeros((hi - lo, n), dtype=np.float64)
-        for i in range(d):
-            col = emb_mat[:, i]
-            gram += np.multiply.outer(col[lo:hi], col)
+        # errstate: Inf×0 coordinates raise "invalid value" but produce the
+        # same NaN the JVM fold computes — suppress the log noise only
         with np.errstate(invalid="ignore", divide="ignore"):
+            for i in range(d):
+                col = emb_mat[:, i]
+                gram += np.multiply.outer(col[lo:hi], col)
             cos = gram / np.multiply.outer(nrm[lo:hi], nrm)
-        # predecessors only: c.vec_id < a.vec_id (ids sorted ascending)
-        valid = ~np.isnan(cos)
+        # a pair is excluded iff either side's norm is NULL (Spark: NULL
+        # cosine, ignored by max); predecessors only (ids sorted ascending)
+        valid = np.broadcast_to(
+            ~null_norm[None, :], (hi - lo, n)
+        ) & ~null_norm[lo:hi, None]
+        valid = valid.copy()
         for j in range(lo, hi):
             valid[j - lo, j:] = False
         has_pred = valid.any(axis=1)

@@ -334,10 +334,20 @@ def test_semdedup_kernel_fold_bit_exact(spark):
         6: rng.randn(8) * 1e-160,  # tiny magnitudes (norm underflow guard)
         7: rng.randn(8),
         8: None,  # 7 + 1e-9 perturbation: rounding-boundary near-tie
+        # NaN/Inf landmines: Spark's when(d > 0, ...) passes a NaN self-dot
+        # (NaN orders GREATER than any double) and Spark's max ranks NaN
+        # greatest — the kernel must let these PARTICIPATE, unlike the
+        # NULL-norm zero vector
+        9: None,  # one NaN coordinate: NaN norm, NaN cosines
+        10: None,  # one +Inf coordinate: Inf norm → 0/NaN cosines
     }
     vecs[3] = vecs[1].copy()
     vecs[4] = -vecs[2]
     vecs[8] = vecs[7] + 1e-9
+    vecs[9] = rng.randn(8)
+    vecs[9][3] = float("nan")
+    vecs[10] = rng.randn(8)
+    vecs[10][5] = float("inf")
     pdf = pd.DataFrame(
         {
             "vec_id": list(vecs),
@@ -367,5 +377,10 @@ def test_semdedup_kernel_fold_bit_exact(spark):
         if r["max_cos_raw"] is not None
     }
     assert set(got_map) == set(want_map)
+    import math
+
     for k, v in want_map.items():
-        assert got_map[k] == v, (k, got_map[k], v, got_map[k] - v)
+        if math.isnan(v):
+            assert math.isnan(got_map[k]), (k, got_map[k], v)
+        else:
+            assert got_map[k] == v, (k, got_map[k], v, got_map[k] - v)
