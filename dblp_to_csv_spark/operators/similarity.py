@@ -1265,6 +1265,121 @@ def pq_adc_scores(
 DECON_EVAL_LABEL = 0
 DECON_SEM_QUANTILE = 0.99
 
+# kind codes on the candidate frame (see _decon_candidates_kernel)
+_DECON_FINITE, _DECON_NAN, _DECON_NULL = 0, 1, 2
+
+
+def _decon_candidates_kernel(ev_ids, ev_mat):
+    """Build the mapInPandas scorer behind decontaminate_semantic: per
+    training vector, emit every (eval_id, raw cosine) pair that can still
+    win the downstream (round(cos,6) DESC, eval_id ASC) top-1 window —
+    the near-max candidate set — instead of all |eval| pairs. Rounding and
+    the window stay in Spark on these bit-identical raw values, so the
+    winner is provably the same row (see the call site contract).
+
+    Bit-exactness: the (batch × eval) dot matrix accumulates one dimension
+    at a time in dimension order — the exact FP op sequence of the
+    zip_with/aggregate fold — norms are the same fold's self-dot with
+    sqrt, NULL only for a true zero vector (Spark's `when(d > 0, …)`
+    passes NaN, which orders greater than any double), and the candidate
+    margin is 2e-6 > the 1e-6 diameter of a 6-dp rounding class, so every
+    pair tying the rounded max survives.
+
+    Emission rules per training vector (m = |eval| > 0):
+    * any VALID NaN cosine → all NaN pairs (Spark sorts NaN first under
+      DESC; the window tie-breaks them by eval_id), kind=_DECON_NAN;
+    * else any valid finite cosine → pairs with cos >= max_raw − 2e-6,
+      kind=_DECON_FINITE (the `cos` column carries the raw double);
+    * else (every pair NULL) → the single smallest eval_id, kind=
+      _DECON_NULL — the row the all-NULL window would produce.
+    The kind column reconstructs NaN/NULL on the Spark side explicitly so
+    the result never depends on Arrow's NaN↔null coercion policy."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(ev_ids)
+    ev_diag = np.zeros(m, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        for i in range(ev_mat.shape[1] if m else 0):
+            ev_diag += ev_mat[:, i] * ev_mat[:, i]
+        ev_null = ~(ev_diag > 0) & ~np.isnan(ev_diag)
+        ev_nrm = np.where(ev_null, np.nan, np.sqrt(np.where(ev_null, 1.0, ev_diag)))
+    min_ev = int(ev_ids.min()) if m else 0
+
+    def score(batches):
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.zeros(0, dtype=np.int64),
+                "eval_id": np.zeros(0, dtype=np.int64),
+                "cos": np.zeros(0, dtype=np.float64),
+                "kind": np.zeros(0, dtype=np.int32),
+            }
+        )
+        if m == 0:
+            yield empty
+            return
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["emb"]]
+            )
+            b = len(ids)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_diag = np.zeros(b, dtype=np.float64)
+                for i in range(a_mat.shape[1]):
+                    a_diag += a_mat[:, i] * a_mat[:, i]
+                a_null = ~(a_diag > 0) & ~np.isnan(a_diag)
+                a_nrm = np.where(
+                    a_null, np.nan, np.sqrt(np.where(a_null, 1.0, a_diag))
+                )
+                dot = np.zeros((b, m), dtype=np.float64)
+                for i in range(a_mat.shape[1]):
+                    dot += np.multiply.outer(a_mat[:, i], ev_mat[:, i])
+                cos = dot / np.multiply.outer(a_nrm, ev_nrm)
+            valid = ~a_null[:, None] & ~ev_null[None, :]
+            nan_valid = valid & np.isnan(cos)
+            fin_valid = valid & ~np.isnan(cos)
+            out_v, out_e, out_c, out_k = [], [], [], []
+            row_has_nan = nan_valid.any(axis=1)
+            if row_has_nan.any():
+                ri, ci = np.nonzero(nan_valid[row_has_nan])
+                out_v.append(ids[row_has_nan][ri])
+                out_e.append(ev_ids[ci])
+                out_c.append(np.zeros(len(ri), dtype=np.float64))
+                out_k.append(np.full(len(ri), _DECON_NAN, dtype=np.int32))
+            fin_rows = ~row_has_nan & fin_valid.any(axis=1)
+            if fin_rows.any():
+                fv = fin_valid[fin_rows]
+                fc = np.where(fv, cos[fin_rows], -np.inf)
+                mx = fc.max(axis=1)
+                keep = fv & (fc >= (mx - 2e-6)[:, None])
+                ri, ci = np.nonzero(keep)
+                out_v.append(ids[fin_rows][ri])
+                out_e.append(ev_ids[ci])
+                out_c.append(cos[fin_rows][ri, ci])
+                out_k.append(np.full(len(ri), _DECON_FINITE, dtype=np.int32))
+            null_rows = ~row_has_nan & ~fin_valid.any(axis=1)
+            if null_rows.any():
+                nv = ids[null_rows]
+                out_v.append(nv)
+                out_e.append(np.full(len(nv), min_ev, dtype=np.int64))
+                out_c.append(np.zeros(len(nv), dtype=np.float64))
+                out_k.append(np.full(len(nv), _DECON_NULL, dtype=np.int32))
+            if not out_v:
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "eval_id": np.concatenate(out_e),
+                    "cos": np.concatenate(out_c),
+                    "kind": np.concatenate(out_k),
+                }
+            )
+
+    return score
+
 
 @register(
     "decontaminate_semantic",
@@ -1320,21 +1435,42 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (1-row broadcast), so the report stays non-vacuous under
     any testdata regeneration — an absolute cosine cutoff would go silent
     the way the r9 Adamic-Adar cap audit found."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("emb")
     )
-    emb = emb.withColumn("nrm", _norm(F.col("emb")))
-    ev = emb.filter(F.col("label") == DECON_EVAL_LABEL).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("emb").alias("e_emb"),
-        F.col("nrm").alias("e_nrm"),
+    # The eval side is benchmark-sized by contract — the same bounded class
+    # as the broadcast it previously rode in on — so it collects once and
+    # closes over the mapInPandas scorer (the embedding_cosine_pairs_blas
+    # pattern). The scorer replaces the 750k-pair crossJoin whose
+    # higher-order cosine fold evaluated INTERPRETED per pair (the r14 §16
+    # pathology, 3× the semdedup pair count): one narrow pass over the
+    # training vectors emits only the near-max candidate pairs, and the
+    # original ROUND + (cos DESC, eval_id ASC) top-1 window runs in Spark
+    # over that tiny frame on bit-identical raw doubles — winner provably
+    # unchanged (margin 2e-6 > the 1e-6 diameter of a 6-dp rounding class;
+    # NaN/NULL cases reconstructed explicitly via the kind column; pinned
+    # by test_similarity_recall.py::test_decon_kernel_candidates_bit_exact).
+    ev_rows = (
+        emb.filter(F.col("label") == DECON_EVAL_LABEL)
+        .select("vec_id", "emb")
+        .collect()
     )
+    ev_ids = np.array([r["vec_id"] for r in ev_rows], dtype=np.int64)
+    ev_mat = np.array([r["emb"] for r in ev_rows], dtype=np.float64)
     tr = emb.filter(F.col("label") != DECON_EVAL_LABEL)
-    cos = F.round(
-        _dot(F.col("emb"), F.col("e_emb")) / (F.col("nrm") * F.col("e_nrm")), 6
+    cand = tr.select("vec_id", "emb").mapInPandas(
+        _decon_candidates_kernel(ev_ids, ev_mat),
+        "vec_id long, eval_id long, cos double, kind int",
     )
-    scored = tr.crossJoin(F.broadcast(ev)).select(
-        "vec_id", "eval_id", cos.alias("cos")
+    raw_cos = (
+        F.when(F.col("kind") == _DECON_NAN, F.lit(float("nan")))
+        .when(F.col("kind") == _DECON_NULL, F.lit(None).cast("double"))
+        .otherwise(F.col("cos"))
+    )
+    scored = cand.select(
+        "vec_id", "eval_id", F.round(raw_cos, 6).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "eval_id")
     best = (

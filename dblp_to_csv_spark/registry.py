@@ -95,6 +95,7 @@ _EVIDENCE_RESET: dict[str, int] = {
     "quality_score_pr_curve": 14,  # label side inherits gopher_metrics' sorted max-run top-word count (value-equal, asserted on all SFs)
     "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
     "bpe_apply_encode": 14,  # shares the reworked training chain
+    "decontaminate_semantic": 14,  # scoring pass as a mapInPandas near-max candidate kernel (bit-exact fold; round+window stay in Spark)
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

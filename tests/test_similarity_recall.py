@@ -384,3 +384,129 @@ def test_semdedup_kernel_fold_bit_exact(spark):
             assert math.isnan(got_map[k]), (k, got_map[k], v)
         else:
             assert got_map[k] == v, (k, got_map[k], v, got_map[k] - v)
+
+
+def test_decon_kernel_candidates_bit_exact(spark):
+    """decontaminate_semantic's mapInPandas scorer must reproduce the old
+    crossJoin + HOF-fold + window chain EXACTLY on an adversarial corpus:
+    per training vector the same (nearest_eval_id, max_cos) row, with raw
+    candidate cosines bit-identical to the fold (the window and ROUND run
+    in Spark either way). Cases: rounding-boundary near-ties between TWO
+    eval vectors (tie must break to the smaller eval_id), negated/duplicate
+    vectors, a zero-norm training vector (all-NULL row: smallest eval_id,
+    NULL max_cos), a zero-norm eval vector (excluded), NaN and Inf
+    coordinates (NaN cosines sort FIRST and tie-break by eval_id)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.similarity import (
+        _DECON_FINITE,
+        _DECON_NAN,
+        _DECON_NULL,
+        _decon_candidates_kernel,
+        _dot,
+        _norm,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8)
+    ev_vecs = {
+        100: base,                      # near-tie partner A
+        101: base + 1e-9,               # near-tie partner B (same 6-dp class)
+        102: np.zeros(8),               # zero-norm eval: excluded everywhere
+        103: rng.randn(8),
+    }
+    nanv = rng.randn(8); nanv[2] = float("nan")
+    infv = rng.randn(8); infv[6] = float("inf")
+    tr_vecs = {
+        1: base.copy(),                 # cos 1.0 vs 100, near-1.0 vs 101
+        2: -base,                       # cos -1.0: negative max
+        3: np.zeros(8),                 # all-NULL row
+        4: rng.randn(8),
+        5: nanv,                        # NaN cosines vs every valid eval
+        6: infv,                        # Inf norm: 0/NaN cosines
+    }
+    rows = [
+        (int(k), [float(x) for x in v], 0) for k, v in ev_vecs.items()
+    ] + [(int(k), [float(x) for x in v], 1) for k, v in tr_vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>, label int")
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
+    ev = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("emb").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    tr = emb.filter(F.col("label") != 0)
+
+    # OLD chain: crossJoin + per-pair rounded fold + top-1 window
+    cos = F.round(
+        _dot(F.col("emb"), F.col("e_emb")) / (F.col("nrm") * F.col("e_nrm")), 6
+    )
+    scored_old = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eval_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "eval_id")
+    best_old = {
+        r["vec_id"]: (r["eval_id"], r["cos"])
+        for r in scored_old.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    # NEW chain: kernel candidates + the same round + window in Spark
+    ev_ids = np.array(sorted(ev_vecs), dtype=np.int64)
+    ev_mat = np.array([ev_vecs[i] for i in sorted(ev_vecs)], dtype=np.float64)
+    kernel = _decon_candidates_kernel(ev_ids, ev_mat)
+    cand = tr.select("vec_id", "emb").mapInPandas(
+        kernel, "vec_id long, eval_id long, cos double, kind int"
+    )
+    raw_cos = (
+        F.when(F.col("kind") == _DECON_NAN, F.lit(float("nan")))
+        .when(F.col("kind") == _DECON_NULL, F.lit(None).cast("double"))
+        .otherwise(F.col("cos"))
+    )
+    best_new = {
+        r["vec_id"]: (r["eval_id"], r["cos"])
+        for r in cand.select(
+            "vec_id", "eval_id", F.round(raw_cos, 6).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert set(best_new) == set(best_old) == set(tr_vecs)
+    for k, (e_old, c_old) in best_old.items():
+        e_new, c_new = best_new[k]
+        assert e_new == e_old, (k, (e_new, c_new), (e_old, c_old))
+        if c_old is None or (isinstance(c_old, float) and math.isnan(c_old)):
+            same = (c_new is None and c_old is None) or (
+                c_new is not None and math.isnan(c_new) and math.isnan(c_old)
+            )
+            assert same, (k, c_new, c_old)
+        else:
+            assert c_new == c_old, (k, c_new, c_old)
+
+    # raw candidate cosines are bit-identical to the unrounded fold
+    raw_old = {
+        (r["vec_id"], r["eval_id"]): r["rc"]
+        for r in tr.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            (
+                _dot(F.col("emb"), F.col("e_emb"))
+                / (F.col("nrm") * F.col("e_nrm"))
+            ).alias("rc"),
+        )
+        .collect()
+    }
+    fin = [r for r in cand.collect() if r["kind"] == _DECON_FINITE]
+    assert fin
+    for r in fin:
+        assert raw_old[(r["vec_id"], r["eval_id"])] == r["cos"], (
+            r,
+            raw_old[(r["vec_id"], r["eval_id"])],
+        )
