@@ -223,7 +223,12 @@ def _warm_graph_finishers(spark) -> None:
     if not os.path.isdir(warm_dir):
         return
     fns = all_queries()
-    for name in ("graph_coreness", "graph_kcore", "graph_label_propagation"):
+    for name in (
+        "graph_coreness",
+        "graph_kcore",
+        "graph_label_propagation",
+        "graph_bfs_distances",
+    ):
         try:
             fns[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"

@@ -960,6 +960,36 @@ def _lpa_rounds_numpy(u, v, rounds: int):
     return nodes, nodes[label]
 
 
+def _bfs_levels_numpy(u, v, seeds: int, rounds: int):
+    """Multi-source level-synchronous BFS vectorized over int arrays
+    holding both edge directions: sources are the ``seeds`` smallest node
+    ids at distance 0; each round expands the frontier one hop, capped at
+    ``rounds`` with early exit on an empty frontier. Returns
+    (node_ids, dist) for REACHED nodes only — exactly the union of level
+    frames the distributed loop materializes (distances are canonical BFS
+    levels, so local == distributed needs no tie-break argument)."""
+    import numpy as np
+
+    nodes, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(nodes, v)
+    n = len(nodes)
+    dist = np.full(n, -1, dtype=np.int64)
+    k = min(seeds, n)
+    dist[:k] = 0  # nodes sorted ascending → first k ARE the k smallest ids
+    frontier = np.zeros(n, dtype=bool)
+    frontier[:k] = True
+    for rnd in range(1, rounds + 1):
+        new = np.unique(v_idx[frontier[u_idx]])
+        new = new[dist[new] < 0]
+        if len(new) == 0:
+            break
+        dist[new] = rnd
+        frontier[:] = False
+        frontier[new] = True
+    reached = dist >= 0
+    return nodes[reached], dist[reached]
+
+
 def _graph_single_task(
     edges: DataFrame, fn, schema: str, symmetrize: bool = False
 ) -> DataFrame:
@@ -1453,7 +1483,10 @@ def _bfs_oracle() -> str:
 
 @register("graph_bfs_distances", tags=("graph", "iterative"), oracle=_bfs_oracle())
 def graph_bfs_distances(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Multi-source unweighted BFS over the part co-occurrence graph: the
     distance from each part to the nearest of the BFS_SEEDS smallest node
@@ -1487,6 +1520,54 @@ def graph_bfs_distances(
     from pyspark.sql import Observation
 
     from dblp_to_csv_spark.session import checkpoint_base
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    gate = (
+        CORENESS_LOCAL_FINISH_EDGES
+        if local_finish_edges is None
+        else local_finish_edges
+    )
+    # In-core collapse (r14 session 5): BFS was the one iterative graph
+    # query without the gated single-task finisher its siblings got
+    # (kcore/coreness/LPA, §14/§15) — all its frontier rounds run in one
+    # vectorized task under the same gate/recipe, fed the DIRECTED edge
+    # artifact and symmetrized in-kernel. Distances are canonical BFS
+    # levels, so local == distributed needs no tie-break argument (pinned
+    # anyway in test_graph_analytics.py); the distributed frontier loop
+    # below remains the scale path above the gate, and its round-scaling
+    # regime stays separately exercised by graph_bfs_deep (which
+    # deliberately keeps the loop).
+    e0 = copart_edges(spark, sf_dir)
+    if gate and 2 * e0.count() <= gate:
+
+        def bfs(u, v):
+            import numpy as np
+            import pyarrow as pa
+
+            if len(u) == 0:
+                return pa.table(
+                    {
+                        "node": np.empty(0, dtype=np.int64),
+                        "dist": np.empty(0, dtype=np.int64),
+                    }
+                )
+            nodes, dist = _bfs_levels_numpy(u, v, BFS_SEEDS, BFS_ROUNDS)
+            return pa.table(
+                {
+                    "node": nodes.astype(np.int64),
+                    "dist": dist.astype(np.int64),
+                }
+            )
+
+        lvl = _graph_single_task(
+            e0, bfs, "node long, dist long", symmetrize=True
+        )
+        return part.join(lvl, part["l_partkey"] == lvl["node"], "left").select(
+            "l_partkey",
+            F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"),
+        )
 
     base_dir = checkpoint_base(spark, checkpoint_dir, "_bfs_")
     und = copart_und(spark, sf_dir, checkpoint_dir)

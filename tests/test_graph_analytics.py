@@ -486,6 +486,53 @@ def test_lpa_local_finish_equals_distributed(spark):
     assert local == dist and local
 
 
+def test_bfs_local_finish_equals_distributed(spark):
+    """Same pin for BFS (r14 session 5 finisher): one-task numpy levels ==
+    the distributed frontier rounds, distance for distance — including the
+    -1 rows for parts outside the graph."""
+    from dblp_to_csv_spark.operators.graph import graph_bfs_distances
+
+    local = {
+        r["l_partkey"]: r["dist"]
+        for r in graph_bfs_distances(spark, SF_SMOKE).collect()
+    }
+    dist = {
+        r["l_partkey"]: r["dist"]
+        for r in graph_bfs_distances(
+            spark, SF_SMOKE, local_finish_edges=0
+        ).collect()
+    }
+    assert local == dist and any(v > 0 for v in local.values())
+
+
+def test_bfs_numpy_kernel_crafted_graphs():
+    """_bfs_levels_numpy against the pure-Python BFS on graphs with known
+    structure, across seed counts and round caps INCLUDING caps below the
+    diameter (nodes beyond the cap must be absent, they surface as -1 via
+    the final left join)."""
+    import numpy as np
+
+    from dblp_to_csv_spark.operators.graph import _bfs_levels_numpy
+
+    graphs = {
+        "path": [(i, i + 1) for i in range(9)],
+        "star": [(0, i) for i in range(1, 8)],
+        "two_components": [(0, 1), (1, 2), (10, 11)],
+        "clique_plus_tail": [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        + [(3, 8), (8, 9)],
+    }
+    for name, pairs in graphs.items():
+        u = np.array([p[0] for p in pairs] + [p[1] for p in pairs])
+        v = np.array([p[1] for p in pairs] + [p[0] for p in pairs])
+        for seeds in (1, 2, 4):
+            ref, _ = _bfs_fixpoint(pairs, seeds)
+            for rounds in (1, 2, 16):
+                nodes, dist = _bfs_levels_numpy(u, v, seeds, rounds)
+                got = dict(zip(nodes.tolist(), dist.tolist()))
+                want = {n: d for n, d in ref.items() if d <= rounds}
+                assert got == want, (name, seeds, rounds, got, want)
+
+
 def test_kcore_and_lpa_numpy_kernels_crafted_graphs():
     """The vectorized kernels against the pure-Python references on graphs
     with known structure (the coreness crafted-graph discipline), k chosen
