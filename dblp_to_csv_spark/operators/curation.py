@@ -35,6 +35,9 @@ from dblp_to_csv_spark.functions.rounding import (
     round_ties_down,
 )
 from dblp_to_csv_spark.operators.dedup import _CC_ORACLE_CTES
+from dblp_to_csv_spark.operators.dedup import (
+    cc_labels_single_use as _cc_labels_single_use,
+)
 from dblp_to_csv_spark.operators.dedup import connected_components_min_label
 from dblp_to_csv_spark.operators.text_analysis import text_unigram_logprob
 from dblp_to_csv_spark.registry import register
@@ -397,17 +400,29 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-checkpointed); the stats pass is one broadcast-sized join from
     the label frame (|docs in clusters|, a vanishing fraction of the corpus)
     back to the documents scan, then a per-component aggregate. Shares its
-    WITH RECURSIVE oracle base with the CC registrations."""
-    labels = connected_components_min_label(spark, sf_dir)
+    WITH RECURSIVE oracle base with the CC registrations. The labels come
+    through the single-use contract (r14 session 6): this query's one
+    action consumes them exactly once, so the in-core union-find runs
+    inside it — no labels_local parquet round-trip — and the broadcast
+    hint is proven by the gate instead of counted."""
+    labels, bcastable = _cc_labels_single_use(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return _cluster_stats_from_labels(labels, docs)
+    return _cluster_stats_from_labels(
+        F.broadcast(labels) if bcastable else _broadcast_if_small(labels),
+        docs,
+        hinted=True,
+    )
 
 
-def _cluster_stats_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+def _cluster_stats_from_labels(
+    labels: DataFrame, docs: DataFrame, hinted: bool = False
+) -> DataFrame:
     """Per-component accounting from an existing (doc_id, component) label
-    frame — shared by the registered query and ``curate_corpus``."""
+    frame — shared by the registered query and ``curate_corpus``.
+    ``hinted=True`` means the caller already attached the broadcast hint
+    (or proved it must not be attached)."""
     return (
-        _broadcast_if_small(labels)
+        (labels if hinted else _broadcast_if_small(labels))
         .join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("component")
         .agg(
@@ -425,18 +440,32 @@ def _cluster_stats_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def _kept_docs_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+def _kept_docs_from_labels(
+    labels: DataFrame, docs: DataFrame, drop_broadcastable: bool = False
+) -> DataFrame:
     """Canonical-survivor docs (all columns) from an existing label frame —
     the ONE definition of the drop rule (doc_id != component), shared by
-    the keep-canonical report and curate_corpus's rewrite input."""
+    the keep-canonical report and curate_corpus's rewrite input.
+    ``drop_broadcastable=True``: the caller has PROVEN the drop set fits a
+    broadcast (single-use CC gate), so skip broadcast_if_small's count()
+    — on a lazy label frame that count would execute the in-core finisher
+    an extra time."""
     drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    return docs.join(_broadcast_if_small(drop), "doc_id", "left_anti")
+    if drop_broadcastable:
+        drop = F.broadcast(drop)
+    else:
+        drop = _broadcast_if_small(drop)
+    return docs.join(drop, "doc_id", "left_anti")
 
 
-def _keep_canonical_from_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+def _keep_canonical_from_labels(
+    labels: DataFrame, docs: DataFrame, drop_broadcastable: bool = False
+) -> DataFrame:
     """Canonical-survivor selection from an existing label frame — shared by
     the registered query and ``curate_corpus``."""
-    return _kept_docs_from_labels(labels, docs).select("doc_id", "lang", "source")
+    return _kept_docs_from_labels(
+        labels, docs, drop_broadcastable=drop_broadcastable
+    ).select("doc_id", "lang", "source")
 
 
 def curate_corpus(
@@ -596,12 +625,15 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the label frame is |docs in clusters| (a vanishing fraction
     of the corpus) — it BROADCASTS, and the selection is one map-side
     left-anti-style filter over the corpus scan; the corpus itself never
-    shuffles in the final step."""
-    labels = connected_components_min_label(spark, sf_dir)
+    shuffles in the final step. Labels come through the single-use contract
+    (r14 session 6): one consumer action, so the in-core union-find runs
+    inside it with no labels_local round-trip, and the drop-set broadcast
+    is proven by the gate instead of counted."""
+    labels, bcastable = _cc_labels_single_use(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return _keep_canonical_from_labels(labels, docs).select(
-        "doc_id", "lang", "source"
-    )
+    return _keep_canonical_from_labels(
+        labels, docs, drop_broadcastable=bcastable
+    ).select("doc_id", "lang", "source")
 
 
 @register(

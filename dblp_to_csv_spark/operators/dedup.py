@@ -479,28 +479,35 @@ def minhash_lsh_pairs(
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
     )
-    # docs_sh is consumed TWICE (the sa/sb sides of the verification join),
-    # and the two consumers shuffle on different keys so no exchange reuse is
-    # possible — a lazy docs_sh re-scans, re-explodes and re-collect_sets the
-    # corpus once per side (r11 double-eval audit, ROADMAP 30). Above the
-    # byte gate, materialize it under the same parquet-checkpoint discipline
-    # as the candidate frame: the frame holds only CANDIDATE documents'
-    # shingle sets — a vanishing fraction of the corpus — so at 100 TB the
-    # round-trip is noise next to a second corpus explode. BELOW the gate
-    # the recompute is cheaper than the blocking array write+read
-    # (interleaved A/B at sf0.1: 6.3 s recompute vs 7.3 s materialized —
-    # the corpus scan is OS-cached at that size), so small inputs keep the
-    # lazy plan: the same measured-crossover reasoning as the CC/coreness
-    # in-core finisher gates. Unknown input size (no resolvable files)
-    # defaults to materializing — the 100 TB-safe side.
-    if materialize_candidates_dir is not None and (
-        _input_bytes(docs) >= MH_VERIFY_MATERIALIZE_BYTES
-    ):
+    # docs_sh is consumed TWICE (the sa/sb sides of the verification join).
+    # Above the byte gate, materialize it under the same parquet-checkpoint
+    # discipline as the candidate frame: the frame holds only CANDIDATE
+    # documents' shingle sets — a vanishing fraction of the corpus — so at
+    # 100 TB the round-trip is noise next to a second corpus explode, and
+    # the two sort-merge sides read the files instead of re-aggregating.
+    # BELOW the gate (r14 session 6), BOTH sides take a BROADCAST of the
+    # SAME docs_sh aggregate: the two build-side plans are canonically
+    # identical (alias names are erased in canonicalization and both hash
+    # the build key doc_id), so ReuseExchange computes the aggregate ONCE —
+    # the r11 "no exchange reuse across different keys" finding applied to
+    # the SHUFFLE plan, not to broadcast builds keyed on the build side's
+    # own column. This removes the 4 verification exchanges (cand×2 +
+    # sa/sb) and the duplicate corpus explode+collect_set the lazy plan
+    # paid per side (plan-asserted: one BroadcastExchange + one
+    # ReusedExchange in test_plan_quality). Unknown input size (no
+    # resolvable files) defaults to materializing — the 100 TB-safe side.
+    small_verify = not (
+        materialize_candidates_dir is not None
+        and _input_bytes(docs) >= MH_VERIFY_MATERIALIZE_BYTES
+    )
+    if not small_verify:
         docs_sh_dir = session_checkpoint_dir("_mh_docsh_")
         docs_sh.write.mode("overwrite").parquet(docs_sh_dir)
         docs_sh = spark.read.parquet(docs_sh_dir)
     sa = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    if small_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     i_ = F.size(F.array_intersect("sha", "shb"))
     return (
         cand.join(sa, "doc_a")
@@ -818,6 +825,54 @@ def connected_components_min_label(
     broadcast_labels: bool = True,
     local_finish_pairs: int | None = None,
 ) -> DataFrame:
+    """Public entry — see ``_cc_min_label``. Returns the materialized
+    (parquet-backed) label frame: safe for any number of consumers."""
+    return _cc_min_label(
+        spark,
+        sf_dir,
+        checkpoint_dir=checkpoint_dir,
+        pairs=pairs,
+        broadcast_labels=broadcast_labels,
+        local_finish_pairs=local_finish_pairs,
+    )[0]
+
+
+def cc_labels_single_use(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
+) -> tuple[DataFrame, bool]:
+    """(labels, broadcastable) for a caller that consumes the labels in
+    exactly ONE downstream action (dedup_cluster_stats,
+    dedup_keep_canonical — r14 session 6). Under the in-core gate the
+    union-find output is returned LAZY — no labels_local parquet
+    round-trip; the finisher task runs inside the consumer's own job —
+    and ``broadcastable=True`` is PROVEN without counting it: nodes ≤
+    2 × CC_LOCAL_FINISH_PAIRS = BROADCAST_MAX_ROWS, so the caller attaches
+    F.broadcast directly instead of broadcast_if_small's count() (which
+    would execute the lazy finisher an extra time). Above the gate the
+    round-loop labels come back materialized with broadcastable=False —
+    the caller falls back to the counted hint (metadata-cheap on parquet)."""
+    labels, in_core = _cc_min_label(
+        spark,
+        sf_dir,
+        checkpoint_dir=checkpoint_dir,
+        pairs=pairs,
+        materialize_labels=False,
+    )
+    return labels, in_core
+
+
+def _cc_min_label(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
+    broadcast_labels: bool = True,
+    local_finish_pairs: int | None = None,
+    materialize_labels: bool = True,
+) -> tuple[DataFrame, bool]:
     """Min-label propagation implementation backing
     ``dedup_connected_components`` (see its docstring for semantics and the
     checkpoint policy). ``pairs`` lets a composite (curate_corpus) feed a
@@ -838,7 +893,17 @@ def connected_components_min_label(
     disables — tests use it to force the distributed rounds): at or below
     the gate the whole component computation collapses into one union-find
     applyInPandas task; above it the min-label rounds are the scale path.
-    Same fixpoint either way (component = min doc_id; pinned by tests)."""
+    Same fixpoint either way (component = min doc_id; pinned by tests).
+
+    ``materialize_labels=False`` (r14 session 6) is the SINGLE-CONSUMER
+    contract: a caller whose one downstream action consumes the labels
+    exactly once (dedup_cluster_stats, dedup_keep_canonical) skips the
+    labels_local parquet round-trip on the in-core path — the union-find
+    task runs inside the consumer's own job and the pairs checkpoint stays
+    alive to feed it. Composites that fan the labels out to several stages
+    (curate_corpus, pretrain_corpus_report) keep the default. The
+    distributed round loop is unaffected (every round materializes by
+    construction)."""
     from pyspark.sql import Observation
 
     base = checkpoint_base(spark, checkpoint_dir, "dblp_cc_")
@@ -858,6 +923,11 @@ def connected_components_min_label(
         CC_LOCAL_FINISH_PAIRS if local_finish_pairs is None else local_finish_pairs
     )
     if gate and pairs.count() <= gate:
+        if not materialize_labels:
+            # single-consumer contract: the union-find task runs inside the
+            # caller's one action, reading the live pairs checkpoint —
+            # no labels_local write+read job pair
+            return _cc_local_finish(pairs), True
         # materialize like the round loop does: composites consume the
         # label frame from several downstream stages, and a parquet-backed
         # result keeps each re-use a metadata-cheap scan instead of
@@ -868,7 +938,7 @@ def connected_components_min_label(
         import shutil
 
         shutil.rmtree(os.path.join(base, "pairs"), ignore_errors=True)
-        return labels
+        return labels, True
     edges = ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -918,7 +988,7 @@ def connected_components_min_label(
                 f"labels_{i}" for i in range(rnd)
             ]:
                 shutil.rmtree(os.path.join(base, name), ignore_errors=True)
-            return labels
+            return labels, False
         prev_sum = new_sum
 
 
