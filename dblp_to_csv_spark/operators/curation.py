@@ -505,7 +505,13 @@ def curate_corpus(
     minhash_lsh_pairs(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
     pairs = spark.read.parquet(pairs_path)
     labels = connected_components_min_label(
-        spark, sf_dir, checkpoint_dir=checkpoint_dir, pairs=pairs
+        spark,
+        sf_dir,
+        checkpoint_dir=checkpoint_dir,
+        pairs=pairs,
+        # this composite's pairs checkpoint IS the shared artifact — the CC
+        # loop must not re-write it (r14 session 6)
+        pairs_checkpointed=True,
     )
     docs = load_table(spark, sf_dir, "documents")
     kept_docs = _kept_docs_from_labels(labels, docs)
@@ -1602,13 +1608,13 @@ def pretrain_corpus_report(
     ).write.mode("overwrite").parquet(ex_path)
     exact = spark.read.parquet(ex_path)
     eligible = exact.filter("exact_keep").select("doc_id", "text")
-    pairs_path = os.path.join(base, "pairs")
-    minhash_lsh_pairs(spark, sf_dir, docs=eligible).write.mode(
-        "overwrite"
-    ).parquet(pairs_path)
-    pairs = spark.read.parquet(pairs_path)
+    # the CC loop checkpoints the pair frame itself — writing it here too
+    # was a redundant write+read job pair (r14 session 6)
     labels = connected_components_min_label(
-        spark, sf_dir, checkpoint_dir=checkpoint_dir, pairs=pairs
+        spark,
+        sf_dir,
+        checkpoint_dir=checkpoint_dir,
+        pairs=minhash_lsh_pairs(spark, sf_dir, docs=eligible),
     )
     canon = labels.groupBy("component").agg(F.min("doc_id").alias("canonical"))
     nd = labels.join(canon, "component").select(

@@ -824,6 +824,7 @@ def connected_components_min_label(
     pairs: DataFrame | None = None,
     broadcast_labels: bool = True,
     local_finish_pairs: int | None = None,
+    pairs_checkpointed: bool = False,
 ) -> DataFrame:
     """Public entry — see ``_cc_min_label``. Returns the materialized
     (parquet-backed) label frame: safe for any number of consumers."""
@@ -834,6 +835,7 @@ def connected_components_min_label(
         pairs=pairs,
         broadcast_labels=broadcast_labels,
         local_finish_pairs=local_finish_pairs,
+        pairs_checkpointed=pairs_checkpointed,
     )[0]
 
 
@@ -872,6 +874,7 @@ def _cc_min_label(
     broadcast_labels: bool = True,
     local_finish_pairs: int | None = None,
     materialize_labels: bool = True,
+    pairs_checkpointed: bool = False,
 ) -> tuple[DataFrame, bool]:
     """Min-label propagation implementation backing
     ``dedup_connected_components`` (see its docstring for semantics and the
@@ -918,7 +921,14 @@ def _cc_min_label(
         pairs = minhash_lsh_pairs(spark, sf_dir)
     # pair-finding runs ONCE: checkpoint the raw pairs, then gate. The
     # count on the parquet-backed frame is a metadata read.
-    pairs = ckpt(pairs.select("doc_a", "doc_b"), "pairs")
+    # ``pairs_checkpointed=True`` (r14 session 6): the caller already
+    # materialized the pair frame to parquet (curate_corpus shares it with
+    # PageRank) — re-writing it here was a redundant write+read job pair;
+    # the gate count stays metadata-cheap on the caller's files.
+    if pairs_checkpointed:
+        pairs = pairs.select("doc_a", "doc_b")
+    else:
+        pairs = ckpt(pairs.select("doc_a", "doc_b"), "pairs")
     gate = (
         CC_LOCAL_FINISH_PAIRS if local_finish_pairs is None else local_finish_pairs
     )

@@ -295,30 +295,51 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a tokenize pass; oversizing only lowers the fp rate. Eval-side
     # tokenization then runs exactly twice (bit-fold build + verify-join
     # build), same as the broadcast-set twin plus one.
-    n_est = (
+    # The sizing aggregate rides the SAME job as the word fold (r14
+    # session 6): the 1-row Σ n_chars frame broadcasts into the position
+    # explode and ``_bloom_bits`` is replicated in SQL —
+    # length(bin(x)) = x.bit_length() for x ≥ 1, with the shift exponent
+    # clamped at 25 so shiftleft never wraps sign (beyond 25 the outer
+    # least() picks BLOOM_MAX_BITS anyway) — so sizing + build is ONE
+    # action instead of two sequential jobs. The collected rows carry the
+    # bits value back for the probe expression and the word-array length.
+    sized = (
         docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .agg(F.sum("n_chars"))
-        .collect()[0][0]
-        or 0
+        .agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_est"))
+        .selectExpr(
+            f"least(CAST({BLOOM_MAX_BITS} AS BIGINT), "
+            f"greatest(CAST({BLOOM_MIN_BITS} AS BIGINT), "
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(least(length(bin(16 * (n_est div 4 + 1))), 25) AS INT))"
+            ")) AS bits"
+        )
     )
-    bloom_bits = _bloom_bits(int(n_est) // 4 + 1)
     # fold positions into 32-bit words JVM-side (bit_or partial aggregate):
     # the driver collects ≤ bits/32 words, never the raw position stream
     word_rows = (
-        ev.select(
+        ev.crossJoin(F.broadcast(sized))
+        .select(
             F.explode(
                 F.array(
                     *[
-                        F.pmod(F.xxhash64(F.lit(i), "shingle"), F.lit(bloom_bits))
+                        F.expr(f"pmod(xxhash64({i}, shingle), bits)")
                         for i in range(BLOOM_HASHES)
                     ]
                 )
-            ).alias("p")
+            ).alias("p"),
+            "bits",
         )
         .groupBy(F.shiftright("p", 5).alias("widx"))
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))"
+            ).alias("w"),
+            F.first("bits").alias("bits"),
+        )
         .collect()
     )
+    # empty eval shingle set → no rows → the old n_est=0 sizing (MIN bits)
+    bloom_bits = int(word_rows[0]["bits"]) if word_rows else BLOOM_MIN_BITS
     bloom_words = [0] * (bloom_bits // 32)
     for r in word_rows:
         bloom_words[r["widx"]] = r["w"]

@@ -96,6 +96,19 @@ _EVIDENCE_RESET: dict[str, int] = {
     "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
     "bpe_apply_encode": 14,  # shares the reworked training chain
     "decontaminate_semantic": 14,  # scoring pass as a mapInPandas near-max candidate kernel (bit-exact fold; round+window stay in Spark)
+    # r14 session 6 (optimization continued)
+    "retrieval_eval_bm25": 14,  # postings pruned to query terms before the aggregate (one corpus explode, checkpointed); gold rank via window over query_id instead of scored checkpoint + broadcast-gold
+    "dedup_minhash_lsh": 14,  # verification tail: both sides broadcast the SAME docs_sh aggregate (AQE stage reuse computes it once; cand probe side no longer shuffles)
+    "dedup_minhash_lsh_capped": 14,  # shares the reworked verification tail
+    "dedup_minhash_lsh_df_capped": 14,  # shares the reworked verification tail
+    "dedup_cluster_stats": 14,  # CC labels via the single-use contract: lazy in-core union-find, no labels_local round-trip, gate-proven broadcast
+    "dedup_keep_canonical": 14,  # same single-use labels contract
+    "dedup_connected_components": 14,  # pairs build inherits the minhash verification tail
+    "dedup_connected_components_star": 14,  # same pairs-build inheritance
+    "decontaminate_bloom": 14,  # filter sizing rides the word-fold job (SQL _bloom_bits twin, 1-row broadcast) — one action instead of two
+    "dedup_graph_pagerank": 14,  # pairs build inherits the minhash verification tail
+    "contrastive_pairs_dataset": 14,  # pairs build inherits the minhash verification tail
+    "split_leakage_free": 14,  # CC labels build inherits the minhash verification tail
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened

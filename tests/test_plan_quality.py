@@ -508,16 +508,18 @@ def test_pq_trains_all_subspaces_in_one_chain(spark):
 
 
 def test_retrieval_eval_broadcast_postings(spark):
-    """retrieval_eval_bm25: the corpus-sized side is the posting build
-    (ONE intentional Generate); query terms / df / corpus stats / gold
-    scores all attach by broadcast (query-count-sized), and the gold rank
-    is a count — no corpus-sized window sort, no nested-loop fallback
+    """retrieval_eval_bm25 (r14 s6 shape): the corpus explode runs once,
+    in the pruned-postings checkpoint build — the RETURNED plan reads that
+    checkpoint, so its only Generate is the query-term explode; query
+    terms / df / corpus stats attach by broadcast (query-count-sized), the
+    gold score rides a window over query_id (candidate-set-sized, never a
+    corpus sort), and the gold rank is a count — no nested-loop fallback
     beyond the 1-row stats attaches."""
     plan = _plan(spark, "retrieval_eval_bm25")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row stats attaches
-    assert plan.count("Generate") <= 2  # postings + query-term explode
-    assert "WindowExec" not in plan.replace("WindowGroupLimit", "")
+    assert plan.count("Generate") <= 2  # query-term explode (+headroom)
+    assert "SortMergeJoin" not in plan  # everything attaches by broadcast
 
 
 def test_skyline_two_windows_no_join(spark):
@@ -920,3 +922,17 @@ def test_kl_drift_aggregates_before_statistics(spark):
     assert plan.count("Generate explode") == 1  # the single token explode
     # totals come from a window over the vocab frame, never a second
     # corpus-sized pass (a lazy double-reference would re-explode)
+
+
+def test_minhash_verification_broadcast_reuse(spark):
+    """Below the verification byte gate (every test SF) both sides of the
+    exact-Jaccard join broadcast the SAME docs_sh aggregate; the two build
+    plans are canonically identical, so AQE stage reuse must compute the
+    candidate-docs shingle-set aggregate ONCE (r14 s6: the final adaptive
+    plan carries a ReusedExchange, and the cand probe side carries no
+    Exchange at all — the old sort-merge tail shuffled cand twice)."""
+    df = all_queries()["dedup_minhash_lsh"].fn(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan on THIS DataFrame's QE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
