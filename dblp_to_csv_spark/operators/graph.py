@@ -1387,12 +1387,14 @@ def graph_report(
     (triangle_table), and coreness ∥ triangles materialize CONCURRENTLY —
     cold report pays max() of the two, not the sum (r12: 36 s → 11.7 s
     quiet at sf0.1; warm 0.8 s, BASELINE §21)."""
-    # e0 (u < v) feeds the triangle orientation; und feeds degrees/coreness.
-    # Both come from the session artifact cache, so a bench/driver pass that
-    # already ran any standalone graph query pays for neither again.
+    # e0 (u < v) feeds the triangle orientation AND the degrees: deg(n) is
+    # the endpoint-count over the directed frame (degrees(e0) — identical
+    # to the und groupBy since und = e0 ∪ reverse(e0) verbatim), so the
+    # report no longer builds the symmetrized artifact at all under the
+    # in-core gate (r14 s6; coreness_table stopped needing und in the §14
+    # finisher rework — deg_und was its last unconditional consumer here).
     e0 = copart_edges(spark, sf_dir, checkpoint_dir=checkpoint_dir)
-    und = copart_und(spark, sf_dir, checkpoint_dir)
-    deg_und = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg_und = degrees(e0).withColumnRenamed("n", "u")
     # The two expensive artifacts are INDEPENDENT once the edge frames
     # exist, and their physical shapes are complementary — the coreness
     # finisher is one single-core task, the wedge join is a wide shuffle —

@@ -36,8 +36,11 @@ def main() -> None:
     fns = all_queries()
     c0 = cal()
     timings: dict[str, float] = {}
+    from dblp_to_csv_spark.operators.graph import _ARTIFACT_CACHE
+
     for _ in range(2):
         for n in names:
+            _ARTIFACT_CACHE.clear()  # bench.py cold-series methodology
             t0 = time.perf_counter()
             fns[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

@@ -160,3 +160,64 @@ def test_psi_values_exactly_on_cutpoints(spark, tmp_path):
     con.close()
     assert_matches_oracle("drift_psi_events_value", got, want, "cutpoint-boundary corpus")
     assert len(got) == 1 and got["n_ref"].iloc[0] == 11
+
+
+def test_bottomk_exact_side_bit_equals_percentile(spark):
+    """The flat-sorted-array exact side (r14 s6) must reproduce Spark's
+    Percentile aggregate BIT-EXACTLY — same position = q·(n−1), same
+    (ceil−pos)·lower + (pos−floor)·higher interpolation with the
+    ceil==floor guard — across adversarial frames: n=1..4, heavy
+    duplicates, 1e±300 magnitudes, mixed signs, and empty input (NULL)."""
+    import math
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from dblp_to_csv_spark.operators.statistics import _BK_QS
+
+    qs_lit = F.array(*[F.lit(q) for q in _BK_QS])
+
+    def _interp(q: float):
+        pos = F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        lower = F.element_at("a", lo.cast("int") + 1)
+        higher = F.element_at("a", hi.cast("int") + 1)
+        return F.when(hi == lo, lower).otherwise(
+            (hi - pos) * lower + (pos - lo) * higher
+        )
+
+    random.seed(11)
+    cases = [[random.uniform(-1e6, 1e6) for _ in range(n)] for n in (1, 2, 3, 4)]
+    cases.append([random.choice([1.0, 2.0, 3.0]) for _ in range(40)])
+    cases.append([random.uniform(1e290, 1e300) for _ in range(15)])
+    cases.append([random.uniform(1e-300, 1e-290) for _ in range(15)])
+    cases.append([(-1) ** i * random.uniform(0, 1e18) for i in range(31)])
+    bits = lambda x: struct.pack("d", x)
+    for vals in cases:
+        df = spark.createDataFrame([(float(v),) for v in vals], "val double")
+        ref = df.agg(F.percentile("val", qs_lit).alias("x")).collect()[0]["x"]
+        got = (
+            df.agg(F.array_sort(F.collect_list("val")).alias("a"))
+            .select("a", F.size("a").alias("n"))
+            .select(
+                F.when(
+                    F.col("n") > 0, F.array(*[_interp(q) for q in _BK_QS])
+                ).alias("x")
+            )
+            .collect()[0]["x"]
+        )
+        assert len(ref) == len(got)
+        for r, g in zip(ref, got):
+            assert bits(r) == bits(g), (vals[:3], r, g)
+    # empty input → NULL array, matching percentile over zero rows
+    empty = spark.createDataFrame([], "val double")
+    got = (
+        empty.agg(F.array_sort(F.collect_list("val")).alias("a"))
+        .select("a", F.size("a").alias("n"))
+        .select(
+            F.when(F.col("n") > 0, F.array(*[_interp(q) for q in _BK_QS])).alias("x")
+        )
+        .collect()[0]["x"]
+    )
+    assert got is None
