@@ -67,48 +67,10 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # its declared round without re-greening (VERDICT r10 item 8).
 # Entry format: one line per name — `"query_name": <declared round>,  # why`.
 _EVIDENCE_RESET: dict[str, int] = {
-    "skew_join_salted_events": 14,  # ADVICE r13: salt = pmod(hash(event_id), 16), decorrelated from the parity hot-key rule
-    "quality_gopher_rules": 14,  # r14: body extracted into gopher_metrics(docs) for the admission twin — same expressions, signature-only refactor
-    "sample_weighted_priority": 14,  # r14: priority projection extracted into aes_priority_frame(docs) for the incremental reservoir — same expressions
     # r14 OPTIMIZATION round: plan-shape changes proven result-identical by
     # local oracle parity; declared so the driver window re-greens each on
     # the new plan (VERDICT r13 item 2's "resets for ANY touched query").
-    "dedup_substring_rewrite": 14,  # posexplode+codegen window hash, binary-narrowed shuffle, occurrence checkpoint
-    "dedup_substring_spans": 14,  # shares the reworked occurrence front half
-    "cooccurrence_parts_pmi": 14,  # basket/freq checkpoints; per-basket self-join SMJ → shuffled-hash
-    "quality_repetition_rules": 14,  # most-common-n-gram via sorted-array max-run fold (same value, one O(m) pass)
-    "er_match_pairs": 14,  # dirty-frame checkpoint collapses 30 scans to 10
-    "er_golden_record": 14,  # same dirty-frame checkpoint
-    "dsir_importance_weights": 14,  # 64-row bucket model localCheckpoint: 3 Generates → 1
-    "similarity_topk_ivf": 14,  # _nearest self-dot hoist (bit-identical expanded sq-dist)
-    "similarity_topk_pq": 14,  # _nearest + PQ LUT self-dot hoist
-    "dedup_semantic_semdedup": 14,  # _nearest hoist + drop-set as max-cos aggregate (same set; agg is the pushdown barrier)
-    "graph_bfs_distances": 14,  # dropped edge repartition+persist; broadcast semi-join rounds re-read the parquet artifact
-    "graph_kcore": 14,  # in-core peel fed by the DIRECTED edge artifact via mapInArrow (symmetrize in-kernel, half the bytes); no und build under the gate
-    "graph_coreness": 14,  # same finisher rework for the h-index fixpoint (coreness_table gates on 2×|e0|)
-    "graph_label_propagation": 14,  # same finisher rework for the LPA rounds
-    "graph_triangle_count": 14,  # packed-long (deg<<32|id) orientation + single-long closing key under an ids<2^31 gate (wedge stage 4.6 → 2.1 s)
-    "graph_clustering_coefficient": 14,  # shares triangle_counts' packed wedge stage
-    "graph_report": 14,  # shares triangle_table's packed wedge stage
-    "graph_triangle_powerlaw": 14,  # shares triangle_counts (packed path when its ids fit)
-    "pretrain_corpus_report": 14,  # contamination checkpoint write overlapped with the exact/minhash/CC chain (driver thread, graph_report pattern)
-    "quality_score_pr_curve": 14,  # label side inherits gopher_metrics' sorted max-run top-word count (value-equal, asserted on all SFs)
-    "bpe_train_merges": 14,  # argmax rule collected (1-row aggregate class) instead of 1-row parquet checkpoint; literal rewrite lineage
-    "bpe_apply_encode": 14,  # shares the reworked training chain
-    "decontaminate_semantic": 14,  # scoring pass as a mapInPandas near-max candidate kernel (bit-exact fold; round+window stay in Spark)
     # r14 session 6 (optimization continued)
-    "retrieval_eval_bm25": 14,  # postings pruned to query terms before the aggregate (one corpus explode, checkpointed); gold rank via window over query_id instead of scored checkpoint + broadcast-gold
-    "dedup_minhash_lsh": 14,  # verification tail: both sides broadcast the SAME docs_sh aggregate (AQE stage reuse computes it once; cand probe side no longer shuffles)
-    "dedup_minhash_lsh_capped": 14,  # shares the reworked verification tail
-    "dedup_minhash_lsh_df_capped": 14,  # shares the reworked verification tail
-    "dedup_cluster_stats": 14,  # CC labels via the single-use contract: lazy in-core union-find, no labels_local round-trip, gate-proven broadcast
-    "dedup_keep_canonical": 14,  # same single-use labels contract
-    "dedup_connected_components": 14,  # pairs build inherits the minhash verification tail
-    "dedup_connected_components_star": 14,  # same pairs-build inheritance
-    "decontaminate_bloom": 14,  # filter sizing rides the word-fold job (SQL _bloom_bits twin, 1-row broadcast) — one action instead of two
-    "dedup_graph_pagerank": 14,  # pairs build inherits the minhash verification tail
-    "contrastive_pairs_dataset": 14,  # pairs build inherits the minhash verification tail
-    "split_leakage_free": 14,  # CC labels build inherits the minhash verification tail
 }
 # (r11: the entire 42-name r10 cohort — rounding conversions, zero-vector
 # cosine guards, einsum UDF rewrite, NULL-hardened batch paths — re-greened
@@ -123,9 +85,9 @@ _EVIDENCE_RESET: dict[str, int] = {
 _LAST_GREEN_ROUND: dict[str, int] = {
     "ab_test_mann_whitney": 9,
     "ab_test_welch": 10,
-    "acf_event_values": 9,
+    "acf_event_values": 14,
     "advanced_agg_gallery": 9,
-    "anti_join_customers_no_urgent": 9,
+    "anti_join_customers_no_urgent": 14,
     "apply_in_pandas_label_stats": 10,
     "approx_distinct_users": 6,
     "approx_percentile_prices": 6,
@@ -135,54 +97,54 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "array_functions_gallery": 9,
     "arrow_quantize_embeddings": 10,
     "asof_join_purchase_last_view": 13,
-    "augment_span_corrupt": 8,
+    "augment_span_corrupt": 14,
     "benford_digit_audit": 9,
     "bitwise_functions_gallery": 13,
     "bootstrap_mean_ci": 10,
-    "bpe_apply_encode": 10,
+    "bpe_apply_encode": 14,
     "bpe_merge_candidates": 13,
-    "bpe_train_merges": 10,
+    "bpe_train_merges": 14,
     "broadcast_join_part_agg": 11,
     "changepoint_cusum_events": 9,
-    "chunk_documents_overlapping": 8,
+    "chunk_documents_overlapping": 14,
     "conditional_agg_orders": 9,
     "constraint_audit_orders": 13,
-    "contrastive_pairs_dataset": 8,
-    "cooccurrence_parts_pmi": 9,
+    "contrastive_pairs_dataset": 14,
+    "cooccurrence_parts_pmi": 14,
     "cube_orders_status_priority": 11,
-    "curate_source_cap": 8,
+    "curate_source_cap": 14,
     "dataset_version_diff": 12,
     "date_functions_gallery": 9,
     "decontaminate_against_eval": 13,
-    "decontaminate_bloom": 13,
-    "decontaminate_semantic": 10,
+    "decontaminate_bloom": 14,
+    "decontaminate_semantic": 14,
     "dedup_audio_fingerprint": 13,
     "dedup_chunk_exact": 12,
     "dedup_chunk_rewrite": 13,
-    "dedup_cluster_stats": 11,
-    "dedup_connected_components": 11,
-    "dedup_connected_components_star": 12,
+    "dedup_cluster_stats": 14,
+    "dedup_connected_components": 14,
+    "dedup_connected_components_star": 14,
     "dedup_containment_capped": 10,
     "dedup_containment_pairs": 10,
     "dedup_edit_distance_banded": 13,
     "dedup_embedding_cosine": 10,
     "dedup_embedding_cosine_bucketed": 10,
     "dedup_exact_documents": 12,
-    "dedup_graph_pagerank": 13,
+    "dedup_graph_pagerank": 14,
     "dedup_image_phash": 13,
     "dedup_intradoc_rewrite": 13,
     "dedup_jaccard_prefix_filter": 10,
-    "dedup_keep_canonical": 11,
+    "dedup_keep_canonical": 14,
     "dedup_latest_order_per_customer": 12,
-    "dedup_minhash_lsh": 10,
-    "dedup_minhash_lsh_capped": 10,
-    "dedup_minhash_lsh_df_capped": 10,
+    "dedup_minhash_lsh": 14,
+    "dedup_minhash_lsh_capped": 14,
+    "dedup_minhash_lsh_df_capped": 14,
     "dedup_ngram_jaccard": 10,
     "dedup_ngram_jaccard_capped": 10,
-    "dedup_semantic_semdedup": 12,
+    "dedup_semantic_semdedup": 14,
     "dedup_simhash": 12,
-    "dedup_substring_rewrite": 12,
-    "dedup_substring_spans": 12,
+    "dedup_substring_rewrite": 14,
+    "dedup_substring_spans": 14,
     "dict_encode_segments": 12,
     "distinct_customers_per_status": 11,
     "drift_chi2_by_window": 11,
@@ -191,12 +153,14 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "drift_ks_events_value": 11,
     "drift_mutual_information": 11,
     "drift_psi_events_value": 11,
-    "dsir_importance_weights": 10,
+    "dsir_importance_weights": 14,
     "embedding_label_centroids": 12,
     "embedding_norm_isotropy": 11,
     "embedding_random_projection": 13,
+    "er_golden_record": 14,
+    "er_match_pairs": 14,
     "eval_contamination_report": 12,
-    "event_transition_matrix": 9,
+    "event_transition_matrix": 14,
     "event_validity_intervals": 13,
     "ewma_event_values": 13,
     "forward_fill_event_metric": 13,
@@ -205,16 +169,17 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "funnel_time_to_convert": 9,
     "funnel_view_cart_purchase": 12,
     "gapfill_hourly_events": 13,
-    "graph_adamic_adar": 8,
+    "graph_adamic_adar": 14,
     "graph_adamic_adar_capped": 9,
-    "graph_bfs_distances": 9,
-    "graph_clustering_coefficient": 12,
-    "graph_coreness": 12,
-    "graph_kcore": 12,
-    "graph_label_propagation": 12,
-    "graph_report": 12,
-    "graph_triangle_count": 12,
-    "graph_triangle_powerlaw": 13,
+    "graph_bfs_deep": 14,
+    "graph_bfs_distances": 14,
+    "graph_clustering_coefficient": 14,
+    "graph_coreness": 14,
+    "graph_kcore": 14,
+    "graph_label_propagation": 14,
+    "graph_report": 14,
+    "graph_triangle_count": 14,
+    "graph_triangle_powerlaw": 14,
     "heavy_hitters_words": 10,
     "higher_order_functions_gallery": 13,
     "histogram_equiwidth_prices": 12,
@@ -248,30 +213,31 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "pipeline_c4_keep": 11,
     "pivot_status_by_priority": 9,
     "posexplode_order_lines": 12,
-    "pretrain_corpus_report": 12,
+    "pretrain_corpus_report": 14,
     "pricing_summary": 11,
     "privacy_k_anonymity_audit": 11,
     "privacy_k_anonymous_release": 11,
     "profile_documents": 13,
     "prune_empty_columns": 12,
-    "quality_gopher_rules": 12,
+    "quality_gopher_rules": 14,
     "quality_linear_score": 13,
-    "quality_score_pr_curve": 11,
+    "quality_repetition_rules": 14,
+    "quality_score_pr_curve": 14,
     "quartile_labels_by_cutpoint": 11,
-    "rag_retrieve_chunks": 8,
+    "rag_retrieve_chunks": 14,
     "range_join_events_binned": 9,
     "rank_functions_suppliers": 10,
     "regexp_functions_gallery": 9,
     "regression_moments_lineitem": 13,
     "retention_cohorts_weekly": 12,
-    "retrieval_eval_bm25": 9,
+    "retrieval_eval_bm25": 14,
     "revenue_by_nation": 11,
     "rolling_median_hourly": 9,
     "rollup_lineitem_status": 11,
     "salted_agg_event_types": 10,
     "sample_documents_hash": 11,
     "sample_stratified_by_lang": 11,
-    "sample_weighted_priority": 8,
+    "sample_weighted_priority": 14,
     "scalar_functions_gallery": 11,
     "scd2_point_in_time_join": 13,
     "scd2_user_state": 13,
@@ -282,7 +248,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "semi_join_discounted_orders": 11,
     "session_window_events": 13,
     "sessionize_events": 13,
-    "setop_except_urgent_unfinished": 9,
+    "setop_except_urgent_unfinished": 14,
     "setop_intersect_nations": 11,
     "setop_multiset_all_nations": 13,
     "setop_union_nations": 11,
@@ -291,22 +257,22 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "similarity_knn_graph_bucketed": 10,
     "similarity_topk_blas": 2,
     "similarity_topk_bruteforce": 10,
-    "similarity_topk_ivf": 12,
+    "similarity_topk_ivf": 14,
     "similarity_topk_ivf_nprobe": 12,
     "similarity_topk_lsh_bucketed": 10,
     "similarity_topk_lsh_multiprobe": 10,
-    "similarity_topk_pq": 12,
+    "similarity_topk_pq": 14,
     "sketch_bottomk_quantiles": 11,
     "sketch_bottomk_quantiles_by_group": 11,
     "sketch_countmin_words": 9,
     "sketch_kmv_distinct": 10,
     "sketch_kmv_set_ops": 10,
-    "skew_join_salted_events": 13,
+    "skew_join_salted_events": 14,
     "skipgram_pairs_subsampled": 9,
-    "skyline_documents": 8,
+    "skyline_documents": 14,
     "sliding_window_events": 13,
     "sorted_page_orders": 10,
-    "split_leakage_free": 11,
+    "split_leakage_free": 14,
     "split_train_val_test": 11,
     "sql_exists_subquery": 9,
     "sql_group_by_all_shorthand": 13,
@@ -337,7 +303,7 @@ _LAST_GREEN_ROUND: dict[str, int] = {
     "theta_join_nation_pairs": 11,
     "token_budget_per_lang": 12,
     "top_orders_by_revenue": 11,
-    "training_epoch_order": 8,
+    "training_epoch_order": 14,
     "try_functions_gallery": 13,
     "tumbling_window_events": 13,
     "type_detect_ladder": 12,
