@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 # Apriori-style item floor: items below the 25th percentile of basket
 # frequency never enter the pair join. Data-derived (a quantile, not an
@@ -103,7 +103,10 @@ def cooccurrence_parts_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = checkpoint_base(spark, None, "_pmi_")
     basket_path = os.path.join(ck, "basket")
     (
-        load_table(spark, sf_dir, "lineitem")
+        # fan-out-gated scan (guide §2.5): integer distinct — order-exact;
+        # without it the scan+partial-distinct pass runs in one task on the
+        # single-row-group bench parquet.
+        fan_out_small(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
         .select(
             F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
         )

@@ -41,7 +41,7 @@ from dblp_to_csv_spark.operators.dedup import (
 from dblp_to_csv_spark.operators.dedup import connected_components_min_label
 from dblp_to_csv_spark.operators.text_analysis import text_unigram_logprob
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 _WORDS = WORDS_SQL.format(col="text")
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -140,7 +140,11 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(words²) per document (array_distinct × filter) — bounded by document
     length, linear in corpus size, and still cheaper than the explode +
     groupBy + window alternative, which would shuffle every token."""
-    return gopher_metrics(load_table(spark, sf_dir, "documents"))
+    # fan-out-gated scan (guide §2.5): the battery is row-local (array
+    # folds only), so partitioning cannot move a value.
+    return gopher_metrics(
+        fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def gopher_metrics(docs_raw: DataFrame) -> DataFrame:
@@ -356,9 +360,11 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is one hash-shuffle on chunk_hash with map-side partials. At
     100 TB this is the cheapest join-key granularity that still finds
     shared paragraphs."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("w")
-    )
+    # fan-out-gated scan (guide §2.5); chunk hashing + COUNT aggregates are
+    # order-exact.
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", words("text").alias("w"))
     w = F.col("w")
     n_chunks, idxs, chunk_hashes = _chunk_exprs(w)
     return (
@@ -708,9 +714,11 @@ def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array by kept index, so chunk text never round-trips through the
     shuffle. Docs with no chunks (< {CHUNK_WORDS} words) skip the shuffle
     path entirely via the left join."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("w")
-    )
+    # fan-out-gated scan (guide §2.5); the hash window's row_number order
+    # is the total (doc_id, idx) — order-exact.
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", words("text").alias("w"))
     w = F.col("w")
     n_chunks, idxs, chunk_hashes = _chunk_exprs(w)
     base = docs.select("doc_id", "w", n_chunks.alias("n_chunks"),
@@ -1004,9 +1012,13 @@ def _span_window_base(docs: DataFrame) -> DataFrame:
 def _substring_base_and_marked(spark: SparkSession, sf_dir: str):
     """sf_dir-loading wrapper around ``_substring_marked_from_docs`` —
     shared front half of the two registered substring-dedup queries."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("w")
-    )
+    # fan-out-gated scan (guide §2.5): the occurrence pass (tokenize +
+    # window slices + per-window md5) otherwise runs in the single-row-group
+    # scan's one task; every cross-row op downstream is order-exact
+    # (count_distinct / MIN-struct / distinct on md5 keys).
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", words("text").alias("w"))
     return _substring_marked_from_docs(spark, docs)
 
 

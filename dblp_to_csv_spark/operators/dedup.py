@@ -42,7 +42,7 @@ from dblp_to_csv_spark.operators.similarity import (
 )
 from dblp_to_csv_spark.registry import register
 from dblp_to_csv_spark.session import checkpoint_base, session_checkpoint_dir
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, input_bytes, load_table
 
 # Forced broadcasts of "vanishing fraction" frames (drop sets, cluster
 # labels) are only safe under that assumption; past this row bound the join
@@ -66,29 +66,9 @@ def broadcast_if_small(df: DataFrame) -> DataFrame:
 MH_VERIFY_MATERIALIZE_BYTES = 256 << 20
 
 
-def _input_bytes(df: DataFrame) -> int:
-    """Total bytes of the files backing ``df`` (file:-scheme URIs resolved
-    via os.stat). Returns a huge sentinel when nothing resolves OR when ANY
-    file fails to resolve (foreign scheme, encoded path, stat error):
-    a partially-resolved total would silently UNDERCOUNT — e.g. an
-    object-store corpus with one local sidecar file — and route a huge
-    input to the scale-unsafe lazy branch, so unknown means unknown."""
-    total = 0
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return 1 << 62
-    if not files:
-        return 1 << 62
-    for uri in files:
-        path = uri[7:] if uri.startswith("file://") else uri
-        if uri.startswith("file:") and not uri.startswith("file://"):
-            path = uri[5:]
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return 1 << 62
-    return total
+# Moved to sources.tables (shared with the scan fan-out gate); re-exported
+# here because the minhash docstrings/tests reference it by this name.
+_input_bytes = input_bytes
 
 
 # MinHash parameters: K signatures, B bands of R rows (K = B*R).
@@ -132,7 +112,8 @@ def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there re-runs split+filter per element_at, turning tokenization
     # O(n_words²) per document (measured 14.5s → 0.5s at sf0.01).
     return (
-        docs.select("doc_id", words("text").alias("w"))
+        fan_out_small(docs, "doc_id")
+        .select("doc_id", words("text").alias("w"))
         .select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
         .distinct()
     )
@@ -380,10 +361,15 @@ def minhash_lsh_pairs(
     survivor set so the chain runs over exactly the eligible corpus."""
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    # raw shingles: narrow (tokenize+explode), duplicates kept
-    sh_raw = docs.select("doc_id", words("text").alias("w")).select(
-        "doc_id", F.explode(shingles(F.col("w"))).alias("shingle")
-    )
+    # raw shingles: narrow (tokenize+explode), duplicates kept. The scan is
+    # fan-out-gated first (guide §2.5): the corpus parquet is a single row
+    # group at bench scale, so without the repartition the tokenize + 2×md5
+    # per shingle all run in ONE task; every downstream aggregate here is
+    # order-exact (string MIN / distinct / set), so the partitioning cannot
+    # move a result.
+    sh_raw = fan_out_small(docs, "doc_id").select(
+        "doc_id", words("text").alias("w")
+    ).select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
     if shingle_df_cap is not None:
         hot_shingles = (
             sh_raw.distinct()
@@ -1285,7 +1271,12 @@ def _simhash_sketch(
     of an md5 + hex parse per distinct word — when cross-engine
     reproducibility isn't needed."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.explode(F.array_distinct(words("text"))).alias("word"))
+    # fan-out-gated scan (guide §2.5): single-row-group corpus parquet would
+    # otherwise run tokenize + per-word md5 in one task; the ±1 bit sums are
+    # INTEGER aggregates, so partial-combine order cannot move the sketch.
+    w = fan_out_small(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("word")
+    )
     if use_xxhash:
         h = F.xxhash64("word")
     else:

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 # Match rule thresholds: address within 3 edits (variants are 1-2 away),
 # phone within 2 (variant 2 replaces the last digit).

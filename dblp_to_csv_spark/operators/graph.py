@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.functions.rounding import round_ties_down
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import (
+    SMALL_SCAN_FANOUT_BYTES,
+    fan_out_small,
+    input_bytes,
+    load_table,
+)
 
 
 # Session-scoped materialized-artifact cache: (applicationId, artifact,
@@ -86,9 +91,20 @@ def copart_edges(
     if checkpoint and key in _ARTIFACT_CACHE:
         return spark.read.parquet(_ARTIFACT_CACHE[key])
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Fan-out-gated stream side (guide §2.5): single-row-group parquet means
+    # the broadcast join's pair fan-out (~4M rows at sf0.1) and the partial
+    # distinct otherwise run in ONE task; edges are integer pairs + DISTINCT
+    # — order-exact. Under the SAME small-input gate the build side is
+    # pinned to a broadcast: the planner would otherwise see the
+    # repartitioned side as equally broadcastable and could put the
+    # exchange under the build — wasting the fan-out. ABOVE the gate both
+    # sides stay plain scans and the planner keeps choosing the at-scale
+    # join (lineitem never broadcasts at 100 TB).
+    small = input_bytes(li) <= SMALL_SCAN_FANOUT_BYTES
+    a_side = (fan_out_small(li, "l_orderkey") if small else li).alias("a")
+    b_side = F.broadcast(li.alias("b")) if small else li.alias("b")
     edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
+        a_side.join(b_side, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")

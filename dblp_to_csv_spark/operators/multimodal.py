@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct — the ingest
@@ -280,7 +280,10 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded the pixels — is hash-exact, including pad-pixel zeros and the
     row-order proof via top_left. Both stages are narrow mapInPandas over
     input splits: no shuffle anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): the narrow mapInPandas stages
+    # otherwise encode+decode the whole corpus in the single input split's
+    # one task; outputs are per-row integers.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     return decode_bmp_payloads(
         encode_bmp_payloads(with_binary_payload(docs).select("doc_id", "payload"))
     )
@@ -636,7 +639,8 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample). The oracle predicts every field straight from the ASCII text
     that seeded the samples, so the whole mapInPandas path is hash-exact.
     Both stages are narrow mapInPandas over input splits: no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): see multimodal_decode_bmp.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     return decode_wav_payloads(
         encode_wav_payloads(with_binary_payload(docs).select("doc_id", "payload"))
     )
@@ -894,7 +898,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction from the seeding ASCII text only matches if the
     decompression and all five filter reconstructions are exact. Both
     stages are narrow mapInPandas over input splits: no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): see multimodal_decode_bmp.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     return decode_png_payloads(
         encode_png_payloads(with_binary_payload(docs).select("doc_id", "payload"))
     )
@@ -1049,7 +1054,9 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     small crops/recolors land within the radius."""
     from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): decode/hash per-row, banded join
+    # on integer band values — order-exact.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     sk = image_dhash_payloads(
         encode_bmp_payloads(with_binary_payload(docs).select("doc_id", "payload"))
     )
@@ -1247,7 +1254,8 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit-on-first-collision — the SimHash plan."""
     from dblp_to_csv_spark.operators.dedup import banded_hamming_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): see dedup_image_phash.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     sk = audio_fingerprint_payloads(
         encode_wav_payloads(with_binary_payload(docs).select("doc_id", "payload"))
     )

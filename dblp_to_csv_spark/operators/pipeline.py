@@ -27,7 +27,7 @@ from dblp_to_csv_spark.functions.text import (
     words,
 )
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 _WORDS = WORDS_SQL.format(col="text")
 _SHINGLES = SHINGLES_SQL.format(words="words")
@@ -113,9 +113,12 @@ def pipeline_c4_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-canonical check is a min-over-fingerprint window (one shuffle on
     md5(text), the same 32-byte key dedup_exact_documents groups on). This
     is the end-to-end corpus filter, not a demo of one operator."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", words("text").alias("w")
-    )
+    # fan-out-gated scan (guide §2.5): the single-row-group corpus parquet
+    # would otherwise tokenize + regex-scan every document in one task; the
+    # only cross-row operation is a MIN-over-md5 window (string/int — exact).
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "text", words("text").alias("w"))
     w = F.col("w")
     n_tokens = F.size(w)
     stop_ratio = (
@@ -1314,7 +1317,9 @@ def skipgram_pairs_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     build) regardless of window size."""
     from dblp_to_csv_spark.session import session_checkpoint_dir
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): counts + md5 draws + integer
+    # neighbor equi-join — order-exact.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "doc_id", F.posexplode(words("text")).alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")

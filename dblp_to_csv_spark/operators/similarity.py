@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -85,7 +85,11 @@ _EMB_CTE = """
 
 
 def _scored(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # fan-out-gated scan (guide §2.5): the candidate side of the broadcast
+    # join otherwise scores every pair's interpreted 64-dim dot in one task.
+    # Per-pair cosines see identical operands under any partitioning and the
+    # top-k order is total (rounded cos DESC, vec_id) — order-exact.
+    emb = fan_out_small(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         _as_double("embedding").alias("emb"),
         _sign_bucket(F.col("embedding")).alias("bucket"),

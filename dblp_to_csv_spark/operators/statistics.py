@@ -25,7 +25,7 @@ _NOT_NAN_VALUE = NOT_NAN_FILTER_SQL.format(col="value")
 _FINITE_VALUE = FINITE_OR_NULL_SQL.format(col="value")
 from dblp_to_csv_spark.functions.text import WORDS_SQL, words
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 
 @register(
@@ -840,7 +840,10 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce it exactly, which is precisely the MG no-false-negative
     guarantee. Integer threshold (CEIL) and tie-down share rounding keep
     the comparison engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): COUNT aggregates are order-exact, and
+    # the MG candidate pass is partitioning-independent BY CONTRACT (the
+    # recount + HAVING reproduce the exact GROUP BY for any summary set).
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(F.explode(words("text")).alias("word"))
     cand = mg_partition_summaries(tok).select("word").distinct()
     total = tok.agg(F.count(F.lit(1)).alias("total"))
@@ -1234,7 +1237,10 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drawn sample — and therefore every estimate — engine-portable
     (same rows in the DuckDB oracle). Empty input → empty result on both
     engines (the exact-side NULL row is filtered)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan-out-gated scan (guide §2.5): the bottom-k is TakeOrdered on md5
+    # keys (total order) and the exact twin sorts its collected array, so
+    # both sides are partitioning-independent.
+    li = fan_out_small(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     qs_lit = F.array(*[F.lit(q) for q in _BK_QS])
     hk = F.md5(
         F.concat(

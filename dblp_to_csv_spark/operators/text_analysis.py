@@ -21,7 +21,7 @@ from dblp_to_csv_spark.functions.text import (
     words,
 )
 from dblp_to_csv_spark.registry import register
-from dblp_to_csv_spark.sources.tables import load_table
+from dblp_to_csv_spark.sources.tables import fan_out_small, load_table
 
 _WORDS = WORDS_SQL.format(col="text")
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1282,7 +1282,9 @@ def _bpe_train(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan-out-gated scan (guide §2.5): the word-frequency aggregate is an
+    # integer COUNT — order-exact.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id")
     w0 = (
         docs.select(F.explode(words("text")).alias("word"))
         .groupBy("word")
@@ -1413,7 +1415,8 @@ def bpe_apply_encode(
         n_syms.cast("long").alias("n_syms"),
         F.length("word").cast("long").alias("n_chars"),
     )
-    tok = load_table(spark, sf_dir, "documents").select(
+    # fan-out-gated scan (guide §2.5): per-doc symbol sums are integers.
+    tok = fan_out_small(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.explode(words("text")).alias("word")
     )
     return (

@@ -92,3 +92,60 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Total bytes of the files backing ``df`` (file:-scheme URIs resolved
+    via os.stat). Returns a huge sentinel when nothing resolves OR when ANY
+    file fails to resolve (foreign scheme, encoded path, stat error):
+    a partially-resolved total would silently UNDERCOUNT — e.g. an
+    object-store corpus with one local sidecar file — and route a huge
+    input to a scale-unsafe branch, so unknown means unknown."""
+    total = 0
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 62
+    if not files:
+        return 1 << 62
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        if uri.startswith("file:") and not uri.startswith("file://"):
+            path = uri[5:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return 1 << 62
+    return total
+
+
+# Scan fan-out gate (optimization guide §2.5, "input skew: one huge
+# unsplittable file — repartition immediately after the read"): the driver's
+# sf tables are single-FILE, single-ROW-GROUP parquet, so a parquet scan
+# resolves to one non-empty task no matter the core count (byte-range splits
+# assign a row group to the task holding its midpoint), and the first stage
+# of every consumer — tokenize, md5, explode, pair fan-out — runs serial.
+# Below the gate the scan is hash-repartitioned to the session default
+# parallelism on caller-named key columns (deterministic row→partition under
+# task retries, per §2.5's rand()-repartition warning; the keys must spread —
+# a unique id is ideal). Above the gate the natural split count already
+# covers the cluster and the extra exchange would only add a corpus shuffle,
+# so at 100 TB the gate never fires. 256 MiB ≈ 2 default split sizes: past
+# that the scan has enough genuine splits to keep a stage busy.
+#
+# ONLY apply this on paths whose downstream aggregates are ORDER-EXACT
+# (string/integer min/max/count/distinct, md5 keys, collect_set consumed as a
+# set): a floating-point SUM/AVG's partial-combine tree changes with the
+# partitioning, and 6-dp rounding does not absorb every reassociation — the
+# fan-out must never be able to move a declared query's hash.
+SMALL_SCAN_FANOUT_BYTES = 256 << 20
+
+
+def fan_out_small(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a small scan to ``defaultParallelism`` on ``keys``
+    so per-row CPU downstream uses the whole cluster; identity above the
+    byte gate (see SMALL_SCAN_FANOUT_BYTES)."""
+    if input_bytes(df) > SMALL_SCAN_FANOUT_BYTES:
+        return df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism, *keys)

@@ -109,9 +109,14 @@ def test_repetition_and_stratified_are_scan_projections(spark):
 
 def test_gopher_rules_is_scan_projection(spark):
     """All four Gopher metrics are array expressions over one tokenization —
-    the whole operator must fuse into the scan (no shuffle, no Python)."""
+    the whole operator must fuse into the scan: no Python, and the ONLY
+    exchange is the r15 size-gated scan fan-out (REPARTITION_BY_NUM on
+    doc_id — guide §2.5; at scale the gate never fires and the plan is
+    exchange-free again)."""
     plan = _plan(spark, "quality_gopher_rules")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "REPARTITION_BY_NUM" in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -751,7 +756,11 @@ def test_bmp_decode_is_shuffle_free_arrow_pipeline(spark):
     no Exchange of any kind, no row-at-a-time Python — the Arrow batch
     operators are the only Python in the plan."""
     plan = _plan(spark, "multimodal_decode_bmp")
-    assert "Exchange" not in plan
+    # the only exchange allowed is the r15 size-gated scan fan-out (guide
+    # §2.5) that spreads the single-row-group scan before the encode stage
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "REPARTITION_BY_NUM" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 2  # encode stage + decode stage
 
@@ -770,7 +779,9 @@ def test_wav_decode_is_shuffle_free_arrow_pipeline(spark):
     """The WAV twin holds the same contract as the BMP gate: two narrow
     mapInPandas stages, no Exchange, no row-at-a-time Python."""
     plan = _plan(spark, "multimodal_decode_wav")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1  # fan-out only; see the BMP gate
+    if "Exchange" in plan:
+        assert "REPARTITION_BY_NUM" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 2  # encode stage + decode stage
 
